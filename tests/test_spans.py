@@ -1,0 +1,83 @@
+"""Span/markup layer tests (C1) — offsets pinned to the reference example.
+
+Golden case: /root/reference/utils/mention.py:5-10 documents
+    '[[1|aa]]bb[[2|cc]]dd' → plain 'aabbccdd', anchors (aa,1,0), (cc,2,4).
+We pin that exact shape plus a transliterated multi-anchor case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xlink_spark.operators import spans as SP
+
+
+def _parse(spark, text):
+    df = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    out = SP.parse_markup_to_spans(df).collect()
+    assert len(out) == 1
+    return out[0]["spans"]
+
+
+def test_markup_roundtrip_simple(spark):
+    sp = _parse(spark, "[[1|aa]]bb[[2|cc]]dd")
+    anchors = [s for s in sp if s["kind"] == "anchor"]
+    assert [(a["text"], a["media_ref"], a["offset"]) for a in anchors] == [
+        ("aa", "1", 0),
+        ("cc", "2", 4),
+    ]
+    df = spark.createDataFrame([(sp,)], "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    plain = df.select(SP.plain_text("spans").alias("p")).collect()[0]["p"]
+    assert plain == "aabbccdd"
+    markup = df.select(SP.spans_to_markup("spans").alias("m")).collect()[0]["m"]
+    assert markup == "[[1|aa]]bb[[2|cc]]dd"
+
+
+def test_markup_leading_text_offsets(spark):
+    text = "intro [[e7|deep learning]] middle [[e9|graph]] tail"
+    sp = _parse(spark, text)
+    anchors = [s for s in sp if s["kind"] == "anchor"]
+    plain = "intro deep learning middle graph tail"
+    assert anchors[0]["offset"] == plain.index("deep learning")
+    assert anchors[1]["offset"] == plain.index("graph")
+    assert anchors[0]["media_ref"] == "e7"
+
+
+def test_markup_validity_predicate(spark):
+    rows = [
+        ("ok", "a [[e1|x]] b", True),
+        ("unclosed", "a [[e1|x b", False),
+        ("nested", "a [[e1|[[e2|y]]]] b", False),
+        ("no_pipe", "a [[e1x]] b", False),
+        ("plain", "no anchors at all", True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, want boolean")
+    got = df.select("doc_id", "want", SP.is_markup_valid("text").alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"], r["doc_id"]
+
+
+def test_fixture_spans_offsets_consistent(sdfs):
+    """Generator invariant: every anchor offset == its position in plain text."""
+    docs, *_ = sdfs
+    flat = docs.select(
+        "doc_id",
+        SP.plain_text("spans").alias("plain"),
+        F.explode(F.filter("spans", lambda s: s["kind"] == "anchor")).alias("a"),
+    )
+    bad = flat.filter(
+        F.substring(F.col("plain"), F.col("a.offset") + 1, F.length("a.text"))
+        != F.col("a.text")
+    )
+    assert bad.count() == 0
+
+
+def test_span_sequence_key_detects_reorder(spark):
+    sp1 = [("text", "ab", None, 0), ("anchor", "cd", "e1", 2)]
+    sp2 = [("anchor", "cd", "e1", 0), ("text", "ab", None, 2)]
+    df = spark.createDataFrame(
+        [(sp1,), (sp2,)],
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    keys = [r["k"] for r in df.select(SP.span_sequence_key("spans").alias("k")).collect()]
+    assert keys[0] != keys[1]

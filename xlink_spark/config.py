@@ -1,0 +1,59 @@
+"""Pipeline hyperparameters, pinned to the reference's values.
+
+Every constant cites the reference file:line it was read from
+(/root/reference). These are defaults; all operators accept overrides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DictionaryConfig:
+    """Offline dictionary-build thresholds (pipeline step 5)."""
+
+    # drop mentions of length <= 1 — extract_mention_anchors.py:75, 170-173
+    min_mention_len: int = 2
+    # keep mention iff link(m) - self_links(m) >= 2 — extract_mention_anchors.py:161-183
+    min_link_count: int = 2
+    # keep mention iff link(m)/freq(m) >= 1e-4 — main.py:459
+    min_link_prob: float = 1e-4
+
+
+@dataclass(frozen=True)
+class PredictorConfig:
+    """Online predictor thresholds — xlink.py:27-36."""
+
+    context_window: int = 50          # ctx chars each side — xlink.py:27
+    prior_power: float = 0.02         # entity_popularity_power — xlink.py:28
+    link_prob_th: float = 0.008       # mention gate — xlink.py:29
+    believe_th: float = 0.2           # mention believe gate — xlink.py:30
+    # no-prob (title-dict) path — xlink.py:32-36
+    np_ctx_word_sim_th: float = 0.3
+    np_seed_th: float = 0.45
+    np_believe_th: float = 0.5
+    np_words_weight: float = 0.5
+
+
+@dataclass(frozen=True)
+class ClusterConfig:
+    """Transitive clustering (large-star/small-star CC) knobs."""
+
+    match_threshold: float = 0.2      # edges = pairs with believe >= this
+    max_iterations: int = 50          # CC converges in O(log n); hard stop
+    checkpoint_every: int = 1         # snapshot each iteration (resumable)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    dictionary: DictionaryConfig = field(default_factory=DictionaryConfig)
+    predictor: PredictorConfig = field(default_factory=PredictorConfig)
+    cluster: ClusterConfig = field(default_factory=ClusterConfig)
+    # hot blocking keys are replicated this many ways when salting (detect.py)
+    skew_salt_buckets: int = 8
+    # a key is "hot" if its candidate-list length exceeds this
+    hot_key_min_candidates: int = 64
+
+
+DEFAULT = EngineConfig()

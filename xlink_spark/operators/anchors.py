@@ -1,0 +1,230 @@
+"""Offline dictionary build: anchor extraction, merges, filters.
+
+Covers SURVEY §2.4 A1-A4, §2.2 F1-F5, §2.3 J3, §2.7 U1-U2. Every reference
+dict-loop becomes a shuffle-aware DataFrame job:
+
+* counting is groupBy → Spark's partial (map-side) + final hash aggregation,
+  the exact combiner pattern the reference hand-rolls by merging per-corpus
+  dicts (extract_mention_anchors.py:63-127);
+* cross-corpus merge = unionByName + re-aggregate (A2);
+* every filter is a semi/anti join or a pushed-down predicate.
+
+At 100 TB the only shuffles here are keyed by ``mention`` / ``entity_id``
+(both high-cardinality, near-uniform after the F1 length filter; the Zipf
+head on mentions is tolerable because rows per mention are already partial-
+aggregated map-side to one row per (mention, entity, partition)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xlink_spark.config import DictionaryConfig
+from xlink_spark.operators.spans import anchor_spans
+
+
+def extract_mention_anchors(docs: DataFrame, cfg: DictionaryConfig | None = None) -> DataFrame:
+    """A1: anchor counts per (lower(mention), entity).
+
+    Reference: extract_mention_anchors.py:8-61 — iterates docs, lower-cases
+    the mention (:41), skips length<=1 (:75), accumulates nested dicts.
+    Here: explode anchors → filter → groupBy. Map-side combine collapses the
+    Zipf head before the shuffle.
+    """
+    cfg = cfg or DictionaryConfig()
+    a = anchor_spans(docs)
+    return (
+        a.select(F.lower("surface").alias("mention"), "entity_id")
+        .filter(F.length("mention") >= cfg.min_mention_len)
+        .groupBy("mention", "entity_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def extract_out_links(docs: DataFrame) -> DataFrame:
+    """A1/U2/G1: per-doc distinct outgoing entity links.
+
+    Reference: extract_mention_anchors.py:38-47 (set add per doc).
+    """
+    return anchor_spans(docs).select("doc_id", "entity_id").distinct()
+
+
+def extract_self_links(docs: DataFrame) -> DataFrame:
+    """A1: mentions whose anchor target is the containing doc itself.
+
+    Reference: extract_mention_anchors.py:49-51 (doc_id doubles as the doc's
+    own entity id, per FIXTURES.md A1).
+    """
+    a = anchor_spans(docs)
+    return (
+        a.filter(F.col("entity_id") == F.col("doc_id"))
+        .select(F.lower("surface").alias("mention"))
+        .groupBy("mention")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_anchor_counts(*tables: DataFrame) -> DataFrame:
+    """A2/U1: merge mention_anchors across corpora (abstract/article/infobox).
+
+    Reference: extract_mention_anchors.py:63-127, main.py:79-117. Spark's
+    partial-aggregate model makes this a union + re-sum.
+    """
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("mention", "entity_id").agg(F.sum("cnt").alias("cnt"))
+
+
+def link_m(mention_anchors: DataFrame) -> DataFrame:
+    """A3: total anchor count per mention — main.py:204-210."""
+    return mention_anchors.groupBy("mention").agg(F.sum("cnt").alias("link"))
+
+
+def freq_m_from_plain(
+    docs_plain: DataFrame, surfaces: DataFrame, max_ngram: int = 3
+) -> DataFrame:
+    """A4: corpus frequency of each dictionary surface in plain text.
+
+    Reference scans plain text with an Aho-Corasick automaton
+    (generate_prob_files.py:164-193). The scalable Spark formulation:
+    explode every token n-gram (n ≤ ``max_ngram``) of the lower-cased text
+    and count those present in the surface dictionary (semi join). Covers
+    multi-word surfaces like "deep learning" that a unigram scan would miss
+    (and which the F3 gate would then wrongly drop). The detection module's
+    broadcast max-match scanner remains the char-exact path; this one is the
+    SQL-expressible core used by the dictionary build and oracle harness.
+
+    n-gram explosion multiplies rows by ``max_ngram``, but the semi join
+    prunes immediately after the generator, and map-side partial aggregation
+    collapses duplicates before the shuffle — at 100 TB the shuffle carries
+    only (distinct surface, partial count) pairs.
+
+    ``docs_plain``: (doc_id, text); ``surfaces``: (mention).
+    """
+    toks = docs_plain.select(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")).alias("toks")
+    )
+    # guard: sequence(1, 0) is DESCENDING in Spark, so empty token arrays
+    # must short-circuit to an empty gram list before explode.
+    gram_expr = F.when(F.size("toks") > 0, F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_ngram), F.size("toks"))),
+            lambda n: F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            ),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(F.explode(gram_expr).alias("mention"))
+    return (
+        grams.join(surfaces.select("mention").distinct(), "mention", "left_semi")
+        .groupBy("mention")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def refine_by_freq(mention_anchors: DataFrame, freq_m: DataFrame) -> DataFrame:
+    """F2: keep anchors whose mention occurs in freq_m — main.py:174-189."""
+    return mention_anchors.join(freq_m.select("mention"), "mention", "left_semi")
+
+
+def filter_mention_anchors(
+    mention_anchors: DataFrame,
+    freq_m: DataFrame,
+    self_links: DataFrame | None = None,
+    cfg: DictionaryConfig | None = None,
+) -> DataFrame:
+    """F3: the link-count + link-probability dictionary gate.
+
+    Keep mention iff ``link(m) − self_links(m) ≥ min_link_count`` AND
+    ``link(m)/freq(m) ≥ min_link_prob`` — extract_mention_anchors.py:161-183,
+    thresholds main.py:458-459.
+    """
+    cfg = cfg or DictionaryConfig()
+    lm = link_m(mention_anchors)
+    joined = lm.join(freq_m, "mention", "inner")
+    if self_links is not None:
+        joined = joined.join(
+            self_links.withColumnRenamed("cnt", "self_cnt"), "mention", "left"
+        )
+    else:
+        joined = joined.withColumn("self_cnt", F.lit(None).cast("long"))
+    kept = joined.filter(
+        ((F.col("link") - F.coalesce("self_cnt", F.lit(0))) >= cfg.min_link_count)
+        & ((F.col("link") / F.col("freq")) >= cfg.min_link_prob)
+    ).select("mention")
+    return mention_anchors.join(kept, "mention", "left_semi")
+
+
+def filter_by_entity_embedding(
+    mention_anchors: DataFrame, entity_embeddings: DataFrame
+) -> DataFrame:
+    """F4: drop candidates lacking an embedding, then mentions left empty.
+
+    Reference: main.py:289-306 (filter_mention_anchor_by_entity_emb). The
+    "mentions left with 0 candidates" drop is implicit: semi-joined rows are
+    the only survivors, so an emptied mention simply has no rows.
+    """
+    return mention_anchors.join(
+        entity_embeddings.select(F.col("key").alias("entity_id")), "entity_id", "left_semi"
+    )
+
+
+def expand_title_entities(
+    kb_entities: DataFrame, mention_anchors: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """J3: title expansion — returns (injected_anchors, title_entities).
+
+    Reference: extract_mention_anchors.py:130-158. For each KB entity whose
+    normalized title surface already exists in mention_anchors, inject a
+    count-1 anchor (mention=surface, entity) if that (m,e) pair is missing;
+    surfaces absent from the dictionary become ``title_entities`` (the
+    no-prob 'tt' dictionary).
+    """
+    kb_surf = kb_entities.select(
+        F.col("surface_norm").alias("mention"), "entity_id"
+    ).distinct()
+    known = mention_anchors.select("mention").distinct()
+    title_entities = kb_surf.join(known, "mention", "left_anti")
+    injected = (
+        kb_surf.join(known, "mention", "left_semi")
+        .join(
+            mention_anchors.select("mention", "entity_id"),
+            ["mention", "entity_id"],
+            "left_anti",
+        )
+        .withColumn("cnt", F.lit(1).cast("long"))
+    )
+    return injected, title_entities
+
+
+def filter_title_entities(
+    title_entities: DataFrame, entity_embeddings: DataFrame
+) -> DataFrame:
+    """F5: title_entities must have embeddings — main.py:338-357."""
+    return title_entities.join(
+        entity_embeddings.select(F.col("key").alias("entity_id")), "entity_id", "left_semi"
+    )
+
+
+def corpus_stats(mention_anchors: DataFrame) -> DataFrame:
+    """A10: distribution sanity stats (tools.py:7-104, stats.py:7-51).
+
+    Returns one row: mention count, entity count, total links, and the
+    candidate-cardinality histogram buckets the reference prints
+    (#mentions with 1 / 2-5 / >5 candidates).
+    """
+    per_m = mention_anchors.groupBy("mention").agg(
+        F.count(F.lit(1)).alias("n_cands"), F.sum("cnt").alias("links")
+    )
+    return per_m.agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum("links").alias("total_links"),
+        F.sum(F.when(F.col("n_cands") == 1, 1).otherwise(0)).alias("n_unambiguous"),
+        F.sum(F.when((F.col("n_cands") >= 2) & (F.col("n_cands") <= 5), 1).otherwise(0)).alias(
+            "n_ambig_2_5"
+        ),
+        F.sum(F.when(F.col("n_cands") > 5, 1).otherwise(0)).alias("n_ambig_gt5"),
+    )

@@ -1,0 +1,227 @@
+"""Span/markup layer (SURVEY §2.8 C1, §2.1 S11).
+
+Three directions over the interleaved-span document model:
+
+* ``parse_markup_to_spans`` — ingest XLink annotated text
+  (``... [[eid|mention]] ...``, utils/mention.py:1-42) into the span-struct
+  form. Implemented entirely with JVM expressions: regex split + posexplode +
+  a window cumulative-length sum reproduces exact char offsets in the
+  reconstructed plain text, with zero Python.
+* ``plain_text`` / ``anchor_spans`` — project a spans column back to plain
+  text and to the exploded anchor rows the pipeline consumes.
+* ``spans_to_markup`` — serialize spans back to annotated text
+  (OutputFormatter.py:12-104); used by the span-sequence equality check.
+
+Golden case pinned in tests: the worked example in the reference docstring
+utils/mention.py:5-10 (offsets 8/17/30 for the zh sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def is_markup_valid(text: Column | str) -> Column:
+    """Bracket sanity (F9): balanced ``[[``/``]]``, no nesting.
+
+    Reference: is_annotation_valid / is_corpus_line_valid
+    (prepare_standard_input.py:67-96). A text is valid iff every ``[[`` is
+    closed by a ``]]`` before the next ``[[`` and each anchor body contains
+    exactly one ``|``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    opens = F.size(F.split(c, r"\[\[")) - 1
+    closes = F.size(F.split(c, r"\]\]")) - 1
+    # each post-'[[' segment must contain ']]' and exactly one '|' before it
+    parts = F.slice(F.split(c, r"\[\["), 2, 1_000_000)
+    each_ok = F.forall(
+        parts,
+        lambda p: p.contains("]]")
+        & (F.size(F.split(F.substring_index(p, "]]", 1), r"\|")) == 2)
+        & ~F.substring_index(p, "]]", 1).contains("[["),
+    )
+    return (opens == closes) & each_ok
+
+
+def parse_markup_to_spans(
+    df: DataFrame, doc_id: str = "doc_id", text: str = "text", out: str = "spans"
+) -> DataFrame:
+    """Annotated text → interleaved span array, pure DataFrame ops.
+
+    Plain text is the input with each ``[[eid|mention]]`` replaced by
+    ``mention``; every span's ``offset`` is its char position in that plain
+    text (utils/mention.py:11-42 semantics).
+
+    Plan shape: one posexplode + one window (partitioned by doc, ordered by
+    segment position) + groupBy(doc) collect — a single shuffle by doc_id,
+    which at 100 TB is the natural partitioning anyway (doc_id is the
+    pipeline's primary key; downstream per-doc ops reuse it).
+    """
+    parts = df.select(
+        doc_id, F.posexplode(F.split(F.col(text), r"\[\[")).alias("pos", "part")
+    )
+    seg = parts.select(
+        doc_id,
+        "pos",
+        F.when(F.col("pos") == 0, F.col("part")).alias("lead_text"),
+        F.when(F.col("pos") > 0, F.substring_index("part", "]]", 1)).alias("body"),
+        F.when(
+            F.col("pos") > 0,
+            F.expr("substring(part, length(substring_index(part, ']]', 1)) + 3)"),
+        ).alias("tail_text"),
+    ).select(
+        doc_id,
+        "pos",
+        "lead_text",
+        "tail_text",
+        F.substring_index("body", "|", 1).alias("eid"),
+        F.when(F.col("pos") > 0, F.substring_index("body", "|", -1)).alias("mention"),
+    )
+    # plain-text contribution of segment i: pos 0 → lead_text; else mention+tail
+    seg = seg.withColumn(
+        "contrib_len",
+        F.when(F.col("pos") == 0, F.length(F.coalesce("lead_text", F.lit("")))).otherwise(
+            F.length(F.coalesce("mention", F.lit("")))
+            + F.length(F.coalesce("tail_text", F.lit("")))
+        ),
+    )
+    w = Window.partitionBy(doc_id).orderBy("pos")
+    seg = seg.withColumn(
+        "start",
+        F.coalesce(F.sum("contrib_len").over(w) - F.col("contrib_len"), F.lit(0)).cast("int"),
+    )
+    # each segment yields up to 2 spans: [anchor?] + [text?]
+    span_struct = "struct(kind, text, media_ref, offset)"
+    spans = seg.select(
+        doc_id,
+        "pos",
+        F.array_compact(
+            F.array(
+                F.when(
+                    F.col("pos") == 0,
+                    F.when(
+                        F.length("lead_text") > 0,
+                        F.struct(
+                            F.lit("text").alias("kind"),
+                            F.col("lead_text").alias("text"),
+                            F.lit(None).cast("string").alias("media_ref"),
+                            F.col("start").alias("offset"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        F.lit("anchor").alias("kind"),
+                        F.col("mention").alias("text"),
+                        F.col("eid").alias("media_ref"),
+                        F.col("start").alias("offset"),
+                    )
+                ),
+                F.when(
+                    (F.col("pos") > 0) & (F.length("tail_text") > 0),
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.col("tail_text").alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        (F.col("start") + F.length(F.coalesce("mention", F.lit("")))).cast(
+                            "int"
+                        ).alias("offset"),
+                    ),
+                ),
+            )
+        ).alias("seg_spans"),
+    )
+    collected = (
+        spans.select(doc_id, F.posexplode("seg_spans").alias("sub", "span"), "pos")
+        .groupBy(doc_id)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "sub", "span"))
+            ).alias("ordered")
+        )
+        .select(doc_id, F.transform("ordered", lambda s: s["span"]).alias(out))
+    )
+    # docs whose text yields no spans (empty string) must survive with
+    # spans=[] — posexplode drops them, so restore via left join.
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    return (
+        df.select(doc_id)
+        .distinct()
+        .join(collected, doc_id, "left")
+        .withColumn(out, F.coalesce(F.col(out), empty))
+    )
+
+
+def plain_text(spans: Column | str) -> Column:
+    """Reconstruct plain text: concat text-span text + anchor surfaces in order."""
+    c = F.col(spans) if isinstance(spans, str) else spans
+    return F.concat_ws(
+        "",
+        F.transform(
+            c, lambda s: F.when(s["kind"] == "media", F.lit("")).otherwise(
+                F.coalesce(s["text"], F.lit(""))
+            )
+        ),
+    )
+
+
+def anchor_spans(df: DataFrame, doc_id: str = "doc_id", spans: str = "spans") -> DataFrame:
+    """Explode anchors: (doc_id, start, end, surface, entity_id).
+
+    The offsets come straight off the span structs — the per-row invariant
+    (kind, text, media_ref, order) is never recomputed here.
+    """
+    a = df.select(
+        doc_id, F.explode(F.filter(F.col(spans), lambda s: s["kind"] == "anchor")).alias("a")
+    )
+    return a.select(
+        doc_id,
+        F.col("a.offset").alias("start"),
+        (F.col("a.offset") + F.length("a.text")).cast("int").alias("end"),
+        F.col("a.text").alias("surface"),
+        F.col("a.media_ref").alias("entity_id"),
+    )
+
+
+def spans_to_markup(spans: Column | str) -> Column:
+    """Serialize spans → ``[[eid|mention]]`` annotated text (S11 inverse).
+
+    Media spans serialize as ``[[media:uri]]`` markers (an extension — the
+    reference has no media; OutputFormatter.py:12-104 covers text+anchor).
+    """
+    c = F.col(spans) if isinstance(spans, str) else spans
+    return F.concat_ws(
+        "",
+        F.transform(
+            c,
+            lambda s: F.when(
+                s["kind"] == "anchor",
+                F.concat(F.lit("[["), s["media_ref"], F.lit("|"), s["text"], F.lit("]]")),
+            )
+            .when(s["kind"] == "media", F.concat(F.lit("[[media:"), s["media_ref"], F.lit("]]")))
+            .otherwise(F.coalesce(s["text"], F.lit(""))),
+        ),
+    )
+
+
+def span_sequence_key(spans: Column | str) -> Column:
+    """Canonical (kind, text, media_ref, order) sequence fingerprint.
+
+    Used by the per-row span-sequence equality check (BASELINE.json
+    input_hint): two documents are span-equal iff these strings are equal.
+    """
+    c = F.col(spans) if isinstance(spans, str) else spans
+    return F.concat_ws(
+        "\u0001",
+        F.transform(
+            c,
+            lambda s: F.concat_ws(
+                "\u0002",
+                s["kind"],
+                F.coalesce(s["text"], F.lit("\u0000")),
+                F.coalesce(s["media_ref"], F.lit("\u0000")),
+            ),
+        ),
+    )
