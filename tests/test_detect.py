@@ -1,0 +1,89 @@
+"""Detection + conflict resolution + salted blocking join (J1, W1/W2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xlink_spark.operators import detect as DT
+
+
+def test_detect_longest_match_and_offsets(spark):
+    sd = {"deep learning": (2, "ma"), "learning": (1, "ma"), "graph": (1, "ma")}
+    docs = spark.createDataFrame(
+        [("d1", "We study Deep Learning and graph theory")],
+        "doc_id string, text string",
+    )
+    got = sorted(
+        (r["start"], r["end"], r["surface"]) for r in DT.detect_mentions(docs, sd).collect()
+    )
+    text = "We study Deep Learning and graph theory"
+    assert got == [
+        (text.index("Deep"), text.index("Deep") + len("deep learning"), "deep learning"),
+        (text.index("graph"), text.index("graph") + 5, "graph"),
+    ]
+
+
+def test_detect_greedy_consumes_tokens(spark):
+    # after matching "a b", scanning resumes at the token after b —
+    # "b c" must NOT also match (iter_long greedy semantics).
+    sd = {"a b": (2, "ma"), "b c": (2, "ma")}
+    docs = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+    got = [r["surface"] for r in DT.detect_mentions(docs, sd).collect()]
+    assert got == ["a b"]
+
+
+def test_detect_empty_and_nomatch_docs(spark):
+    sd = {"x": (1, "ma")}
+    docs = spark.createDataFrame(
+        [("d1", ""), ("d2", "nothing here"), ("d3", "x marks")],
+        "doc_id string, text string",
+    )
+    got = DT.detect_mentions(docs, sd).collect()
+    assert [(r["doc_id"], r["surface"]) for r in got] == [("d3", "x")]
+
+
+def test_resolve_conflicts_longest_wins(spark):
+    # spans: [0,5) [3,9) [8,12) are one transitive group; [20,25) separate
+    rows = [
+        ("d", 0, 5, "aaaaa", "ma"),
+        ("d", 3, 9, "bbbbbb", "ma"),
+        ("d", 8, 12, "cccc", "ma"),
+        ("d", 20, 25, "eeeee", "ma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, start int, end int, surface string, parse_from string")
+    got = sorted((r["start"], r["surface"]) for r in DT.resolve_conflicts(df).collect())
+    assert got == [(3, "bbbbbb"), (20, "eeeee")]
+
+
+def test_resolve_conflicts_weighted_ma_beats_tt(spark):
+    rows = [
+        ("d", 0, 4, "tttt", "tt"),
+        ("d", 2, 5, "mmm", "ma"),  # shorter but higher weight
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, start int, end int, surface string, parse_from string")
+    got = [(r["surface"], r["parse_from"]) for r in DT.resolve_conflicts(df, weighted=True).collect()]
+    assert got == [("mmm", "ma")]
+    # unweighted: longest wins
+    got2 = [r["surface"] for r in DT.resolve_conflicts(df, weighted=False).collect()]
+    assert got2 == ["tttt"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    mentions = spark.createDataFrame(
+        [("d%d" % i, i, i + 5, "China", "ma") for i in range(50)]
+        + [("dx", 0, 4, "rare", "ma")],
+        "doc_id string, start int, end int, surface string, parse_from string",
+    )
+    anchors = spark.createDataFrame(
+        [("china", "e%d" % k, k + 1) for k in range(70)] + [("rare", "e9", 2)],
+        "mention string, entity_id string, cnt long",
+    )
+    plain = DT.candidate_join(mentions, anchors)
+    hot = DT.hot_keys(anchors, min_candidates=64)
+    assert [r["mention"] for r in hot.collect()] == ["china"]
+    salted = DT.candidate_join(mentions, anchors, hot=hot, n_salt=4)
+    key = lambda df: sorted(
+        (r["doc_id"], r["start"], r["entity_id"], r["cnt"]) for r in df.collect()
+    )
+    assert key(plain) == key(salted)
+    assert plain.count() == 50 * 70 + 1

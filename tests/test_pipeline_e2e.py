@@ -1,0 +1,92 @@
+"""End-to-end: dictionary build → link → cluster on the synthetic corpus.
+
+Gates (BASELINE.md §B):
+  * pairwise linking F1 ≥ 0.99 on labeled pairs sharing the blocking key
+  * span-sequence (kind, text, media_ref, order) preserved exactly
+  * pipeline resumes from committed snapshots
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlink_spark.config import DEFAULT
+from xlink_spark.eval.f1 import linking_prf, mention_prf
+from xlink_spark.operators.spans import plain_text, span_sequence_key
+from xlink_spark.plans.pipeline import build_dictionary, link_and_cluster, link_corpus
+from xlink_spark.plans.snapshots import SnapshotStore
+
+
+@pytest.fixture(scope="module")
+def built(sdfs):
+    docs, kb, wemb, eemb, gold = sdfs
+    d = build_dictionary(docs, kb, eemb)
+    plain = docs.select("doc_id", plain_text("spans").alias("text")).cache()
+    links = link_corpus(plain, d, wemb, eemb).cache()
+    links.count()
+    return d, plain, links
+
+
+def test_dictionary_nonempty(built):
+    d, _, _ = built
+    assert d.mention_anchors.count() > 0
+    assert d.e_given_m.count() >= d.mention_anchors.select("mention").distinct().count()
+    assert d.link_prob.filter(F.col("link_prob") <= 0).count() == 0
+
+
+def test_linking_f1_gate(built, sdfs):
+    _, _, links = built
+    *_, gold = sdfs
+    m = linking_prf(gold, links)
+    # the acceptance gate: ≥0.99 on pairs sharing the blocking key
+    assert m["f1_blocked"] >= 0.99, m
+    # overall recall should also be strong on this corpus (most surfaces
+    # survive the dictionary thresholds)
+    assert m["recall"] >= 0.9, m
+
+
+def test_mention_detection_prf(built, sdfs):
+    _, _, links = built
+    *_, gold = sdfs
+    m = mention_prf(gold, links)
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.9, m
+
+
+def test_span_sequence_invariant(sdfs):
+    """Engine I/O must not perturb the span sequence: write → read → equal."""
+    docs, *_ = sdfs
+    keyed = docs.select("doc_id", span_sequence_key("spans").alias("k"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(tmp + "/docs")
+        back = docs.sparkSession.read.parquet(tmp + "/docs")
+        keyed2 = back.select("doc_id", span_sequence_key("spans").alias("k2"))
+        diff = keyed.join(keyed2, "doc_id").filter(F.col("k") != F.col("k2"))
+        assert diff.count() == 0
+
+
+def test_clusters_group_ambiguous_entities_apart(built, sdfs):
+    _, plain, links = built
+    docs, kb, wemb, eemb, gold = sdfs
+    from xlink_spark.operators.cluster import cluster_links
+
+    clusters = cluster_links(links, threshold=DEFAULT.cluster.match_threshold)
+    assert clusters.count() > 0
+    # every linked entity gets exactly one cluster id
+    assert (
+        clusters.groupBy("entity_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_dictionary_build_resumes(sdfs, tmp_path):
+    docs, kb, wemb, eemb, gold = sdfs
+    store = SnapshotStore(str(tmp_path / "snap"))
+    d1 = build_dictionary(docs, kb, eemb, store=store)
+    n1 = d1.mention_anchors.count()
+    # second run must reuse snapshots (no stage recomputation): poison the
+    # input — if any stage recomputed, counts would change
+    empty = docs.filter(F.lit(False))
+    d2 = build_dictionary(empty, kb, eemb, store=store)
+    assert d2.mention_anchors.count() == n1

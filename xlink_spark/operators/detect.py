@@ -1,0 +1,218 @@
+"""Mention detection + candidate blocking (SURVEY §2.3 J1, §2.5 W1/W2).
+
+The reference detects mentions with an Aho-Corasick automaton over each
+document (MentionParser.py:53-68, generate_prob_files.py:65-82) and resolves
+overlaps with a per-doc sweep (solve_conflict, MentionParser.py:70-100).
+
+Spark-first redesign:
+
+* ``detect_mentions`` — ``mapInPandas`` over (doc_id, text) batches with a
+  **broadcast** surface dictionary; greedy longest-match n-gram scan at
+  token granularity (char-exact offsets). One Python crossing, Arrow
+  batched; the automaton/dict is deserialized once per executor via the
+  broadcast, mirroring the reference's per-process singleton caches
+  (xlink.py:38-67) at cluster scope.
+* ``resolve_conflicts`` — W1/W2 as pure window functions: a running
+  ``max(end)`` marks transitive-overlap group boundaries, then one
+  ``row_number`` per group picks the winner (weight desc, length desc,
+  start asc). No UDF, no heap — the reference's k-way heap merge
+  (MentionParser.py:141-210) is an artifact of streaming.
+* ``candidate_join`` / ``salt_hot_keys`` — the at-scale blocking join:
+  when the dictionary exceeds broadcast limits, detected surfaces equi-join
+  ``mention_anchors`` on the normalized surface. Zipf-head surfaces
+  ("china"-like) are salted: the probe side gets a per-row salt, the dict
+  side is replicated per salt bucket, so no single reducer owns a hot key.
+  AQE skew-join is the backstop (session.py).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_DETECTED = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+        StructField("surface", StringType(), False),
+        StructField("parse_from", StringType(), False),
+    ]
+)
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def build_surface_dict(
+    mention_anchors: DataFrame, title_entities: DataFrame | None = None
+) -> dict[str, tuple[int, str]]:
+    """Collect the detection dictionary to the driver for broadcast.
+
+    Returns surface → (n_words, parse_from), where parse_from is 'ma'
+    (anchor dict, weight 100) or 'tt' (title dict, weight 0) — the trie
+    weights of MentionParser.py:141-210. 'ma' wins when both contain a
+    surface.
+
+    At 10^12-doc scale the 'ma' dict is bounded by the KB (~10^7 surfaces,
+    ~100 MB) — broadcastable; beyond that, ``candidate_join`` is the path.
+    """
+    d: dict[str, tuple[int, str]] = {}
+    for r in (title_entities.select("mention").distinct().collect() if title_entities is not None else []):
+        s = r["mention"]
+        d[s] = (len(s.split()), "tt")
+    for r in mention_anchors.select("mention").distinct().collect():
+        s = r["mention"]
+        d[s] = (len(s.split()), "ma")
+    return d
+
+
+def detect_mentions(
+    docs_plain: DataFrame, surface_dict: dict[str, tuple[int, str]], max_words: int = 4
+) -> DataFrame:
+    """Scan plain text for dictionary surfaces; emit candidate mentions.
+
+    Greedy longest-match at each token position (the reference automaton's
+    iter_long, generate_prob_files.py:73-78), lower-cased match, char-exact
+    offsets into the original text. Overlaps are NOT resolved here — that is
+    ``resolve_conflicts``'s job, as in the reference's two-phase parse.
+    """
+    spark = docs_plain.sparkSession
+    bc = spark.sparkContext.broadcast(surface_dict)
+    limit = max(max_words, max((nw for nw, _ in surface_dict.values()), default=1))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sd = bc.value
+        for pdf in batches:
+            out: list[tuple[str, int, int, str, str]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    continue
+                toks = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+                low = text.lower()
+                i = 0
+                n = len(toks)
+                while i < n:
+                    hit = None
+                    for w in range(min(limit, n - i), 0, -1):
+                        s, e = toks[i][0], toks[i + w - 1][1]
+                        cand = low[s:e]
+                        if cand in sd:
+                            hit = (s, e, cand, sd[cand][1], w)
+                            break
+                    if hit:
+                        s, e, cand, pf, w = hit
+                        out.append((doc_id, s, e, cand, pf))
+                        i += w  # greedy: consume matched tokens
+                    else:
+                        i += 1
+            yield pd.DataFrame(
+                out, columns=["doc_id", "start", "end", "surface", "parse_from"]
+            )
+
+    return docs_plain.select("doc_id", "text").mapInPandas(scan, _DETECTED)
+
+
+def resolve_conflicts(mentions: DataFrame, weighted: bool = False) -> DataFrame:
+    """W1/W2: collapse transitively-overlapping mentions per doc.
+
+    Group boundary trick: order spans by (start, end); a span starts a new
+    group iff its start ≥ the running max(end) of all previous spans. Winner
+    per group: highest trie weight first when ``weighted`` ('ma'=100 beats
+    'tt'=0, MentionParser.py:183-189), then longest surface
+    (MentionParser.py:84-89), then smallest start for determinism (the
+    reference relies on Python sort stability; we pin an explicit order).
+    """
+    w_scan = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = mentions.withColumn(
+        "new_group",
+        (F.col("start") >= F.coalesce(F.max("end").over(w_scan), F.lit(-1))).cast("int"),
+    ).withColumn(
+        "grp",
+        F.sum("new_group").over(
+            Window.partitionBy("doc_id").orderBy("start", "end").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    weight = (
+        F.when(F.col("parse_from") == "ma", 100).otherwise(0)
+        if weighted
+        else F.lit(0)
+    )
+    pick = Window.partitionBy("doc_id", "grp").orderBy(
+        weight.desc(), (F.col("end") - F.col("start")).desc(), F.col("start").asc()
+    )
+    return (
+        grouped.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .drop("new_group", "grp", "rn")
+    )
+
+
+def hot_keys(mention_anchors: DataFrame, min_candidates: int = 64) -> DataFrame:
+    """Surfaces whose candidate fan-out marks them as skew risks."""
+    return (
+        mention_anchors.groupBy("mention")
+        .agg(F.count(F.lit(1)).alias("n_cands"), F.sum("cnt").alias("links"))
+        .filter(F.col("n_cands") >= min_candidates)
+        .select("mention")
+    )
+
+
+def candidate_join(
+    mentions: DataFrame,
+    mention_anchors: DataFrame,
+    hot: DataFrame | None = None,
+    n_salt: int = 8,
+) -> DataFrame:
+    """J1 at scale: blocking join of detected mentions to candidates.
+
+    Joins ``lower(surface)`` = ``mention``. With ``hot`` given, hot keys are
+    salted: probe rows get ``salt = pmod(hash(doc_id, start), n_salt)``; the
+    build side is replicated n_salt ways for hot keys only (cold keys keep
+    salt 0, no replication). Output is identical to the unsalted join —
+    pinned by test — but no reducer receives a whole hot key.
+    """
+    probe = mentions.withColumn("mention", F.lower("surface"))
+    if hot is None:
+        return probe.join(mention_anchors, "mention", "inner").drop("mention")
+    hot_marked = F.broadcast(hot.withColumn("is_hot", F.lit(True)))
+    probe = (
+        probe.join(hot_marked, "mention", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"),
+                F.pmod(F.hash("doc_id", "start"), F.lit(n_salt)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("is_hot")
+    )
+    build = (
+        mention_anchors.join(hot_marked, "mention", "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(
+                    F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("is_hot")
+    )
+    return probe.join(build, ["mention", "salt"], "inner").drop("mention", "salt")

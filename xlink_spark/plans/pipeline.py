@@ -1,0 +1,173 @@
+"""End-to-end pipeline assembly (SURVEY §3.1/§3.2 redesigned set-oriented).
+
+Two halves, mirroring the reference:
+
+* ``build_dictionary`` — the offline data-update pipeline (main.py:405-481,
+  nine steps) as one DAG of snapshot-committed stages. A re-run resumes at
+  the first missing snapshot.
+* ``link_corpus`` — the online predictor (xlink.py:107-354) as one batch
+  DAG over the whole corpus: detection → candidates → scoring (both the
+  has-prob and no-prob passes) → merge → transitive clustering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xlink_spark.config import DEFAULT, EngineConfig
+from xlink_spark.operators import anchors as AN
+from xlink_spark.operators import detect as DT
+from xlink_spark.operators import probs as PR
+from xlink_spark.operators import scoring as SC
+from xlink_spark.operators.cluster import cluster_links
+from xlink_spark.operators.spans import plain_text
+from xlink_spark.plans.snapshots import SnapshotStore
+
+
+@dataclass
+class Dictionary:
+    """The offline build's output tables (the predictor's inputs)."""
+
+    mention_anchors: DataFrame
+    title_entities: DataFrame
+    e_given_m: DataFrame
+    entity_prior: DataFrame
+    m_given_e: DataFrame
+    link_prob: DataFrame
+
+
+def build_dictionary(
+    docs: DataFrame,
+    kb_entities: DataFrame,
+    entity_emb: DataFrame,
+    store: SnapshotStore | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> Dictionary:
+    """Steps 1-8 of the reference pipeline as snapshot-committed stages."""
+    spark = docs.sparkSession
+
+    def stage(name: str, compute):
+        if store is None:
+            return compute()
+        return store.get_or_compute(spark, name, compute)
+
+    plain = docs.select("doc_id", plain_text("spans").alias("text"))
+    ma_raw = stage("mention_anchors_raw", lambda: AN.extract_mention_anchors(docs, cfg.dictionary))
+    self_links = stage("self_links", lambda: AN.extract_self_links(docs))
+    freq = stage(
+        "freq_m", lambda: AN.freq_m_from_plain(plain, ma_raw.select("mention"))
+    )
+    ma_refined = stage(
+        "mention_anchors_refined",
+        lambda: AN.filter_mention_anchors(
+            AN.refine_by_freq(ma_raw, freq), freq, self_links, cfg.dictionary
+        ),
+    )
+
+    def _expanded():
+        injected, _ = AN.expand_title_entities(kb_entities, ma_refined)
+        return AN.merge_anchor_counts(ma_refined, injected)
+
+    def _titles():
+        _, tt = AN.expand_title_entities(kb_entities, ma_refined)
+        return AN.filter_title_entities(tt, entity_emb)
+
+    ma_full = stage("mention_anchors", lambda: AN.filter_by_entity_embedding(_expanded(), entity_emb))
+    title_entities = stage("title_entities", _titles)
+
+    probs = PR.four_probs(ma_full)
+    e_given_m = stage("e_given_m", lambda: probs["e_given_m"])
+    entity_prior = stage("entity_prior", lambda: probs["entity_prior"])
+    m_given_e = stage("m_given_e", lambda: probs["m_given_e"])
+    lp = stage("link_prob", lambda: PR.link_prob(probs["link_m"], freq))
+    return Dictionary(ma_full, title_entities, e_given_m, entity_prior, m_given_e, lp)
+
+
+def link_corpus(
+    docs_plain: DataFrame,
+    d: Dictionary,
+    word_emb: DataFrame,
+    entity_emb: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """The full linking query: plain docs → final (mention, entity) links.
+
+    Output: (doc_id, start, end, surface, entity_id, believe, parse_from).
+    Two detection passes (the reference's 'ma' and 'tt' automata,
+    xlink.py:111/181) — two map-only scans, no extra shuffle.
+    """
+    pcfg = cfg.predictor
+
+    # ---- has-prob pass -----------------------------------------------------
+    ma_dict = DT.build_surface_dict(d.mention_anchors)
+    ma_detected = DT.detect_mentions(docs_plain, ma_dict)
+    ma_mentions = DT.resolve_conflicts(ma_detected)
+    ma_ctx = SC.context_word_vector(
+        SC.attach_context(ma_mentions, docs_plain, pcfg), word_emb
+    )
+    ma_cands = SC.candidate_table(ma_ctx, d.mention_anchors, d.e_given_m, entity_emb)
+    seeds, doc_agg = SC.seed_pool(ma_cands)
+    ma_cands = SC.context_entity_vector(ma_cands, seeds, doc_agg, empty_sim=1.0)
+    prob_links = SC.score_has_prob(ma_cands, d.link_prob, pcfg)
+
+    # ---- no-prob pass (title dict) ------------------------------------------
+    tt_dict = DT.build_surface_dict(d.title_entities, None)
+    # build_surface_dict marks its first arg 'ma'; relabel for the tt pass
+    tt_dict = {s: (nw, "tt") for s, (nw, _) in tt_dict.items()}
+    no_prob_links = None
+    if tt_dict:
+        tt_detected = DT.detect_mentions(docs_plain, tt_dict)
+        tt_mentions = DT.resolve_conflicts(tt_detected)
+        tt_ctx = SC.context_word_vector(
+            SC.attach_context(tt_mentions, docs_plain, pcfg), word_emb
+        )
+        tt_cands = (
+            tt_ctx.withColumn("mention", F.lower("surface"))
+            .join(d.title_entities, "mention", "inner")
+            .join(
+                entity_emb.select(
+                    F.col("key").alias("entity_id"), F.col("vec").alias("entity_vec")
+                ),
+                "entity_id",
+                "inner",
+            )
+        )
+        tt_seeds = SC.seed_argmax(tt_cands, pcfg)
+        tt_doc_agg = (
+            tt_cands.join(tt_seeds.select(*SC.MENTION_KEY, F.col("entity_id").alias("seed_eid")),
+                          SC.MENTION_KEY, "inner")
+            .filter(F.col("entity_id") == F.col("seed_eid"))
+            .groupBy("doc_id")
+            .agg(
+                F.collect_list("entity_vec").alias("doc_seed_vecs"),
+                F.count(F.lit(1)).alias("doc_seed_cnt"),
+            )
+        )
+        tt_seed_vecs = (
+            tt_cands.join(tt_seeds.select(*SC.MENTION_KEY, F.col("entity_id").alias("seed_eid")),
+                          SC.MENTION_KEY, "inner")
+            .filter(F.col("entity_id") == F.col("seed_eid"))
+            .select(*SC.MENTION_KEY, F.col("entity_vec").alias("seed_vec"))
+        )
+        tt_cands = SC.context_entity_vector(tt_cands, tt_seed_vecs, tt_doc_agg, empty_sim=0.0)
+        no_prob_links = SC.score_no_prob(tt_cands, pcfg)
+
+    if no_prob_links is None or not tt_dict:
+        return prob_links
+    return SC.merge_results(prob_links, no_prob_links)
+
+
+def link_and_cluster(
+    docs_plain: DataFrame,
+    d: Dictionary,
+    word_emb: DataFrame,
+    entity_emb: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+) -> tuple[DataFrame, DataFrame]:
+    """links + transitive entity clusters (the north-star output pair)."""
+    links = link_corpus(docs_plain, d, word_emb, entity_emb, cfg)
+    clusters = cluster_links(links, threshold=cfg.cluster.match_threshold)
+    return links, clusters
