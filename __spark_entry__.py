@@ -1,38 +1,38 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship linking pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose every SQL-expressible operator from
+SURVEY.md §2 (plus the training-data curation operators) with DuckDB
+oracles. Implementations live in xlink_spark.driver_queries / flagship.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from xlink_spark import driver_queries as DQ  # noqa: E402
+from xlink_spark.flagship import linking_pipeline  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full linking pipeline (detect → score → gate → top-1)."""
+    return linking_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """SQL-expressible operators (oracle-checked) + the flagship (rows-only)."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(DQ.QUERIES)
+    out["linking_pipeline"] = linking_pipeline  # UDF path: rows-only check
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents; ``linking_pipeline`` intentionally omitted (the
+    detection/scoring UDF path is pinned by pytest goldens instead)."""
+    return dict(DQ.ORACLES)

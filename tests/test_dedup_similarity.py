@@ -1,0 +1,152 @@
+"""Dedup family + similarity search + textstats + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlink_spark.operators import dedup as DD
+from xlink_spark.operators import similarity as SIM
+from xlink_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy dog"),          # exact dup of a
+        ("c", "the quick brown fox jumps over the lazy cat"),          # near dup
+        ("d", "completely different content about spark engines"),
+        ("e", "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_exact_duplicates(toy_docs):
+    groups = {tuple(r["doc_ids"]): r["keeper"] for r in DD.exact_duplicates(toy_docs).collect()}
+    assert groups[("a", "b")] == "a"
+    assert sum(len(k) for k in groups) == 5
+
+
+def test_minhash_dedup_finds_near_dup(toy_docs):
+    pairs = DD.minhash_dedup(toy_docs, threshold=0.5, num_hashes=24, bands=8)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert ("a", "b") in got          # identical
+    assert ("a", "c") in got or ("b", "c") in got  # near dup shares most shingles
+    assert all("d" not in p and "e" not in p for p in got)
+
+
+def test_jaccard_values_exact(spark):
+    sh = spark.createDataFrame(
+        [("x", "s1"), ("x", "s2"), ("x", "s3"), ("y", "s2"), ("y", "s3"), ("y", "s4")],
+        "doc_id string, shingle string",
+    )
+    pairs = spark.createDataFrame([("x", "y")], "doc_a string, doc_b string")
+    got = DD.jaccard_verify(pairs, sh, threshold=0.0).collect()[0]
+    assert got["jaccard"] == pytest.approx(2 / 4)
+
+
+def test_simhash_identical_and_different(toy_docs):
+    fp = {r["doc_id"]: r["simhash"] for r in DD.simhash(toy_docs).collect()}
+    assert fp["a"] == fp["b"]
+    assert fp["a"] != fp["d"]
+    dups = DD.simhash_duplicates(toy_docs).collect()
+    assert any(set(r["doc_ids"]) >= {"a", "b"} for r in dups)
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in DD.embedding_near_duplicates(emb, threshold=0.99).collect()}
+    assert got == {(1, 2)}
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    topk = SIM.brute_force_topk(emb.filter("vec_id = 1"), emb, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in topk.collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_bucketed_topk_matches_brute_force_for_close_pairs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(20, 8))
+    rows = []
+    for i, v in enumerate(base):
+        v = v / np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+        rows.append((100 + i, (v + rng.normal(scale=0.01, size=8)).tolist()))  # twin
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    approx = SIM.bucketed_topk(emb, dim=8, k=1, bits=4)
+    got = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    # twins are nearly identical ⇒ same SRP bucket ⇒ found as top-1
+    hits = sum(1 for i in range(20) if got.get(i) == 100 + i or got.get(100 + i) == i)
+    assert hits >= 15  # high recall for near-identical pairs
+
+
+def test_knn_label_vote(spark):
+    topk = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 2), (1, 12, 0.7, 3)],
+        "query_id int, neighbor_id int, cos double, rank int",
+    )
+    labels = spark.createDataFrame(
+        [(10, 7), (11, 7), (12, 3)], "vec_id int, label int"
+    )
+    got = SIM.knn_label_vote(topk, labels).collect()[0]
+    assert (got["pred_label"], got["votes"]) == (7, 2)
+
+
+def test_text_stats_columns(toy_docs):
+    r = {x["doc_id"]: x for x in TS.text_stats(toy_docs).collect()}
+    assert r["a"]["n_tokens"] == 9
+    assert r["e"]["n_tokens"] == 1
+    assert r["a"]["fingerprint"] == r["b"]["fingerprint"]
+    assert 0 <= r["a"]["quality"] <= 1
+    assert r["a"]["stopword_ratio_en"] > 0  # 'the' twice + 'over'
+
+
+def test_language_id(spark):
+    rows = [
+        ("e1", "the cat is in the house and it is warm"),
+        ("d1", "der hund ist nicht in der schule und ich bin da"),
+        ("f1", "le chat est dans la maison et il est pour les"),
+        ("s1", "el perro es una mascota en la casa que es grande por"),
+        ("z1", "这是一个测试文档我们在这里写了一些中文的句子"),
+        ("u1", "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in TS.language_id(df).collect()}
+    assert got == {"e1": "en", "d1": "de", "f1": "fr", "s1": "es", "z1": "zh", "u1": "und"}
+
+
+def test_multimodal_plumbing(spark, sdfs):
+    from xlink_spark.operators import multimodal as MM
+
+    docs, *_ = sdfs
+    refs = MM.media_refs(docs)
+    assert refs.count() > 0
+    assets = MM.synthesize_assets(docs)
+    assert assets.filter(F.col("payload").isNull()).count() == 0
+    assert assets.filter(F.col("meta.width").isNull()).count() == 0
+    # stubbed decoder: errors recorded, features null
+    feats = MM.extract_features(assets, fake=False)
+    assert feats.filter(F.col("decode_error").isNotNull()).count() == assets.count()
+    # fake decoder: deterministic unit features
+    f1 = MM.extract_features(assets, fake=True).orderBy("media_ref").collect()
+    f2 = MM.extract_features(assets, fake=True).orderBy("media_ref").collect()
+    assert [r["feature"] for r in f1] == [r["feature"] for r in f2]
+    import numpy as np
+
+    assert abs(np.linalg.norm(f1[0]["feature"]) - 1.0) < 1e-5

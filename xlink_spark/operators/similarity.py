@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers:
+
+* ``brute_force_topk`` — exact cosine top-k via a blocked cross join +
+  window rank. Correctness baseline and the within-bucket kernel.
+* ``srp_buckets`` + ``bucketed_topk`` — sign-random-projection LSH: each
+  vector hashes to a b-bit bucket by the signs of b fixed pseudo-random
+  hyperplanes (deterministic, seed-derived, no Python). Neighbors are
+  searched within the query's bucket (optionally ± multi-probe buckets).
+  At 10^12 rows the bucket join replaces the quadratic cross join; recall
+  is tuned by b and the number of probes.
+
+All vector math is JVM-side (zip_with/aggregate); a Pandas-UDF matmul path
+exists in functions.vectors for very wide fan-outs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xlink_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos, rank), rank 1..k, ties broken by
+    ascending neighbor id for determinism. Self-matches excluded.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim)).tolist()
+
+
+def srp_buckets(
+    emb: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucket per vector: (id, bucket:int).
+
+    bucket = Σ (sign(v·h_i) > 0) << i over ``bits`` fixed hyperplanes.
+    Cosine-similar vectors collide with probability 1 − θ/π per bit.
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def bucketed_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: brute force within each SRP bucket.
+
+    One equi-join on bucket instead of a cross join — the scale path. The
+    probability a true neighbor lands in the same bucket falls with angle;
+    increase recall with fewer bits or multi-probe (flip one bit per probe).
+    """
+    b = srp_buckets(emb, dim, bits, seed, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
+    c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket")
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def knn_label_vote(topk: DataFrame, labels: DataFrame, id_col: str = "vec_id", label_col: str = "label") -> DataFrame:
+    """Majority label among each query's neighbors (ties → smallest label)."""
+    lab = labels.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel"))
+    votes = topk.join(lab, "neighbor_id").groupBy("query_id", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("nlabel").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"), "votes")
+    )
