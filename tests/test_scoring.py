@@ -56,7 +56,7 @@ def test_empty_context_conventions(spark):
         [], "doc_id string, start int, end int, seed_vec array<double>"
     )
     doc_agg = spark.createDataFrame(
-        [], "doc_id string, doc_seed_vecs array<array<double>>, doc_seed_cnt long"
+        [], "doc_id string, doc_sum array<double>, doc_seed_cnt long"
     )
     has_prob = SC.context_entity_vector(cands, seeds, doc_agg, empty_sim=1.0).collect()[0]
     assert has_prob["ctx_ent_sim"] == 1.0

@@ -27,22 +27,26 @@ from xlink_spark.operators import probs as PR
 from xlink_spark.operators import scoring as SC
 
 
-def _tokens(docs: DataFrame) -> DataFrame:
-    t = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+def _tokens(plain: DataFrame) -> DataFrame:
+    """Tokens from the (already lower-cased, repartitioned, cached) plain
+    table — every downstream groupBy inherits its full parallelism."""
+    t = plain.select(
+        "doc_id",
         "source",
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        F.explode(F.split("text", r"\s+")).alias("tok"),
     )
     return t.filter((F.col("tok") != "") & (F.length("tok") > 1))
 
 
-def _hash_embeddings(keys: DataFrame, key_col: str, emb: DataFrame) -> DataFrame:
+def _hash_embeddings(
+    keys: DataFrame, key_col: str, emb: DataFrame, n: int | None = None
+) -> DataFrame:
     """key → embeddings row at pmod(xxhash64(key), n). Deterministic."""
-    n = emb.count()
+    n = n if n is not None else emb.count()
     keyed = keys.select(F.col(key_col).alias("key")).distinct().withColumn(
         "vec_id", F.pmod(F.xxhash64("key"), F.lit(n))
     )
-    return keyed.join(emb.select("vec_id", "embedding"), "vec_id").select(
+    return keyed.join(F.broadcast(emb.select("vec_id", "embedding")), "vec_id").select(
         "key", F.col("embedding").alias("vec")
     )
 
@@ -54,11 +58,22 @@ def linking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    plain = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"), F.lower("text").alias("text")
-    ).cache()
+    # the corpus parquet may be few small files → 1-2 input splits; spread
+    # docs across all cores BEFORE the Python detection scan (at 100 TB the
+    # scan has thousands of natural splits and this repartition is a no-op
+    # cost — here it is the difference between 1-way and N-way detection)
+    par = spark.sparkContext.defaultParallelism * 2
+    plain = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "source",
+            F.lower("text").alias("text"),
+        )
+        .repartition(par, "doc_id")
+        .cache()
+    )
 
-    toks = _tokens(docs)
+    toks = _tokens(plain)
     ma = (
         toks.select(
             F.col("tok").alias("mention"),
@@ -72,15 +87,23 @@ def linking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy(F.col("tok").alias("mention")).agg(F.count(F.lit(1)).alias("freq"))
     lp = PR.link_prob(probs["link_m"], freq)
 
-    entity_emb = _hash_embeddings(ma.select("entity_id"), "entity_id", emb)
-    word_emb = _hash_embeddings(toks.select("tok"), "tok", emb)
+    n_emb = emb.count()
+    entity_emb = _hash_embeddings(ma.select("entity_id"), "entity_id", emb, n_emb)
+    word_emb = _hash_embeddings(toks.select("tok"), "tok", emb, n_emb)
 
     surface_dict = DT.build_surface_dict(ma)
     mentions = DT.resolve_conflicts(DT.detect_mentions(plain, surface_dict))
     ctx = SC.context_word_vector(SC.attach_context(mentions, plain), word_emb)
-    cands = SC.candidate_table(ctx, ma, probs["e_given_m"], entity_emb)
-    seeds, doc_agg = SC.seed_pool(cands)
-    cands = SC.context_entity_vector(cands, seeds, doc_agg, empty_sim=1.0)
+    # fan-out point: cands feeds seed counting, pool keys, and scoring.
+    # persist AND materialize eagerly — a lazy persist lets the downstream
+    # branches (submitted concurrently by AQE) race to compute the same
+    # uncached plan N times over (observed: 13 concurrent 50s stages).
+    cands = SC.candidate_table(ctx, ma, probs["e_given_m"], entity_emb).persist()
+    cands.count()
+    seeds, doc_agg = SC.seed_pool(cands, entity_emb)
+    cands = SC.context_entity_vector(
+        cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb
+    )
     links = SC.score_has_prob(cands, lp, DEFAULT.predictor)
     return links
 

@@ -34,7 +34,33 @@ from pyspark.sql import functions as F
 
 from xlink_spark.config import PredictorConfig
 from xlink_spark.functions.text import tokens_lower
-from xlink_spark.functions.vectors import cosine, mean_pool_expr
+from xlink_spark.functions.vectors import (
+    cosine,
+    dot,
+    infer_dim,
+    make_entity_sim_udf,
+    mean_pool_expr,
+)
+
+
+def _unit_entity_emb(entity_emb: DataFrame, dim: int) -> DataFrame:
+    """(entity_id, entity_unit) — normalized ONCE on the small (broadcast)
+    side via HOFs (row count is KB-bounded), so the per-candidate cosine is
+    a single compact dot product."""
+    from xlink_spark.functions.vectors import norm as vnorm
+
+    e = entity_emb.select(
+        F.col("key").alias("entity_id"),
+        F.col("vec"),
+        vnorm("vec").alias("_nrm"),
+    )
+    return e.select(
+        "entity_id",
+        F.when(
+            F.col("_nrm") > 0,
+            F.transform("vec", lambda x: x.cast("double") / F.col("_nrm")),
+        ).alias("entity_unit"),
+    )
 
 MENTION_KEY = ["doc_id", "start", "end"]
 
@@ -61,7 +87,14 @@ def context_word_vector(mentions_ctx: DataFrame, word_emb: DataFrame) -> DataFra
 
     Explode tokens → broadcast-join the word table (acts as the vocab filter,
     xlink.py:124-127) → mean pool. Null ``ctx_vec`` means empty context.
+
+    The pool is computed as ``dim`` per-dimension SUM aggregates (one hash
+    aggregate, fully whole-stage-codegen) rather than collect_list + a
+    higher-order fold — the interpreted lambda over millions of boxed
+    doubles was the pipeline's hottest CPU path.
     """
+    dim_row = word_emb.select(F.size("vec").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
     toks = mentions_ctx.select(
         *MENTION_KEY,
         F.explode(
@@ -74,8 +107,35 @@ def context_word_vector(mentions_ctx: DataFrame, word_emb: DataFrame) -> DataFra
     vecs = toks.join(
         F.broadcast(word_emb.withColumnRenamed("key", "word")), "word", "inner"
     )
-    pooled = vecs.groupBy(*MENTION_KEY).agg(F.collect_list("vec").alias("vecs"))
-    pooled = pooled.select(*MENTION_KEY, mean_pool_expr("vecs").alias("ctx_vec"))
+    if dim:
+        sums = [
+            F.sum(F.element_at("vec", d + 1).cast("double")).alias(f"_s{d}")
+            for d in range(dim)
+        ]
+        pooled = vecs.groupBy(*MENTION_KEY).agg(F.count(F.lit(1)).alias("_n"), *sums)
+        # UNIT-normalized context vector (the /n mean cancels in the norm):
+        # downstream cosine collapses to a single dot product per candidate.
+        # The norm is materialized as its own column FIRST — inlining a
+        # 64-term norm into each of 64 array elements builds a >64KB codegen
+        # method that silently falls back to interpreted evaluation.
+        pooled = pooled.withColumn(
+            "_nrm",
+            F.sqrt(sum(F.col(f"_s{d}") * F.col(f"_s{d}") for d in range(dim))),
+        )
+        pooled = pooled.select(
+            *MENTION_KEY,
+            "_nrm",
+            F.array(*[F.col(f"_s{d}") for d in range(dim)]).alias("_arr"),
+        ).select(
+            *MENTION_KEY,
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform("_arr", lambda x: x / F.col("_nrm")),
+            ).alias("ctx_vec"),
+        )
+    else:  # empty vocabulary — no mention gets a context vector
+        pooled = vecs.groupBy(*MENTION_KEY).agg(F.collect_list("vec").alias("vecs"))
+        pooled = pooled.select(*MENTION_KEY, mean_pool_expr("vecs").alias("ctx_vec"))
     return mentions_ctx.join(pooled, MENTION_KEY, "left")
 
 
@@ -84,44 +144,160 @@ def candidate_table(
     mention_anchors: DataFrame,
     e_given_m: DataFrame,
     entity_emb: DataFrame,
+    broadcast_dict: bool = True,
+    udf_scoring: bool = False,
 ) -> DataFrame:
     """Explode mention × candidate with prior + embedding columns.
 
     F6/F4 at predict time: candidates without an embedding are dropped
     (inner join), as are candidates absent from e_given_m (xlink.py:196-206,
     Predictor.py:117-126).
+
+    Scale shape: the entity-embedding side is broadcast (bounded by the KB),
+    so the exploded candidate rows never shuffle their vectors — the only
+    wide column that moves in a shuffle is one ctx_vec per MENTION, never
+    per candidate. Context columns (ctx_prev/ctx_after) are dropped here;
+    they have served their purpose upstream.
     """
-    cands = mentions.withColumn("mention", F.lower("surface")).join(
-        mention_anchors.select("mention", "entity_id"), "mention", "inner"
+    narrow = mentions.drop("ctx_prev", "ctx_after")
+    # Dictionary tables are KB-bounded: broadcast them so the candidate
+    # explosion never shuffles detected mentions by surface — the surface
+    # key is Zipf-skewed (few distinct heads carry most rows) and a
+    # sort-merge join on it collapses to a handful of hot reducers. When
+    # the dictionary outgrows broadcast (huge KBs), set
+    # broadcast_dict=False and pre-salt with detect.candidate_join instead.
+    maybe_b = F.broadcast if broadcast_dict else (lambda df: df)
+    cands = narrow.withColumn("mention", F.lower("surface")).join(
+        maybe_b(mention_anchors.select("mention", "entity_id")), "mention", "inner"
     )
-    cands = cands.join(e_given_m, ["mention", "entity_id"], "inner")
+    cands = cands.join(maybe_b(e_given_m), ["mention", "entity_id"], "inner")
     cands = cands.join(
-        entity_emb.select(F.col("key").alias("entity_id"), F.col("vec").alias("entity_vec")),
+        F.broadcast(
+            entity_emb.select(
+                F.col("key").alias("entity_id"), F.col("vec").alias("entity_vec")
+            )
+        ),
         "entity_id",
         "inner",
     )
+    if "ctx_vec" in cands.columns:
+        # score the word-context cosine HERE, while both vectors are live in
+        # this stage, then drop BOTH vectors: downstream consumers re-attach
+        # entity vectors by broadcast, so candidate rows stay ~narrow-row
+        # sized through every shuffle, sort, and cache.
+        if udf_scoring:
+            sim_udf = make_entity_sim_udf(
+                mentions.sparkSession, entity_emb, key_col="key", vec_col="vec"
+            )
+            cands = cands.withColumn(
+                "ctx_word_sim", sim_udf(F.col("entity_id"), F.col("ctx_vec"))
+            ).drop("ctx_vec", "entity_vec")
+        else:
+            dim = infer_dim(entity_emb, "vec")
+            if dim:
+                # ctx_vec arrives unit-normalized from context_word_vector;
+                # normalize the entity side once (broadcast) → ONE dot per
+                # candidate (cosine needs 3 array folds; a fully-unrolled
+                # dot_fixed exceeds the JIT's huge-method limit and drops to
+                # the bytecode interpreter — measured 2.7x slower)
+                cands = cands.join(
+                    F.broadcast(_unit_entity_emb(entity_emb, dim)), "entity_id", "left"
+                )
+                sim = F.when(
+                    F.col("ctx_vec").isNull() | F.col("entity_unit").isNull(),
+                    F.lit(0.0),
+                ).otherwise(dot("entity_unit", "ctx_vec"))
+                cands = cands.withColumn("ctx_word_sim", sim).drop(
+                    "ctx_vec", "entity_vec", "entity_unit"
+                )
+            else:
+                cands = cands.withColumn(
+                    "ctx_word_sim",
+                    F.when(F.col("ctx_vec").isNull(), F.lit(0.0)).otherwise(
+                        cosine("entity_vec", "ctx_vec")
+                    ),
+                ).drop("ctx_vec", "entity_vec")
     return cands
 
 
-def seed_pool(candidates: DataFrame) -> DataFrame:
+def _ensure_word_sim(candidates: DataFrame) -> DataFrame:
+    """Compute ctx_word_sim from vectors when not already present."""
+    if "ctx_word_sim" in candidates.columns:
+        return candidates
+    return candidates.withColumn(
+        "ctx_word_sim",
+        F.when(F.col("ctx_vec").isNull(), F.lit(0.0)).otherwise(
+            cosine("entity_vec", "ctx_vec")
+        ),
+    )
+
+
+def _drop_arrays(df: DataFrame) -> DataFrame:
+    """Drop array-typed columns so window sorts/shuffles stay narrow."""
+    from pyspark.sql.types import ArrayType
+
+    arr = [f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)]
+    return df.drop(*arr) if arr else df
+
+
+def seed_pool(candidates: DataFrame, entity_emb: DataFrame | None = None) -> DataFrame:
     """Unambiguous-mention seeds (xlink.py:115-145).
 
     A mention with exactly one surviving candidate contributes that entity's
-    vector to its document's context pool. Returns per-doc aggregates plus
-    the per-mention contribution needed for self-exclusion (U3):
-    (doc_id, start, end, seed_vec, doc_sum, doc_cnt).
+    vector to its document's context pool. Returns (seeds, doc_agg):
+    seeds = (doc_id, start, end, seed_vec); doc_agg = per-doc ELEMENTWISE
+    SUM + count (doc_id, doc_sum, doc_seed_cnt) — the per-doc seed list is
+    reduced immediately so nothing wide outlives this aggregation.
+
+    With ``entity_emb`` given, the candidate shuffle carries only ids — the
+    seed vector is broadcast-joined after the uniqueness aggregation (the
+    at-scale path); otherwise the candidate rows must carry ``entity_vec``.
     """
-    w_m = Window.partitionBy(*MENTION_KEY)
-    seeds = (
-        candidates.withColumn("n_cands", F.count(F.lit(1)).over(w_m))
-        .filter(F.col("n_cands") == 1)
-        .select(*MENTION_KEY, F.col("entity_vec").alias("seed_vec"))
+    if entity_emb is not None:
+        counts = candidates.groupBy(*MENTION_KEY).agg(F.count(F.lit(1)).alias("n"))
+        unambig = counts.filter(F.col("n") == 1).select(*MENTION_KEY)
+        seeds = (
+            candidates.select(*MENTION_KEY, "entity_id")
+            .join(unambig, MENTION_KEY, "left_semi")
+            .join(
+                F.broadcast(
+                    entity_emb.select(
+                        F.col("key").alias("entity_id"), F.col("vec").alias("seed_vec")
+                    )
+                ),
+                "entity_id",
+                "inner",
+            )
+            .select(*MENTION_KEY, "seed_vec")
+        )
+    else:
+        w_m = Window.partitionBy(*MENTION_KEY)
+        seeds = (
+            candidates.withColumn("n_cands", F.count(F.lit(1)).over(w_m))
+            .filter(F.col("n_cands") == 1)
+            .select(*MENTION_KEY, F.col("entity_vec").alias("seed_vec"))
+        )
+    return seeds, doc_agg_from_seeds(seeds)
+
+
+def doc_agg_from_seeds(seeds: DataFrame) -> DataFrame:
+    """(doc_id, doc_sum, doc_seed_cnt) — elementwise seed-vector sums."""
+    return (
+        seeds.groupBy("doc_id")
+        .agg(
+            F.collect_list("seed_vec").alias("vs"),
+            F.count(F.lit(1)).alias("doc_seed_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.aggregate(
+                "vs",
+                F.transform(F.element_at("vs", 1), lambda x: x.cast("double") * 0),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+            ).alias("doc_sum"),
+            "doc_seed_cnt",
+        )
     )
-    doc_agg = seeds.groupBy("doc_id").agg(
-        F.collect_list("seed_vec").alias("doc_seed_vecs"),
-        F.count(F.lit(1)).alias("doc_seed_cnt"),
-    )
-    return seeds, doc_agg
 
 
 def context_entity_vector(
@@ -129,51 +305,93 @@ def context_entity_vector(
     seeds: DataFrame,
     doc_agg: DataFrame,
     empty_sim: float,
+    entity_emb: DataFrame | None = None,
 ) -> DataFrame:
     """A8 + U3: per-candidate context-entity similarity.
 
     The pool for mention m = all seed vectors of the doc EXCLUDING m's own
-    seed (xlink.py:241-254). Implemented without a per-pair join: per-doc
-    sum/count minus the mention's own contribution, elementwise.
+    seed (xlink.py:241-254): pool = (doc_sum − own_seed)/(cnt − own). The
+    pool vector is materialized per MENTION (not per candidate) and joined
+    to the exploded candidates last — at 10^12 docs the wide columns move
+    once per mention, and the per-candidate work is a single cosine against
+    a broadcast-joined entity vector.
     ``empty_sim`` is the empty-pool convention: 1.0 on the has-prob path
     (xlink.py:329), 0.0 on the no-prob/GM path (Predictor.py:210).
     """
-    c = candidates.join(doc_agg, "doc_id", "left").join(
+    mention_keys = candidates.select(*MENTION_KEY).distinct()
+    mp = mention_keys.join(doc_agg, "doc_id", "left").join(
         seeds.select(*MENTION_KEY, "seed_vec"), MENTION_KEY, "left"
     )
-    # pool sum = doc_sum − own_seed (when this mention seeded)
-    pool_sum = F.when(
-        F.col("doc_seed_vecs").isNull(), F.lit(None)
-    ).otherwise(
-        F.aggregate(
-            "doc_seed_vecs",
-            F.transform(
-                F.coalesce(
-                    F.col("seed_vec"),
-                    F.transform(F.element_at("doc_seed_vecs", 1), lambda x: x * 0),
-                ),
-                lambda x: -x.cast("double"),
-            ),
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
-        )
-    )
+    zero = F.transform(F.col("doc_sum"), lambda x: x * 0)
     pool_cnt = F.coalesce(F.col("doc_seed_cnt"), F.lit(0)) - F.when(
         F.col("seed_vec").isNotNull(), F.lit(1)
     ).otherwise(F.lit(0))
-    c = c.withColumn("pool_cnt", pool_cnt).withColumn(
-        "pool_vec",
-        F.when(
-            F.col("pool_cnt") > 0,
-            F.transform(pool_sum, lambda x: x / F.col("pool_cnt")),
+    pool_raw = F.when(
+        (F.col("doc_sum").isNotNull()) & (pool_cnt > 0),
+        F.zip_with(
+            "doc_sum",
+            F.coalesce(F.col("seed_vec"), zero),
+            lambda a, b: a - b.cast("double"),
         ),
     )
-    c = c.withColumn(
-        "ctx_ent_sim",
-        F.when(F.col("pool_vec").isNull(), F.lit(empty_sim)).otherwise(
-            cosine("entity_vec", "pool_vec")
-        ),
-    )
-    return c.drop("doc_seed_vecs", "doc_seed_cnt", "seed_vec", "pool_vec", "pool_cnt")
+    if entity_emb is not None:
+        # at-scale path: candidates shuffle NARROW (no vectors). Pool vector
+        # is UNIT-normalized once per mention (the /cnt mean cancels), the
+        # entity side once per entity (broadcast) — per-candidate cosine is
+        # a single compact dot product. (An Arrow-batched UDF variant —
+        # make_entity_sim_udf — measured FASTER at low core counts but
+        # regressed under JVM+Python oversubscription at local[32].)
+        dim = infer_dim(entity_emb, "vec")
+        from xlink_spark.functions.vectors import norm as vnorm
+
+        mp = mp.select(*MENTION_KEY, pool_raw.alias("_praw"))
+        mp = mp.withColumn("_nrm", vnorm("_praw")).select(
+            *MENTION_KEY,
+            F.when(
+                F.col("_praw").isNotNull() & (F.col("_nrm") > 0),
+                F.transform("_praw", lambda x: x / F.col("_nrm")),
+            ).alias("pool_vec"),
+        )
+        c = candidates.drop("entity_vec").join(mp, MENTION_KEY, "left")
+        if dim:
+            c = c.join(
+                F.broadcast(_unit_entity_emb(entity_emb, dim)), "entity_id", "left"
+            )
+            sim = F.when(F.col("entity_unit").isNull(), F.lit(0.0)).otherwise(
+                dot("entity_unit", "pool_vec")
+            )
+        else:
+            c = c.join(
+                F.broadcast(
+                    entity_emb.select(
+                        F.col("key").alias("entity_id"), F.col("vec").alias("entity_vec")
+                    )
+                ),
+                "entity_id",
+                "left",
+            )
+            sim = cosine("entity_vec", "pool_vec")
+        c = c.withColumn(
+            "ctx_ent_sim",
+            F.when(F.col("pool_vec").isNull(), F.lit(empty_sim)).otherwise(sim),
+        )
+        return c.drop("pool_vec", "entity_vec", "entity_unit")
+    else:
+        mp = mp.select(
+            *MENTION_KEY,
+            F.when(
+                pool_raw.isNotNull(),
+                F.transform(pool_raw, lambda x: x / pool_cnt),
+            ).alias("pool_vec"),
+        )
+        c = candidates.join(mp, MENTION_KEY, "left")
+        c = c.withColumn(
+            "ctx_ent_sim",
+            F.when(F.col("pool_vec").isNull(), F.lit(empty_sim)).otherwise(
+                cosine("entity_vec", "pool_vec")
+            ),
+        )
+    return c.drop("pool_vec")
 
 
 def score_has_prob(
@@ -191,21 +409,17 @@ def score_has_prob(
       gates: link_prob > link_prob_th AND believe > believe_th
     """
     cfg = cfg or PredictorConfig()
-    scored = candidates.withColumn(
-        "ctx_word_sim",
-        F.when(F.col("ctx_vec").isNull(), F.lit(0.0)).otherwise(
-            cosine("entity_vec", "ctx_vec")
-        ),
-    ).withColumn(
+    scored = _ensure_word_sim(candidates).withColumn(
         "cand_believe",
         F.pow("p", F.lit(cfg.prior_power)) * F.col("ctx_word_sim") * F.col("ctx_ent_sim"),
     )
+    scored = _drop_arrays(scored)  # narrow rows through the top-1 sort
     top = Window.partitionBy(*MENTION_KEY).orderBy(
         F.col("cand_believe").desc(), F.col("entity_id").asc()
     )
     best = scored.withColumn("rn", F.row_number().over(top)).filter(F.col("rn") == 1)
     gated = (
-        best.join(link_prob.select("mention", "link_prob"), "mention", "inner")
+        best.join(F.broadcast(link_prob.select("mention", "link_prob")), "mention", "inner")
         .withColumn("believe", (F.col("cand_believe") + F.col("link_prob")) / 2)
         .filter(
             (F.col("link_prob") > cfg.link_prob_th) & (F.col("believe") > cfg.believe_th)
@@ -231,12 +445,7 @@ def score_no_prob(
     """
     cfg = cfg or PredictorConfig()
     scored = (
-        candidates.withColumn(
-            "ctx_word_sim",
-            F.when(F.col("ctx_vec").isNull(), F.lit(0.0)).otherwise(
-                cosine("entity_vec", "ctx_vec")
-            ),
-        )
+        _ensure_word_sim(candidates)
         .filter(F.col("ctx_word_sim") > cfg.np_ctx_word_sim_th)
         .withColumn(
             "believe",
@@ -244,6 +453,7 @@ def score_no_prob(
             + (1 - cfg.np_words_weight) * F.col("ctx_ent_sim"),
         )
     )
+    scored = _drop_arrays(scored)
     top = Window.partitionBy(*MENTION_KEY).orderBy(
         F.col("believe").desc(), F.col("entity_id").asc()
     )
@@ -268,12 +478,7 @@ def seed_argmax(candidates: DataFrame, cfg: PredictorConfig | None = None) -> Da
     bug is documented there; we implement the argmax it meant to compute).
     """
     cfg = cfg or PredictorConfig()
-    scored = candidates.withColumn(
-        "ctx_word_sim",
-        F.when(F.col("ctx_vec").isNull(), F.lit(0.0)).otherwise(
-            cosine("entity_vec", "ctx_vec")
-        ),
-    )
+    scored = _drop_arrays(_ensure_word_sim(candidates))
     return (
         scored.withColumn(
             "rn",

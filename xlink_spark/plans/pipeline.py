@@ -108,9 +108,17 @@ def link_corpus(
     ma_ctx = SC.context_word_vector(
         SC.attach_context(ma_mentions, docs_plain, pcfg), word_emb
     )
-    ma_cands = SC.candidate_table(ma_ctx, d.mention_anchors, d.e_given_m, entity_emb)
-    seeds, doc_agg = SC.seed_pool(ma_cands)
-    ma_cands = SC.context_entity_vector(ma_cands, seeds, doc_agg, empty_sim=1.0)
+    # fan-out point (seed counting, pool keys, scoring) — persist narrow
+    # rows and materialize eagerly so concurrent branches don't race to
+    # compute the same uncached plan
+    ma_cands = SC.candidate_table(
+        ma_ctx, d.mention_anchors, d.e_given_m, entity_emb
+    ).persist()
+    ma_cands.count()
+    seeds, doc_agg = SC.seed_pool(ma_cands, entity_emb)
+    ma_cands = SC.context_entity_vector(
+        ma_cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb
+    )
     prob_links = SC.score_has_prob(ma_cands, d.link_prob, pcfg)
 
     # ---- no-prob pass (title dict) ------------------------------------------
@@ -128,31 +136,28 @@ def link_corpus(
             tt_ctx.withColumn("mention", F.lower("surface"))
             .join(d.title_entities, "mention", "inner")
             .join(
-                entity_emb.select(
-                    F.col("key").alias("entity_id"), F.col("vec").alias("entity_vec")
+                F.broadcast(
+                    entity_emb.select(
+                        F.col("key").alias("entity_id"), F.col("vec").alias("entity_vec")
+                    )
                 ),
                 "entity_id",
                 "inner",
             )
         )
+        # eager word-sim + vector drop, as in candidate_table
+        tt_cands = SC._ensure_word_sim(tt_cands).drop("ctx_vec")
         tt_seeds = SC.seed_argmax(tt_cands, pcfg)
-        tt_doc_agg = (
-            tt_cands.join(tt_seeds.select(*SC.MENTION_KEY, F.col("entity_id").alias("seed_eid")),
-                          SC.MENTION_KEY, "inner")
-            .filter(F.col("entity_id") == F.col("seed_eid"))
-            .groupBy("doc_id")
-            .agg(
-                F.collect_list("entity_vec").alias("doc_seed_vecs"),
-                F.count(F.lit(1)).alias("doc_seed_cnt"),
-            )
-        )
         tt_seed_vecs = (
             tt_cands.join(tt_seeds.select(*SC.MENTION_KEY, F.col("entity_id").alias("seed_eid")),
                           SC.MENTION_KEY, "inner")
             .filter(F.col("entity_id") == F.col("seed_eid"))
             .select(*SC.MENTION_KEY, F.col("entity_vec").alias("seed_vec"))
         )
-        tt_cands = SC.context_entity_vector(tt_cands, tt_seed_vecs, tt_doc_agg, empty_sim=0.0)
+        tt_doc_agg = SC.doc_agg_from_seeds(tt_seed_vecs)
+        tt_cands = SC.context_entity_vector(
+            tt_cands, tt_seed_vecs, tt_doc_agg, empty_sim=0.0, entity_emb=entity_emb
+        )
         no_prob_links = SC.score_no_prob(tt_cands, pcfg)
 
     if no_prob_links is None or not tt_dict:
