@@ -1,0 +1,84 @@
+"""Structured Streaming operators, driven with Trigger.AvailableNow."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from xlink_spark.streaming import ingest as ST
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id string, text string, event_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def doc_stream_dir(spark, tmp_path):
+    p = str(tmp_path / "docs_in")
+    _write_batch(
+        spark,
+        p,
+        [
+            ("d1", "alpha beta here", T0),
+            ("d2", "alpha beta here", T0 + dt.timedelta(minutes=1)),  # dup of d1
+            ("d3", "gamma only", T0 + dt.timedelta(minutes=2)),
+        ],
+    )
+    return p
+
+
+def _run(stream_df, tmp_path, name, mode="append"):
+    out = str(tmp_path / f"{name}_out")
+    chk = str(tmp_path / f"{name}_chk")
+    q = ST.run_to_table(stream_df, chk, out, mode=mode)
+    q.awaitTermination(120)
+    return out
+
+
+def test_streaming_exact_dedup(spark, tmp_path, doc_stream_dir):
+    s = ST.stream_documents(spark, doc_stream_dir)
+    out = _run(ST.streaming_exact_dedup(s), tmp_path, "dedup")
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == ["d1", "d3"]  # d2 deduped within watermark
+
+
+def test_streaming_detect_and_window_counts(spark, tmp_path, doc_stream_dir):
+    s = ST.stream_documents(spark, doc_stream_dir)
+    detected = ST.streaming_detect(s, {"alpha beta": (2, "ma"), "gamma": (1, "ma")})
+    counts = ST.streaming_mention_counts(detected, window="10 minutes")
+    # append-mode sinks emit only watermark-closed windows; memory+complete
+    # shows the live state, which is what this test asserts
+    q = ST.run_to_memory(counts, "win_counts", mode="complete")
+    q.awaitTermination(120)
+    got = {r["mention"]: r["cnt"] for r in spark.sql("select * from win_counts").collect()}
+    assert got == {"alpha beta": 2, "gamma": 1}
+
+
+def _totals_stream(spark, doc_stream_dir):
+    s = ST.stream_documents(spark, doc_stream_dir)
+    detected = ST.streaming_detect(s, {"alpha beta": (2, "ma"), "gamma": (1, "ma")})
+    return ST.running_anchor_totals(detected)
+
+
+def test_running_anchor_totals_accumulates_across_batches(spark, tmp_path, doc_stream_dir):
+    out = str(tmp_path / "totals_out")
+    chk = str(tmp_path / "totals_chk")
+    q = ST.run_update_to_parquet(_totals_stream(spark, doc_stream_dir), chk, out)
+    q.awaitTermination(120)
+    got = {r["mention"]: (r["total"], r["batch_delta"]) for r in spark.read.parquet(out).collect()}
+    assert got["alpha beta"] == (2, 2)
+    # second drop arrives → SAME checkpoint resumes and state carries forward
+    _write_batch(
+        spark, doc_stream_dir, [("d4", "alpha beta again", T0 + dt.timedelta(minutes=3))]
+    )
+    q = ST.run_update_to_parquet(_totals_stream(spark, doc_stream_dir), chk, out)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    latest = max((r for r in rows if r["mention"] == "alpha beta"), key=lambda r: r["total"])
+    assert latest["total"] == 3 and latest["batch_delta"] == 1

@@ -78,7 +78,10 @@ def build_surface_dict(
 
 
 def detect_mentions(
-    docs_plain: DataFrame, surface_dict: dict[str, tuple[int, str]], max_words: int = 4
+    docs_plain: DataFrame,
+    surface_dict: dict[str, tuple[int, str]],
+    max_words: int = 4,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Scan plain text for dictionary surfaces; emit candidate mentions.
 
@@ -86,16 +89,28 @@ def detect_mentions(
     iter_long, generate_prob_files.py:73-78), lower-cased match, char-exact
     offsets into the original text. Overlaps are NOT resolved here — that is
     ``resolve_conflicts``'s job, as in the reference's two-phase parse.
+
+    ``passthrough`` columns are copied onto every emitted mention row —
+    used by the streaming path to carry event time without a stream-stream
+    join.
     """
     spark = docs_plain.sparkSession
     bc = spark.sparkContext.broadcast(surface_dict)
     limit = max(max_words, max((nw for nw, _ in surface_dict.values()), default=1))
+    pt = list(passthrough)
+    in_fields = {f.name: f for f in docs_plain.schema.fields}
+    out_schema = StructType(
+        list(_DETECTED.fields) + [in_fields[c] for c in pt]
+    )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sd = bc.value
+        cols = ["doc_id", "start", "end", "surface", "parse_from", *pt]
         for pdf in batches:
-            out: list[tuple[str, int, int, str, str]] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            out: list[tuple] = []
+            extra_iters = [pdf[c] for c in pt]
+            for row in zip(pdf["doc_id"], pdf["text"], *extra_iters):
+                doc_id, text, extras = row[0], row[1], row[2:]
                 if not text:
                     continue
                 toks = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
@@ -112,15 +127,13 @@ def detect_mentions(
                             break
                     if hit:
                         s, e, cand, pf, w = hit
-                        out.append((doc_id, s, e, cand, pf))
+                        out.append((doc_id, s, e, cand, pf, *extras))
                         i += w  # greedy: consume matched tokens
                     else:
                         i += 1
-            yield pd.DataFrame(
-                out, columns=["doc_id", "start", "end", "surface", "parse_from"]
-            )
+            yield pd.DataFrame(out, columns=cols)
 
-    return docs_plain.select("doc_id", "text").mapInPandas(scan, _DETECTED)
+    return docs_plain.select("doc_id", "text", *pt).mapInPandas(scan, out_schema)
 
 
 def resolve_conflicts(mentions: DataFrame, weighted: bool = False) -> DataFrame:

@@ -21,11 +21,10 @@ def observed(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
     yields {'rows': n, 'partitions': k} without a second pass.
     """
     obs = Observation(name)
-    out = df.observe(
-        obs,
-        F.count(F.lit(1)).alias("rows"),
-        F.approx_count_distinct(F.spark_partition_id()).alias("partitions"),
-    )
+    # note: spark_partition_id() is not evaluable inside observe()
+    # aggregates (nondeterministic-expression init); partition counts are
+    # recorded by the snapshot store from rdd.getNumPartitions instead.
+    out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     return out, obs
 
 
