@@ -785,6 +785,91 @@ where a.vec_id < b.vec_id
 """
 
 
+def q_sample_docs_o3(spark, sf_dir):
+    """O3: deterministic dataset sampling — docs with ≥200 chars, ordered by
+    doc_id, skip 20, take 50 (evaluation/build_dataset/main.py:36-52)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return (
+        docs.filter(F.length("text") >= 200)
+        .orderBy("doc_id")
+        .offset(20)
+        .limit(50)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+    )
+
+
+SQL_SAMPLE_DOCS_O3 = (
+    # order on the NUMERIC id inside the subquery; casting first would make
+    # the alias shadow the column and sort lexicographically
+    "select doc_id::varchar as doc_id, n_chars from ("
+    "select doc_id, n_chars from documents where length(text) >= 200 "
+    "order by doc_id limit 50 offset 20)"
+)
+
+
+def q_stats_by_source_gs(spark, sf_dir):
+    """A10 by-source breakdown via GROUPING SETS: token totals per
+    (lang, source), per lang, and grand total in one pass."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_tokens",
+        )
+    )
+
+
+SQL_STATS_BY_SOURCE_GS = (
+    f"select coalesce(lang, 'ALL') as lang, coalesce(source, 'ALL') as source, "
+    f"count(*) as n_tokens from ({_TOKENS_SQL}) "
+    f"group by rollup (lang, source)"
+)
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash from md5 nibble parities — engine-portable variant.
+
+    Bit j of token t := parity of hex digit j of md5(t); per-doc fingerprint
+    = majority vote per bit (Charikar '02 construction over a portable hash
+    family; the production 64-bit xxhash64 variant is dedup.simhash)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    votes = []
+    for j in range(16):
+        digit = F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int")
+        votes.append(
+            F.sum(F.when(digit % 2 == 1, 1).otherwise(-1)).alias(f"v{j}")
+        )
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+SQL_SIMHASH16 = f"""
+with toks as (
+  select doc_id::varchar as doc_id, md5(tok) as h from (
+    select doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           x -> x <> '')) as tok from documents)
+), votes as (
+  select doc_id,
+    {', '.join(f"sum(case when (strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) % 2 = 1 then 1 else -1 end) as v{j}" for j in range(16))}
+  from toks group by doc_id
+)
+select doc_id,
+  ({' + '.join(f"case when v{j} > 0 then {1 << j} else 0 end" for j in range(16))})::bigint as simhash16
+from votes
+"""
+
+
 # --------------------------------------------------------------- clustering
 def q_connected_components(spark, sf_dir):
     """G2: CC over the supplier–nation bipartite graph (large/small-star)."""
@@ -850,6 +935,9 @@ QUERIES: dict[str, Query] = {
     "knn_vote": q_knn_vote,
     "embedding_neardup": q_embedding_neardup,
     "connected_components": q_connected_components,
+    "sample_docs_o3": q_sample_docs_o3,
+    "stats_by_source_gs": q_stats_by_source_gs,
+    "simhash16": q_simhash16,
 }
 
 ORACLES: dict[str, str] = {
@@ -883,4 +971,7 @@ ORACLES: dict[str, str] = {
     "knn_vote": SQL_KNN_VOTE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "sample_docs_o3": SQL_SAMPLE_DOCS_O3,
+    "stats_by_source_gs": SQL_STATS_BY_SOURCE_GS,
+    "simhash16": SQL_SIMHASH16,
 }

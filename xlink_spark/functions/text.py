@@ -78,3 +78,36 @@ def tokens_lower(text: Column | str) -> Column:
     """Lower-cased whitespace tokens — the unit of the dictionary build."""
     c = F.col(text) if isinstance(text, str) else text
     return tokenize_ws(F.lower(c))
+
+
+def make_tokenize_zh_udf():
+    """C7: zh word segmentation as an Arrow-batched pandas UDF.
+
+    Reference: WordParser.py:76-79 lazy-loads jieba per process. jieba is
+    optional in this environment — when absent, the fallback segments CJK
+    runs into single characters and keeps ASCII word runs whole (a standard
+    degradation: char-unigram zh tokens are what the reference's freq scan
+    effectively counts for single-char dictionary surfaces anyway).
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    cjk_or_word = re.compile(r"[一-鿿]|[A-Za-z0-9_]+")
+
+    def tokenize_zh(texts):
+        try:
+            import jieba  # noqa: PLC0415
+
+            cut = lambda t: [w for w in jieba.cut(t) if w.strip()]  # noqa: E731
+        except ImportError:
+            cut = lambda t: cjk_or_word.findall(t)  # noqa: E731
+        return texts.map(lambda t: cut(t) if t else [])
+
+    # set REAL (non-stringified) annotations: this module uses
+    # `from __future__ import annotations`, which would otherwise leave
+    # pyspark's type-hint inference with unevaluated strings
+    tokenize_zh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(tokenize_zh, ArrayType(StringType()))

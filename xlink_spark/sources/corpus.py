@@ -105,6 +105,32 @@ def standardize_corpus(
     return spans, invalid
 
 
+def mark_title_mentions(resolved: DataFrame) -> DataFrame:
+    """C14/S1 mark_titles option: self-mention injection.
+
+    Reference: prepare_standard_input.py:357-361, 407, 442 — every literal
+    occurrence of the doc's own title in its content becomes an anchor to
+    the doc's entity. Literal (non-regex) replace keeps titles with regex
+    metacharacters safe, mirroring the reference's re.escape.
+    """
+    marked = F.expr(
+        "replace(content, title, concat('[[', entity_id, '|', title, ']]'))"
+    )
+    return resolved.withColumn(
+        "content",
+        F.when(
+            F.col("entity_id").isNotNull()
+            & F.col("title").isNotNull()
+            & (F.length("title") > 0)
+            # don't nest: skip docs whose content already anchors the title
+            & ~F.coalesce("content", F.lit("")).contains(
+                F.concat(F.lit("|"), F.col("title"), F.lit("]]"))
+            ),
+            marked,
+        ).otherwise(F.col("content")),
+    )
+
+
 def infobox_pre_refine(infobox_json: DataFrame, content_col: str = "content") -> DataFrame:
     """S2: flatten a JSON infobox {k: v} into 'k v k v …' text.
 
