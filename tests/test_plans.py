@@ -1,0 +1,85 @@
+"""Physical-plan assertions: pushdown, column pruning, join strategy.
+
+These pin the *optimizer-facing* properties of the engine: filters reach the
+parquet scan, projections prune columns at the source, dictionary joins
+broadcast, and the scoring stage stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    p = str(tmp_path / "li")
+    spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("flag"),
+        F.lit("payload").alias("wide1"),
+        F.lit("payload").alias("wide2"),
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("flag") == 3).select("k")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "flag" in plan.split("PushedFilters")[1][:80]
+    # column pruning: the scan reads only k and flag, not the wide payloads
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "wide1" not in read_schema and "wide2" not in read_schema
+
+
+def test_candidate_join_is_broadcast(spark):
+    from xlink_spark.operators import scoring as SC
+
+    mentions = spark.createDataFrame(
+        [("d1", 0, 5, "china", "ma")],
+        "doc_id string, start int, end int, surface string, parse_from string",
+    )
+    ma = spark.createDataFrame([("china", "e1", 3)], "mention string, entity_id string, cnt long")
+    egm = spark.createDataFrame([("china", "e1", 1.0)], "mention string, entity_id string, p double")
+    emb = spark.createDataFrame([("e1", [1.0, 0.0])], "key string, vec array<float>")
+    cands = SC.candidate_table(mentions, ma, egm, emb)
+    plan = _plan(cands)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dictionary explosion must not SMJ
+
+
+def test_scoring_has_no_python_in_hot_path(spark):
+    """The believe/gate/top-1 stage is pure JVM: no Python eval nodes."""
+    from xlink_spark.operators import scoring as SC
+
+    cands = spark.createDataFrame(
+        [("d", 0, 2, "mm", "ma", "mm", "e1", 0.9, 0.8)],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, p double, ctx_word_sim double",
+    ).withColumn("ctx_ent_sim", F.lit(1.0))
+    lp = spark.createDataFrame([("mm", 0.5)], "mention string, link_prob double")
+    scored = SC.score_has_prob(cands, lp)
+    plan = _plan(scored)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # top-1 rank is pushed down map-side (partial WindowGroupLimit before
+    # the exchange) and the link_prob gate rides the broadcast join
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_reads_only_needed_columns(spark):
+    """documents has 5 columns; the flagship projection must prune to the 3
+    it uses (doc_id, source, text) at the parquet scan."""
+    from xlink_spark.flagship import linking_pipeline
+
+    links = linking_pipeline(spark, "/root/testdata/sf0.001")
+    plan = _plan(links)
+    scans = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    doc_scans = [s for s in scans if "text" in s]
+    assert doc_scans, "expected a documents scan"
+    for s in doc_scans:
+        assert "n_chars" not in s and "lang" not in s
