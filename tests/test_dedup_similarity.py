@@ -150,3 +150,33 @@ def test_multimodal_plumbing(spark, sdfs):
     import numpy as np
 
     assert abs(np.linalg.norm(f1[0]["feature"]) - 1.0) < 1e-5
+
+
+def test_multimodal_feature_neardup_end_to_end(spark, sdfs):
+    """Media pipeline: spans → refs → assets → fake features → SRP near-dup.
+
+    Decoders are stubbed (no media libs in env) but every Spark-side hop —
+    binary payloads, Arrow batching, feature schema, bucketed ANN — is real.
+    """
+    from xlink_spark.operators import multimodal as MM
+
+    docs, *_ = sdfs
+    assets = MM.synthesize_assets(docs)
+    feats = MM.extract_features(assets, dim=8, fake=True).filter(
+        F.col("feature").isNotNull()
+    )
+    n = feats.count()
+    assert n == assets.count()
+    emb = feats.select(
+        F.col("media_ref").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    # union with itself → guaranteed near-dups; SRP buckets must find them
+    twin = emb.select(F.concat(F.col("vec_id"), F.lit("#t")).alias("vec_id"), "embedding")
+    both = emb.unionByName(twin)
+    topk = SIM.bucketed_topk(both, dim=8, k=1, bits=4)
+    got = {r["query_id"]: (r["neighbor_id"], r["cos"]) for r in topk.collect()}
+    hits = sum(
+        1 for r, (nb, cos) in got.items()
+        if (nb == r + "#t" or r == nb + "#t") and cos >= 0.999999
+    )
+    assert hits >= n  # every asset finds its twin (in at least one direction)
