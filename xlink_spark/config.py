@@ -54,6 +54,9 @@ class EngineConfig:
     skew_salt_buckets: int = 8
     # a key is "hot" if its candidate-list length exceeds this
     hot_key_min_candidates: int = 64
+    # dictionary tables broadcast in the candidate explosion up to this many
+    # rows; beyond it the salted shuffle join takes over
+    broadcast_dict_max_rows: int = 5_000_000
 
 
 DEFAULT = EngineConfig()

@@ -79,14 +79,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on any full band become a candidate pair.
 
     (doc_a, doc_b) with doc_a < doc_b, distinct. The band join is an
-    equi-join on (band_id, band_key) — shuffle-partitioned by band key, so
-    hot buckets split across bands; at 100 TB add a bucket-size cap before
-    the self-join to bound worst-case bucket blowup.
+    equi-join on (band_id, band_key). ``max_bucket`` caps bucket width: a
+    bucket of b docs yields b² join rows, so one degenerate bucket
+    (boilerplate, empty docs) can dominate the whole job at corpus scale —
+    buckets wider than the cap are dropped (their members are usually
+    caught in another band; exact-dup buckets belong to exact_duplicates
+    anyway). NO silent truncation: capped buckets are observable via
+    ``lsh_dropped_buckets``.
     """
     n = signatures.select(F.size("sig")).first()[0]
     rows_per_band = max(n // bands, 1)
@@ -104,6 +111,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        widths = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_w"))
+        banded = banded.join(
+            widths.filter(F.col("_w") <= max_bucket).select("band", "key"),
+            ["band", "key"],
+            "left_semi",
+        )
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
     return (
@@ -111,6 +125,33 @@ def lsh_candidate_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def lsh_dropped_buckets(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """Audit view of buckets a ``max_bucket`` cap would drop: (band, key, width)."""
+    n = signatures.select(F.size("sig")).first()[0]
+    rows_per_band = max(n // bands, 1)
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > max_bucket)
     )
 
 

@@ -1,0 +1,90 @@
+"""Incremental linking: process only new documents against committed state.
+
+The lake grows continuously; rebuilding the dictionary and re-linking
+10^12 documents for each drop is not a plan. This module adds the
+incremental path on top of the snapshot store:
+
+* ``load_dictionary`` — rehydrate the Dictionary from committed snapshots
+  (no recomputation; fails loudly on a missing stage).
+* ``link_increment``  — link one batch of new docs with the frozen
+  dictionary and commit the links as ``links/iter_k`` snapshots; each batch
+  is atomic and a re-run of the same batch id is idempotent (skip-if-
+  committed).
+
+Dictionary refresh stays a periodic batch job (build_dictionary over the
+full corpus or streaming.running_anchor_totals feeding deltas) — the
+standard lambda split: cheap incremental links now, exact stats refresh on
+a cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xlink_spark.config import DEFAULT, EngineConfig
+from xlink_spark.plans.pipeline import Dictionary, link_corpus
+from xlink_spark.plans.snapshots import SnapshotStore
+
+_STAGES = (
+    "mention_anchors",
+    "title_entities",
+    "e_given_m",
+    "entity_prior",
+    "m_given_e",
+    "link_prob",
+)
+
+
+def load_dictionary(spark: SparkSession, store: SnapshotStore) -> Dictionary:
+    """Rehydrate the predictor's input tables from committed snapshots."""
+    missing = [s for s in _STAGES if not store.has_table(s)]
+    if missing:
+        raise FileNotFoundError(
+            f"dictionary snapshots missing: {missing} — run build_dictionary first"
+        )
+    t = {s: store.read_table(spark, s) for s in _STAGES}
+    return Dictionary(
+        mention_anchors=t["mention_anchors"],
+        title_entities=t["title_entities"],
+        e_given_m=t["e_given_m"],
+        entity_prior=t["entity_prior"],
+        m_given_e=t["m_given_e"],
+        link_prob=t["link_prob"],
+    )
+
+
+def link_increment(
+    store: SnapshotStore,
+    batch_id: int,
+    new_docs_plain: DataFrame,
+    word_emb: DataFrame,
+    entity_emb: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Link one new-document batch against the frozen dictionary.
+
+    Idempotent per batch_id: an already-committed batch is returned from its
+    snapshot without recomputation (safe to re-run after a crash).
+    """
+    spark = new_docs_plain.sparkSession
+    last = store.last_iteration("links")
+    if last is not None and last[0] >= batch_id:
+        committed = store._dir("links", batch_id)  # noqa: SLF001
+        import os
+
+        if os.path.exists(os.path.join(committed, "MANIFEST.json")):
+            return spark.read.parquet(os.path.join(committed, "data"))
+    d = load_dictionary(spark, store)
+    links = link_corpus(new_docs_plain, d, word_emb, entity_emb, cfg)
+    store.commit(
+        "links", batch_id, links, metrics={"batch_id": batch_id}
+    )
+    return store.last_iteration("links")[1](spark)
+
+
+def all_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
+    """Union of every committed link batch (the lake's links view)."""
+    import os
+
+    base = os.path.join(store.root, "links")
+    return spark.read.parquet(os.path.join(base, "iter_*", "data"))

@@ -108,11 +108,14 @@ def link_corpus(
     ma_ctx = SC.context_word_vector(
         SC.attach_context(ma_mentions, docs_plain, pcfg), word_emb
     )
+    # dictionary tables broadcast while KB-sized; beyond the threshold the
+    # explosion falls back to shuffle joins (salted path in detect.py)
+    bcast = d.mention_anchors.count() <= cfg.broadcast_dict_max_rows
     # fan-out point (seed counting, pool keys, scoring) — persist narrow
     # rows and materialize eagerly so concurrent branches don't race to
     # compute the same uncached plan
     ma_cands = SC.candidate_table(
-        ma_ctx, d.mention_anchors, d.e_given_m, entity_emb
+        ma_ctx, d.mention_anchors, d.e_given_m, entity_emb, broadcast_dict=bcast
     ).persist()
     ma_cands.count()
     seeds, doc_agg = SC.seed_pool(ma_cands, entity_emb)
