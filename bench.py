@@ -166,20 +166,28 @@ def _hardware_ceilings() -> tuple[float, float]:
 
     import numpy as np
 
-    def burn(v):
-        t0 = time.time()
+    def burn(v, barrier):
         x = 0
-        while time.time() - t0 < 2:
+        barrier.wait()
+        t0 = time.time()
+        while time.time() - t0 < 3:
             x += 1
         v.value = x
 
-    def stream(v):
-        a = np.zeros(8_000_000, dtype=np.float64)
+    def stream(v, barrier):
+        # allocation-free triad: temps would turn this into a kernel
+        # page-fault contention test instead of a DRAM bandwidth test;
+        # all pages touched before the barrier
+        a = np.ones(8_000_000, dtype=np.float64)
         b = np.ones_like(a)
+        t = np.ones_like(a)
+        np.add(a, b, out=a)
+        barrier.wait()
         t0 = time.time()
         n = 0
-        while time.time() - t0 < 2:
-            a += 2.0 * b
+        while time.time() - t0 < 3:
+            np.multiply(b, 2.0, out=t)
+            np.add(a, t, out=a)
             n += 1
         v.value = n
 
@@ -187,11 +195,15 @@ def _hardware_ceilings() -> tuple[float, float]:
     for fn in (burn, stream):
         rates = {}
         for procs in (8, 32):
-            vals = [mp.Value("q", 0) for _ in range(procs)]
-            ps = [mp.Process(target=fn, args=(v,)) for v in vals]
-            [p.start() for p in ps]
-            [p.join() for p in ps]
-            rates[procs] = sum(v.value for v in vals)
+            best = 0
+            for _rep in range(2):  # capacities: best-of to shed system noise
+                barrier = mp.Barrier(procs)
+                vals = [mp.Value("q", 0) for _ in range(procs)]
+                ps = [mp.Process(target=fn, args=(v, barrier)) for v in vals]
+                [p.start() for p in ps]
+                [p.join() for p in ps]
+                best = max(best, sum(v.value for v in vals))
+            rates[procs] = best
         out.append(round(rates[32] / rates[8] / 4.0, 3))
     return out[0], out[1]
 

@@ -88,8 +88,10 @@ def linking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = PR.link_prob(probs["link_m"], freq)
 
     n_emb = emb.count()
-    entity_emb = _hash_embeddings(ma.select("entity_id"), "entity_id", emb, n_emb)
-    word_emb = _hash_embeddings(toks.select("tok"), "tok", emb, n_emb)
+    # both tables are consumed by several broadcast builds + an infer_dim
+    # probe — cache so each derivation chain runs once
+    entity_emb = _hash_embeddings(ma.select("entity_id"), "entity_id", emb, n_emb).cache()
+    word_emb = _hash_embeddings(toks.select("tok"), "tok", emb, n_emb).cache()
 
     surface_dict = DT.build_surface_dict(ma)
     mentions = DT.resolve_conflicts(DT.detect_mentions(plain, surface_dict))
