@@ -163,3 +163,58 @@ def test_merge_results_prob_wins_overlap(spark):
         (r["start"], r["parse_from"]) for r in SC.merge_results(prob, no_prob).collect()
     )
     assert got == [(0, "ma"), (20, "tt")]
+
+
+def test_strict_reference_bug_modes(spark):
+    """strict_reference_bugs reproduces the reference's two known bugs:
+    W5 stale-max (xlink.py:218-222 → last candidate wins) and W3 always-true
+    check (xlink.py:299/310 → no-prob mentions always dropped)."""
+    cands = spark.createDataFrame(
+        [
+            ("d", 0, 2, "mm", "tt", "mm", "e1", [1.0, 0.0], 0.9),
+            ("d", 0, 2, "mm", "tt", "mm", "e2", [1.0, 0.0], 0.6),
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, entity_vec array<double>,"
+        "ctx_word_sim double",
+    )
+    intended = SC.seed_argmax(cands).collect()
+    assert [r["entity_id"] for r in intended] == ["e1"]  # true argmax
+    strict = SC.seed_argmax(cands, strict_reference_bugs=True).collect()
+    assert [r["entity_id"] for r in strict] == ["e2"]  # last candidate
+    prob = spark.createDataFrame(
+        [("d", 0, 5, "aaaaa", "e1", 0.9, "ma")],
+        "doc_id string, start int, end int, surface string, entity_id string,"
+        "believe double, parse_from string",
+    )
+    no_prob = spark.createDataFrame(
+        [("d", 20, 25, "ccccc", "e3", 0.7, "tt")],
+        "doc_id string, start int, end int, surface string, entity_id string,"
+        "believe double, parse_from string",
+    )
+    assert SC.merge_results(prob, no_prob).count() == 2  # intended
+    strict_merged = SC.merge_results(prob, no_prob, strict_reference_bugs=True)
+    assert [r["parse_from"] for r in strict_merged.collect()] == ["ma"]
+
+
+def test_cluster_memberships(spark):
+    from xlink_spark.operators.cluster import cluster_memberships
+
+    links = spark.createDataFrame(
+        [
+            ("d1", 0, 5, "aa", "e1", 0.9, "ma"),
+            ("d2", 3, 8, "aa", "e1", 0.8, "ma"),
+            ("d1", 9, 12, "bb", "e2", 0.7, "ma"),
+            ("d3", 0, 2, "cc", "e3", 0.1, "ma"),  # below threshold
+        ],
+        "doc_id string, start int, end int, surface string, entity_id string,"
+        "believe double, parse_from string",
+    )
+    m = cluster_memberships(links, threshold=0.5)
+    rows = m.collect()
+    assert len(rows) == 3
+    by_ent = {}
+    for r in rows:
+        by_ent.setdefault(r["entity_id"], set()).add(r["cluster_id"])
+    assert all(len(v) == 1 for v in by_ent.values())  # one cluster per entity
+    assert "e3" not in by_ent

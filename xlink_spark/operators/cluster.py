@@ -138,3 +138,18 @@ def cluster_links(links: DataFrame, threshold: float = 0.0) -> DataFrame:
     return ents.join(comp, "node", "inner").select(
         "entity_id", F.col("component").alias("cluster_id")
     )
+
+
+def cluster_memberships(links: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """Mention-level cluster assignment: every linked mention occurrence
+    with its entity and cluster id — the coreference view of the clusters
+    (cluster_links gives only the entity→cluster projection).
+
+    Output: (doc_id, start, end, surface, entity_id, cluster_id).
+    """
+    clusters = cluster_links(links, threshold)
+    return (
+        links.filter(F.col("believe") >= F.lit(threshold))
+        .join(clusters, "entity_id")
+        .select("doc_id", "start", "end", "surface", "entity_id", "cluster_id")
+    )

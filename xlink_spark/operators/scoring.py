@@ -471,14 +471,30 @@ def score_no_prob(
     )
 
 
-def seed_argmax(candidates: DataFrame, cfg: PredictorConfig | None = None) -> DataFrame:
+def seed_argmax(
+    candidates: DataFrame,
+    cfg: PredictorConfig | None = None,
+    strict_reference_bugs: bool = False,
+) -> DataFrame:
     """W5: per-mention argmax by word_sim, kept iff sim > seed threshold.
 
-    Intended semantics of xlink.py:213-225 (the reference's stale `max_sim`
-    bug is documented there; we implement the argmax it meant to compute).
+    Default = intended semantics of xlink.py:213-225. The reference's bug
+    (xlink.py:218-222): ``max_sim = -1`` is never updated, so
+    ``candidate.context_words_sim > max_sim`` is always true and
+    ``max_cand`` ends up the LAST candidate in insertion order; the seed
+    gate then tests that last candidate's sim.
+    ``strict_reference_bugs=True`` reproduces this for parity testing
+    against reference outputs (insertion order ≙ ascending entity_id here).
     """
     cfg = cfg or PredictorConfig()
     scored = _drop_arrays(_ensure_word_sim(candidates))
+    if strict_reference_bugs:
+        pick = Window.partitionBy(*MENTION_KEY).orderBy(F.col("entity_id").desc())
+        return (
+            scored.withColumn("rn", F.row_number().over(pick))
+            .filter((F.col("rn") == 1) & (F.col("ctx_word_sim") > cfg.np_seed_th))
+            .select(*MENTION_KEY, "entity_id", "ctx_word_sim")
+        )
     return (
         scored.withColumn(
             "rn",
@@ -493,12 +509,23 @@ def seed_argmax(candidates: DataFrame, cfg: PredictorConfig | None = None) -> Da
     )
 
 
-def merge_results(prob_links: DataFrame, no_prob_links: DataFrame) -> DataFrame:
+def merge_results(
+    prob_links: DataFrame,
+    no_prob_links: DataFrame,
+    strict_reference_bugs: bool = False,
+) -> DataFrame:
     """W3: merge the two passes — prob wins overlap groups (xlink.py:272-316).
 
     Same overlap-group window as resolve_conflicts; within a group keep all
-    'ma' rows if any exist, else the 'tt' rows.
+    'ma' rows if any exist, else the 'tt' rows — the INTENDED semantics.
+    The reference's bug (xlink.py:299/310): ``if len(mentions_has_prob) is
+    not None`` is always true, so the no-prob branch never executes and
+    every no-prob mention is silently dropped.
+    ``strict_reference_bugs=True`` reproduces that: the merge returns the
+    prob-side links only.
     """
+    if strict_reference_bugs:
+        return prob_links
     both = prob_links.unionByName(no_prob_links)
     w_scan = (
         Window.partitionBy("doc_id")
