@@ -17,19 +17,26 @@ def test_detect_longest_match_and_offsets(spark):
         (r["start"], r["end"], r["surface"]) for r in DT.detect_mentions(docs, sd).collect()
     )
     text = "We study Deep Learning and graph theory"
+    # all matches are emitted, including "learning" starting INSIDE
+    # "deep learning" — resolve_conflicts picks winners, not the scanner
     assert got == [
         (text.index("Deep"), text.index("Deep") + len("deep learning"), "deep learning"),
+        (text.index("Learning"), text.index("Learning") + len("learning"), "learning"),
         (text.index("graph"), text.index("graph") + 5, "graph"),
     ]
 
 
-def test_detect_greedy_consumes_tokens(spark):
-    # after matching "a b", scanning resumes at the token after b —
-    # "b c" must NOT also match (iter_long greedy semantics).
-    sd = {"a b": (2, "ma"), "b c": (2, "ma")}
-    docs = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
-    got = [r["surface"] for r in DT.detect_mentions(docs, sd).collect()]
-    assert got == ["a b"]
+def test_detect_emits_overlapping_matches(spark):
+    # a match beginning inside an earlier match IS emitted (the reference
+    # trie emits all matches, MentionParser.py:53-68); solve_conflict picks
+    # the winner. With "new york" + "york city" over "new york city", the
+    # longer "york city" must be able to win.
+    sd = {"new york": (2, "ma"), "york city": (2, "ma")}
+    docs = spark.createDataFrame([("d1", "new york city")], "doc_id string, text string")
+    raw = sorted(r["surface"] for r in DT.detect_mentions(docs, sd).collect())
+    assert raw == ["new york", "york city"]
+    won = [r["surface"] for r in DT.resolve_conflicts(DT.detect_mentions(docs, sd)).collect()]
+    assert won == ["york city"]  # longest surface wins the overlap group
 
 
 def test_detect_empty_and_nomatch_docs(spark):

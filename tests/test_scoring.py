@@ -44,8 +44,10 @@ def test_attach_context_window_bounds(spark):
 
 
 def test_empty_context_conventions(spark):
-    """ctx empty ⇒ word_sim 0 (xlink.py:319); ent pool empty ⇒ 1 on
-    has-prob (xlink.py:329) vs 0 on no-prob (Predictor.py:210)."""
+    """ctx empty ⇒ word_sim 0 (xlink.py:319); empty ent pool ⇒ empty_sim,
+    which is 1 for BOTH reference passes (xlink.py:329-334 — the shared
+    cal_candidate_context_entities_sim; 0 is the GM predictor convention,
+    Predictor.py:210, exposed via the parameter)."""
     cands = spark.createDataFrame(
         [("d", 0, 2, "aa", "ma", "aa", "e1", 1.0, [1.0, 0.0], None)],
         "doc_id string, start int, end int, surface string, parse_from string,"
@@ -70,25 +72,65 @@ def test_empty_context_conventions(spark):
     assert len(scored) == 1 and abs(scored[0]["believe"] - 0.25) < 1e-12
 
 
-def test_seed_self_exclusion(spark):
-    """A mention's own seed must not vote for itself (xlink.py:241-254)."""
+def test_pool_exclusion_modes(spark):
+    """has-prob pool includes the mention's own seed (xlink.py:157-161);
+    no-prob pool drops entity-overlapping seeds for SEEDED mentions only
+    (xlink.py:241-254)."""
     # doc has two seeds: m1→e1 (vec [1,0]), m2→e2 (vec [0,1]).
-    # For m1's candidate, the pool excludes e1 ⇒ pool = [0,1].
     cands = spark.createDataFrame(
         [
-            ("d", 0, 2, "m1", "ma", "m1", "e1", 1.0, [1.0, 0.0], [[1.0, 0.0]]),
-            ("d", 5, 7, "m2", "ma", "m2", "e2", 1.0, [0.0, 1.0], [[0.0, 1.0]]),
+            ("d", 0, 2, "m1", "ma", "m1", "e1", 1.0, [1.0, 0.0]),
+            ("d", 5, 7, "m2", "ma", "m2", "e2", 1.0, [0.0, 1.0]),
         ],
         "doc_id string, start int, end int, surface string, parse_from string,"
-        "mention string, entity_id string, p double, entity_vec array<double>,"
-        "ctx_vec array<array<double>>",
-    ).drop("ctx_vec")
+        "mention string, entity_id string, p double, entity_vec array<double>",
+    )
     seeds, doc_agg = SC.seed_pool(cands)
-    out = SC.context_entity_vector(cands, seeds, doc_agg, empty_sim=1.0)
-    got = {r["entity_id"]: r["ctx_ent_sim"] for r in out.collect()}
-    # e1 vs pool [0,1] ⇒ cos 0 ; e2 vs pool [1,0] ⇒ cos 0
+    # has-prob semantics: pool = ALL seeds ⇒ [1,1] for both mentions
+    got = {
+        r["entity_id"]: r["ctx_ent_sim"]
+        for r in SC.context_entity_vector(
+            cands, seeds, doc_agg, empty_sim=1.0, exclusion="none"
+        ).collect()
+    }
+    assert got["e1"] == pytest.approx(1 / math.sqrt(2))
+    assert got["e2"] == pytest.approx(1 / math.sqrt(2))
+    # no-prob semantics: m1 is seeded and e1 is among its candidates ⇒
+    # pool = [0,1]; symmetric for m2 ⇒ both cosines 0
+    got = {
+        r["entity_id"]: r["ctx_ent_sim"]
+        for r in SC.context_entity_vector(
+            cands, seeds, doc_agg, empty_sim=1.0, exclusion="candidate_overlap"
+        ).collect()
+    }
     assert got["e1"] == pytest.approx(0.0)
     assert got["e2"] == pytest.approx(0.0)
+
+
+def test_candidate_overlap_spares_unseeded_mentions(spark):
+    """An UNSEEDED mention keeps the full pool even when a doc seed shares
+    an entity with one of its candidates (xlink.py:235-240: the exclusion
+    branch runs only for mentions with a result_cand)."""
+    # m1 (amb: e1, e2) is unseeded; m2 (unambiguous: e1) seeds the doc.
+    cands = spark.createDataFrame(
+        [
+            ("d", 0, 2, "m1", "ma", "m1", "e1", 0.5, [1.0, 0.0]),
+            ("d", 0, 2, "m1", "ma", "m1", "e2", 0.5, [0.0, 1.0]),
+            ("d", 5, 7, "m2", "ma", "m2", "e1", 1.0, [1.0, 0.0]),
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, p double, entity_vec array<double>",
+    )
+    seeds, doc_agg = SC.seed_pool(cands)
+    out = SC.context_entity_vector(
+        cands, seeds, doc_agg, empty_sim=1.0, exclusion="candidate_overlap"
+    )
+    got = {(r["start"], r["entity_id"]): r["ctx_ent_sim"] for r in out.collect()}
+    # m1 unseeded ⇒ pool = [1,0] (the e1 seed stays despite the overlap)
+    assert got[(0, "e1")] == pytest.approx(1.0)
+    assert got[(0, "e2")] == pytest.approx(0.0)
+    # m2 seeded, its candidate e1 matches the only seed ⇒ empty pool ⇒ 1
+    assert got[(5, "e1")] == pytest.approx(1.0)
 
 
 def test_believe_fusion_and_gates(spark):
@@ -144,8 +186,28 @@ def test_no_prob_gates(spark):
     ).withColumn("ctx_ent_sim", F.lit(1.0))
     got = SC.score_no_prob(cands, cfg).collect()
     # e1: word_sim 1 > 0.3, believe = 0.5·1 + 0.5·1 = 1 > 0.5 ⇒ kept
-    # e2: word_sim ≈ 0.196 < 0.3 ⇒ candidate-gated out
+    # e2: its mention's best word_sim ≈ 0.196 < 0.3 ⇒ mention-gated out
     assert [(r["surface"], r["entity_id"]) for r in got] == [("tt", "e1")]
+
+
+def test_no_prob_below_threshold_candidate_can_win(spark):
+    """The word-sim threshold gates the MENTION; a candidate below it still
+    competes in the believe argmax (xlink.py:199-211 never replaces
+    mention.candidates; :257-263 iterates all of them)."""
+    cfg = PredictorConfig()
+    # one mention, two candidates: e1 above the word-sim gate but low
+    # believe; e2 below the gate but believe-dominant via ent_sim
+    cands = spark.createDataFrame(
+        [
+            ("d", 0, 2, "tt", "tt", "tt", "e1", 0.40, 0.8),
+            ("d", 0, 2, "tt", "tt", "tt", "e2", 0.25, 1.0),
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, ctx_word_sim double, ctx_ent_sim double",
+    )
+    got = SC.score_no_prob(cands, cfg).collect()
+    # mention survives (0.40 > 0.3); believe e1 = 0.6, e2 = 0.625 ⇒ e2 wins
+    assert [(r["entity_id"], round(r["believe"], 6)) for r in got] == [("e2", 0.625)]
 
 
 def test_merge_results_prob_wins_overlap(spark):

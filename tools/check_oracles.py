@@ -10,6 +10,7 @@ rounded). Usage:
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import os
 import sys
@@ -26,6 +27,11 @@ TABLES = [
 
 
 def norm_cell(v):
+    # The driver's hasher is type-sensitive: DuckDB HUGEINT arrives as
+    # decimal.Decimal and must NOT silently equal a Spark int64. Tag it so a
+    # missing ::bigint cast in the oracle SQL fails locally too.
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     if isinstance(v, float):
         if v != v:
             return "nan"

@@ -142,7 +142,7 @@ def q_link_prob(spark, sf_dir):
 
 
 SQL_LINK_PROB = (
-    f"with ma as ({_MA_SQL}), link as (select mention, sum(cnt) as link_m from ma group by 1), "
+    f"with ma as ({_MA_SQL}), link as (select mention, sum(cnt)::bigint as link_m from ma group by 1), "
     f"freq as ({SQL_FREQ_M}) "
     f"select l.mention, l.link_m, f.freq as freq_m, round(l.link_m / f.freq, 6) as link_prob "
     f"from link l join freq f using (mention)"
@@ -405,10 +405,10 @@ def q_corpus_stats_a10(spark, sf_dir):
 SQL_CORPUS_STATS_A10 = (
     f"with ma as ({_MA_SQL}), per_m as (select mention, count(*) as n_cands, "
     f"sum(cnt) as links from ma group by 1) "
-    f"select count(*) as n_mentions, sum(links) as total_links, "
-    f"sum(case when n_cands = 1 then 1 else 0 end) as n_unambiguous, "
-    f"sum(case when n_cands between 2 and 5 then 1 else 0 end) as n_ambig_2_5, "
-    f"sum(case when n_cands > 5 then 1 else 0 end) as n_ambig_gt5 from per_m"
+    f"select count(*) as n_mentions, sum(links)::bigint as total_links, "
+    f"sum(case when n_cands = 1 then 1 else 0 end)::bigint as n_unambiguous, "
+    f"sum(case when n_cands between 2 and 5 then 1 else 0 end)::bigint as n_ambig_2_5, "
+    f"sum(case when n_cands > 5 then 1 else 0 end)::bigint as n_ambig_gt5 from per_m"
 )
 
 
@@ -430,9 +430,9 @@ def q_eval_f1_a12(spark, sf_dir):
 SQL_EVAL_F1_A12 = (
     "with gold as (select event_id, 1 as g from events where event_type = 'click'), "
     "pred as (select event_id, 1 as p from events where value > 100) "
-    "select sum(case when g is not null and p is not null then 1 else 0 end) as tp, "
-    "sum(case when g is null and p is not null then 1 else 0 end) as fp, "
-    "sum(case when g is not null and p is null then 1 else 0 end) as fn "
+    "select sum(case when g is not null and p is not null then 1 else 0 end)::bigint as tp, "
+    "sum(case when g is null and p is not null then 1 else 0 end)::bigint as fp, "
+    "sum(case when g is not null and p is null then 1 else 0 end)::bigint as fn "
     "from gold full outer join pred using (event_id)"
 )
 
@@ -454,7 +454,7 @@ SQL_MERGE_COUNTS_A2 = (
     f"en as (select tok, count(*) as cnt from toks where lang='en' group by 1), "
     f"de as (select tok, count(*) as cnt from toks where lang='de' group by 1), "
     f"u as (select * from en union all select * from de) "
-    f"select tok as mention, sum(cnt) as cnt from u group by 1"
+    f"select tok as mention, sum(cnt)::bigint as cnt from u group by 1"
 )
 
 

@@ -104,7 +104,8 @@ def linking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands.count()
     seeds, doc_agg = SC.seed_pool(cands, entity_emb)
     cands = SC.context_entity_vector(
-        cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb
+        cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb,
+        exclusion="none",  # has-prob pass: pool includes own seed
     )
     links = SC.score_has_prob(cands, lp, DEFAULT.predictor)
     return links

@@ -83,7 +83,7 @@ def link_m(mention_anchors: DataFrame) -> DataFrame:
 
 
 def freq_m_from_plain(
-    docs_plain: DataFrame, surfaces: DataFrame, max_ngram: int = 3
+    docs_plain: DataFrame, surfaces: DataFrame, max_ngram: int | None = None
 ) -> DataFrame:
     """A4: corpus frequency of each dictionary surface in plain text.
 
@@ -102,7 +102,19 @@ def freq_m_from_plain(
     only (distinct surface, partial count) pairs.
 
     ``docs_plain``: (doc_id, text); ``surfaces``: (mention).
+
+    ``max_ngram=None`` (default) derives it from the LONGEST surface in the
+    dictionary — the reference automaton counts every dict surface
+    regardless of length, so a fixed cap would silently drop 4+-token
+    surfaces from freq_m and the F2/F3 gates (inner joins on freq) would
+    then drop their anchors entirely. One scalar aggregate over the
+    KB-bounded surface table, computed once per build.
     """
+    if max_ngram is None:
+        row = surfaces.select(
+            F.max(F.size(F.filter(F.split("mention", r"\s+"), lambda t: t != F.lit("")))).alias("m")
+        ).first()
+        max_ngram = int(row["m"]) if row and row["m"] else 1
     toks = docs_plain.select(
         F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")).alias("toks")
     )

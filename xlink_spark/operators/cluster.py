@@ -128,7 +128,9 @@ def cluster_links(links: DataFrame, threshold: float = 0.0) -> DataFrame:
     cluster_id is the minimum entity node id in the component (stable).
     """
     e = links.filter(F.col("believe") >= F.lit(threshold)).select(
-        F.xxhash64(F.concat_ws("", "doc_id", F.col("start").cast("string"))).alias("src"),
+        # hash columns SEPARATELY (multi-arg xxhash64 is type/length aware) -
+        # any string concatenation risks ("a1",23) vs ("a12",3) ambiguity
+        F.xxhash64("doc_id", F.col("start"), F.col("end")).alias("src"),
         F.xxhash64("entity_id").alias("dst"),
     )
     comp = connected_components(e)

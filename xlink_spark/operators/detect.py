@@ -85,10 +85,14 @@ def detect_mentions(
 ) -> DataFrame:
     """Scan plain text for dictionary surfaces; emit candidate mentions.
 
-    Greedy longest-match at each token position (the reference automaton's
-    iter_long, generate_prob_files.py:73-78), lower-cased match, char-exact
-    offsets into the original text. Overlaps are NOT resolved here — that is
-    ``resolve_conflicts``'s job, as in the reference's two-phase parse.
+    Longest-match at EVERY token position (the reference's Java trie
+    parseText emits all matches, MentionParser.py:53-68; overlapping hits
+    included), lower-cased match, char-exact offsets into the original
+    text. Overlaps are NOT resolved here — that is ``resolve_conflicts``'s
+    job, as in the reference's two-phase parse. Only the longest hit per
+    start position is emitted: any shorter same-start hit lies inside the
+    longer one's overlap group and can never win solve_conflict's
+    longest-surface pick, so the winner set is identical.
 
     ``passthrough`` columns are copied onto every emitted mention row —
     used by the streaming path to carry event time without a stream-stream
@@ -128,9 +132,11 @@ def detect_mentions(
                     if hit:
                         s, e, cand, pf, w = hit
                         out.append((doc_id, s, e, cand, pf, *extras))
-                        i += w  # greedy: consume matched tokens
-                    else:
-                        i += 1
+                    # always advance one token: matches beginning INSIDE an
+                    # earlier match must still be emitted ("new york" +
+                    # "york city" both reach resolve_conflicts, which picks
+                    # the longer — matching the reference's two-phase parse)
+                    i += 1
             yield pd.DataFrame(out, columns=cols)
 
     return docs_plain.select("doc_id", "text", *pt).mapInPandas(scan, out_schema)

@@ -15,9 +15,14 @@ whole scoring stage is one shuffle-free projection after the joins.
 
 Semantic pins (tests hold these):
   * empty context words ⇒ word_sim = 0            (xlink.py:319)
-  * empty context entities ⇒ ent_sim = 1 on the has-prob path
-    (xlink.py:329) but 0 on the no-prob/GM path     (Predictor.py:210)
-  * a mention's own seed is excluded from its context pool (xlink.py:241-254)
+  * empty context entities ⇒ ent_sim = 1 on BOTH passes — the shared
+    cal_candidate_context_entities_sim (xlink.py:329-334); the GM
+    predictor's 0-convention (Predictor.py:210) is a different class
+  * has-prob pool = ALL unambiguous seeds, own seed INCLUDED
+    (xlink.py:157-161); no-prob pool: seeded mentions drop seeds whose
+    entity matches any of their candidates (xlink.py:241-254)
+  * the no-prob word-sim threshold gates the MENTION, not candidates
+    (xlink.py:199-211); argmax runs over all candidates (xlink.py:257-263)
   * W5's intended semantics is argmax by word_sim (the reference's
     `max_sim`-never-updated bug, Predictor.py:140-144, is NOT reproduced)
   * W3's intended semantics keeps prob-mentions per overlap group (the
@@ -245,9 +250,10 @@ def seed_pool(candidates: DataFrame, entity_emb: DataFrame | None = None) -> Dat
 
     A mention with exactly one surviving candidate contributes that entity's
     vector to its document's context pool. Returns (seeds, doc_agg):
-    seeds = (doc_id, start, end, seed_vec); doc_agg = per-doc ELEMENTWISE
-    SUM + count (doc_id, doc_sum, doc_seed_cnt) — the per-doc seed list is
-    reduced immediately so nothing wide outlives this aggregation.
+    seeds = (doc_id, start, end, seed_eid, seed_vec); doc_agg = per-doc
+    ELEMENTWISE SUM + count (doc_id, doc_sum, doc_seed_cnt) — the per-doc
+    seed list is reduced immediately so nothing wide outlives this
+    aggregation.
 
     With ``entity_emb`` given, the candidate shuffle carries only ids — the
     seed vector is broadcast-joined after the uniqueness aggregation (the
@@ -268,14 +274,18 @@ def seed_pool(candidates: DataFrame, entity_emb: DataFrame | None = None) -> Dat
                 "entity_id",
                 "inner",
             )
-            .select(*MENTION_KEY, "seed_vec")
+            .select(*MENTION_KEY, F.col("entity_id").alias("seed_eid"), "seed_vec")
         )
     else:
         w_m = Window.partitionBy(*MENTION_KEY)
         seeds = (
             candidates.withColumn("n_cands", F.count(F.lit(1)).over(w_m))
             .filter(F.col("n_cands") == 1)
-            .select(*MENTION_KEY, F.col("entity_vec").alias("seed_vec"))
+            .select(
+                *MENTION_KEY,
+                F.col("entity_id").alias("seed_eid"),
+                F.col("entity_vec").alias("seed_vec"),
+            )
         )
     return seeds, doc_agg_from_seeds(seeds)
 
@@ -306,31 +316,92 @@ def context_entity_vector(
     doc_agg: DataFrame,
     empty_sim: float,
     entity_emb: DataFrame | None = None,
+    exclusion: str = "none",
 ) -> DataFrame:
     """A8 + U3: per-candidate context-entity similarity.
 
-    The pool for mention m = all seed vectors of the doc EXCLUDING m's own
-    seed (xlink.py:241-254): pool = (doc_sum − own_seed)/(cnt − own). The
-    pool vector is materialized per MENTION (not per candidate) and joined
-    to the exploded candidates last — at 10^12 docs the wide columns move
-    once per mention, and the per-candidate work is a single cosine against
-    a broadcast-joined entity vector.
-    ``empty_sim`` is the empty-pool convention: 1.0 on the has-prob path
-    (xlink.py:329), 0.0 on the no-prob/GM path (Predictor.py:210).
+    ``exclusion`` selects the reference pass's pool semantics:
+
+    * ``"none"`` — has-prob pass (xlink.py:157-161): the pool is ALL
+      unambiguous seeds of the doc, INCLUDING the mention's own seed
+      (the reference applies no exclusion there).
+    * ``"candidate_overlap"`` — no-prob pass (xlink.py:241-254): a SEEDED
+      mention's pool drops every seed whose entity_id matches any of the
+      mention's candidates; unseeded mentions keep the full pool. Requires
+      ``seeds`` to carry a ``seed_eid`` column.
+    * ``"own"`` — drop exactly the mention's own seed row. Not a reference
+      semantics; kept for A/B comparison and tests.
+
+    The pool vector is materialized per MENTION (not per candidate) and
+    joined to the exploded candidates last — at 10^12 docs the wide columns
+    move once per mention, and the per-candidate work is a single cosine
+    against a broadcast-joined entity vector.
+    ``empty_sim`` is the empty-pool convention: the reference's shared
+    cal_candidate_context_entities_sim returns 1 on an empty pool for BOTH
+    passes (xlink.py:329-334); the GM predictor (Predictor.py:210) uses 0.
     """
     mention_keys = candidates.select(*MENTION_KEY).distinct()
-    mp = mention_keys.join(doc_agg, "doc_id", "left").join(
-        seeds.select(*MENTION_KEY, "seed_vec"), MENTION_KEY, "left"
-    )
+    mp = mention_keys.join(doc_agg, "doc_id", "left")
+    if exclusion == "own":
+        mp = mp.join(
+            seeds.select(*MENTION_KEY, F.col("seed_vec").alias("_ex_vec")),
+            MENTION_KEY,
+            "left",
+        ).withColumn(
+            "_ex_cnt",
+            F.when(F.col("_ex_vec").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
+    elif exclusion == "candidate_overlap":
+        seeded = seeds.select(*MENTION_KEY).distinct().withColumn("_seeded", F.lit(1))
+        doc_seeds = seeds.select(
+            "doc_id", F.col("seed_eid").alias("entity_id"), "seed_vec"
+        )
+        # per-mention sum of doc seeds sharing an entity with ANY of the
+        # mention's candidates — narrow equi-join on (doc_id, entity_id);
+        # matches are rare, so carrying seed_vec through it is cheap
+        excl = (
+            candidates.select(*MENTION_KEY, "entity_id")
+            .join(doc_seeds, ["doc_id", "entity_id"], "inner")
+            .groupBy(*MENTION_KEY)
+            .agg(
+                F.collect_list("seed_vec").alias("_vs"),
+                F.count(F.lit(1)).alias("_exn"),
+            )
+            .select(
+                *MENTION_KEY,
+                F.aggregate(
+                    "_vs",
+                    F.transform(F.element_at("_vs", 1), lambda x: x.cast("double") * 0),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+                ).alias("_ex_all"),
+                "_exn",
+            )
+        )
+        mp = (
+            mp.join(seeded, MENTION_KEY, "left")
+            .join(excl, MENTION_KEY, "left")
+            .withColumn(
+                "_ex_cnt",
+                F.when(
+                    F.col("_seeded") == 1, F.coalesce(F.col("_exn"), F.lit(0))
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn("_ex_vec", F.when(F.col("_seeded") == 1, F.col("_ex_all")))
+            .drop("_seeded", "_ex_all", "_exn")
+        )
+    elif exclusion == "none":
+        mp = mp.withColumn(
+            "_ex_vec", F.lit(None).cast("array<double>")
+        ).withColumn("_ex_cnt", F.lit(0))
+    else:  # pragma: no cover - guard against typos at call sites
+        raise ValueError(f"unknown exclusion mode: {exclusion!r}")
     zero = F.transform(F.col("doc_sum"), lambda x: x * 0)
-    pool_cnt = F.coalesce(F.col("doc_seed_cnt"), F.lit(0)) - F.when(
-        F.col("seed_vec").isNotNull(), F.lit(1)
-    ).otherwise(F.lit(0))
+    pool_cnt = F.coalesce(F.col("doc_seed_cnt"), F.lit(0)) - F.col("_ex_cnt")
     pool_raw = F.when(
         (F.col("doc_sum").isNotNull()) & (pool_cnt > 0),
         F.zip_with(
             "doc_sum",
-            F.coalesce(F.col("seed_vec"), zero),
+            F.coalesce(F.col("_ex_vec").cast("array<double>"), zero),
             lambda a, b: a - b.cast("double"),
         ),
     )
@@ -437,30 +508,37 @@ def score_has_prob(
 def score_no_prob(
     candidates: DataFrame, cfg: PredictorConfig | None = None
 ) -> DataFrame:
-    """The no-prob (title-dict) path — xlink.py:179-270 / Predictor.py:99-196.
+    """The no-prob (title-dict) path — xlink.py:179-270.
 
-    Expects candidates with ``ctx_vec``, ``ctx_ent_sim`` (empty ⇒ 0),
-    ``entity_vec``. believe = w·word_sim + (1−w)·ent_sim; candidate gate
-    word_sim > np_ctx_word_sim_th; mention gate best believe > np_believe_th.
+    Expects candidates with ``ctx_vec``, ``ctx_ent_sim`` (empty ⇒ 1),
+    ``entity_vec``. believe = w·word_sim + (1−w)·ent_sim.
+
+    Gate semantics pinned to the reference: the word-sim threshold gates
+    the MENTION, not the candidates — a mention survives iff ANY candidate
+    has word_sim > np_ctx_word_sim_th (xlink.py:199-211, valid_candidates
+    only decide survival; ``mention.candidates`` is never replaced), and
+    the final argmax by believe runs over ALL candidates, including ones
+    below the word-sim threshold (xlink.py:257-263). Mention gate: best
+    believe > np_believe_th.
     """
     cfg = cfg or PredictorConfig()
-    scored = (
-        _ensure_word_sim(candidates)
-        .filter(F.col("ctx_word_sim") > cfg.np_ctx_word_sim_th)
-        .withColumn(
-            "believe",
-            cfg.np_words_weight * F.col("ctx_word_sim")
-            + (1 - cfg.np_words_weight) * F.col("ctx_ent_sim"),
-        )
+    scored = _ensure_word_sim(candidates).withColumn(
+        "believe",
+        cfg.np_words_weight * F.col("ctx_word_sim")
+        + (1 - cfg.np_words_weight) * F.col("ctx_ent_sim"),
     )
     scored = _drop_arrays(scored)
-    top = Window.partitionBy(*MENTION_KEY).orderBy(
-        F.col("believe").desc(), F.col("entity_id").asc()
-    )
+    # one shuffle: max() and row_number() share the mention partitioning
+    w_m = Window.partitionBy(*MENTION_KEY)
+    top = w_m.orderBy(F.col("believe").desc(), F.col("entity_id").asc())
     best = (
-        scored.withColumn("rn", F.row_number().over(top))
-        .filter(F.col("rn") == 1)
-        .filter(F.col("believe") > cfg.np_believe_th)
+        scored.withColumn("_max_ws", F.max("ctx_word_sim").over(w_m))
+        .withColumn("rn", F.row_number().over(top))
+        .filter(
+            (F.col("_max_ws") > cfg.np_ctx_word_sim_th)
+            & (F.col("rn") == 1)
+            & (F.col("believe") > cfg.np_believe_th)
+        )
     )
     return best.select(
         *MENTION_KEY,

@@ -79,7 +79,14 @@ def link_increment(
     store.commit(
         "links", batch_id, links, metrics={"batch_id": batch_id}
     )
-    return store.last_iteration("links")[1](spark)
+    # return THIS batch's committed snapshot, not the latest iteration —
+    # re-running an older gap batch after newer ones committed must hand
+    # back the gap batch's rows
+    import os
+
+    return spark.read.parquet(
+        os.path.join(store._dir("links", batch_id), "data")  # noqa: SLF001
+    )
 
 
 def all_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:

@@ -119,8 +119,11 @@ def link_corpus(
     ).persist()
     ma_cands.count()
     seeds, doc_agg = SC.seed_pool(ma_cands, entity_emb)
+    # has-prob pool: ALL unambiguous seeds, own seed included; empty ⇒ 1
+    # (xlink.py:157-161, 329-334)
     ma_cands = SC.context_entity_vector(
-        ma_cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb
+        ma_cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb,
+        exclusion="none",
     )
     prob_links = SC.score_has_prob(ma_cands, d.link_prob, pcfg)
 
@@ -155,11 +158,18 @@ def link_corpus(
             tt_cands.join(tt_seeds.select(*SC.MENTION_KEY, F.col("entity_id").alias("seed_eid")),
                           SC.MENTION_KEY, "inner")
             .filter(F.col("entity_id") == F.col("seed_eid"))
-            .select(*SC.MENTION_KEY, F.col("entity_vec").alias("seed_vec"))
+            .select(*SC.MENTION_KEY, "seed_eid", F.col("entity_vec").alias("seed_vec"))
         )
         tt_doc_agg = SC.doc_agg_from_seeds(tt_seed_vecs)
+        # no-prob pool: seeded mentions drop entity-overlapping seeds
+        # (xlink.py:241-254); empty pool ⇒ 1, SAME as the has-prob pass —
+        # the shared cal_candidate_context_entities_sim (xlink.py:329-334).
+        # With believe = w·word_sim + (1−w)·ent_sim and th 0.5, an
+        # empty_sim of 0 would silently suppress the whole tt pass in
+        # seed-less docs (believe could never exceed 0.5·word_sim).
         tt_cands = SC.context_entity_vector(
-            tt_cands, tt_seed_vecs, tt_doc_agg, empty_sim=0.0, entity_emb=entity_emb
+            tt_cands, tt_seed_vecs, tt_doc_agg, empty_sim=1.0, entity_emb=entity_emb,
+            exclusion="candidate_overlap",
         )
         no_prob_links = SC.score_no_prob(tt_cands, pcfg)
 
