@@ -36,6 +36,30 @@ def test_minhash_dedup_finds_near_dup(toy_docs):
     assert all("d" not in p and "e" not in p for p in got)
 
 
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """A boilerplate bucket wider than max_bucket is dropped from the
+    candidate join AND surfaced via lsh_dropped_buckets (no silent loss)."""
+    boiler = [(f"b{i}", "same boilerplate text everywhere") for i in range(6)]
+    pair = [("x1", "a genuine near duplicate document body"),
+            ("x2", "a genuine near duplicate document body")]
+    docs = spark.createDataFrame(boiler + pair, "doc_id string, text string")
+    sh = DD.shingles(docs, n=3)
+    sig = DD.minhash_signatures(sh, num_hashes=8)
+    # uncapped: the 6-doc boilerplate bucket yields 15 pairs + the x pair
+    uncapped = DD.lsh_candidate_pairs(sig, bands=4)
+    assert uncapped.count() == 15 + 1
+    # capped at 4: the boilerplate bucket is dropped, x pair survives
+    capped = DD.lsh_candidate_pairs(sig, bands=4, max_bucket=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {("x1", "x2")}
+    # the drop is observable: every band reports the width-6 bucket
+    dropped = DD.lsh_dropped_buckets(sig, bands=4, max_bucket=4).collect()
+    assert len(dropped) == 4 and all(r["width"] == 6 for r in dropped)
+    # and the composed pipeline applies the cap end-to-end
+    full = DD.minhash_dedup(docs, num_hashes=8, bands=4, threshold=0.5, max_bucket=4)
+    assert {(r["doc_a"], r["doc_b"]) for r in full.collect()} == {("x1", "x2")}
+
+
 def test_jaccard_values_exact(spark):
     sh = spark.createDataFrame(
         [("x", "s1"), ("x", "s2"), ("x", "s3"), ("y", "s2"), ("y", "s3"), ("y", "s4")],

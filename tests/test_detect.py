@@ -94,3 +94,35 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert key(plain) == key(salted)
     assert plain.count() == 50 * 70 + 1
+
+
+def test_join_path_detection_equals_broadcast_path(spark):
+    """detect_mentions_join (dictionary-as-table, the big-dictionary path)
+    must produce the same post-resolve_conflicts winners as the broadcast
+    scanner on the same corpus."""
+    sd = {
+        "deep learning": (2, "ma"), "learning": (1, "ma"), "graph": (1, "ma"),
+        "new york": (2, "ma"), "york city": (2, "ma"), "x": (1, "ma"),
+    }
+    docs = spark.createDataFrame(
+        [
+            ("d1", "We study Deep Learning and graph theory"),
+            ("d2", "new york city has deep  learning labs"),  # double space: no match
+            ("d3", ""),
+            ("d4", "x marks the spot x"),
+        ],
+        "doc_id string, text string",
+    )
+    dict_df = spark.createDataFrame(
+        [(s, pf) for s, (_, pf) in sd.items()], "mention string, parse_from string"
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["start"], r["end"], r["surface"], r["parse_from"])
+        for r in DT.resolve_conflicts(df).collect()
+    )
+    bcast = key(DT.detect_mentions(docs, sd))
+    joined = key(DT.detect_mentions_join(docs, dict_df))
+    assert bcast == joined and len(bcast) > 0
+    # the double-space doc matched "new york city"'s pieces but NOT the
+    # space-normalized bigram "deep learning" — on BOTH paths
+    assert not any(s == "deep learning" and d == "d2" for d, _, _, s, _ in bcast)

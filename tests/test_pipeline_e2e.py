@@ -90,3 +90,21 @@ def test_dictionary_build_resumes(sdfs, tmp_path):
     empty = docs.filter(F.lit(False))
     d2 = build_dictionary(empty, kb, eemb, store=store)
     assert d2.mention_anchors.count() == n1
+
+
+def test_join_path_pipeline_equals_broadcast_pipeline(built, sdfs):
+    """Forcing the big-dictionary regime (broadcast_dict_max_rows=0) must
+    reproduce the broadcast pipeline's links exactly — the same pin as the
+    salted-join test, end to end."""
+    import dataclasses
+
+    _, plain, links = built
+    d = built[0]
+    docs, kb, wemb, eemb, gold = sdfs
+    cfg = dataclasses.replace(DEFAULT, broadcast_dict_max_rows=0)
+    joined = link_corpus(plain, d, wemb, eemb, cfg)
+    key = lambda df: sorted(
+        (r["doc_id"], r["start"], r["end"], r["surface"], r["entity_id"], r["parse_from"])
+        for r in df.collect()
+    )
+    assert key(joined) == key(links)

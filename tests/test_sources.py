@@ -97,3 +97,59 @@ def test_in_links(spark, kb):
     )
     got = sorted(r["doc_id"] for r in CS.in_links(out_links, "e2", kb_entities).collect())
     assert got == ["e1", "e2"]
+
+
+def test_aida_conll_source(spark, tmp_path):
+    """S10: -DOCSTART-/B-I parse with reference quirks (punct glue, I-lines
+    append nothing, unmentioned EOF doc dropped) + URI resolution + stats."""
+    from xlink_spark.sources import conll as CL
+
+    raw = (
+        "-DOCSTART- (1 testA)\n"
+        "Japan\tB\tJapan\tJapan\thttp://en.wikipedia.org/wiki/Japan\n"
+        "coach\n"
+        "said\n"
+        ":\n"
+        "Tokyo\tB\tTokyo City\t--NME--\n"
+        "City\tI\tTokyo City\t--NME--\n"
+        "rocks\n"
+        "\n"
+        "Second\tB\tSecond Entity\tFoo\thttp://en.wikipedia.org/wiki/Missing_One\n"
+        "Entity\tI\tSecond Entity\tFoo\thttp://en.wikipedia.org/wiki/Missing_One\n"
+        "line\n"
+        "-DOCSTART- (2 testB)\n"
+        "trailing\tB\ttrailing\tT\thttp://en.wikipedia.org/wiki/Trail\n"
+        "doc\n"
+    )
+    p = tmp_path / "aida.conll"
+    p.write_text(raw)
+    kb_uris = spark.createDataFrame(
+        [("/wiki/Japan", "e_jp"), ("/wiki/Trail", "e_tr")], "uri string, entity_id string"
+    )
+    docs, gold = CL.read_aida_conll(spark, str(p), kb_uris)
+    texts = {r["doc_id"].rsplit("#", 1)[1]: r["text"] for r in docs.collect()}
+    # hand-built golden: punct glues (said:Tokyo), empty line -> newline,
+    # I-lines append nothing, final doc unstripped
+    assert texts["0"] == "Japan coach said:Tokyo City rocks\nSecond Entity line"
+    assert texts["1"] == "trailing doc "
+    g = sorted(
+        (r["doc_id"].rsplit("#", 1)[1], r["start"], r["end"], r["mention"],
+         r["entity_id"], r["status"])
+        for r in gold.collect()
+    )
+    assert g == [
+        ("0", 0, 5, "Japan", "e_jp", "linked"),
+        ("0", 17, 27, "Tokyo City", "NIL", "nil_nme"),
+        ("0", 34, 47, "Second Entity", "NIL", "nil_miss"),
+        ("1", 0, 8, "trailing", "e_tr", "linked"),
+    ]
+    # offsets are char-exact into the rebuilt text
+    assert texts["0"][17:27] == "Tokyo City"
+    assert texts["0"][34:47] == "Second Entity"
+    s = CL.conll_stats(gold).collect()[0]
+    assert (s["total_mentions"], s["nil_mentions"], s["index_misses"], s["nme_mentions"]) == (4, 2, 1, 1)
+    # a doc with no mentions at EOF is dropped (reference final-flush guard)
+    p2 = tmp_path / "nomention.conll"
+    p2.write_text("-DOCSTART- (x)\nplain\ntokens\n")
+    d2, g2 = CL.read_aida_conll(spark, str(p2), kb_uris)
+    assert d2.count() == 0 and g2.count() == 0

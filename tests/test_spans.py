@@ -81,3 +81,53 @@ def test_span_sequence_key_detects_reorder(spark):
     )
     keys = [r["k"] for r in df.select(SP.span_sequence_key("spans").alias("k")).collect()]
     assert keys[0] != keys[1]
+
+
+def test_links_to_annotated_doc_styles(spark):
+    """S11 output variants round-trip linked mentions back into text
+    (OutputFormatter.py:59-89): zh 【m|eid】, zh_url, wiki [[eid|m]]."""
+    from xlink_spark.operators.spans import links_to_annotated_doc
+
+    docs = spark.createDataFrame(
+        [("d1", "paris is in france today"), ("d2", "no links here")],
+        "doc_id string, text string",
+    )
+    links = spark.createDataFrame(
+        [("d1", 0, 5, "paris", "e_p"), ("d1", 12, 18, "france", "e_f")],
+        "doc_id string, start int, end int, surface string, entity_id string",
+    )
+    zh = {r["doc_id"]: r["annotated"] for r in links_to_annotated_doc(docs, links, "zh").collect()}
+    assert zh["d1"] == "【paris|e_p】 is in 【france|e_f】 today"
+    assert zh["d2"] == "no links here"  # unlinked doc passes through
+    wiki = {r["doc_id"]: r["annotated"] for r in links_to_annotated_doc(docs, links, "wiki").collect()}
+    assert wiki["d1"] == "[[e_p|paris]] is in [[e_f|france]] today"
+    zu = {r["doc_id"]: r["annotated"] for r in links_to_annotated_doc(docs, links, "zh_url").collect()}
+    assert zu["d1"].startswith("【paris|[e_p](https://xlore.org/instance.html?url=")
+    assert "【france|[e_f](" in zu["d1"]
+
+
+def test_uri_parent_path_fallback(spark):
+    """C4: a URI missing from the index resolves via its parent path
+    (dictionary.py:124-132 drops the last path segment and retries)."""
+    from xlink_spark.sources.corpus import resolve_doc_entity
+
+    docs = spark.createDataFrame(
+        [
+            ("t1", None, "http://baike.com/view/123", "x"),      # exact hit
+            ("t2", None, "http://baike.com/view/123/extra", "x"),  # parent hit
+            ("t3", None, "http://baike.com/other/999", "x"),     # title fallback
+            ("t4", None, "http://nohit.com/a", "x"),             # unresolved
+        ],
+        "title string, sub_title string, url string, content string",
+    )
+    kb_uris = spark.createDataFrame(
+        [("http://baike.com/view/123", "e1")], "uri string, entity_id string"
+    )
+    kb_entities = spark.createDataFrame(
+        [("e3", "t3")], "entity_id string, full_title string"
+    )
+    got = {r["url"]: r["entity_id"] for r in resolve_doc_entity(docs, kb_uris, kb_entities).collect()}
+    assert got["http://baike.com/view/123"] == "e1"
+    assert got["http://baike.com/view/123/extra"] == "e1"  # parent-path fallback
+    assert got["http://baike.com/other/999"] == "e3"       # full-title fallback
+    assert got["http://nohit.com/a"] is None

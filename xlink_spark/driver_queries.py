@@ -573,10 +573,20 @@ from sh where shingle <> '' group by doc_id
 """
 
 
+_LSH_MAX_BUCKET = 1000  # the cap is ACTIVE in the checked path (scale shape)
+
+
 def q_lsh_jaccard_pairs(spark, sf_dir):
-    """Full MinHash-LSH near-dup pipeline with exact-Jaccard verify ≥ 0.5."""
+    """Full MinHash-LSH near-dup pipeline with exact-Jaccard verify ≥ 0.5.
+
+    Runs WITH the degenerate-bucket cap on (the at-scale configuration);
+    the oracle mirrors the cap, so the checked plan is the production one.
+    """
     corpus = _doc_pairs_corpus(spark, sf_dir)
-    return DD.minhash_dedup(corpus, shingle_n=3, num_hashes=8, bands=4, threshold=0.5)
+    return DD.minhash_dedup(
+        corpus, shingle_n=3, num_hashes=8, bands=4, threshold=0.5,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
 
 
 SQL_LSH_JACCARD_PAIRS = f"""
@@ -585,11 +595,16 @@ sig as (
   select doc_id, {', '.join(f"min(md5('s{k}:' || shingle)) as h{k}" for k in range(8))}
   from sh where shingle <> '' group by doc_id
 ),
-banded as (
+banded_all as (
   select doc_id, band, key from sig, (values (0), (1), (2), (3)) bands(band),
   lateral (select case band
      when 0 then h0 || '|' || h1 when 1 then h2 || '|' || h3
      when 2 then h4 || '|' || h5 else h6 || '|' || h7 end as key)
+),
+bucket_w as (select band, key, count(*) as w from banded_all group by 1, 2),
+banded as (
+  select banded_all.* from banded_all join bucket_w using (band, key)
+  where w <= {_LSH_MAX_BUCKET}
 ),
 cand as (
   select distinct a.doc_id as doc_a, b.doc_id as doc_b
@@ -739,6 +754,50 @@ select query_id, neighbor_id, rank from (
 """
 
 
+_SRP_BITS = 4  # 16 buckets over the sf-test embedding tables
+_SRP_SEED = 42
+_EMB_DIM = 64  # TESTDATA.md: embeddings.embedding is float[64] at every sf
+
+
+def _srp_bucket_sql(vec_col: str = "embedding") -> str:
+    """DuckDB expression for the SAME SRP bucket similarity.srp_buckets
+    computes: the hyperplanes are seed-derived literals, identical on both
+    engines (float64 repr round-trips exactly)."""
+    from xlink_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, _SRP_BITS, _SRP_SEED)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(case when list_dot_product({vec_col}, {arr}) > 0 then {1 << i} else 0 end)"
+        )
+    return " + ".join(terms)
+
+
+def q_ann_topk_srp(spark, sf_dir):
+    """SRP-bucketed ANN top-5 — the at-scale path (equi-join on bucket, no
+    cross join). All-pairs: every vector queries within its own bucket."""
+    emb = spark.read.parquet(_T(sf_dir, "embeddings")).select("vec_id", "embedding")
+    return SIM.bucketed_topk(
+        emb, dim=_EMB_DIM, k=5, bits=_SRP_BITS, seed=_SRP_SEED
+    ).select("query_id", "neighbor_id", "rank")
+
+
+SQL_ANN_TOPK_SRP_TEMPLATE = """
+with b as (select vec_id, embedding, {bucket} as bucket from embeddings),
+scored as (
+  select a.vec_id as query_id, c.vec_id as neighbor_id,
+         round(list_cosine_similarity(a.embedding, c.embedding), 6) as cos
+  from b a join b c on a.bucket = c.bucket and a.vec_id <> c.vec_id
+)
+select query_id, neighbor_id, rank from (
+  select *, row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored
+) where rank <= 5
+"""
+
+
 def q_knn_vote(spark, sf_dir):
     """kNN label vote over the top-5 neighbors."""
     emb = spark.read.parquet(_T(sf_dir, "embeddings"))
@@ -762,26 +821,32 @@ select query_id, nlabel as pred_label, votes from (
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding near-dup pairs over corpus ∪ jittered copy (cos ≥ 0.999)."""
+    """Embedding near-dup pairs over corpus ∪ copy (cos ≥ 0.999), blocked by
+    SRP bucket — the AT-SCALE configuration: the quadratic self-join runs
+    within buckets only (identical vectors always share a bucket, so exact
+    twins are never missed; both engines use the same hyperplanes)."""
     emb = spark.read.parquet(_T(sf_dir, "embeddings")).select("vec_id", "embedding")
     twin = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.0)).alias("embedding"),
     )
     both = emb.unionByName(twin)
-    return DD.embedding_near_duplicates(both, threshold=0.999).select("id_a", "id_b")
+    bucketed = SIM.srp_buckets(both, dim=_EMB_DIM, bits=_SRP_BITS, seed=_SRP_SEED)
+    return DD.embedding_near_duplicates(
+        bucketed, threshold=0.999, block_col="bucket"
+    ).select("id_a", "id_b")
 
 
-SQL_EMBEDDING_NEARDUP = """
+SQL_EMBEDDING_NEARDUP_TEMPLATE = """
 with uni as (
   select vec_id, embedding from embeddings
   union all
   select vec_id + 100000 as vec_id, embedding from embeddings
-)
-select a.vec_id as id_a, b.vec_id as id_b
-from uni a, uni b
-where a.vec_id < b.vec_id
-  and list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+),
+b as (select vec_id, embedding, {bucket} as bucket from uni)
+select a.vec_id as id_a, c.vec_id as id_b
+from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
+where list_cosine_similarity(a.embedding, c.embedding) >= 0.999
 """
 
 
@@ -903,6 +968,88 @@ select node, min(comp) as component from walk group by node
 """
 
 
+# ------------------------------------------------------- flagship priors core
+def q_linking_priors(spark, sf_dir):
+    """The flagship's SQL-expressible core (xlink.py:147-176): detection →
+    candidate explosion → P(e|m)-prior scoring → link-prob + believe gates →
+    top-1 per mention — driven through the REAL score_has_prob operator.
+
+    Word/entity similarities are pinned to 1 (vectors are the pytest-pinned
+    part), so an independent engine can replicate the entire join/gate/top-1
+    DAG: believe = (P(e|m)^0.02 + link_prob)/2, gates link_prob > 0.008 and
+    believe > 0.2. Detection is token-granularity (1-based token ordinal as
+    the span start), reproducible via generate_subscripts in DuckDB.
+    believe is quantized with floor(x·1e6) — round() diverges between
+    engines at decimal midpoints.
+    """
+    from xlink_spark.config import DEFAULT
+    from xlink_spark.operators import scoring as SC
+
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok")
+    )
+    mentions = toks.filter(F.length("tok") > 1).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("pos") + 1).cast("long").alias("start"),
+        (F.col("pos") + 1 + F.length("tok")).cast("long").alias("end"),
+        F.col("tok").alias("surface"),
+        F.lit("ma").alias("parse_from"),
+    )
+    egm = q_e_given_m(spark, sf_dir)
+    cands = (
+        mentions.withColumn("mention", F.lower("surface"))
+        .join(F.broadcast(egm), "mention", "inner")
+        .withColumn("ctx_word_sim", F.lit(1.0))
+        .withColumn("ctx_ent_sim", F.lit(1.0))
+    )
+    lp = q_link_prob(spark, sf_dir).select("mention", "link_prob")
+    links = SC.score_has_prob(cands, lp, DEFAULT.predictor)
+    return links.select(
+        "doc_id",
+        "start",
+        "end",
+        "surface",
+        "entity_id",
+        F.floor(F.col("believe") * 1e6).cast("long").alias("believe_q"),
+    )
+
+
+SQL_LINKING_PRIORS = f"""
+with egm as ({SQL_E_GIVEN_M}),
+lp as ({SQL_LINK_PROB}),
+toks as (
+  select doc_id::varchar as doc_id,
+         generate_subscripts(t, 1) as pos1,
+         unnest(t) as tok
+  from (select doc_id, regexp_split_to_array(lower(text), '\\s+') as t from documents)
+),
+mentions as (
+  select doc_id, pos1::bigint as start, (pos1 + length(tok))::bigint as "end",
+         tok as surface
+  from toks where length(tok) > 1
+),
+cands as (
+  select m.*, e.entity_id, e.p from mentions m join egm e on m.surface = e.mention
+),
+best as (
+  select *, row_number() over (
+    partition by doc_id, start, "end"
+    order by pow(p, 0.02) desc, entity_id asc) as rn
+  from cands
+),
+gated as (
+  select b.doc_id, b.start, b."end", b.surface, b.entity_id,
+         (pow(b.p, 0.02) + l.link_prob) / 2 as believe, l.link_prob
+  from best b join lp l on b.surface = l.mention
+  where b.rn = 1
+)
+select doc_id, start, "end", surface, entity_id,
+       floor(believe * 1e6)::bigint as believe_q
+from gated where link_prob > 0.008 and believe > 0.2
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -932,8 +1079,10 @@ QUERIES: dict[str, Query] = {
     "quality_scores": q_quality_scores,
     "language_id": q_language_id,
     "ann_topk": q_ann_topk,
+    "ann_topk_srp": q_ann_topk_srp,
     "knn_vote": q_knn_vote,
     "embedding_neardup": q_embedding_neardup,
+    "linking_priors": q_linking_priors,
     "connected_components": q_connected_components,
     "sample_docs_o3": q_sample_docs_o3,
     "stats_by_source_gs": q_stats_by_source_gs,
@@ -968,8 +1117,12 @@ ORACLES: dict[str, str] = {
     "quality_scores": SQL_QUALITY_SCORES,
     "language_id": SQL_LANGUAGE_ID,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_topk_srp": SQL_ANN_TOPK_SRP_TEMPLATE.format(bucket=_srp_bucket_sql()),
     "knn_vote": SQL_KNN_VOTE,
-    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP_TEMPLATE.format(
+        bucket=_srp_bucket_sql()
+    ),
+    "linking_priors": SQL_LINKING_PRIORS,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "sample_docs_o3": SQL_SAMPLE_DOCS_O3,
     "stats_by_source_gs": SQL_STATS_BY_SOURCE_GS,

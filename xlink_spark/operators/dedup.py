@@ -195,11 +195,19 @@ def minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs."""
+    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs.
+
+    ``max_bucket`` is ON by default: one degenerate LSH bucket (empty or
+    boilerplate docs sharing a band key) is O(b²) join rows and can own the
+    whole job at corpus scale. Dropped buckets stay observable via
+    ``lsh_dropped_buckets(sig, bands=bands, max_bucket=max_bucket)``; pass
+    ``max_bucket=None`` to disable (exact small-corpus parity runs).
+    """
     sh = shingles(docs, text_col, id_col, shingle_n)
     sig = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, bands)
+    cand = lsh_candidate_pairs(sig, id_col, bands, max_bucket=max_bucket)
     return jaccard_verify(cand, sh, id_col, threshold)
 
 

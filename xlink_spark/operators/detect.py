@@ -142,6 +142,76 @@ def detect_mentions(
     return docs_plain.select("doc_id", "text", *pt).mapInPandas(scan, out_schema)
 
 
+_NGRAM = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+        StructField("surface", StringType(), False),
+    ]
+)
+
+
+def ngram_spans(docs_plain: DataFrame, max_words: int = 4) -> DataFrame:
+    """Every token n-gram (n ≤ max_words) with char-exact offsets.
+
+    The dictionary-free half of join-path detection: one Arrow-batched scan
+    emits (doc_id, start, end, surface) where surface is the LOWERED RAW
+    text slice — identical to what the broadcast scanner matches, so
+    whitespace quirks ("a  b" never matches dict "a b") behave the same on
+    both paths. Output is ~n_tokens × max_words narrow rows; no dictionary
+    state is needed on executors.
+    """
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "start", "end", "surface"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    continue
+                toks = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+                low = text.lower()
+                n = len(toks)
+                for i in range(n):
+                    s = toks[i][0]
+                    for w in range(1, min(max_words, n - i) + 1):
+                        e = toks[i + w - 1][1]
+                        out.append((doc_id, s, e, low[s:e]))
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs_plain.select("doc_id", "text").mapInPandas(scan, _NGRAM)
+
+
+def detect_mentions_join(
+    docs_plain: DataFrame,
+    dictionary: DataFrame,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Join-path detection for dictionaries too large to broadcast.
+
+    ``dictionary``: (mention, parse_from) AS A TABLE — never collected to
+    the driver. Token n-grams equi-join the dictionary on the surface key;
+    the Zipf-skewed head is handled by AQE skew-join splitting (session.py)
+    and the probe side arrives pre-exploded, so no reducer owns a whole hot
+    key's candidate work. Emits the same schema as ``detect_mentions`` and
+    the same post-``resolve_conflicts`` winners: the broadcast scanner's
+    longest-match-per-start pruning only removes spans that can never win
+    the W1 longest-surface pick (a shorter same-start span is a subset of
+    the longer one's overlap group).
+    """
+    if max_words is None:
+        row = dictionary.select(
+            F.max(F.size(F.split("mention", r"\s+"))).alias("m")
+        ).first()
+        max_words = int(row["m"]) if row and row["m"] else 1
+    grams = ngram_spans(docs_plain, max_words=max_words)
+    d = dictionary.select(F.col("mention").alias("surface"), "parse_from").distinct()
+    return grams.join(d, "surface", "inner").select(
+        "doc_id", "start", "end", "surface", "parse_from"
+    )
+
+
 def resolve_conflicts(mentions: DataFrame, weighted: bool = False) -> DataFrame:
     """W1/W2: collapse transitively-overlapping mentions per doc.
 

@@ -99,11 +99,22 @@ def extract_features(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the fake feature is (re)defined INSIDE the closure: cloudpickle
+        # ships a closure-referenced module-level function by module path,
+        # which breaks on executors without xlink_spark on their import
+        # path; an inner def is serialized by value (mirror of
+        # _fake_feature, which stays importable for unit tests)
+        def fake_feature(payload, ref, dim):
+            h = hashlib.sha256((payload or ref.encode())[:1024]).digest()
+            rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+            v = rng.normal(size=dim).astype(np.float32)
+            return (v / np.linalg.norm(v)).tolist()
+
         for pdf in batches:
             out = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 if fake:
-                    out.append((ref, _fake_feature(payload, ref, dim), None))
+                    out.append((ref, fake_feature(payload, ref, dim), None))
                 else:
                     out.append(
                         (ref, None, "NotImplementedError: no media decoders in environment")

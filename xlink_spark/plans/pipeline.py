@@ -102,15 +102,25 @@ def link_corpus(
     pcfg = cfg.predictor
 
     # ---- has-prob pass -----------------------------------------------------
-    ma_dict = DT.build_surface_dict(d.mention_anchors)
-    ma_detected = DT.detect_mentions(docs_plain, ma_dict)
+    # dictionary tables broadcast while KB-sized; beyond the threshold BOTH
+    # detection (dictionary-as-table n-gram equi-join) and the candidate
+    # explosion (salted shuffle join) stay fully distributed — nothing is
+    # ever collected to the driver in the big-dictionary regime
+    bcast = d.mention_anchors.count() <= cfg.broadcast_dict_max_rows
+    if bcast:
+        ma_dict = DT.build_surface_dict(d.mention_anchors)
+        ma_detected = DT.detect_mentions(docs_plain, ma_dict)
+    else:
+        ma_detected = DT.detect_mentions_join(
+            docs_plain,
+            d.mention_anchors.select("mention").withColumn(
+                "parse_from", F.lit("ma")
+            ),
+        )
     ma_mentions = DT.resolve_conflicts(ma_detected)
     ma_ctx = SC.context_word_vector(
         SC.attach_context(ma_mentions, docs_plain, pcfg), word_emb
     )
-    # dictionary tables broadcast while KB-sized; beyond the threshold the
-    # explosion falls back to shuffle joins (salted path in detect.py)
-    bcast = d.mention_anchors.count() <= cfg.broadcast_dict_max_rows
     # fan-out point (seed counting, pool keys, scoring) — persist narrow
     # rows and materialize eagerly so concurrent branches don't race to
     # compute the same uncached plan
@@ -128,12 +138,21 @@ def link_corpus(
     prob_links = SC.score_has_prob(ma_cands, d.link_prob, pcfg)
 
     # ---- no-prob pass (title dict) ------------------------------------------
-    tt_dict = DT.build_surface_dict(d.title_entities, None)
-    # build_surface_dict marks its first arg 'ma'; relabel for the tt pass
-    tt_dict = {s: (nw, "tt") for s, (nw, _) in tt_dict.items()}
+    n_tt = d.title_entities.count()
     no_prob_links = None
-    if tt_dict:
-        tt_detected = DT.detect_mentions(docs_plain, tt_dict)
+    if n_tt > 0:
+        if n_tt <= cfg.broadcast_dict_max_rows:
+            # build_surface_dict marks its first arg 'ma'; relabel for tt
+            tt_dict = DT.build_surface_dict(d.title_entities, None)
+            tt_dict = {s: (nw, "tt") for s, (nw, _) in tt_dict.items()}
+            tt_detected = DT.detect_mentions(docs_plain, tt_dict)
+        else:
+            tt_detected = DT.detect_mentions_join(
+                docs_plain,
+                d.title_entities.select("mention").withColumn(
+                    "parse_from", F.lit("tt")
+                ),
+            )
         tt_mentions = DT.resolve_conflicts(tt_detected)
         tt_ctx = SC.context_word_vector(
             SC.attach_context(tt_mentions, docs_plain, pcfg), word_emb
@@ -173,7 +192,7 @@ def link_corpus(
         )
         no_prob_links = SC.score_no_prob(tt_cands, pcfg)
 
-    if no_prob_links is None or not tt_dict:
+    if no_prob_links is None:
         return prob_links
     return SC.merge_results(prob_links, no_prob_links)
 

@@ -45,19 +45,36 @@ def read_raw_corpus(spark, path: str) -> DataFrame:
 def resolve_doc_entity(
     docs: DataFrame, kb_uris: DataFrame, kb_entities: DataFrame
 ) -> DataFrame:
-    """J2: doc → entity_id via URI index, full-title fallback.
+    """J2: doc → entity_id via URI index, parent-path + full-title fallbacks.
 
     Reference: prepare_standard_input.py:396-400 +
-    get_entity_by_uri_and_title (dictionary.py:124-139). Both lookup tables
-    are KB-bounded → broadcast joins; the fallback is a coalesce.
+    get_entity_by_uri_and_title (dictionary.py:124-139). On a URI-index
+    miss, get_entity_by_uri (dictionary.py:124-132) retries with the LAST
+    PATH SEGMENT DROPPED (``'/'.join(uri.split('/')[:-1])``) — Baidu URLs
+    often carry a trailing disambiguator segment; only then falls back to
+    the full title. All lookup tables are KB-bounded → broadcast joins; the
+    precedence is one coalesce.
     """
+    uri_index = F.broadcast(
+        kb_uris.select(F.col("uri").alias("_uri"), F.col("entity_id").alias("_eid"))
+    )
     by_uri = docs.withColumn("_uri", normalize_uri("url")).join(
-        F.broadcast(kb_uris.select(F.col("uri").alias("_uri"), F.col("entity_id").alias("_eid_uri"))),
-        "_uri",
+        uri_index.withColumnRenamed("_eid", "_eid_uri"), "_uri", "left"
+    )
+    # parent path: drop the trailing '/segment'; no '/' at all ⇒ '' (the
+    # reference's ''.join(...[:-1]) result), which simply never matches
+    parent = F.when(
+        F.col("_uri").contains("/"), F.regexp_replace("_uri", r"/[^/]*$", "")
+    ).otherwise(F.lit(""))
+    by_parent = by_uri.withColumn("_puri", parent).join(
+        uri_index.select(
+            F.col("_uri").alias("_puri"), F.col("_eid").alias("_eid_parent")
+        ),
+        "_puri",
         "left",
     )
     full_title = F.concat(F.col("title"), F.coalesce(F.col("sub_title"), F.lit("")))
-    by_title = by_uri.withColumn("_ft", full_title).join(
+    by_title = by_parent.withColumn("_ft", full_title).join(
         F.broadcast(
             kb_entities.select(
                 F.col("full_title").alias("_ft"), F.col("entity_id").alias("_eid_title")
@@ -67,8 +84,8 @@ def resolve_doc_entity(
         "left",
     )
     return by_title.withColumn(
-        "entity_id", F.coalesce("_eid_uri", "_eid_title")
-    ).drop("_uri", "_ft", "_eid_uri", "_eid_title")
+        "entity_id", F.coalesce("_eid_uri", "_eid_parent", "_eid_title")
+    ).drop("_uri", "_puri", "_ft", "_eid_uri", "_eid_parent", "_eid_title")
 
 
 def standardize_corpus(
