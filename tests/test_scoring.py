@@ -280,3 +280,46 @@ def test_cluster_memberships(spark):
         by_ent.setdefault(r["entity_id"], set()).add(r["cluster_id"])
     assert all(len(v) == 1 for v in by_ent.values())  # one cluster per entity
     assert "e3" not in by_ent
+
+
+def test_seed_pool_from_dictionary_equals_candidate_seed_pool(spark):
+    """Unambiguity is a surface property: the dictionary-grain seed pool
+    must equal seed_pool over the exploded candidate table."""
+    mentions = spark.createDataFrame(
+        [
+            ("d1", 0, 2, "aa", "ma"),   # surface aa: 1 candidate -> seed
+            ("d1", 5, 7, "bb", "ma"),   # surface bb: 2 candidates -> no seed
+            ("d2", 3, 5, "AA", "ma"),   # case-folds to aa -> seed
+            ("d2", 9, 11, "cc", "ma"),  # cc's only candidate lacks embedding
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string",
+    )
+    ma = spark.createDataFrame(
+        [("aa", "e1", 3), ("bb", "e2", 2), ("bb", "e3", 1), ("cc", "e9", 1)],
+        "mention string, entity_id string, cnt long",
+    )
+    egm = spark.createDataFrame(
+        [("aa", "e1", 1.0), ("bb", "e2", 0.7), ("bb", "e3", 0.3), ("cc", "e9", 1.0)],
+        "mention string, entity_id string, p double",
+    )
+    emb = spark.createDataFrame(
+        [("e1", [1.0, 0.0]), ("e2", [0.0, 1.0]), ("e3", [0.5, 0.5])],
+        "key string, vec array<double>",
+    )
+    cands = SC.candidate_table(
+        SC.attach_context(mentions, spark.createDataFrame(
+            [("d1", "aa is bb"), ("d2", "xx aa and cc")], "doc_id string, text string")),
+        ma, egm, emb,
+    )
+    s_old, agg_old = SC.seed_pool(cands, emb)
+    s_new, agg_new = SC.seed_pool_from_dictionary(mentions, ma, egm, emb)
+    key = lambda df: sorted(
+        (r["doc_id"], r["start"], r["end"], r["seed_eid"], tuple(r["seed_vec"]))
+        for r in df.collect()
+    )
+    assert key(s_old) == key(s_new)
+    assert len(key(s_new)) == 2  # the two "aa" occurrences
+    akey = lambda df: sorted(
+        (r["doc_id"], tuple(r["doc_sum"]), r["doc_seed_cnt"]) for r in df.collect()
+    )
+    assert akey(agg_old) == akey(agg_new)

@@ -94,15 +94,21 @@ def linking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_emb = _hash_embeddings(toks.select("tok"), "tok", emb, n_emb).cache()
 
     surface_dict = DT.build_surface_dict(ma)
-    mentions = DT.resolve_conflicts(DT.detect_mentions(plain, surface_dict))
+    # mentions is the fan-out point now (ctx branch + seed branch): persist
+    # the NARROW mention rows eagerly — a lazy persist lets concurrent AQE
+    # branches race the same uncached plan, and the old alternative
+    # (persisting the 20x-exploded candidate table) costs 20x the memory
+    mentions = DT.resolve_conflicts(DT.detect_mentions(plain, surface_dict)).persist()
+    mentions.count()
     ctx = SC.context_word_vector(SC.attach_context(mentions, plain), word_emb)
-    # fan-out point: cands feeds seed counting, pool keys, and scoring.
-    # persist AND materialize eagerly — a lazy persist lets the downstream
-    # branches (submitted concurrently by AQE) race to compute the same
-    # uncached plan N times over (observed: 13 concurrent 50s stages).
-    cands = SC.candidate_table(ctx, ma, probs["e_given_m"], entity_emb).persist()
-    cands.count()
-    seeds, doc_agg = SC.seed_pool(cands, entity_emb)
+    # seeds derive from the DICTIONARY + mentions (surface grain), not from
+    # the exploded candidate table — the plan is one linear chain, so no
+    # persist/materialization barrier is needed at the candidate fan-out
+    # (the old seed_pool(cands) formulation forced a 20x-exploded cache)
+    seeds, doc_agg = SC.seed_pool_from_dictionary(
+        mentions, ma, probs["e_given_m"], entity_emb
+    )
+    cands = SC.candidate_table(ctx, ma, probs["e_given_m"], entity_emb)
     cands = SC.context_entity_vector(
         cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb,
         exclusion="none",  # has-prob pass: pool includes own seed

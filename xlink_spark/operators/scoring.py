@@ -90,8 +90,16 @@ def attach_context(
 def context_word_vector(mentions_ctx: DataFrame, word_emb: DataFrame) -> DataFrame:
     """A7: mean-pool of in-vocabulary context-word vectors per mention.
 
-    Explode tokens → broadcast-join the word table (acts as the vocab filter,
+    Explode tokens (OUTER — empty-context mentions keep one null-word row)
+    → broadcast LEFT-join the word table (acts as the vocab filter,
     xlink.py:124-127) → mean pool. Null ``ctx_vec`` means empty context.
+
+    Single-pass shape: the mention's other columns ride THROUGH the
+    aggregation (first() per group) instead of being joined back — the
+    naive pool-then-join-back formulation consumes ``mentions_ctx`` twice,
+    recomputing the whole upstream mention derivation (detection, conflict
+    windows) once per branch, and adds a mention-keyed shuffle join.
+    Measured on the flagship: 7.3s → 3.4s for this stage at sf0.1.
 
     The pool is computed as ``dim`` per-dimension SUM aggregates (one hash
     aggregate, fully whole-stage-codegen) rather than collect_list + a
@@ -100,9 +108,11 @@ def context_word_vector(mentions_ctx: DataFrame, word_emb: DataFrame) -> DataFra
     """
     dim_row = word_emb.select(F.size("vec").alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
+    carry = [c for c in mentions_ctx.columns if c not in (*MENTION_KEY, "ctx_prev", "ctx_after")]
     toks = mentions_ctx.select(
         *MENTION_KEY,
-        F.explode(
+        *carry,
+        F.explode_outer(
             F.concat(
                 tokens_lower("ctx_prev"),
                 tokens_lower("ctx_after"),
@@ -110,38 +120,50 @@ def context_word_vector(mentions_ctx: DataFrame, word_emb: DataFrame) -> DataFra
         ).alias("word"),
     )
     vecs = toks.join(
-        F.broadcast(word_emb.withColumnRenamed("key", "word")), "word", "inner"
+        F.broadcast(word_emb.withColumnRenamed("key", "word")), "word", "left"
     )
     if dim:
         sums = [
             F.sum(F.element_at("vec", d + 1).cast("double")).alias(f"_s{d}")
             for d in range(dim)
         ]
-        pooled = vecs.groupBy(*MENTION_KEY).agg(F.count(F.lit(1)).alias("_n"), *sums)
+        pooled = vecs.groupBy(*MENTION_KEY).agg(
+            *[F.first(c).alias(c) for c in carry],
+            F.count(F.col("vec")).alias("_n"),
+            *sums,
+        )
         # UNIT-normalized context vector (the /n mean cancels in the norm):
         # downstream cosine collapses to a single dot product per candidate.
         # The norm is materialized as its own column FIRST — inlining a
         # 64-term norm into each of 64 array elements builds a >64KB codegen
         # method that silently falls back to interpreted evaluation.
+        # Empty-context mentions have all-null sums ⇒ null norm ⇒ null
+        # ctx_vec, the same contract the join-back produced.
         pooled = pooled.withColumn(
             "_nrm",
             F.sqrt(sum(F.col(f"_s{d}") * F.col(f"_s{d}") for d in range(dim))),
         )
-        pooled = pooled.select(
+        return pooled.select(
             *MENTION_KEY,
+            *carry,
             "_nrm",
             F.array(*[F.col(f"_s{d}") for d in range(dim)]).alias("_arr"),
         ).select(
             *MENTION_KEY,
+            *carry,
             F.when(
                 F.col("_nrm") > 0,
                 F.transform("_arr", lambda x: x / F.col("_nrm")),
             ).alias("ctx_vec"),
         )
-    else:  # empty vocabulary — no mention gets a context vector
-        pooled = vecs.groupBy(*MENTION_KEY).agg(F.collect_list("vec").alias("vecs"))
-        pooled = pooled.select(*MENTION_KEY, mean_pool_expr("vecs").alias("ctx_vec"))
-    return mentions_ctx.join(pooled, MENTION_KEY, "left")
+    # empty vocabulary — no mention gets a context vector
+    pooled = vecs.groupBy(*MENTION_KEY).agg(
+        *[F.first(c).alias(c) for c in carry],
+        F.collect_list("vec").alias("vecs"),
+    )
+    return pooled.select(
+        *MENTION_KEY, *carry, mean_pool_expr("vecs").alias("ctx_vec")
+    )
 
 
 def candidate_table(
@@ -245,6 +267,64 @@ def _drop_arrays(df: DataFrame) -> DataFrame:
     return df.drop(*arr) if arr else df
 
 
+def seed_pool_from_dictionary(
+    mentions: DataFrame,
+    mention_anchors: DataFrame,
+    e_given_m: DataFrame,
+    entity_emb: DataFrame,
+    broadcast_dict: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """seed_pool computed at SURFACE grain — no pass over exploded candidates.
+
+    A mention's candidate set is a function of its surface alone (the
+    dictionary joins are all surface/entity-keyed), so unambiguity is a
+    DICTIONARY property: count surviving candidates per surface once on the
+    KB-bounded side, broadcast the single-candidate surfaces, and join the
+    detected mentions. Equivalent to ``seed_pool(candidate_table(...))`` —
+    pinned by test — but the expensive input never shuffles, and the caller
+    no longer needs to persist the candidate table just to derive seeds
+    (the plan becomes a single linear chain).
+
+    ``mentions``: detected mentions with ``surface``; returns the same
+    (seeds, doc_agg) pair as ``seed_pool``.
+    """
+    surf = (
+        mention_anchors.select("mention", "entity_id")
+        .join(
+            e_given_m.select("mention", "entity_id"),
+            ["mention", "entity_id"],
+            "left_semi",
+        )
+        .join(
+            entity_emb.select(F.col("key").alias("entity_id")),
+            "entity_id",
+            "left_semi",
+        )
+    )
+    surf1 = (
+        surf.groupBy("mention")
+        .agg(F.count(F.lit(1)).alias("_n"), F.first("entity_id").alias("seed_eid"))
+        .filter(F.col("_n") == 1)
+        .select("mention", "seed_eid")
+    )
+    maybe_b = F.broadcast if broadcast_dict else (lambda df: df)
+    seeds = (
+        mentions.select(*MENTION_KEY, F.lower("surface").alias("mention"))
+        .join(maybe_b(surf1), "mention", "inner")
+        .join(
+            F.broadcast(
+                entity_emb.select(
+                    F.col("key").alias("seed_eid"), F.col("vec").alias("seed_vec")
+                )
+            ),
+            "seed_eid",
+            "inner",
+        )
+        .select(*MENTION_KEY, "seed_eid", "seed_vec")
+    )
+    return seeds, doc_agg_from_seeds(seeds)
+
+
 def seed_pool(candidates: DataFrame, entity_emb: DataFrame | None = None) -> DataFrame:
     """Unambiguous-mention seeds (xlink.py:115-145).
 
@@ -340,8 +420,19 @@ def context_entity_vector(
     cal_candidate_context_entities_sim returns 1 on an empty pool for BOTH
     passes (xlink.py:329-334); the GM predictor (Predictor.py:210) uses 0.
     """
-    mention_keys = candidates.select(*MENTION_KEY).distinct()
-    mp = mention_keys.join(doc_agg, "doc_id", "left")
+    if exclusion == "none":
+        # the pool is a PER-DOC quantity here (no per-mention exclusion):
+        # skip the mention-grain distinct + mention-keyed join entirely and
+        # attach the doc pool by doc_id — doc_agg is orders of magnitude
+        # smaller than the mention set
+        pool_key = ["doc_id"]
+        mp = doc_agg.withColumn(
+            "_ex_vec", F.lit(None).cast("array<double>")
+        ).withColumn("_ex_cnt", F.lit(0))
+    else:
+        pool_key = list(MENTION_KEY)
+        mention_keys = candidates.select(*MENTION_KEY).distinct()
+        mp = mention_keys.join(doc_agg, "doc_id", "left")
     if exclusion == "own":
         mp = mp.join(
             seeds.select(*MENTION_KEY, F.col("seed_vec").alias("_ex_vec")),
@@ -389,11 +480,7 @@ def context_entity_vector(
             .withColumn("_ex_vec", F.when(F.col("_seeded") == 1, F.col("_ex_all")))
             .drop("_seeded", "_ex_all", "_exn")
         )
-    elif exclusion == "none":
-        mp = mp.withColumn(
-            "_ex_vec", F.lit(None).cast("array<double>")
-        ).withColumn("_ex_cnt", F.lit(0))
-    else:  # pragma: no cover - guard against typos at call sites
+    elif exclusion != "none":  # pragma: no cover - guard typos at call sites
         raise ValueError(f"unknown exclusion mode: {exclusion!r}")
     zero = F.transform(F.col("doc_sum"), lambda x: x * 0)
     pool_cnt = F.coalesce(F.col("doc_seed_cnt"), F.lit(0)) - F.col("_ex_cnt")
@@ -415,15 +502,15 @@ def context_entity_vector(
         dim = infer_dim(entity_emb, "vec")
         from xlink_spark.functions.vectors import norm as vnorm
 
-        mp = mp.select(*MENTION_KEY, pool_raw.alias("_praw"))
+        mp = mp.select(*pool_key, pool_raw.alias("_praw"))
         mp = mp.withColumn("_nrm", vnorm("_praw")).select(
-            *MENTION_KEY,
+            *pool_key,
             F.when(
                 F.col("_praw").isNotNull() & (F.col("_nrm") > 0),
                 F.transform("_praw", lambda x: x / F.col("_nrm")),
             ).alias("pool_vec"),
         )
-        c = candidates.drop("entity_vec").join(mp, MENTION_KEY, "left")
+        c = candidates.drop("entity_vec").join(mp, pool_key, "left")
         if dim:
             c = c.join(
                 F.broadcast(_unit_entity_emb(entity_emb, dim)), "entity_id", "left"
@@ -449,13 +536,13 @@ def context_entity_vector(
         return c.drop("pool_vec", "entity_vec", "entity_unit")
     else:
         mp = mp.select(
-            *MENTION_KEY,
+            *pool_key,
             F.when(
                 pool_raw.isNotNull(),
                 F.transform(pool_raw, lambda x: x / pool_cnt),
             ).alias("pool_vec"),
         )
-        c = candidates.join(mp, MENTION_KEY, "left")
+        c = candidates.join(mp, pool_key, "left")
         c = c.withColumn(
             "ctx_ent_sim",
             F.when(F.col("pool_vec").isNull(), F.lit(empty_sim)).otherwise(

@@ -117,18 +117,23 @@ def link_corpus(
                 "parse_from", F.lit("ma")
             ),
         )
-    ma_mentions = DT.resolve_conflicts(ma_detected)
+    # fan-out point (ctx branch + seed branch): persist the NARROW mention
+    # rows eagerly so concurrent branches don't race the same uncached plan
+    ma_mentions = DT.resolve_conflicts(ma_detected).persist()
+    ma_mentions.count()
     ma_ctx = SC.context_word_vector(
         SC.attach_context(ma_mentions, docs_plain, pcfg), word_emb
     )
-    # fan-out point (seed counting, pool keys, scoring) — persist narrow
-    # rows and materialize eagerly so concurrent branches don't race to
-    # compute the same uncached plan
+    # seeds derive from the dictionary + mentions at SURFACE grain — the
+    # exploded candidate table is consumed exactly once (a linear chain, no
+    # 20x-exploded persist)
+    seeds, doc_agg = SC.seed_pool_from_dictionary(
+        ma_mentions, d.mention_anchors, d.e_given_m, entity_emb,
+        broadcast_dict=bcast,
+    )
     ma_cands = SC.candidate_table(
         ma_ctx, d.mention_anchors, d.e_given_m, entity_emb, broadcast_dict=bcast
-    ).persist()
-    ma_cands.count()
-    seeds, doc_agg = SC.seed_pool(ma_cands, entity_emb)
+    )
     # has-prob pool: ALL unambiguous seeds, own seed included; empty ⇒ 1
     # (xlink.py:157-161, 329-334)
     ma_cands = SC.context_entity_vector(
