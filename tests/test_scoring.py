@@ -323,3 +323,26 @@ def test_seed_pool_from_dictionary_equals_candidate_seed_pool(spark):
         (r["doc_id"], tuple(r["doc_sum"]), r["doc_seed_cnt"]) for r in df.collect()
     )
     assert akey(agg_old) == akey(agg_new)
+
+
+def test_believe_v1_fusion(spark):
+    """C10 v1 (xlink.py:338-345): P(e)^0.02 · word_sim · ent_sim, with a
+    missing entity prior scoring 0 (the reference's None-guard)."""
+    cfg = PredictorConfig(believe_version=1)
+    cands = spark.createDataFrame(
+        [
+            ("d", 0, 2, "mm", "ma", "mm", "e1", 0.1, 1.0, 1.0),  # has prior
+            ("d", 0, 2, "mm", "ma", "mm", "e2", 0.9, 1.0, 1.0),  # NO prior -> 0
+        ],
+        "doc_id string, start int, end int, surface string, parse_from string,"
+        "mention string, entity_id string, p double, ctx_word_sim double,"
+        "ctx_ent_sim double",
+    )
+    prior = spark.createDataFrame([("e1", 0.4)], "entity_id string, prior double")
+    lp = spark.createDataFrame([("mm", 0.5)], "mention string, link_prob double")
+    got = SC.score_has_prob(cands, lp, cfg, entity_prior=prior).collect()
+    assert len(got) == 1 and got[0]["entity_id"] == "e1"
+    assert got[0]["believe"] == pytest.approx((0.4**0.02 + 0.5) / 2)
+    # v1 without the prior table is a loud error, not silent v2 behavior
+    with pytest.raises(ValueError):
+        SC.score_has_prob(cands, lp, cfg)

@@ -556,6 +556,7 @@ def score_has_prob(
     candidates: DataFrame,
     link_prob: DataFrame,
     cfg: PredictorConfig | None = None,
+    entity_prior: DataFrame | None = None,
 ) -> DataFrame:
     """The has-prob scoring path (xlink.py:147-176, 347-354).
 
@@ -565,12 +566,38 @@ def score_has_prob(
       cand_believe = P(e|m)^α · word_sim · ent_sim       (believe_score_v2)
       mention_believe = (best_cand_believe + link_prob)/2 (xlink.py:172-173)
       gates: link_prob > link_prob_th AND believe > believe_th
+
+    ``cfg.believe_version == 1`` (C10 v1, xlink.py:338-345 — dead code in
+    the reference but part of its API surface) swaps the prior term for the
+    entity prior P(e): pass ``entity_prior`` = (entity_id, prior); a
+    candidate with no prior row scores 0, as in the reference's
+    None-guard.
     """
     cfg = cfg or PredictorConfig()
-    scored = _ensure_word_sim(candidates).withColumn(
-        "cand_believe",
-        F.pow("p", F.lit(cfg.prior_power)) * F.col("ctx_word_sim") * F.col("ctx_ent_sim"),
-    )
+    scored = _ensure_word_sim(candidates)
+    if cfg.believe_version == 1:
+        if entity_prior is None:
+            raise ValueError("believe_version=1 requires entity_prior")
+        scored = scored.join(
+            F.broadcast(entity_prior.select("entity_id", "prior")),
+            "entity_id",
+            "left",
+        ).withColumn(
+            "cand_believe",
+            F.coalesce(
+                F.pow("prior", F.lit(cfg.prior_power))
+                * F.col("ctx_word_sim")
+                * F.col("ctx_ent_sim"),
+                F.lit(0.0),
+            ),
+        )
+    else:
+        scored = scored.withColumn(
+            "cand_believe",
+            F.pow("p", F.lit(cfg.prior_power))
+            * F.col("ctx_word_sim")
+            * F.col("ctx_ent_sim"),
+        )
     scored = _drop_arrays(scored)  # narrow rows through the top-1 sort
     top = Window.partitionBy(*MENTION_KEY).orderBy(
         F.col("cand_believe").desc(), F.col("entity_id").asc()
