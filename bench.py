@@ -56,6 +56,9 @@ def run_suite(master: str, shuffle_partitions: int) -> tuple[dict[str, float], i
         t0 = time.time()
         _materialize(qs[name](spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+        # each query measured cold: drop the previous query's persisted
+        # tables so cross-query cache memory pressure doesn't skew timings
+        spark.catalog.clearCache()
     spark.stop()
     return times, n_docs
 

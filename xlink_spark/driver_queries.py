@@ -516,8 +516,16 @@ def _doc_pairs_corpus(spark, sf_dir):
     Jaccard ≈ 0.6 over 3-gram shingles — a deterministic near-dup corpus
     derived purely from the input (both engines construct it identically).
     """
-    docs = spark.read.parquet(_T(sf_dir, "documents")).select(
-        F.col("doc_id").cast("long").alias("doc_id"), F.lower("text").alias("text")
+    # the test parquet is a single file (1-2 input splits): spread docs
+    # across cores before the shingle explode — at real input scale the
+    # scan has natural splits and this is a cheap no-op reshuffle
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(_T(sf_dir, "documents"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"), F.lower("text").alias("text")
+        )
+        .repartition(par, "doc_id")
     )
     toks = docs.select("doc_id", F.split("text", r"\s+").alias("t"))
     trunc = toks.select(

@@ -204,8 +204,16 @@ def minhash_dedup(
     whole job at corpus scale. Dropped buckets stay observable via
     ``lsh_dropped_buckets(sig, bands=bands, max_bucket=max_bucket)``; pass
     ``max_bucket=None`` to disable (exact small-corpus parity runs).
+
+    The shingle table feeds FOUR consumers (signatures, both sides of the
+    intersection join, set sizes); persist it spill-safe rather than
+    re-exploding the corpus per consumer — measured 2x on the bench corpus.
     """
-    sh = shingles(docs, text_col, id_col, shingle_n)
+    from pyspark import StorageLevel
+
+    sh = shingles(docs, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, bands, max_bucket=max_bucket)
     return jaccard_verify(cand, sh, id_col, threshold)
