@@ -204,3 +204,43 @@ def test_multimodal_feature_neardup_end_to_end(spark, sdfs):
         if (nb == r + "#t" or r == nb + "#t") and cos >= 0.999999
     )
     assert hits >= n  # every asset finds its twin (in at least one direction)
+
+
+def test_bucketed_topk_multiprobe_improves_recall(spark):
+    """Multi-probe searches Hamming-1 buckets: recall@1 vs brute force is
+    monotone in probes, and full 1-bit probing recovers boundary-split
+    neighbors that single-bucket search misses."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(60, 16))
+    rows = []
+    for i, v in enumerate(base):
+        v = v / np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+        # twin with enough noise that SOME twins cross one hyperplane —
+        # exactly the boundary case multi-probe exists for
+        rows.append((1000 + i, (v + rng.normal(scale=0.1, size=16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def twin_recall(probes):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in SIM.bucketed_topk(emb, dim=16, k=1, bits=6, probes=probes)
+            .filter(F.col("rank") == 1)
+            .collect()
+        }
+        return sum(1 for i in range(60) if got.get(i) == 1000 + i) / 60
+
+    r0, r6 = twin_recall(0), twin_recall(6)
+    assert r6 > r0  # strictly better: this seed has boundary-split twins
+    assert r6 >= 0.8  # 1-bit probing recovers the boundary-split twins
+    # probing must never invent pairs outside Hamming<=1 buckets: top-1 from
+    # probes=0 is always still reachable at probes=6 (superset property)
+    pairs0 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.bucketed_topk(emb, dim=16, k=3, bits=6, probes=0).collect()
+    }
+    got6 = SIM.bucketed_topk(emb, dim=16, k=200, bits=6, probes=6)
+    pairs6 = {(r["query_id"], r["neighbor_id"]) for r in got6.collect()}
+    assert pairs0 <= pairs6

@@ -126,3 +126,62 @@ def test_join_path_detection_equals_broadcast_path(spark):
     # the double-space doc matched "new york city"'s pieces but NOT the
     # space-normalized bigram "deep learning" — on BOTH paths
     assert not any(s == "deep learning" and d == "d2" for d, _, _, s, _ in bcast)
+
+
+def test_detect_resolve_matches_reference_spec_randomized(spark):
+    """Randomized parity with the reference's two-phase parse, spec'd
+    independently in pure Python: parseText emits ALL dictionary matches
+    (MentionParser.py:53-68), solve_conflict sweeps by start, groups
+    transitive overlaps, and keeps the first longest surface per group
+    (MentionParser.py:70-100). 300 random docs, one Spark pass."""
+    import random
+    import re
+
+    vocab = ["a", "b", "c", "aa", "ab", "x"]
+    surfaces = ["a", "a b", "b c", "aa", "ab c", "c", "a b c", "x a"]
+    sd = {s: (len(s.split()), "ma") for s in surfaces}
+    rng = random.Random(20260816)
+    docs = [
+        (f"d{k}", " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for k in range(300)
+    ]
+
+    def spec(text):
+        toks = [(m.start(), m.end()) for m in re.finditer(r"\S+", text)]
+        low = text.lower()
+        # phase 1: ALL matches
+        matches = []
+        for i in range(len(toks)):
+            for w in range(1, len(toks) - i + 1):
+                s, e = toks[i][0], toks[i + w - 1][1]
+                if low[s:e] in sd:
+                    matches.append((s, e, low[s:e]))
+        if not matches:
+            return []
+        # phase 2: solve_conflict sweep
+        matches.sort(key=lambda m: m[0])
+        out, group, end = [], [matches[0]], matches[0][1]
+        def pick(g):
+            best = None
+            for item in g:
+                if best is None or len(item[2]) > len(best[2]):
+                    best = item
+            return best
+        for item in matches[1:]:
+            if item[0] < end:
+                group.append(item)
+                end = max(end, item[1])
+            else:
+                out.append(pick(group))
+                group, end = [item], item[1]
+        out.append(pick(group))
+        return out
+
+    expected = {d: spec(t) for d, t in docs}
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got_rows = DT.resolve_conflicts(DT.detect_mentions(df, sd)).collect()
+    got: dict[str, list] = {d: [] for d, _ in docs}
+    for r in got_rows:
+        got[r["doc_id"]].append((r["start"], r["end"], r["surface"]))
+    for d, _ in docs:
+        assert sorted(got[d]) == sorted(expected[d]), d

@@ -153,3 +153,50 @@ def test_aida_conll_source(spark, tmp_path):
     p2.write_text("-DOCSTART- (x)\nplain\ntokens\n")
     d2, g2 = CL.read_aida_conll(spark, str(p2), kb_uris)
     assert d2.count() == 0 and g2.count() == 0
+
+
+def test_eval_on_conll_end_to_end(spark, tmp_path):
+    """S10 → link_corpus → A11/A12: a CoNLL dataset evaluates end to end,
+    with gold offsets matching the predictor's char-exact spans."""
+    from xlink_spark.eval.conll import eval_on_conll
+    from xlink_spark.plans.pipeline import build_dictionary
+
+    docs = spark.createDataFrame(
+        [
+            ("t1", [("text", "[[e_paris|paris]] near [[e_france|france]] paris france paris", None, 0)]),
+            ("t2", [("text", "[[e_paris|paris]] and [[e_france|france]] again paris france", None, 0)]),
+            ("t3", [("text", "paris france paris france filler words here", None, 0)]),
+        ],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    kb = spark.createDataFrame(
+        [("e_paris", "paris"), ("e_france", "france")], "entity_id string, surface_norm string"
+    )
+    emb = spark.createDataFrame(
+        [("e_paris", [1.0, 0.0]), ("e_france", [0.0, 1.0]),
+         ("paris", [1.0, 0.0]), ("france", [0.0, 1.0]), ("near", [0.5, 0.5])],
+        "key string, vec array<double>",
+    )
+    d = build_dictionary(docs, kb, emb)
+    conll = (
+        "-DOCSTART- (1)\n"
+        "paris\tB\tparis\tP\thttp://en.wikipedia.org/wiki/Paris\n"
+        "near\n"
+        "france\tB\tfrance\tFR\thttp://en.wikipedia.org/wiki/France\n"
+        "today\n"
+        "ghost\tB\tghost\t--NME--\n"
+    )
+    p = tmp_path / "eval.conll"
+    p.write_text(conll)
+    kb_uris = spark.createDataFrame(
+        [("/wiki/Paris", "e_paris"), ("/wiki/France", "e_france")],
+        "uri string, entity_id string",
+    )
+    report = eval_on_conll(spark, str(p), d, emb, emb, kb_uris)
+    assert report["dataset"]["total_mentions"] == 3
+    assert report["dataset"]["nme_mentions"] == 1
+    # both non-NIL gold mentions must be found at the exact offsets and
+    # linked to the right entities
+    assert report["linking"]["blocked_accuracy"] == 1.0
+    assert report["linking"]["recall"] == 1.0
+    assert report["mention"]["recall"] >= 2 / 3  # the NME span may be unparsed

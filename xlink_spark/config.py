@@ -39,6 +39,11 @@ class PredictorConfig:
     np_seed_th: float = 0.45
     np_believe_th: float = 0.5
     np_words_weight: float = 0.5
+    # reproduce the reference's two KNOWN BUGS for bit-parity runs against
+    # its outputs: W5 stale-max (xlink.py:218-222 — last candidate wins the
+    # seed pick) and W3 always-true merge check (xlink.py:299/310 — every
+    # no-prob mention is dropped). Default = intended semantics.
+    strict_reference_bugs: bool = False
 
 
 @dataclass(frozen=True)

@@ -90,15 +90,37 @@ def bucketed_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate all-pairs top-k: brute force within each SRP bucket.
 
     One equi-join on bucket instead of a cross join — the scale path. The
     probability a true neighbor lands in the same bucket falls with angle;
-    increase recall with fewer bits or multi-probe (flip one bit per probe).
+    increase recall with fewer bits or multi-probe: ``probes`` > 0 also
+    searches the buckets at Hamming distance 1 obtained by flipping each of
+    the first ``probes`` hyperplane bits on the QUERY side (the corpus side
+    stays single-bucket, so join fan-out grows by probes+1, not squared; a
+    neighbor occupies exactly one bucket, so no duplicate pairs arise).
+    ``probes=bits`` searches all 1-bit neighbors.
     """
     b = srp_buckets(emb, dim, bits, seed, id_col, vec_col)
-    a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
+    if probes > 0:
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(probes, bits))
+            ],
+        )
+        a = b.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe_arr).alias("bucket"),
+        )
+    else:
+        a = b.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        )
     c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket")
     scored = (
         a.join(c, "bucket")

@@ -177,7 +177,9 @@ def link_corpus(
         )
         # eager word-sim + vector drop, as in candidate_table
         tt_cands = SC._ensure_word_sim(tt_cands).drop("ctx_vec")
-        tt_seeds = SC.seed_argmax(tt_cands, pcfg)
+        tt_seeds = SC.seed_argmax(
+            tt_cands, pcfg, strict_reference_bugs=pcfg.strict_reference_bugs
+        )
         tt_seed_vecs = (
             tt_cands.join(tt_seeds.select(*SC.MENTION_KEY, F.col("entity_id").alias("seed_eid")),
                           SC.MENTION_KEY, "inner")
@@ -199,7 +201,10 @@ def link_corpus(
 
     if no_prob_links is None:
         return prob_links
-    return SC.merge_results(prob_links, no_prob_links)
+    return SC.merge_results(
+        prob_links, no_prob_links,
+        strict_reference_bugs=pcfg.strict_reference_bugs,
+    )
 
 
 def link_and_cluster(
