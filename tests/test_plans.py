@@ -83,3 +83,47 @@ def test_flagship_reads_only_needed_columns(spark):
     assert doc_scans, "expected a documents scan"
     for s in doc_scans:
         assert "n_chars" not in s and "lang" not in s
+
+
+def test_join_path_detection_plan_shape(spark):
+    """detect_mentions_join: the dictionary join is an equi-join (hash or
+    sort-merge; NEVER a nested-loop/cartesian product) and the n-gram scan
+    is a single Arrow-batched crossing."""
+    from xlink_spark.operators import detect as DT
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "b c d")], "doc_id string, text string"
+    )
+    dict_df = spark.createDataFrame(
+        [("a b", "ma"), ("c", "ma")], "mention string, parse_from string"
+    )
+    plan = _plan(DT.detect_mentions_join(docs, dict_df, max_words=2))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_multiprobe_bucketed_topk_plan_shape(spark):
+    """Multi-probe ANN stays an equi-join on bucket — the probe explode must
+    not degrade the join to a nested loop, and no Python touches the path."""
+    from xlink_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    plan = _plan(SIM.bucketed_topk(emb, dim=2, k=2, bits=3, probes=3))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_linking_priors_plan_is_jvm_with_group_limit(spark):
+    """The oracle-checked flagship core: pure JVM after the token explode,
+    map-side WindowGroupLimit for the top-1, broadcast gates."""
+    from xlink_spark.driver_queries import q_linking_priors
+
+    plan = _plan(q_linking_priors(spark, "/root/testdata/sf0.001"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan

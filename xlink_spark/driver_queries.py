@@ -297,6 +297,65 @@ select user_id, event_id, start, "end" from (
 """
 
 
+def q_conflict_weighted_w2(spark, sf_dir):
+    """W2: weighted multi-dict conflict resolution through the REAL
+    resolve_conflicts operator — 'ma' (weight 100) beats 'tt' (weight 0)
+    inside an overlap group regardless of span length, then longest wins.
+
+    Intervals are deduped to one row per (user, start, end) so the winner
+    pick is deterministic on both engines."""
+    from xlink_spark.operators.detect import resolve_conflicts
+
+    ev = spark.read.parquet(_T(sf_dir, "events"))
+    iv = (
+        ev.select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.unix_timestamp("ts").alias("start"),
+            (F.unix_timestamp("ts") + F.col("value").cast("long")).alias("end"),
+            (F.col("event_type") == "click").alias("_is_ma"),
+            "event_id",
+        )
+        .groupBy("doc_id", "start", "end")
+        .agg(F.min("event_id").alias("event_id"), F.max("_is_ma").alias("_ma"))
+        .withColumn("parse_from", F.when(F.col("_ma"), "ma").otherwise("tt"))
+        .drop("_ma")
+    )
+    won = resolve_conflicts(iv, weighted=True)
+    return won.select("doc_id", "event_id", "start", "end", "parse_from")
+
+
+SQL_CONFLICT_WEIGHTED_W2 = """
+with iv0 as (
+  select user_id::varchar as doc_id, floor(epoch(ts))::bigint as start,
+         floor(epoch(ts))::bigint + floor(value)::bigint as "end",
+         (event_type = 'click') as is_ma, event_id
+  from events
+), iv as (
+  select doc_id, start, "end", min(event_id) as event_id,
+         case when max(is_ma) then 'ma' else 'tt' end as parse_from
+  from iv0 group by 1, 2, 3
+), grouped as (
+  select *,
+    case when start >= coalesce(max("end") over (partition by doc_id
+         order by start, "end"
+         rows between unbounded preceding and 1 preceding), -1)
+         then 1 else 0 end as new_group
+  from iv
+), grp as (
+  select *, sum(new_group) over (partition by doc_id
+         order by start, "end"
+         rows between unbounded preceding and current row) as g
+  from grouped
+)
+select doc_id, event_id, start, "end", parse_from from (
+  select *, row_number() over (partition by doc_id, g
+         order by (case when parse_from = 'ma' then 100 else 0 end) desc,
+                  ("end" - start) desc, start asc) as rn
+  from grp
+) where rn = 1
+"""
+
+
 def q_top1_w4(spark, sf_dir):
     """W4: top-1 per group with deterministic tiebreak."""
     ev = spark.read.parquet(_T(sf_dir, "events"))
@@ -1071,6 +1130,7 @@ QUERIES: dict[str, Query] = {
     "title_expansion_j3": q_title_expansion_j3,
     "doc_entity_resolution_j2": q_doc_entity_resolution_j2,
     "conflict_groups_w1": q_conflict_groups_w1,
+    "conflict_weighted_w2": q_conflict_weighted_w2,
     "top1_w4": q_top1_w4,
     "seed_argmax_w5": q_seed_argmax_w5,
     "topk_parts_per_supplier": q_topk_parts_per_supplier,
@@ -1109,6 +1169,7 @@ ORACLES: dict[str, str] = {
     "title_expansion_j3": SQL_TITLE_EXPANSION_J3,
     "doc_entity_resolution_j2": SQL_DOC_ENTITY_RESOLUTION_J2,
     "conflict_groups_w1": SQL_CONFLICT_GROUPS_W1,
+    "conflict_weighted_w2": SQL_CONFLICT_WEIGHTED_W2,
     "top1_w4": SQL_TOP1_W4,
     "seed_argmax_w5": SQL_SEED_ARGMAX_W5,
     "topk_parts_per_supplier": SQL_TOPK_PARTS_PER_SUPPLIER,
