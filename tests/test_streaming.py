@@ -82,3 +82,37 @@ def test_running_anchor_totals_accumulates_across_batches(spark, tmp_path, doc_s
     rows = spark.read.parquet(out).collect()
     latest = max((r for r in rows if r["mention"] == "alpha beta"), key=lambda r: r["total"])
     assert latest["total"] == 3 and latest["batch_delta"] == 1
+
+
+def test_streaming_link_end_to_end(spark, tmp_path, sdfs):
+    """streaming_link: micro-batches run the full linking DAG against the
+    frozen dictionary and commit idempotent per-batch snapshots."""
+    from xlink_spark.operators.spans import plain_text
+    from xlink_spark.plans.pipeline import build_dictionary
+    from xlink_spark.plans.snapshots import SnapshotStore
+
+    docs, kb, wemb, eemb, gold = sdfs
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    build_dictionary(docs, kb, eemb, store=store)
+
+    # stream input: the same corpus as plain text, in one drop
+    plain = docs.select("doc_id", plain_text("spans").alias("text"))
+    in_dir = str(tmp_path / "stream_in")
+    plain.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = str(tmp_path / "links_out")
+    q = ST.streaming_link(
+        stream, store, wemb, eemb, checkpoint=str(tmp_path / "ckpt"), out_path=out
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(got.columns) >= {"doc_id", "start", "end", "surface", "entity_id", "believe"}
+    # the committed snapshot matches the streamed output (idempotent commit)
+    snap = store.last_iteration("links")
+    assert snap is not None and snap[1](spark).count() == got.count()

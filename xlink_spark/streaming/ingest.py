@@ -193,3 +193,47 @@ def run_to_table(stream_df: DataFrame, checkpoint: str, out_path: str, mode: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_link(
+    stream_docs: DataFrame,
+    store,
+    word_emb: DataFrame,
+    entity_emb: DataFrame,
+    checkpoint: str,
+    out_path: str,
+    cfg=None,
+):
+    """Continuous linking: each micro-batch runs the FULL batch linking DAG
+    against the frozen dictionary and commits as an idempotent snapshot.
+
+    The reference's "online" predictor is a per-document call; the streaming
+    twin is foreachBatch → ``link_increment``: the dictionary is loaded once
+    from committed snapshots, every micro-batch is linked with the same
+    batch semantics (same operators, same thresholds) and committed as
+    ``links/iter_<batch_id>`` — a crashed/restarted query re-runs a batch id
+    and gets the committed snapshot back (exactly-once per batch id).
+
+    ``stream_docs``: streaming (doc_id, text). Returns the StreamingQuery.
+    """
+    from xlink_spark.config import DEFAULT
+    from xlink_spark.plans.incremental import link_increment, load_dictionary
+
+    cfg = cfg or DEFAULT
+    spark = stream_docs.sparkSession
+    # fail fast (and once) if the dictionary was never built
+    load_dictionary(spark, store)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        links = link_increment(
+            store, int(batch_id), batch_df.select("doc_id", "text"),
+            word_emb, entity_emb, cfg,
+        )
+        links.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
