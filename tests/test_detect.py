@@ -185,3 +185,65 @@ def test_detect_resolve_matches_reference_spec_randomized(spark):
         got[r["doc_id"]].append((r["start"], r["end"], r["surface"]))
     for d, _ in docs:
         assert sorted(got[d]) == sorted(expected[d]), d
+
+
+def test_cjk_char_granularity_detection(spark):
+    """zh surfaces match INSIDE continuous CJK text (no whitespace) — the
+    reference trie matches at char offsets; the scanner treats each CJK
+    char as a token, and candidates are raw slices so no separator is
+    injected. Mixed-script docs keep exact offsets."""
+    sd = {"巴黎": (2, "ma"), "法国": (2, "ma"), "巴黎市区": (4, "ma"), "paris": (1, "ma")}
+    text = "巴黎市区在法国 paris 旁边"
+    docs = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    raw = sorted((r["start"], r["end"], r["surface"]) for r in DT.detect_mentions(docs, sd).collect())
+    # longest-per-start emission: 巴黎市区 shadows 巴黎 at start 0 (same
+    # start ⇒ can never beat it in conflict resolution)
+    assert (0, 4, "巴黎市区") in raw
+    assert (5, 7, "法国") in raw
+    assert (8, 13, "paris") in raw
+    won = sorted(r["surface"] for r in DT.resolve_conflicts(DT.detect_mentions(docs, sd)).collect())
+    assert won == ["paris", "巴黎市区", "法国"]  # longest wins the zh overlap
+    # join path produces identical winners on the same zh corpus
+    dict_df = spark.createDataFrame(
+        [(s, "ma") for s in sd], "mention string, parse_from string"
+    )
+    won_j = sorted(r["surface"] for r in DT.resolve_conflicts(DT.detect_mentions_join(docs, dict_df)).collect())
+    assert won_j == won
+
+
+def test_cjk_linking_end_to_end(spark):
+    """zh corpus end to end: anchors -> dictionary (freq covers zh surfaces
+    with no whitespace) -> detection -> linking."""
+    from xlink_spark.operators.spans import plain_text
+    from xlink_spark.plans.pipeline import build_dictionary, link_corpus
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.spans import parse_markup_to_spans
+
+    raw = spark.createDataFrame(
+        [
+            ("z1", "[[e_bali|巴黎]]在[[e_fa|法国]]旁边巴黎很大巴黎法国"),
+            ("z2", "[[e_bali|巴黎]][[e_fa|法国]]巴黎这是测试巴黎"),
+        ],
+        "doc_id string, text string",
+    )
+    docs = parse_markup_to_spans(raw)
+    kb = spark.createDataFrame(
+        [("e_bali", "巴黎"), ("e_fa", "法国")], "entity_id string, surface_norm string"
+    )
+    emb = spark.createDataFrame(
+        [("e_bali", [1.0, 0.0]), ("e_fa", [0.0, 1.0])], "key string, vec array<double>"
+    )
+    d = build_dictionary(docs, kb, emb)
+    # freq must cover the zh surfaces (no whitespace n-grams exist)
+    freqs = {r["mention"]: r["freq"] for r in d.link_prob.select("mention", "freq_m").withColumnRenamed("freq_m", "freq").collect()}
+    assert freqs.get("巴黎", 0) >= 4 and freqs.get("法国", 0) >= 2
+    plain = docs.select("doc_id", plain_text("spans").alias("text"))
+    links = link_corpus(plain, d, emb, emb)
+    got = sorted((r["doc_id"], r["start"], r["surface"], r["entity_id"]) for r in links.collect())
+    assert len(got) > 0
+    assert all(e == {"巴黎": "e_bali", "法国": "e_fa"}[s] for _, _, s, e in got)
+    # offsets are char-exact into the zh text
+    t2 = {r["doc_id"]: r["text"] for r in plain.collect()}
+    for doc, start, s, _ in got:
+        assert t2[doc][start:start + len(s)] == s

@@ -346,3 +346,28 @@ def test_believe_v1_fusion(spark):
     # v1 without the prior table is a loud error, not silent v2 behavior
     with pytest.raises(ValueError):
         SC.score_has_prob(cands, lp, cfg)
+
+
+def test_cjk_context_tokenizer(spark):
+    """With tokenizer='cjk', zh context chars hit a char-keyed embedding
+    table; the default 'ws' tokenizer sees one unmatched run and yields a
+    null context vector."""
+    mentions = spark.createDataFrame(
+        [("d", 2, 4, "巴黎", "ma")],
+        "doc_id string, start int, end int, surface string, parse_from string",
+    )
+    docs = spark.createDataFrame([("d", "法国巴黎很大")], "doc_id string, text string")
+    wemb = spark.createDataFrame(
+        [("法", [1.0, 0.0]), ("国", [0.0, 1.0]), ("很", [1.0, 1.0]), ("大", [0.0, 1.0])],
+        "key string, vec array<double>",
+    )
+    ctx = SC.attach_context(mentions, docs)
+    ws = SC.context_word_vector(ctx, wemb, tokenizer="ws").collect()[0]
+    assert ws["ctx_vec"] is None  # whitespace tokenizer finds no vocab hits
+    cjk = SC.context_word_vector(ctx, wemb, tokenizer="cjk").collect()[0]
+    assert cjk["ctx_vec"] is not None
+    import math
+    # pool = 法+国+很+大 = [2,3], unit-normalized
+    n = math.sqrt(13)
+    assert cjk["ctx_vec"][0] == pytest.approx(2 / n)
+    assert cjk["ctx_vec"][1] == pytest.approx(3 / n)

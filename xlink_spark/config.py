@@ -26,6 +26,10 @@ class PredictorConfig:
     """Online predictor thresholds — xlink.py:27-36."""
 
     context_window: int = 50          # ctx chars each side — xlink.py:27
+    # context-word segmentation: "ws" = whitespace (en, WordParser.py:81-83);
+    # "cjk" = CJK chars as single tokens + non-CJK runs (the zh fallback —
+    # the reference uses jieba, WordParser.py:76-79)
+    context_tokenizer: str = "ws"
     prior_power: float = 0.02         # entity_popularity_power — xlink.py:28
     # believe fusion version (C10): 2 = P(e|m)^α·P(C|e)·P(N|e) (xlink.py:347,
     # what predict actually calls at xlink.py:161); 1 = P(e)^α·P(C|e)·P(N|e)

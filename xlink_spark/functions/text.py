@@ -80,6 +80,17 @@ def tokens_lower(text: Column | str) -> Column:
     return tokenize_ws(F.lower(c))
 
 
+def tokens_lower_cjk(text: Column | str) -> Column:
+    """CJK-aware lower-cased tokens as a PURE expression: each CJK char is
+    its own token, non-CJK word runs stay whole — the same degradation as
+    C7's jieba-less fallback (make_tokenize_zh_udf), but JVM-side so the
+    context-word path stays inside codegen. zh context words then hit a
+    char/word-keyed embedding table instead of matching nothing.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(r"[一-鿿]|[^\s一-鿿]+"), 0)
+
+
 def make_tokenize_zh_udf():
     """C7: zh word segmentation as an Arrow-batched pandas UDF.
 

@@ -88,48 +88,33 @@ def freq_m_from_plain(
     """A4: corpus frequency of each dictionary surface in plain text.
 
     Reference scans plain text with an Aho-Corasick automaton
-    (generate_prob_files.py:164-193). The scalable Spark formulation:
-    explode every token n-gram (n ≤ ``max_ngram``) of the lower-cased text
-    and count those present in the surface dictionary (semi join). Covers
-    multi-word surfaces like "deep learning" that a unigram scan would miss
-    (and which the F3 gate would then wrongly drop). The detection module's
-    broadcast max-match scanner remains the char-exact path; this one is the
-    SQL-expressible core used by the dictionary build and oracle harness.
+    (generate_prob_files.py:164-193). Spark formulation: the DETECTION-GRADE
+    n-gram generator (detect.ngram_spans — raw text slices between scanner
+    token boundaries, CJK chars as single tokens) counted per surface via a
+    semi join. Using the same generator as detection guarantees freq(m)
+    covers exactly what the scanner can match — including zh surfaces with
+    no whitespace and 4+-token surfaces — so the F2/F3 gates (inner joins
+    on freq) never silently drop detectable dictionary entries.
 
     n-gram explosion multiplies rows by ``max_ngram``, but the semi join
-    prunes immediately after the generator, and map-side partial aggregation
-    collapses duplicates before the shuffle — at 100 TB the shuffle carries
-    only (distinct surface, partial count) pairs.
+    prunes immediately, and map-side partial aggregation collapses
+    duplicates before the shuffle — at 100 TB the shuffle carries only
+    (distinct surface, partial count) pairs.
 
     ``docs_plain``: (doc_id, text); ``surfaces``: (mention).
 
     ``max_ngram=None`` (default) derives it from the LONGEST surface in the
-    dictionary — the reference automaton counts every dict surface
-    regardless of length, so a fixed cap would silently drop 4+-token
-    surfaces from freq_m and the F2/F3 gates (inner joins on freq) would
-    then drop their anchors entirely. One scalar aggregate over the
+    dictionary (scanner-token units) — one scalar aggregate over the
     KB-bounded surface table, computed once per build.
     """
+    from xlink_spark.operators.detect import ngram_spans, surface_token_count
+
     if max_ngram is None:
-        row = surfaces.select(
-            F.max(F.size(F.filter(F.split("mention", r"\s+"), lambda t: t != F.lit("")))).alias("m")
-        ).first()
+        row = surfaces.select(F.max(surface_token_count("mention")).alias("m")).first()
         max_ngram = int(row["m"]) if row and row["m"] else 1
-    toks = docs_plain.select(
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")).alias("toks")
-    )
-    # guard: sequence(1, 0) is DESCENDING in Spark, so empty token arrays
-    # must short-circuit to an empty gram list before explode.
-    gram_expr = F.when(F.size("toks") > 0, F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.least(F.lit(max_ngram), F.size("toks"))),
-            lambda n: F.transform(
-                F.sequence(F.lit(1), F.size("toks") - n + 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-            ),
-        )
-    )).otherwise(F.array().cast("array<string>"))
-    grams = toks.select(F.explode(gram_expr).alias("mention"))
+    grams = ngram_spans(
+        docs_plain.select("doc_id", F.lower("text").alias("text")), max_words=max_ngram
+    ).select(F.col("surface").alias("mention"))
     return (
         grams.join(surfaces.select("mention").distinct(), "mention", "left_semi")
         .groupBy("mention")

@@ -51,7 +51,22 @@ _DETECTED = StructType(
     ]
 )
 
-_TOKEN_RE = re.compile(r"\S+")
+# Token boundaries for the scanner: each CJK character is its OWN token, so
+# dictionary surfaces match at CHAR granularity inside continuous zh text —
+# the reference's trie matches raw char offsets (MentionParser.py:53-68) and
+# zh has no whitespace; non-CJK behavior (\S+ runs) is unchanged. Match
+# candidates are RAW TEXT SLICES between token boundaries, so a zh surface
+# like "巴黎" (no separator) compares equal to the slice directly.
+CJK_TOKEN_PATTERN = r"[一-鿿]|[^\s一-鿿]+"
+_TOKEN_RE = re.compile(CJK_TOKEN_PATTERN)
+
+
+def surface_token_count(surface) -> "F.Column":
+    """Scanner-token count of a dictionary surface (CJK chars count one
+    each; whitespace-separated non-CJK words count one each) — the unit of
+    ``max_words`` / n-gram limits, matching ``_TOKEN_RE`` exactly."""
+    c = F.col(surface) if isinstance(surface, str) else surface
+    return F.size(F.regexp_extract_all(c, F.lit(CJK_TOKEN_PATTERN), 0))
 
 
 def build_surface_dict(
@@ -70,10 +85,10 @@ def build_surface_dict(
     d: dict[str, tuple[int, str]] = {}
     for r in (title_entities.select("mention").distinct().collect() if title_entities is not None else []):
         s = r["mention"]
-        d[s] = (len(s.split()), "tt")
+        d[s] = (len(_TOKEN_RE.findall(s)), "tt")
     for r in mention_anchors.select("mention").distinct().collect():
         s = r["mention"]
-        d[s] = (len(s.split()), "ma")
+        d[s] = (len(_TOKEN_RE.findall(s)), "ma")
     return d
 
 
@@ -201,9 +216,7 @@ def detect_mentions_join(
     the longer one's overlap group).
     """
     if max_words is None:
-        row = dictionary.select(
-            F.max(F.size(F.split("mention", r"\s+"))).alias("m")
-        ).first()
+        row = dictionary.select(F.max(surface_token_count("mention")).alias("m")).first()
         max_words = int(row["m"]) if row and row["m"] else 1
     grams = ngram_spans(docs_plain, max_words=max_words)
     d = dictionary.select(F.col("mention").alias("surface"), "parse_from").distinct()

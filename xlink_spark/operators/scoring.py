@@ -87,8 +87,16 @@ def attach_context(
     )
 
 
-def context_word_vector(mentions_ctx: DataFrame, word_emb: DataFrame) -> DataFrame:
+def context_word_vector(
+    mentions_ctx: DataFrame, word_emb: DataFrame, tokenizer: str = "ws"
+) -> DataFrame:
     """A7: mean-pool of in-vocabulary context-word vectors per mention.
+
+    ``tokenizer``: "ws" = whitespace tokens (en path, WordParser.py:81-83);
+    "cjk" = CJK chars as single tokens + non-CJK runs (the zh fallback —
+    the reference segments zh context with jieba, WordParser.py:76-79; the
+    char-unigram degradation keeps the path JVM-side and matches C7's
+    jieba-less behavior).
 
     Explode tokens (OUTER — empty-context mentions keep one null-word row)
     → broadcast LEFT-join the word table (acts as the vocab filter,
@@ -106,6 +114,9 @@ def context_word_vector(mentions_ctx: DataFrame, word_emb: DataFrame) -> DataFra
     higher-order fold — the interpreted lambda over millions of boxed
     doubles was the pipeline's hottest CPU path.
     """
+    from xlink_spark.functions.text import tokens_lower_cjk
+
+    tok_fn = tokens_lower_cjk if tokenizer == "cjk" else tokens_lower
     dim_row = word_emb.select(F.size("vec").alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
     carry = [c for c in mentions_ctx.columns if c not in (*MENTION_KEY, "ctx_prev", "ctx_after")]
@@ -114,8 +125,8 @@ def context_word_vector(mentions_ctx: DataFrame, word_emb: DataFrame) -> DataFra
         *carry,
         F.explode_outer(
             F.concat(
-                tokens_lower("ctx_prev"),
-                tokens_lower("ctx_after"),
+                tok_fn("ctx_prev"),
+                tok_fn("ctx_after"),
             )
         ).alias("word"),
     )

@@ -122,7 +122,8 @@ def link_corpus(
     ma_mentions = DT.resolve_conflicts(ma_detected).persist()
     ma_mentions.count()
     ma_ctx = SC.context_word_vector(
-        SC.attach_context(ma_mentions, docs_plain, pcfg), word_emb
+        SC.attach_context(ma_mentions, docs_plain, pcfg), word_emb,
+        tokenizer=pcfg.context_tokenizer,
     )
     # seeds derive from the dictionary + mentions at SURFACE grain — the
     # exploded candidate table is consumed exactly once (a linear chain, no
@@ -160,7 +161,8 @@ def link_corpus(
             )
         tt_mentions = DT.resolve_conflicts(tt_detected)
         tt_ctx = SC.context_word_vector(
-            SC.attach_context(tt_mentions, docs_plain, pcfg), word_emb
+            SC.attach_context(tt_mentions, docs_plain, pcfg), word_emb,
+            tokenizer=pcfg.context_tokenizer,
         )
         tt_cands = (
             tt_ctx.withColumn("mention", F.lower("surface"))
