@@ -39,6 +39,7 @@ class PredictorConfig:
     link_prob_th: float = 0.008       # mention gate — xlink.py:29
     believe_th: float = 0.2           # mention believe gate — xlink.py:30
     # no-prob (title-dict) path — xlink.py:32-36
+    np_context_window: int = 50       # no_prob_context_words_window — xlink.py:32
     np_ctx_word_sim_th: float = 0.3
     np_seed_th: float = 0.45
     np_believe_th: float = 0.5

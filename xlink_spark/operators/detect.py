@@ -124,6 +124,18 @@ def detect_mentions(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sd = bc.value
+        # first-token index: a surface starting at position i must begin
+        # with the token AT i (slice equality ⇒ same first token), so the
+        # per-position probe depth is bounded by the longest surface
+        # sharing that first token — most positions probe 0 or 1 widths
+        # instead of `limit`. Built once per executor from the broadcast.
+        first_max: dict[str, int] = {}
+        for s_ in sd:
+            m0 = _TOKEN_RE.match(s_)
+            ft = m0.group(0) if m0 else s_
+            nw_ = len(_TOKEN_RE.findall(s_))
+            if nw_ > first_max.get(ft, 0):
+                first_max[ft] = nw_
         cols = ["doc_id", "start", "end", "surface", "parse_from", *pt]
         for pdf in batches:
             out: list[tuple] = []
@@ -138,7 +150,8 @@ def detect_mentions(
                 n = len(toks)
                 while i < n:
                     hit = None
-                    for w in range(min(limit, n - i), 0, -1):
+                    wmax = first_max.get(low[toks[i][0] : toks[i][1]], 0)
+                    for w in range(min(wmax, limit, n - i), 0, -1):
                         s, e = toks[i][0], toks[i + w - 1][1]
                         cand = low[s:e]
                         if cand in sd:

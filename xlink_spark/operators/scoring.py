@@ -71,11 +71,18 @@ MENTION_KEY = ["doc_id", "start", "end"]
 
 
 def attach_context(
-    mentions: DataFrame, docs_plain: DataFrame, cfg: PredictorConfig | None = None
+    mentions: DataFrame,
+    docs_plain: DataFrame,
+    cfg: PredictorConfig | None = None,
+    window: int | None = None,
 ) -> DataFrame:
-    """C13: ±window-char context strings around each mention (xlink.py:120-127)."""
+    """C13: ±window-char context strings around each mention (xlink.py:120-127).
+
+    ``window`` overrides the config — the no-prob pass has its own window
+    size (no_prob_context_words_window, xlink.py:185-187; both default 50).
+    """
     cfg = cfg or PredictorConfig()
-    w = cfg.context_window
+    w = window if window is not None else cfg.context_window
     joined = mentions.join(docs_plain.select("doc_id", "text"), "doc_id", "inner")
     prev_start = F.greatest(F.col("start") - w, F.lit(0))
     return joined.select(

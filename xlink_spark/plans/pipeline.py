@@ -161,7 +161,10 @@ def link_corpus(
             )
         tt_mentions = DT.resolve_conflicts(tt_detected)
         tt_ctx = SC.context_word_vector(
-            SC.attach_context(tt_mentions, docs_plain, pcfg), word_emb,
+            SC.attach_context(
+                tt_mentions, docs_plain, pcfg, window=pcfg.np_context_window
+            ),
+            word_emb,
             tokenizer=pcfg.context_tokenizer,
         )
         tt_cands = (
