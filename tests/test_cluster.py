@@ -77,3 +77,17 @@ def test_get_or_compute_skips_recompute(spark, tmp_path):
     b = store.get_or_compute(spark, "stage1", compute)
     assert a.count() == b.count() == 3
     assert len(calls) == 1
+
+
+def test_manifest_per_partition_lineage(spark, tmp_path):
+    """Snapshot manifests record per-partition row counts from the written
+    parquet footers (per-partition lineage + counters, no recompute)."""
+    from xlink_spark.plans.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    df = spark.range(100).repartition(4)
+    m = store.commit_table("t", df)
+    assert m["rows"] == 100
+    assert m["partitions"] == len(m["partition_rows"]) >= 1
+    assert sum(m["partition_rows"].values()) == 100
+    assert all(f.endswith(".parquet") for f in m["partition_rows"])

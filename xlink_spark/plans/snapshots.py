@@ -39,12 +39,20 @@ class SnapshotStore:
 
     def _commit_dir(self, path: str, df: DataFrame, metrics: dict | None) -> dict:
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        data_dir = os.path.join(tmp, "data")
+        df.write.mode("overwrite").parquet(data_dir)
+        # per-partition lineage + row counters come from the WRITTEN files'
+        # parquet footers — exact, driver-side, zero recompute (the old
+        # df.count() re-ran the whole producing plan a second time)
+        per_file = self._file_row_counts(data_dir)
         manifest = {
-            "rows": df.count(),
+            "rows": sum(per_file.values()),
             "committed_at": time.time(),
             "metrics": metrics or {},
-            "partitions": df.rdd.getNumPartitions(),
+            "partitions": len(per_file),
+            # cap the per-partition map so manifests stay small at 100 TB;
+            # the full detail lives in the parquet footers regardless
+            "partition_rows": dict(sorted(per_file.items())[:4096]),
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f)
@@ -52,6 +60,18 @@ class SnapshotStore:
             shutil.rmtree(path)
         os.replace(tmp, path)
         return manifest
+
+    @staticmethod
+    def _file_row_counts(data_dir: str) -> dict[str, int]:
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), data_dir)
+                    out[rel] = pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        return out
 
     def _is_valid(self, path: str) -> bool:
         return os.path.exists(os.path.join(path, MANIFEST))
