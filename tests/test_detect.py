@@ -196,8 +196,9 @@ def test_cjk_char_granularity_detection(spark):
     text = "巴黎市区在法国 paris 旁边"
     docs = spark.createDataFrame([("d1", text)], "doc_id string, text string")
     raw = sorted((r["start"], r["end"], r["surface"]) for r in DT.detect_mentions(docs, sd).collect())
-    # longest-per-start emission: 巴黎市区 shadows 巴黎 at start 0 (same
-    # start ⇒ can never beat it in conflict resolution)
+    # ALL matches are emitted, nested same-start hits included (weighted
+    # multi-dict resolution needs the shorter span to be able to win)
+    assert (0, 2, "巴黎") in raw
     assert (0, 4, "巴黎市区") in raw
     assert (5, 7, "法国") in raw
     assert (8, 13, "paris") in raw
@@ -247,3 +248,15 @@ def test_cjk_linking_end_to_end(spark):
     t2 = {r["doc_id"]: r["text"] for r in plain.collect()}
     for doc, start, s, _ in got:
         assert t2[doc][start:start + len(s)] == s
+
+
+def test_nested_same_start_hit_wins_weighted_resolution(spark):
+    """A short 'ma' surface nested at the same start as a longer 'tt'
+    surface must win weighted resolution — requires the scanner to emit
+    nested same-start hits, not just the longest."""
+    sd = {"paris": (1, "ma"), "paris hilton": (2, "tt")}
+    docs = spark.createDataFrame([("d", "paris hilton")], "doc_id string, text string")
+    raw = sorted((r["surface"], r["parse_from"]) for r in DT.detect_mentions(docs, sd).collect())
+    assert raw == [("paris", "ma"), ("paris hilton", "tt")]
+    won = [(r["surface"], r["parse_from"]) for r in DT.resolve_conflicts(DT.detect_mentions(docs, sd), weighted=True).collect()]
+    assert won == [("paris", "ma")]  # weight beats length

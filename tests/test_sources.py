@@ -200,3 +200,29 @@ def test_eval_on_conll_end_to_end(spark, tmp_path):
     assert report["linking"]["blocked_accuracy"] == 1.0
     assert report["linking"]["recall"] == 1.0
     assert report["mention"]["recall"] >= 2 / 3  # the NME span may be unparsed
+
+
+def test_aida_conll_blank_line_after_docstart_offsets(spark, tmp_path):
+    """A doc starting with a blank line (standard CoNLL-2003 layout): the
+    flush strips the leading newline, and mention offsets shift with it so
+    text[start:end] == mention stays true (intended-semantics fix over the
+    reference, which records pre-strip offsets)."""
+    from xlink_spark.sources import conll as CL
+
+    raw = (
+        "-DOCSTART- (1 t)\n"
+        "\n"
+        "Japan\tB\tJapan\tJ\thttp://en.wikipedia.org/wiki/Japan\n"
+        "won\n"
+        "-DOCSTART- (2 t)\n"
+        "tail\tB\ttail\tT\thttp://en.wikipedia.org/wiki/Tail\n"
+    )
+    p = tmp_path / "blank.conll"
+    p.write_text(raw)
+    uris = spark.createDataFrame(
+        [("/wiki/Japan", "e_j"), ("/wiki/Tail", "e_t")], "uri string, entity_id string"
+    )
+    docs, gold = CL.read_aida_conll(spark, str(p), uris)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in gold.collect():
+        assert texts[r["doc_id"]][r["start"]:r["end"]] == r["mention"], r

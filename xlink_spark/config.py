@@ -19,6 +19,13 @@ class DictionaryConfig:
     min_link_count: int = 2
     # keep mention iff link(m)/freq(m) >= 1e-4 — main.py:459
     min_link_prob: float = 1e-4
+    # drop anchor/title surfaces longer than this many scanner tokens. The
+    # reference's Aho-Corasick has no cap (scan cost is length-independent);
+    # the n-gram formulations here scale with the LONGEST surface, so one
+    # pathological 40-token anchor would multiply the corpus scan. Dropped
+    # surfaces are undetectable rather than silently mis-counted: the cap
+    # bounds detection, freq counting, and the dictionary identically.
+    max_surface_words: int = 8
 
 
 @dataclass(frozen=True)

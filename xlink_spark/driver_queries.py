@@ -242,7 +242,9 @@ def q_conflict_groups_w1(spark, sf_dir):
         "user_id",
         "event_id",
         F.unix_timestamp("ts").alias("start"),
-        (F.unix_timestamp("ts") + F.col("value").cast("long")).alias("end"),
+        # floor, not cast: Spark's long cast truncates toward zero while
+        # the DuckDB oracle floors — they diverge on negative fractions
+        (F.unix_timestamp("ts") + F.floor("value")).alias("end"),
     )
     w_scan = (
         Window.partitionBy("user_id")
@@ -311,7 +313,7 @@ def q_conflict_weighted_w2(spark, sf_dir):
         ev.select(
             F.col("user_id").cast("string").alias("doc_id"),
             F.unix_timestamp("ts").alias("start"),
-            (F.unix_timestamp("ts") + F.col("value").cast("long")).alias("end"),
+            (F.unix_timestamp("ts") + F.floor("value")).alias("end"),
             (F.col("event_type") == "click").alias("_is_ma"),
             "event_id",
         )

@@ -41,11 +41,22 @@ def eval_on_conll(
     metric)}.
     """
     docs, gold = read_aida_conll(spark, conll_path, kb_uris)
+    # three scoring actions consume these — cache so the parse runs once
+    # and the expensive linking DAG runs once, not per metric
     docs = docs.cache()
-    links = link_corpus(docs, d, word_emb, entity_emb, cfg)
+    gold = gold.cache()
+    links = link_corpus(docs, d, word_emb, entity_emb, cfg).cache()
     gold_linked = gold.filter(F.col("entity_id") != "NIL")
+    # NIL convention: gold-NIL mentions are excluded from the linking score
+    # ENTIRELY — a prediction at a NIL gold span must not count as a false
+    # positive either (the span IS a real mention; its entity is just
+    # unresolvable), so those spans are removed from the prediction side too
+    nil_spans = gold.filter(F.col("entity_id") == "NIL").select(
+        "doc_id", "start", "end"
+    )
+    links_for_linking = links.join(nil_spans, ["doc_id", "start", "end"], "left_anti")
     return {
         "dataset": conll_stats(gold).collect()[0].asDict(),
         "mention": mention_prf(gold, links),
-        "linking": linking_prf(gold_linked, links),
+        "linking": linking_prf(gold_linked, links_for_linking),
     }

@@ -33,10 +33,15 @@ def extract_mention_anchors(docs: DataFrame, cfg: DictionaryConfig | None = None
     Zipf head before the shuffle.
     """
     cfg = cfg or DictionaryConfig()
+    from xlink_spark.operators.detect import surface_token_count
+
     a = anchor_spans(docs)
     return (
         a.select(F.lower("surface").alias("mention"), "entity_id")
         .filter(F.length("mention") >= cfg.min_mention_len)
+        # bound the dictionary's longest surface: every n-gram stage's cost
+        # (detection limit, freq scan width) derives from it
+        .filter(surface_token_count("mention") <= cfg.max_surface_words)
         .groupBy("mention", "entity_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

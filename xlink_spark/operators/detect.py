@@ -100,14 +100,15 @@ def detect_mentions(
 ) -> DataFrame:
     """Scan plain text for dictionary surfaces; emit candidate mentions.
 
-    Longest-match at EVERY token position (the reference's Java trie
-    parseText emits all matches, MentionParser.py:53-68; overlapping hits
-    included), lower-cased match, char-exact offsets into the original
-    text. Overlaps are NOT resolved here — that is ``resolve_conflicts``'s
-    job, as in the reference's two-phase parse. Only the longest hit per
-    start position is emitted: any shorter same-start hit lies inside the
-    longer one's overlap group and can never win solve_conflict's
-    longest-surface pick, so the winner set is identical.
+    ALL dictionary matches at EVERY token position (the reference's Java
+    trie parseText emits all matches, MentionParser.py:53-68; overlapping
+    and nested hits included), lower-cased match, char-exact offsets into
+    the original text. Overlaps are NOT resolved here — that is
+    ``resolve_conflicts``'s job, as in the reference's two-phase parse.
+    Emitting nested same-start hits matters for WEIGHTED resolution over a
+    mixed ma+tt dictionary: a short 'ma' surface must be able to beat a
+    longer same-start 'tt' surface, which a longest-per-start scanner would
+    silently suppress.
 
     ``passthrough`` columns are copied onto every emitted mention row —
     used by the streaming path to carry event time without a stream-stream
@@ -149,21 +150,16 @@ def detect_mentions(
                 i = 0
                 n = len(toks)
                 while i < n:
-                    hit = None
                     wmax = first_max.get(low[toks[i][0] : toks[i][1]], 0)
                     for w in range(min(wmax, limit, n - i), 0, -1):
                         s, e = toks[i][0], toks[i + w - 1][1]
                         cand = low[s:e]
                         if cand in sd:
-                            hit = (s, e, cand, sd[cand][1], w)
-                            break
-                    if hit:
-                        s, e, cand, pf, w = hit
-                        out.append((doc_id, s, e, cand, pf, *extras))
+                            out.append((doc_id, s, e, cand, sd[cand][1], *extras))
                     # always advance one token: matches beginning INSIDE an
                     # earlier match must still be emitted ("new york" +
                     # "york city" both reach resolve_conflicts, which picks
-                    # the longer — matching the reference's two-phase parse)
+                    # the winner — matching the reference's two-phase parse)
                     i += 1
             yield pd.DataFrame(out, columns=cols)
 

@@ -147,7 +147,6 @@ def context_word_vector(
         ]
         pooled = vecs.groupBy(*MENTION_KEY).agg(
             *[F.first(c).alias(c) for c in carry],
-            F.count(F.col("vec")).alias("_n"),
             *sums,
         )
         # UNIT-normalized context vector (the /n mean cancels in the norm):

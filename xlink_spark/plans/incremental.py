@@ -60,11 +60,16 @@ def link_increment(
     word_emb: DataFrame,
     entity_emb: DataFrame,
     cfg: EngineConfig = DEFAULT,
+    dictionary=None,
 ) -> DataFrame:
     """Link one new-document batch against the frozen dictionary.
 
     Idempotent per batch_id: an already-committed batch is returned from its
     snapshot without recomputation (safe to re-run after a crash).
+    ``dictionary``: pass a preloaded Dictionary to skip the per-call
+    snapshot reads (streaming loads it once for the whole query). Any
+    DataFrames the linking plan persists are unpersisted after the commit —
+    repeated batches must not accumulate cached blocks.
     """
     spark = new_docs_plain.sparkSession
     last = store.last_iteration("links")
@@ -74,11 +79,16 @@ def link_increment(
 
         if os.path.exists(os.path.join(committed, "MANIFEST.json")):
             return spark.read.parquet(os.path.join(committed, "data"))
-    d = load_dictionary(spark, store)
-    links = link_corpus(new_docs_plain, d, word_emb, entity_emb, cfg)
+    d = dictionary if dictionary is not None else load_dictionary(spark, store)
+    held: list = []
+    links = link_corpus(
+        new_docs_plain, d, word_emb, entity_emb, cfg, persisted_out=held
+    )
     store.commit(
         "links", batch_id, links, metrics={"batch_id": batch_id}
     )
+    for p_ in held:
+        p_.unpersist()
     # return THIS batch's committed snapshot, not the latest iteration —
     # re-running an older gap batch after newer ones committed must hand
     # back the gap batch's rows

@@ -81,11 +81,19 @@ def parse_conll(files: DataFrame) -> DataFrame:
             def flush(final: bool) -> None:
                 nonlocal doc, doc_idx, doc_mentions
                 text = doc if final else doc.strip()
+                # offsets were recorded against the UNstripped buffer; when
+                # the flush strips leading whitespace (a doc that starts
+                # with a blank line), shift every span so text[start:end]
+                # still equals the mention — the reference records shifted
+                # offsets in that case (AnnotationFormatter.py:37 strips
+                # after recording); we pin the intended self-consistent
+                # semantics, same class as the W3/W5 intended-behavior pins
+                lead = 0 if final else len(doc) - len(doc.lstrip())
                 keep = (len(doc_mentions) > 0) if final else (len(text) > 0)
                 if keep:
                     out.append((name, doc_idx, "doc", text, None, None, None, None))
                     for s, e, m, url in doc_mentions:
-                        out.append((name, doc_idx, "mention", None, s, e, m, url))
+                        out.append((name, doc_idx, "mention", None, s - lead, e - lead, m, url))
                     doc_idx += 1
                 doc, doc_mentions = "", []
 

@@ -221,13 +221,14 @@ def streaming_link(
 
     cfg = cfg or DEFAULT
     spark = stream_docs.sparkSession
-    # fail fast (and once) if the dictionary was never built
-    load_dictionary(spark, store)
+    # load ONCE for the whole query (fails fast if never built); per-batch
+    # reloads would re-read every snapshot table each micro-batch
+    d = load_dictionary(spark, store)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         links = link_increment(
             store, int(batch_id), batch_df.select("doc_id", "text"),
-            word_emb, entity_emb, cfg,
+            word_emb, entity_emb, cfg, dictionary=d,
         )
         links.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
