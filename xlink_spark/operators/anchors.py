@@ -112,13 +112,19 @@ def freq_m_from_plain(
     dictionary (scanner-token units) — one scalar aggregate over the
     KB-bounded surface table, computed once per build.
     """
-    from xlink_spark.operators.detect import ngram_spans, surface_token_count
+    from xlink_spark.operators.detect import (
+        first_token_set,
+        ngram_spans,
+        surface_token_count,
+    )
 
     if max_ngram is None:
         row = surfaces.select(F.max(surface_token_count("mention")).alias("m")).first()
         max_ngram = int(row["m"]) if row and row["m"] else 1
     grams = ngram_spans(
-        docs_plain.select("doc_id", F.lower("text").alias("text")), max_words=max_ngram
+        docs_plain.select("doc_id", F.lower("text").alias("text")),
+        max_words=max_ngram,
+        first_tokens=first_token_set(surfaces),
     ).select(F.col("surface").alias("mention"))
     return (
         grams.join(surfaces.select("mention").distinct(), "mention", "left_semi")

@@ -176,7 +176,11 @@ _NGRAM = StructType(
 )
 
 
-def ngram_spans(docs_plain: DataFrame, max_words: int = 4) -> DataFrame:
+def ngram_spans(
+    docs_plain: DataFrame,
+    max_words: int = 4,
+    first_tokens: frozenset[str] | None = None,
+) -> DataFrame:
     """Every token n-gram (n ≤ max_words) with char-exact offsets.
 
     The dictionary-free half of join-path detection: one Arrow-batched scan
@@ -185,10 +189,20 @@ def ngram_spans(docs_plain: DataFrame, max_words: int = 4) -> DataFrame:
     whitespace quirks ("a  b" never matches dict "a b") behave the same on
     both paths. Output is ~n_tokens × max_words narrow rows; no dictionary
     state is needed on executors.
+
+    ``first_tokens``: optional prefilter — a surface starting at position i
+    must begin with the token AT i, so positions whose token is absent from
+    the dictionary's first-token set generate NOTHING. The set is much
+    smaller than the dictionary (shared heads), so it stays broadcastable
+    even when the dictionary itself does not; the downstream equi-join
+    keeps correctness either way, this only shrinks the generated rows.
     """
+    spark = docs_plain.sparkSession
+    bc = spark.sparkContext.broadcast(first_tokens) if first_tokens is not None else None
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "start", "end", "surface"]
+        allowed = bc.value if bc is not None else None
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -199,6 +213,8 @@ def ngram_spans(docs_plain: DataFrame, max_words: int = 4) -> DataFrame:
                 n = len(toks)
                 for i in range(n):
                     s = toks[i][0]
+                    if allowed is not None and low[s : toks[i][1]] not in allowed:
+                        continue
                     for w in range(1, min(max_words, n - i) + 1):
                         e = toks[i + w - 1][1]
                         out.append((doc_id, s, e, low[s:e]))
@@ -207,10 +223,25 @@ def ngram_spans(docs_plain: DataFrame, max_words: int = 4) -> DataFrame:
     return docs_plain.select("doc_id", "text").mapInPandas(scan, _NGRAM)
 
 
+def first_token_set(
+    surfaces: DataFrame, col: str = "mention", max_rows: int = 5_000_000
+) -> frozenset[str] | None:
+    """Distinct first scanner-tokens of a surface table, as a driver set —
+    the n-gram generators' prefilter. None when the head set exceeds
+    ``max_rows`` (pruning is an optimization, never required)."""
+    heads = surfaces.select(
+        F.regexp_extract(col, CJK_TOKEN_PATTERN, 0).alias("ft")
+    ).distinct()
+    if heads.limit(max_rows + 1).count() > max_rows:
+        return None
+    return frozenset(r["ft"] for r in heads.collect())
+
+
 def detect_mentions_join(
     docs_plain: DataFrame,
     dictionary: DataFrame,
     max_words: int | None = None,
+    first_token_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Join-path detection for dictionaries too large to broadcast.
 
@@ -227,7 +258,12 @@ def detect_mentions_join(
     if max_words is None:
         row = dictionary.select(F.max(surface_token_count("mention")).alias("m")).first()
         max_words = int(row["m"]) if row and row["m"] else 1
-    grams = ngram_spans(docs_plain, max_words=max_words)
+    # first-token prefilter: the distinct-head set is far smaller than the
+    # dictionary (shared heads), so it usually broadcasts even when the
+    # dictionary can't; above the cap, skip pruning — the equi-join alone
+    # is still correct, just with max_words x more generated rows
+    first_tokens = first_token_set(dictionary, "mention", first_token_max_rows)
+    grams = ngram_spans(docs_plain, max_words=max_words, first_tokens=first_tokens)
     d = dictionary.select(F.col("mention").alias("surface"), "parse_from").distinct()
     return grams.join(d, "surface", "inner").select(
         "doc_id", "start", "end", "surface", "parse_from"
