@@ -55,8 +55,13 @@ def eval_on_conll(
         "doc_id", "start", "end"
     )
     links_for_linking = links.join(nil_spans, ["doc_id", "start", "end"], "left_anti")
-    return {
-        "dataset": conll_stats(gold).collect()[0].asDict(),
-        "mention": mention_prf(gold, links),
-        "linking": linking_prf(gold_linked, links_for_linking),
-    }
+    try:
+        return {
+            "dataset": conll_stats(gold).collect()[0].asDict(),
+            "mention": mention_prf(gold, links),
+            "linking": linking_prf(gold_linked, links_for_linking),
+        }
+    finally:
+        # don't leak cached blocks across repeated evaluations
+        for df_ in (links, gold, docs):
+            df_.unpersist()

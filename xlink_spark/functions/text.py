@@ -88,7 +88,9 @@ def tokens_lower_cjk(text: Column | str) -> Column:
     char/word-keyed embedding table instead of matching nothing.
     """
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(F.lower(c), F.lit(r"[一-鿿]|[^\s一-鿿]+"), 0)
+    # (?U): Java \s is ASCII-only by default; Unicode mode matches the
+    # Python scanner's tokenization (NBSP, ideographic space)
+    return F.regexp_extract_all(F.lower(c), F.lit(r"(?U)[一-鿿]|[^\s一-鿿]+"), 0)
 
 
 def make_tokenize_zh_udf():

@@ -121,8 +121,9 @@ def freq_m_from_plain(
     if max_ngram is None:
         row = surfaces.select(F.max(surface_token_count("mention")).alias("m")).first()
         max_ngram = int(row["m"]) if row and row["m"] else 1
+    # no JVM-side lower(): ngram_spans already lowers each emitted slice
     grams = ngram_spans(
-        docs_plain.select("doc_id", F.lower("text").alias("text")),
+        docs_plain.select("doc_id", "text"),
         max_words=max_ngram,
         first_tokens=first_token_set(surfaces),
     ).select(F.col("surface").alias("mention"))
@@ -209,10 +210,22 @@ def expand_title_entities(
 
 
 def filter_title_entities(
-    title_entities: DataFrame, entity_embeddings: DataFrame
+    title_entities: DataFrame,
+    entity_embeddings: DataFrame,
+    cfg: DictionaryConfig | None = None,
 ) -> DataFrame:
-    """F5: title_entities must have embeddings — main.py:338-357."""
-    return title_entities.join(
+    """F5: title_entities must have embeddings — main.py:338-357.
+
+    Also applies the ``max_surface_words`` cap (same bound as anchors): a
+    pathological long KB title would otherwise set the tt detection path's
+    n-gram width for the whole corpus.
+    """
+    from xlink_spark.operators.detect import surface_token_count
+
+    cfg = cfg or DictionaryConfig()
+    return title_entities.filter(
+        surface_token_count("mention") <= cfg.max_surface_words
+    ).join(
         entity_embeddings.select(F.col("key").alias("entity_id")), "entity_id", "left_semi"
     )
 

@@ -59,6 +59,11 @@ _DETECTED = StructType(
 # like "巴黎" (no separator) compares equal to the slice directly.
 CJK_TOKEN_PATTERN = r"[一-鿿]|[^\s一-鿿]+"
 _TOKEN_RE = re.compile(CJK_TOKEN_PATTERN)
+# Java-regex twin for JVM-side expressions: Python's \s is Unicode-aware
+# (NBSP, ideographic space U+3000) while Java's defaults to ASCII — (?U)
+# turns on UNICODE_CHARACTER_CLASS so both sides tokenize identically.
+# (?U) is NOT valid Python regex syntax, hence two constants.
+CJK_TOKEN_PATTERN_JAVA = "(?U)" + CJK_TOKEN_PATTERN
 
 
 def surface_token_count(surface) -> "F.Column":
@@ -66,7 +71,7 @@ def surface_token_count(surface) -> "F.Column":
     each; whitespace-separated non-CJK words count one each) — the unit of
     ``max_words`` / n-gram limits, matching ``_TOKEN_RE`` exactly."""
     c = F.col(surface) if isinstance(surface, str) else surface
-    return F.size(F.regexp_extract_all(c, F.lit(CJK_TOKEN_PATTERN), 0))
+    return F.size(F.regexp_extract_all(c, F.lit(CJK_TOKEN_PATTERN_JAVA), 0))
 
 
 def build_surface_dict(
@@ -115,7 +120,19 @@ def detect_mentions(
     join.
     """
     spark = docs_plain.sparkSession
-    bc = spark.sparkContext.broadcast(surface_dict)
+    # first-token index, built ONCE here and shipped with the dict — a
+    # surface starting at position i must begin with the token AT i, so the
+    # per-position probe depth is bounded by the longest surface sharing
+    # that first token (building it inside the scan closure would re-scan
+    # the whole dictionary per TASK, not per executor)
+    first_max: dict[str, int] = {}
+    for s_ in surface_dict:
+        m0 = _TOKEN_RE.match(s_)
+        ft = m0.group(0) if m0 else s_
+        nw_ = len(_TOKEN_RE.findall(s_))
+        if nw_ > first_max.get(ft, 0):
+            first_max[ft] = nw_
+    bc = spark.sparkContext.broadcast((surface_dict, first_max))
     limit = max(max_words, max((nw for nw, _ in surface_dict.values()), default=1))
     pt = list(passthrough)
     in_fields = {f.name: f for f in docs_plain.schema.fields}
@@ -124,19 +141,7 @@ def detect_mentions(
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sd = bc.value
-        # first-token index: a surface starting at position i must begin
-        # with the token AT i (slice equality ⇒ same first token), so the
-        # per-position probe depth is bounded by the longest surface
-        # sharing that first token — most positions probe 0 or 1 widths
-        # instead of `limit`. Built once per executor from the broadcast.
-        first_max: dict[str, int] = {}
-        for s_ in sd:
-            m0 = _TOKEN_RE.match(s_)
-            ft = m0.group(0) if m0 else s_
-            nw_ = len(_TOKEN_RE.findall(s_))
-            if nw_ > first_max.get(ft, 0):
-                first_max[ft] = nw_
+        sd, first_max = bc.value
         cols = ["doc_id", "start", "end", "surface", "parse_from", *pt]
         for pdf in batches:
             out: list[tuple] = []
@@ -146,14 +151,16 @@ def detect_mentions(
                 if not text:
                     continue
                 toks = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
-                low = text.lower()
                 i = 0
                 n = len(toks)
+                # slices come from the ORIGINAL text and are lowered per
+                # slice: lowering can change string LENGTH ("İ" → "i̇"), so
+                # offsets into a pre-lowered copy would drift off the text
                 while i < n:
-                    wmax = first_max.get(low[toks[i][0] : toks[i][1]], 0)
+                    wmax = first_max.get(text[toks[i][0] : toks[i][1]].lower(), 0)
                     for w in range(min(wmax, limit, n - i), 0, -1):
                         s, e = toks[i][0], toks[i + w - 1][1]
-                        cand = low[s:e]
+                        cand = text[s:e].lower()
                         if cand in sd:
                             out.append((doc_id, s, e, cand, sd[cand][1], *extras))
                     # always advance one token: matches beginning INSIDE an
@@ -209,15 +216,14 @@ def ngram_spans(
                 if not text:
                     continue
                 toks = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
-                low = text.lower()
                 n = len(toks)
                 for i in range(n):
                     s = toks[i][0]
-                    if allowed is not None and low[s : toks[i][1]] not in allowed:
+                    if allowed is not None and text[s : toks[i][1]].lower() not in allowed:
                         continue
                     for w in range(1, min(max_words, n - i) + 1):
                         e = toks[i + w - 1][1]
-                        out.append((doc_id, s, e, low[s:e]))
+                        out.append((doc_id, s, e, text[s:e].lower()))
             yield pd.DataFrame(out, columns=cols)
 
     return docs_plain.select("doc_id", "text").mapInPandas(scan, _NGRAM)
@@ -230,11 +236,12 @@ def first_token_set(
     the n-gram generators' prefilter. None when the head set exceeds
     ``max_rows`` (pruning is an optimization, never required)."""
     heads = surfaces.select(
-        F.regexp_extract(col, CJK_TOKEN_PATTERN, 0).alias("ft")
+        F.regexp_extract(col, CJK_TOKEN_PATTERN_JAVA, 0).alias("ft")
     ).distinct()
-    if heads.limit(max_rows + 1).count() > max_rows:
+    rows = heads.limit(max_rows + 1).collect()  # one job: size check + fetch
+    if len(rows) > max_rows:
         return None
-    return frozenset(r["ft"] for r in heads.collect())
+    return frozenset(r["ft"] for r in rows)
 
 
 def detect_mentions_join(
@@ -250,10 +257,9 @@ def detect_mentions_join(
     the Zipf-skewed head is handled by AQE skew-join splitting (session.py)
     and the probe side arrives pre-exploded, so no reducer owns a whole hot
     key's candidate work. Emits the same schema as ``detect_mentions`` and
-    the same post-``resolve_conflicts`` winners: the broadcast scanner's
-    longest-match-per-start pruning only removes spans that can never win
-    the W1 longest-surface pick (a shorter same-start span is a subset of
-    the longer one's overlap group).
+    exactly the same matches as the broadcast scanner (both emit ALL
+    dictionary hits, nested same-start spans included — required for
+    weighted multi-dict resolution).
     """
     if max_words is None:
         row = dictionary.select(F.max(surface_token_count("mention")).alias("m")).first()

@@ -81,14 +81,17 @@ def link_increment(
             return spark.read.parquet(os.path.join(committed, "data"))
     d = dictionary if dictionary is not None else load_dictionary(spark, store)
     held: list = []
-    links = link_corpus(
-        new_docs_plain, d, word_emb, entity_emb, cfg, persisted_out=held
-    )
-    store.commit(
-        "links", batch_id, links, metrics={"batch_id": batch_id}
-    )
-    for p_ in held:
-        p_.unpersist()
+    try:
+        links = link_corpus(
+            new_docs_plain, d, word_emb, entity_emb, cfg, persisted_out=held
+        )
+        store.commit(
+            "links", batch_id, links, metrics={"batch_id": batch_id}
+        )
+    finally:
+        # a failed commit must not leak cached blocks into the retry
+        for p_ in held:
+            p_.unpersist()
     # return THIS batch's committed snapshot, not the latest iteration —
     # re-running an older gap batch after newer ones committed must hand
     # back the gap batch's rows

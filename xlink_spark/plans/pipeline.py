@@ -73,7 +73,7 @@ def build_dictionary(
 
     def _titles():
         _, tt = AN.expand_title_entities(kb_entities, ma_refined)
-        return AN.filter_title_entities(tt, entity_emb)
+        return AN.filter_title_entities(tt, entity_emb, cfg.dictionary)
 
     ma_full = stage("mention_anchors", lambda: AN.filter_by_entity_embedding(_expanded(), entity_emb))
     title_entities = stage("title_entities", _titles)
