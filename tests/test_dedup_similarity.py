@@ -244,3 +244,41 @@ def test_bucketed_topk_multiprobe_improves_recall(spark):
     got6 = SIM.bucketed_topk(emb, dim=16, k=200, bits=6, probes=6)
     pairs6 = {(r["query_id"], r["neighbor_id"]) for r in got6.collect()}
     assert pairs0 <= pairs6
+
+
+def test_ivf_topk_recall_and_probe_monotonicity(spark):
+    """IVF ANN (k-means coarse quantizer): planted twins are recovered at
+    high recall, more probes never lose pairs, and nprobe=n_clusters equals
+    brute force exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(50, 12))
+    rows = []
+    for i, v in enumerate(base):
+        v = v / np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+        rows.append((1000 + i, (v + rng.normal(scale=0.05, size=12)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def twin_recall(nprobe):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in SIM.ivf_topk(emb, k=1, n_clusters=8, nprobe=nprobe)
+            .filter(F.col("rank") == 1)
+            .collect()
+        }
+        return sum(1 for i in range(50) if got.get(i) == 1000 + i) / 50
+
+    r1, r2 = twin_recall(1), twin_recall(2)
+    assert r2 >= r1 >= 0.9  # tight twins share a cluster almost always
+    # probing ALL clusters reproduces brute force exactly
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.brute_force_topk(emb, emb, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.ivf_topk(emb, k=3, n_clusters=8, nprobe=8).collect()
+    }
+    assert full == brute

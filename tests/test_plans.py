@@ -127,3 +127,19 @@ def test_linking_priors_plan_is_jvm_with_group_limit(spark):
         assert marker not in plan
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_topk_plan_shape(spark):
+    """IVF ANN: the neighbor search is an equi-join on cluster; the only
+    nested-loop product is against the broadcast centroid table."""
+    from xlink_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id int, embedding array<double>"
+    )
+    plan = _plan(SIM.ivf_topk(emb, k=2, n_clusters=2, nprobe=1))
+    # centroid ranking is allowed to be a broadcast nested loop (tiny build
+    # side); the neighbor join must NOT be — assert it's hash/sort equi-join
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -135,6 +135,81 @@ def bucketed_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + in-cluster search.
+
+    The second scale path next to SRP buckets: centroids are learned with
+    MLlib KMeans (JVM, optionally on a sample), every vector is assigned to
+    its nearest centroid, and each query searches its ``nprobe`` nearest
+    clusters. The only all-pairs product is vectors × the TINY broadcast
+    centroid table (≤ n_clusters rows) for probe ranking; the neighbor join
+    itself is an equi-join on cluster with fan-out nprobe × (cluster size).
+    Recall is tuned by n_clusters/nprobe. Deterministic given ``seed``.
+
+    Output: (query_id, neighbor_id, cos, rank). Self-matches excluded.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from xlink_spark.functions.vectors import norm as vnorm
+
+    feat = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_feat")
+    )
+    train = feat if sample_fraction is None else feat.sample(sample_fraction, seed=seed)
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cl").fit(train)
+    assigned = model.transform(feat).select(
+        F.col(id_col), F.col(vec_col), F.col("_cl").alias("cluster")
+    )
+    # centroid table is tiny: compute each vector's nprobe nearest centroids
+    # with a broadcast join + window rank (no driver-side loop per row)
+    centroids = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent = emb.sparkSession.createDataFrame(
+        centroids, "cluster int, cvec array<double>"
+    )
+    q = assigned.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).crossJoin(F.broadcast(cent))
+    # negative squared distance ranks identically to distance; dot-based
+    # expansion avoids materializing a diff array per centroid pair
+    d2 = (
+        dot("qv", "qv") - 2 * dot("qv", "cvec") + dot("cvec", "cvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("cluster").asc())
+    probes = (
+        q.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
+    )
+    scored = (
+        probes.join(c, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def knn_label_vote(topk: DataFrame, labels: DataFrame, id_col: str = "vec_id", label_col: str = "label") -> DataFrame:
     """Majority label among each query's neighbors (ties → smallest label)."""
     lab = labels.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel"))
