@@ -153,14 +153,19 @@ def detect_mentions(
                 toks = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
                 i = 0
                 n = len(toks)
-                # slices come from the ORIGINAL text and are lowered per
-                # slice: lowering can change string LENGTH ("İ" → "i̇"), so
-                # offsets into a pre-lowered copy would drift off the text
+                # lowering can change string LENGTH ("İ" → "i̇"), drifting
+                # offsets off a pre-lowered copy. Every char maps to ≥1
+                # char, so equal total length ⇔ 1:1 alignment — use the
+                # cheap pre-lowered copy then, per-slice lowering otherwise
+                low = text.lower()
+                aligned = len(low) == len(text)
                 while i < n:
-                    wmax = first_max.get(text[toks[i][0] : toks[i][1]].lower(), 0)
+                    a, b = toks[i][0], toks[i][1]
+                    ft = low[a:b] if aligned else text[a:b].lower()
+                    wmax = first_max.get(ft, 0)
                     for w in range(min(wmax, limit, n - i), 0, -1):
                         s, e = toks[i][0], toks[i + w - 1][1]
-                        cand = text[s:e].lower()
+                        cand = low[s:e] if aligned else text[s:e].lower()
                         if cand in sd:
                             out.append((doc_id, s, e, cand, sd[cand][1], *extras))
                     # always advance one token: matches beginning INSIDE an
@@ -217,13 +222,18 @@ def ngram_spans(
                     continue
                 toks = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
                 n = len(toks)
+                low = text.lower()
+                aligned = len(low) == len(text)  # see detect_mentions
                 for i in range(n):
                     s = toks[i][0]
-                    if allowed is not None and text[s : toks[i][1]].lower() not in allowed:
+                    ft = low[s : toks[i][1]] if aligned else text[s : toks[i][1]].lower()
+                    if allowed is not None and ft not in allowed:
                         continue
                     for w in range(1, min(max_words, n - i) + 1):
                         e = toks[i + w - 1][1]
-                        out.append((doc_id, s, e, text[s:e].lower()))
+                        out.append(
+                            (doc_id, s, e, low[s:e] if aligned else text[s:e].lower())
+                        )
             yield pd.DataFrame(out, columns=cols)
 
     return docs_plain.select("doc_id", "text").mapInPandas(scan, _NGRAM)
