@@ -60,3 +60,60 @@ def test_all_links_unions_batches(spark, inc_setup):
     link_increment(store, 1, second_half, wemb, eemb)
     total = all_links(spark, store).count()
     assert total == n0 + link_increment(store, 1, second_half, wemb, eemb).count()
+
+
+def test_gap_batch_recommit_returns_gap_rows(spark, inc_setup):
+    """Re-running a GAP batch after newer ones committed returns the gap's rows.
+
+    Batches 0/1 exist from earlier tests; commit 3 first, then link the gap
+    batch 2 — the returned frame must be batch 2's docs, not batch 3's latest
+    snapshot (plans/incremental.py gap-return path, round-1 advice fix).
+    """
+    store, base, newb, wemb, eemb = inc_setup
+    first_half = newb.filter(F.col("doc_id") < "d000075")
+    second_half = newb.filter(F.col("doc_id") >= "d000075")
+    link_increment(store, 3, first_half, wemb, eemb)  # newer batch lands first
+    got = link_increment(store, 2, second_half, wemb, eemb)
+    ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    assert ids, "gap batch produced no links"
+    assert all(i >= "d000075" for i in ids), "gap batch returned another batch's rows"
+    # and the gap batch is now committed + idempotent
+    assert 2 in store.iterations("links")
+    assert link_increment(store, 2, second_half.limit(0), wemb, eemb).count() == got.count()
+
+
+def test_crash_window_dirs_are_invisible(spark, tmp_path):
+    """Stale temp dirs / manifest-less half-commits never read as snapshots.
+
+    Plants (a) a temp dir in the OLD buggy namespace iter_00001.tmp-<hex>
+    with a manifest INSIDE (the exact pre-os.replace crash state that used to
+    crash last_iteration with ValueError), (b) a new-namespace .tmp- dir, and
+    (c) a manifest-less iter_00002 with readable parquet (crashed before the
+    manifest write). iterations/last_iteration/all_links must all ignore them.
+    """
+    import json
+    import os
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    store.commit("links", 0, spark.range(5).withColumnRenamed("id", "v"))
+    base = os.path.join(store.root, "links")
+
+    junk = spark.range(3).withColumnRenamed("id", "v")
+    # (a) old-namespace crashed temp, manifest already written inside
+    t1 = os.path.join(base, "iter_00001.tmp-ab12cd34")
+    junk.write.parquet(os.path.join(t1, "data"))
+    with open(os.path.join(t1, "MANIFEST.json"), "w") as f:
+        json.dump({"rows": 3}, f)
+    # (b) new-namespace crashed temp, also with manifest
+    t2 = os.path.join(base, ".tmp-iter_00003-deadbeef")
+    junk.write.parquet(os.path.join(t2, "data"))
+    with open(os.path.join(t2, "MANIFEST.json"), "w") as f:
+        json.dump({"rows": 3}, f)
+    # (c) half-written snapshot: data but no manifest
+    junk.write.parquet(os.path.join(base, "iter_00002", "data"))
+
+    assert store.iterations("links") == [0]
+    k, reader = store.last_iteration("links")
+    assert k == 0
+    assert reader(spark).count() == 5
+    assert all_links(spark, store).count() == 5

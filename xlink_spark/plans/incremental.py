@@ -72,13 +72,8 @@ def link_increment(
     repeated batches must not accumulate cached blocks.
     """
     spark = new_docs_plain.sparkSession
-    last = store.last_iteration("links")
-    if last is not None and last[0] >= batch_id:
-        committed = store._dir("links", batch_id)  # noqa: SLF001
-        import os
-
-        if os.path.exists(os.path.join(committed, "MANIFEST.json")):
-            return spark.read.parquet(os.path.join(committed, "data"))
+    if batch_id in store.iterations("links"):
+        return spark.read.parquet(store.iteration_data_path("links", batch_id))
     d = dictionary if dictionary is not None else load_dictionary(spark, store)
     held: list = []
     try:
@@ -95,16 +90,19 @@ def link_increment(
     # return THIS batch's committed snapshot, not the latest iteration —
     # re-running an older gap batch after newer ones committed must hand
     # back the gap batch's rows
-    import os
-
-    return spark.read.parquet(
-        os.path.join(store._dir("links", batch_id), "data")  # noqa: SLF001
-    )
+    return spark.read.parquet(store.iteration_data_path("links", batch_id))
 
 
 def all_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
-    """Union of every committed link batch (the lake's links view)."""
-    import os
+    """Union of every committed link batch (the lake's links view).
 
-    base = os.path.join(store.root, "links")
-    return spark.read.parquet(os.path.join(base, "iter_*", "data"))
+    Enumerates MANIFEST-VALID iterations through the store — never a path
+    glob, which would also match stale ``.tmp-`` dirs from a crashed commit
+    and manifest-less half-written batches.
+    """
+    iters = store.iterations("links")
+    if not iters:
+        raise FileNotFoundError("no committed link batches under links/")
+    return spark.read.parquet(
+        *[store.iteration_data_path("links", k) for k in iters]
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -25,6 +26,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST.json"
+# Committed iteration dirs match EXACTLY this — temp dirs are named outside
+# the namespace (.tmp-iter_...) so a crash mid-commit can never leave a dir
+# that listing code mistakes for a snapshot (int("00001.tmp-ab12") ValueError,
+# or a manifest-less half-write unioned into all_links).
+_ITER_RE = re.compile(r"^iter_(\d{5})$")
 
 
 class SnapshotStore:
@@ -38,7 +44,11 @@ class SnapshotStore:
         return os.path.join(self.root, name)
 
     def _commit_dir(self, path: str, df: DataFrame, metrics: dict | None) -> dict:
-        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        # temp lives OUTSIDE the committed-name namespace: a crash between
+        # manifest write and os.replace leaves ".tmp-iter_00001-<hex>", which
+        # no listing pattern (_ITER_RE, has_table) can ever match
+        parent, base = os.path.split(path)
+        tmp = os.path.join(parent, f".tmp-{base}-{uuid.uuid4().hex[:8]}")
         data_dir = os.path.join(tmp, "data")
         df.write.mode("overwrite").parquet(data_dir)
         # per-partition lineage + row counters come from the WRITTEN files'
@@ -80,21 +90,33 @@ class SnapshotStore:
     def commit(self, stage: str, iteration: int, df: DataFrame, metrics: dict | None = None) -> dict:
         return self._commit_dir(self._dir(stage, iteration), df, metrics)
 
+    def iterations(self, stage: str) -> list[int]:
+        """Sorted ids of manifest-valid committed iterations (and ONLY those).
+
+        Strict ``^iter_\\d{5}$`` match + manifest check: stale temp dirs from
+        a crashed commit and manifest-less half-writes are both invisible.
+        """
+        base = os.path.join(self.root, stage)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            m = _ITER_RE.match(d)
+            if m and self._is_valid(os.path.join(base, d)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def iteration_data_path(self, stage: str, iteration: int) -> str:
+        return os.path.join(self._dir(stage, iteration), "data")
+
     def last_iteration(
         self, stage: str
     ) -> tuple[int, Callable[[SparkSession], DataFrame]] | None:
-        base = os.path.join(self.root, stage)
-        if not os.path.isdir(base):
-            return None
-        iters = sorted(
-            int(d.split("_")[1])
-            for d in os.listdir(base)
-            if d.startswith("iter_") and self._is_valid(os.path.join(base, d))
-        )
+        iters = self.iterations(stage)
         if not iters:
             return None
         k = iters[-1]
-        path = os.path.join(self._dir(stage, k), "data")
+        path = self.iteration_data_path(stage, k)
         return k, lambda spark: spark.read.parquet(path)
 
     # -- named stage tables (pipeline resume) --------------------------------
