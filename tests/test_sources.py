@@ -155,6 +155,29 @@ def test_aida_conll_source(spark, tmp_path):
     assert d2.count() == 0 and g2.count() == 0
 
 
+def test_aida_conll_malformed_b_line(spark, tmp_path):
+    """A B line with a yago id but NO URL column is 'malformed', not NME —
+    the reference raises IndexError there (AnnotationFormatter.py:57); we
+    keep the row but never inflate the NME counters with it."""
+    from xlink_spark.sources import conll as CL
+
+    raw = (
+        "-DOCSTART- (1 bad)\n"
+        "Broken\tB\tBroken\tSomeYagoId\n"  # yago id, missing 5th URL column
+        "Tokyo\tB\tTokyo\t--NME--\n"
+        "ok\n"
+    )
+    p = tmp_path / "bad.conll"
+    p.write_text(raw)
+    kb_uris = spark.createDataFrame([("/wiki/X", "ex")], "uri string, entity_id string")
+    _docs, gold = CL.read_aida_conll(spark, str(p), kb_uris)
+    st = {r["mention"]: r["status"] for r in gold.collect()}
+    assert st == {"Broken": "malformed", "Tokyo": "nil_nme"}
+    s = CL.conll_stats(gold).collect()[0]
+    # nme counter counts ONLY the genuine --NME-- mention
+    assert (s["total_mentions"], s["nme_mentions"], s["nil_mentions"]) == (2, 1, 2)
+
+
 def test_eval_on_conll_end_to_end(spark, tmp_path):
     """S10 → link_corpus → A11/A12: a CoNLL dataset evaluates end to end,
     with gold offsets matching the predictor's char-exact spans."""

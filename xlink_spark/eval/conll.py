@@ -45,7 +45,13 @@ def eval_on_conll(
     # and the expensive linking DAG runs once, not per metric
     docs = docs.cache()
     gold = gold.cache()
-    links = link_corpus(docs, d, word_emb, entity_emb, cfg).cache()
+    # persisted_out: link_corpus persists intermediates internally; without a
+    # handle an F1 sweep calling eval repeatedly accumulates cached blocks
+    # until executor storage is exhausted
+    held: list = []
+    links = link_corpus(
+        docs, d, word_emb, entity_emb, cfg, persisted_out=held
+    ).cache()
     gold_linked = gold.filter(F.col("entity_id") != "NIL")
     # NIL convention: gold-NIL mentions are excluded from the linking score
     # ENTIRELY — a prediction at a NIL gold span must not count as a false
@@ -63,5 +69,5 @@ def eval_on_conll(
         }
     finally:
         # don't leak cached blocks across repeated evaluations
-        for df_ in (links, gold, docs):
+        for df_ in (links, gold, docs, *held):
             df_.unpersist()

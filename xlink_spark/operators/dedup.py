@@ -196,6 +196,7 @@ def minhash_dedup(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket: int | None = 1000,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs.
 
@@ -208,12 +209,18 @@ def minhash_dedup(
     The shingle table feeds FOUR consumers (signatures, both sides of the
     intersection join, set sizes); persist it spill-safe rather than
     re-exploding the corpus per consumer — measured 2x on the bench corpus.
+    ``persisted_out``: callers that run this repeatedly pass a list to
+    receive the persisted shingle handle and unpersist it once the result is
+    materialized — same contract as ``link_corpus`` — otherwise cached
+    blocks accumulate across calls.
     """
     from pyspark import StorageLevel
 
     sh = shingles(docs, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if persisted_out is not None:
+        persisted_out.append(sh)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, bands, max_bucket=max_bucket)
     return jaccard_verify(cand, sh, id_col, threshold)

@@ -160,8 +160,6 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from xlink_spark.functions.vectors import norm as vnorm
-
     feat = emb.select(
         F.col(id_col), F.col(vec_col), array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -149,7 +149,11 @@ def link_corpus(
         ma_cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb,
         exclusion="none",
     )
-    prob_links = SC.score_has_prob(ma_cands, d.link_prob, pcfg)
+    # entity_prior is only consumed when pcfg.believe_version == 1 (C10 v1);
+    # passing it unconditionally keeps the flag usable from the main pipeline
+    prob_links = SC.score_has_prob(
+        ma_cands, d.link_prob, pcfg, entity_prior=d.entity_prior
+    )
 
     # ---- no-prob pass (title dict) ------------------------------------------
     n_tt = d.title_entities.count()

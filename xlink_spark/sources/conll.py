@@ -51,6 +51,10 @@ _PARSED = StructType(
         StructField("end", IntegerType(), True),
         StructField("mention", StringType(), True),
         StructField("gold_url", StringType(), True),  # None ⇒ --NME--
+        # 1 ⇒ a B line claimed a yago id but carried no URL column — bad
+        # input, kept distinct from genuine --NME-- (the reference raises
+        # IndexError there, AnnotationFormatter.py:57)
+        StructField("malformed", IntegerType(), True),
     ]
 )
 
@@ -91,9 +95,11 @@ def parse_conll(files: DataFrame) -> DataFrame:
                 lead = 0 if final else len(doc) - len(doc.lstrip())
                 keep = (len(doc_mentions) > 0) if final else (len(text) > 0)
                 if keep:
-                    out.append((name, doc_idx, "doc", text, None, None, None, None))
-                    for s, e, m, url in doc_mentions:
-                        out.append((name, doc_idx, "mention", None, s - lead, e - lead, m, url))
+                    out.append((name, doc_idx, "doc", text, None, None, None, None, None))
+                    for s, e, m, url, bad in doc_mentions:
+                        out.append(
+                            (name, doc_idx, "mention", None, s - lead, e - lead, m, url, bad)
+                        )
                     doc_idx += 1
                 doc, doc_mentions = "", []
 
@@ -109,11 +115,16 @@ def parse_conll(files: DataFrame) -> DataFrame:
                     if len(arr) > 1:
                         flag, label, yago_id = arr[1], arr[2], arr[3]
                         if flag == "B":
-                            url = None
-                            if yago_id != "--NME--" and len(arr) > 4:
-                                url = arr[4][prefix_len:]
+                            url, bad = None, 0
+                            if yago_id != "--NME--":
+                                if len(arr) > 4:
+                                    url = arr[4][prefix_len:]
+                                else:
+                                    # yago id without a URL column: malformed
+                                    # input, not a genuine NME annotation
+                                    bad = 1
                             doc_mentions.append(
-                                (len(doc), len(doc) + len(label), label, url)
+                                (len(doc), len(doc) + len(label), label, url, bad)
                             )
                         if flag != "I":
                             doc += label + " "
@@ -140,8 +151,11 @@ def read_aida_conll(
 
     docs: (doc_id, text). gold_mentions: (doc_id, start, end, mention,
     gold_url, entity_id, status) with status ∈ {'linked', 'nil_nme',
-    'nil_miss'} — entity_id is 'NIL' for both nil statuses, matching the
-    reference's annotations.json tuples (AnnotationFormatter.py:62-70).
+    'nil_miss', 'malformed'} — entity_id is 'NIL' for the non-linked
+    statuses, matching the reference's annotations.json tuples
+    (AnnotationFormatter.py:62-70). 'malformed' marks B lines that claim a
+    yago id but carry no URL column (the reference raises IndexError there);
+    they are kept distinct so NME counters are never inflated by bad input.
 
     ``kb_uris``: (uri, entity_id) — the dictionary's URI index; when absent
     every non-NME mention is a miss (resolution happens later).
@@ -154,7 +168,7 @@ def read_aida_conll(
     )
     docs = parsed.filter(F.col("kind") == "doc").select("doc_id", "text")
     m = parsed.filter(F.col("kind") == "mention").select(
-        "doc_id", "start", "end", "mention", "gold_url"
+        "doc_id", "start", "end", "mention", "gold_url", "malformed"
     )
     if kb_uris is not None:
         m = m.join(
@@ -171,7 +185,8 @@ def read_aida_conll(
         "mention",
         "gold_url",
         F.coalesce("entity_id", F.lit("NIL")).alias("entity_id"),
-        F.when(F.col("gold_url").isNull(), F.lit("nil_nme"))
+        F.when(F.col("malformed") == 1, F.lit("malformed"))
+        .when(F.col("gold_url").isNull(), F.lit("nil_nme"))
         .when(F.col("entity_id").isNull(), F.lit("nil_miss"))
         .otherwise(F.lit("linked"))
         .alias("status"),
