@@ -130,16 +130,26 @@ def test_linking_priors_plan_is_jvm_with_group_limit(spark):
 
 
 def test_ivf_topk_plan_shape(spark):
-    """IVF ANN: the neighbor search is an equi-join on cluster; the only
-    nested-loop product is against the broadcast centroid table."""
+    """IVF ANN: probe assignment is a pure scan expression (centroids ride as
+    literals — NO join of any kind for assignment) and the neighbor search is
+    an equi-join on cluster; no Python anywhere."""
     from xlink_spark.operators import similarity as SIM
 
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(10)], "vec_id int, embedding array<double>"
     )
     plan = _plan(SIM.ivf_topk(emb, k=2, n_clusters=2, nprobe=1))
-    # centroid ranking is allowed to be a broadcast nested loop (tiny build
-    # side); the neighbor join must NOT be — assert it's hash/sort equi-join
-    assert "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_ivf_driver_query_plan_shape(spark):
+    """The oracle-checked IVF entry point (frozen data-derived centroids)
+    keeps the same shape: no cross join, no Python eval nodes."""
+    from xlink_spark.driver_queries import q_ann_topk_ivf
+
+    plan = _plan(q_ann_topk_ivf(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan

@@ -867,19 +867,84 @@ select query_id, neighbor_id, rank from (
 """
 
 
+_IVF_NPROBE = 2
+_IVF_N_CENTROIDS = 16  # embeddings with vec_id < 16 serve as the frozen quantizer
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN top-5 — the second scale path (equi-join on cluster).
+
+    The coarse quantizer is FROZEN data-derived centroids: the embeddings
+    with ``vec_id < 16`` stand in for an offline-trained KMeans artifact
+    (the production serving shape — a quantizer is trained once, then served
+    as a tiny constant; it is never refit inside a query). Both engines
+    select the SAME rows as centroids, so assignment, nprobe ranking and the
+    in-cluster top-k are bit-portable. All-pairs like ann_topk_srp.
+    """
+    emb = spark.read.parquet(_T(sf_dir, "embeddings")).select("vec_id", "embedding")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < _IVF_N_CENTROIDS).collect()
+    )
+    return SIM.ivf_topk(
+        emb, k=5, nprobe=_IVF_NPROBE, centroids=cents
+    ).select("query_id", "neighbor_id", "rank")
+
+
+# the oracle mirrors centroid_probe_clusters' exact arithmetic: full
+# d2 = v·v − 2·v·c + c·c on DOUBLE lists (sequential folds on both engines),
+# ties broken by cluster id — then the same equi-join + top-k window
+SQL_ANN_TOPK_IVF = f"""
+with cent as (
+  select vec_id as cluster, embedding::DOUBLE[] as cvec
+  from embeddings where vec_id < {_IVF_N_CENTROIDS}
+),
+r as (
+  select e.vec_id, e.embedding, c.cluster,
+         row_number() over (
+           partition by e.vec_id
+           order by list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                  - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                  + list_dot_product(c.cvec, c.cvec) asc,
+                  c.cluster asc
+         ) as pr
+  from embeddings e cross join cent c
+),
+assigned as (select vec_id as neighbor_id, embedding as nv, cluster from r where pr = 1),
+probes as (select vec_id as query_id, embedding as qv, cluster from r where pr <= {_IVF_NPROBE}),
+scored as (
+  select p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv, a.nv), 6) as cos
+  from probes p join assigned a using (cluster)
+  where a.neighbor_id <> p.query_id
+)
+select query_id, neighbor_id, rank from (
+  select *, row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored
+) where rank <= 5
+"""
+
+
 def q_knn_vote(spark, sf_dir):
-    """kNN label vote over the top-5 neighbors."""
+    """kNN label vote over each query's top-5 SRP-bucketed neighbors.
+
+    The vote rides the AT-SCALE ANN (equi-join on bucket), not the crossJoin
+    baseline; queries are the vec_id % 50 == 0 subset — the filter sits on
+    the window's partition key, so it pushes below the rank."""
     emb = spark.read.parquet(_T(sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    topk = SIM.brute_force_topk(queries, emb, k=5)
+    topk = SIM.bucketed_topk(
+        emb.select("vec_id", "embedding"),
+        dim=_EMB_DIM, k=5, bits=_SRP_BITS, seed=_SRP_SEED,
+    ).filter(F.col("query_id") % 50 == 0)
     return SIM.knn_label_vote(topk, emb.select("vec_id", "label"))
 
 
-SQL_KNN_VOTE = f"""
-with topk as ({SQL_ANN_TOPK}),
+SQL_KNN_VOTE_TEMPLATE = """
+with topk as ({srp_topk}),
 votes as (
   select t.query_id, e.label as nlabel, count(*) as votes
   from topk t join embeddings e on e.vec_id = t.neighbor_id
+  where t.query_id % 50 = 0
   group by 1, 2
 )
 select query_id, nlabel as pred_label, votes from (
@@ -1150,6 +1215,7 @@ QUERIES: dict[str, Query] = {
     "language_id": q_language_id,
     "ann_topk": q_ann_topk,
     "ann_topk_srp": q_ann_topk_srp,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "knn_vote": q_knn_vote,
     "embedding_neardup": q_embedding_neardup,
     "linking_priors": q_linking_priors,
@@ -1189,7 +1255,10 @@ ORACLES: dict[str, str] = {
     "language_id": SQL_LANGUAGE_ID,
     "ann_topk": SQL_ANN_TOPK,
     "ann_topk_srp": SQL_ANN_TOPK_SRP_TEMPLATE.format(bucket=_srp_bucket_sql()),
-    "knn_vote": SQL_KNN_VOTE,
+    "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+    "knn_vote": SQL_KNN_VOTE_TEMPLATE.format(
+        srp_topk=SQL_ANN_TOPK_SRP_TEMPLATE.format(bucket=_srp_bucket_sql())
+    ),
     "embedding_neardup": SQL_EMBEDDING_NEARDUP_TEMPLATE.format(
         bucket=_srp_bucket_sql()
     ),

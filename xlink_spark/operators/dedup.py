@@ -25,7 +25,7 @@ hashing is content-derived (no Python round-trips).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xlink_spark.functions.text import tokens_lower
@@ -112,11 +112,15 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
-        widths = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_w"))
-        banded = banded.join(
-            widths.filter(F.col("_w") <= max_bucket).select("band", "key"),
-            ["band", "key"],
-            "left_semi",
+        # width as a COUNT window over (band, key): one exchange computes the
+        # widths AND leaves the data hash-partitioned on the join key, so the
+        # a×b self-join below reuses it — vs the old aggregate + semi-join,
+        # which re-shuffled the banded table twice
+        wspec = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
         )
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "key")

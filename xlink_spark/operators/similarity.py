@@ -17,8 +17,6 @@ exists in functions.vectors for very wide fan-outs.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,6 +133,30 @@ def bucketed_topk(
     )
 
 
+def centroid_probe_clusters(vec_col, centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Expression: the ``nprobe`` nearest centroid ids for a vector column.
+
+    The coarse quantizer is by definition tiny (≤ a few thousand centroids),
+    so the centroids ride into the plan as literals and probe ranking is a
+    pure per-row expression — array_sort over (d², id) structs — instead of
+    a vectors × centroids join + window shuffle. Assignment of 10^12 vectors
+    becomes scan-speed map work; NOTHING shuffles until the in-cluster join.
+
+    Distance is the full d² = v·v − 2·v·c + c·c with every dot computed as a
+    sequential double fold — the exact arithmetic a SQL oracle reproduces
+    with list_dot_product on double lists, so assignments are engine-portable.
+    """
+    structs = []
+    for cid, cvec in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = dot(vec_col, vec_col) - 2 * dot(vec_col, arr) + dot(arr, arr)
+        structs.append(F.struct(d2.alias("d"), F.lit(int(cid)).alias("c")))
+    ranked = F.array_sort(F.array(*structs))  # lexicographic: d asc, then id asc
+    return F.transform(
+        F.slice(ranked, 1, min(nprobe, len(centroids))), lambda s: s["c"]
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -144,59 +166,52 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer + in-cluster search.
+    """IVF (inverted-file) ANN: coarse quantizer + in-cluster search.
 
-    The second scale path next to SRP buckets: centroids are learned with
-    MLlib KMeans (JVM, optionally on a sample), every vector is assigned to
-    its nearest centroid, and each query searches its ``nprobe`` nearest
-    clusters. The only all-pairs product is vectors × the TINY broadcast
-    centroid table (≤ n_clusters rows) for probe ranking; the neighbor join
-    itself is an equi-join on cluster with fan-out nprobe × (cluster size).
-    Recall is tuned by n_clusters/nprobe. Deterministic given ``seed``.
+    The second scale path next to SRP buckets. ``centroids`` is the frozen
+    coarse quantizer as (cluster_id, vector) pairs — the production shape: a
+    quantizer is trained once offline and served as a tiny artifact, never
+    refit per query. When omitted, MLlib KMeans learns it here (JVM,
+    optionally on a ``sample_fraction`` of the input; deterministic given
+    ``seed``). Either way, assignment + probe ranking is one scan-speed
+    expression (``centroid_probe_clusters``): each vector's inverted-file
+    cluster is its nearest centroid, each query probes its ``nprobe``
+    nearest — and the neighbor search is an equi-join on cluster with
+    fan-out nprobe × (cluster size). No cross join anywhere; recall is tuned
+    by n_clusters/nprobe.
 
     Output: (query_id, neighbor_id, cos, rank). Self-matches excluded.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    feat = emb.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("_feat")
+        feat = emb.select(
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("_feat")
+        )
+        train = feat if sample_fraction is None else feat.sample(sample_fraction, seed=seed)
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat").fit(train)
+        centroids = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    probes = centroid_probe_clusters(F.col(vec_col), centroids, nprobe)
+    base = emb.select(F.col(id_col), F.col(vec_col), probes.alias("_probes"))
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.element_at("_probes", 1).alias("cluster"),  # inverted-file home
     )
-    train = feat if sample_fraction is None else feat.sample(sample_fraction, seed=seed)
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cl").fit(train)
-    assigned = model.transform(feat).select(
-        F.col(id_col), F.col(vec_col), F.col("_cl").alias("cluster")
-    )
-    # centroid table is tiny: compute each vector's nprobe nearest centroids
-    # with a broadcast join + window rank (no driver-side loop per row)
-    centroids = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent = emb.sparkSession.createDataFrame(
-        centroids, "cluster int, cvec array<double>"
-    )
-    q = assigned.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).crossJoin(F.broadcast(cent))
-    # negative squared distance ranks identically to distance; dot-based
-    # expansion avoids materializing a diff array per centroid pair
-    d2 = (
-        dot("qv", "qv") - 2 * dot("qv", "cvec") + dot("cvec", "cvec")
-    )
-    wq = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("cluster").asc())
-    probes = (
-        q.withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= nprobe)
-        .select("query_id", "qv", "cluster")
-    )
-    c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
+    q = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode("_probes").alias("cluster"),
     )
     scored = (
-        probes.join(c, "cluster")
+        q.join(c, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine("qv", "nv"), 6))
     )
