@@ -47,6 +47,36 @@ def test_standardize_corpus(spark, tmp_path, kb):
     assert reasons == ["bad_shape", "invalid_markup", "unresolved_entity"]
 
 
+def test_standardize_corpus_manifests_quarantine_counters(spark, tmp_path, kb):
+    """With a store, the stage manifest records the observed error_no
+    tallies: per-reason reject counts + accepted rows — and both committed
+    tables read back resume-style."""
+    from xlink_spark.plans.snapshots import SnapshotStore
+
+    kb_entities, kb_uris = kb
+    lines = [
+        "Alpha\t\t\t\thttp://KB/e1\t\tsome [[e2|beta]] text",
+        "Gamma\t\t\t\tmissing://x\t\tno resolution here",     # unresolved
+        "Delta also bad",                                      # bad shape
+        "BadShape only two cols",                              # bad shape
+        "Alpha\t\t\t\thttp://kb/e1\t\tbroken [[e2|anchor",     # invalid markup
+    ]
+    p = tmp_path / "raw.txt"
+    p.write_text("\n".join(lines))
+    store = SnapshotStore(str(tmp_path / "snap"))
+    docs, quarantined = CS.standardize_corpus(
+        spark, str(p), kb_uris, kb_entities, store=store
+    )
+    assert docs.count() == 1 and quarantined.count() == 4
+    m = store.manifest("standard_corpus")["metrics"]
+    assert m["quarantine"] == {
+        "rejected": 4, "bad_shape": 2, "unresolved_entity": 1, "invalid_markup": 1
+    }
+    assert m["accepted_rows"] == 1
+    qm = store.manifest("standard_corpus_quarantine")
+    assert qm["rows"] == 4 and qm["metrics"]["quarantine"]["rejected"] == 4
+
+
 def test_infobox_pre_refine(spark):
     df = spark.createDataFrame([('{"born":"1900","field":"math"}',)], "content string")
     got = CS.infobox_pre_refine(df).collect()[0]["flat_text"]

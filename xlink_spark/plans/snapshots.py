@@ -43,7 +43,13 @@ class SnapshotStore:
         name = stage if iteration is None else os.path.join(stage, f"iter_{iteration:05d}")
         return os.path.join(self.root, name)
 
-    def _commit_dir(self, path: str, df: DataFrame, metrics: dict | None) -> dict:
+    def _commit_dir(
+        self,
+        path: str,
+        df: DataFrame,
+        metrics: dict | None,
+        metrics_fn: Callable[[], dict] | None = None,
+    ) -> dict:
         # temp lives OUTSIDE the committed-name namespace: a crash between
         # manifest write and os.replace leaves ".tmp-iter_00001-<hex>", which
         # no listing pattern (_ITER_RE, has_table) can ever match
@@ -55,10 +61,16 @@ class SnapshotStore:
         # parquet footers — exact, driver-side, zero recompute (the old
         # df.count() re-ran the whole producing plan a second time)
         per_file = self._file_row_counts(data_dir)
+        # metrics_fn runs AFTER the data write: DataFrame.observe counters
+        # only exist once the action has run, and the manifest is written
+        # last anyway — this is how observed lineage lands in the manifest
+        resolved_metrics = dict(metrics or {})
+        if metrics_fn is not None:
+            resolved_metrics.update(metrics_fn() or {})
         manifest = {
             "rows": sum(per_file.values()),
             "committed_at": time.time(),
-            "metrics": metrics or {},
+            "metrics": resolved_metrics,
             "partitions": len(per_file),
             # cap the per-partition map so manifests stay small at 100 TB;
             # the full detail lives in the parquet footers regardless
@@ -120,8 +132,14 @@ class SnapshotStore:
         return k, lambda spark: spark.read.parquet(path)
 
     # -- named stage tables (pipeline resume) --------------------------------
-    def commit_table(self, name: str, df: DataFrame, metrics: dict | None = None) -> dict:
-        return self._commit_dir(self._dir(name), df, metrics)
+    def commit_table(
+        self,
+        name: str,
+        df: DataFrame,
+        metrics: dict | None = None,
+        metrics_fn: Callable[[], dict] | None = None,
+    ) -> dict:
+        return self._commit_dir(self._dir(name), df, metrics, metrics_fn)
 
     def has_table(self, name: str) -> bool:
         return self._is_valid(self._dir(name))

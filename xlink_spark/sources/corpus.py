@@ -88,11 +88,16 @@ def resolve_doc_entity(
     ).drop("_uri", "_puri", "_ft", "_eid_uri", "_eid_parent", "_eid_title")
 
 
+_QUARANTINE_REASONS = ("bad_shape", "unresolved_entity", "invalid_markup")
+
+
 def standardize_corpus(
     spark,
     path: str,
     kb_uris: DataFrame,
     kb_entities: DataFrame,
+    store=None,
+    stage: str = "standard_corpus",
 ) -> tuple[DataFrame, DataFrame]:
     """S1 end-to-end: raw lines → (documents(spans), quarantined).
 
@@ -102,6 +107,13 @@ def standardize_corpus(
     the quarantine DataFrame with a reason column (error_no semantics,
     prepare_standard_input.py:349-398 — but keeping the rows, not just the
     count).
+
+    ``store``: when a SnapshotStore is given, both sides are committed —
+    ``<stage>_quarantine`` first (its write evaluates an observe() on the
+    reject stream), then ``<stage>`` with the per-reason reject counters and
+    the observed accepted-row count recorded in its manifest metrics: the
+    reference's error_no tallies, durably attached to the snapshot they
+    describe.
     """
     raw = read_raw_corpus(spark, path)
     resolved = resolve_doc_entity(raw, kb_uris, kb_entities)
@@ -110,7 +122,7 @@ def standardize_corpus(
         & F.col("entity_id").isNotNull()
         & is_markup_valid(F.coalesce("content", F.lit("")))
     )
-    valid, invalid, _obs = quarantine_split(resolved, ok_pred, "corpus_standardize")
+    valid, invalid, obs = quarantine_split(resolved, ok_pred, "corpus_standardize")
     invalid = invalid.withColumn(
         "reason",
         F.when(~F.col("_shape_ok"), F.lit("bad_shape"))
@@ -119,7 +131,34 @@ def standardize_corpus(
     )
     docs = valid.select(F.col("entity_id").alias("doc_id"), F.col("content").alias("text"))
     spans = parse_markup_to_spans(docs)
-    return spans, invalid
+    if store is None:
+        return spans, invalid
+
+    from pyspark.sql import Observation
+
+    inv_obs = Observation()
+    invalid_observed = invalid.observe(
+        inv_obs,
+        F.count(F.lit(1)).alias("rejected"),
+        *[
+            F.sum((F.col("reason") == r).cast("long")).alias(r)
+            for r in _QUARANTINE_REASONS
+        ],
+    )
+    store.commit_table(
+        f"{stage}_quarantine",
+        invalid_observed,
+        metrics_fn=lambda: {"quarantine": {k: int(v or 0) for k, v in inv_obs.get.items()}},
+    )
+    store.commit_table(
+        stage,
+        spans,
+        metrics_fn=lambda: {
+            "quarantine": {k: int(v or 0) for k, v in inv_obs.get.items()},
+            "accepted_rows": int(obs.get["rows"]),
+        },
+    )
+    return store.read_table(spark, stage), store.read_table(spark, f"{stage}_quarantine")
 
 
 def mark_title_mentions(resolved: DataFrame) -> DataFrame:
