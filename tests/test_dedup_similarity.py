@@ -206,6 +206,59 @@ def test_multimodal_feature_neardup_end_to_end(spark, sdfs):
     assert hits >= n  # every asset finds its twin (in at least one direction)
 
 
+def test_contamination_hits(spark):
+    """Decontamination: a doc sharing ≥min_hits distinct n-grams with the
+    eval set is flagged with the exact overlap count; others are not."""
+    from xlink_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "the quick brown fox jumps over the lazy dog today"),
+            ("c2", "entirely different words with no benchmark overlap here"),
+            ("c3", "quick brown fox appears once"),  # 2 shared 3-grams
+        ],
+        "doc_id string, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [("e1", "the quick brown fox jumps")], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: r["hits"]
+        for r in DD.contamination_hits(corpus, eval_docs, ngram=3, min_hits=2).collect()
+    }
+    # eval 3-grams: {the quick brown, quick brown fox, brown fox jumps};
+    # c1 contains all 3; c3 shares only 'quick brown fox' (1 < min_hits)
+    assert got == {"c1": 3}
+    got1 = {
+        r["doc_id"]: r["hits"]
+        for r in DD.contamination_hits(corpus, eval_docs, ngram=3, min_hits=1).collect()
+    }
+    assert got1 == {"c1": 3, "c3": 1}
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: twins in the same cluster collapse to the min-id survivor;
+    distinct-cluster vectors survive untouched."""
+    from xlink_spark.operators import dedup as DD
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = [
+        (10, [0.9, 0.1, 0.0]),   # cluster 0
+        (11, [0.9, 0.1, 0.0]),   # exact twin of 10 → dropped
+        (12, [0.95, 0.05, 0.0]), # cluster 0, but cos(10,12) < 0.999? close...
+        (20, [0.1, 0.9, 0.0]),   # cluster 1
+        (21, [0.1, 0.9, 0.0]),   # twin of 20 → dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in DD.semantic_dedup(emb, cents, threshold=0.9999).collect()
+    }
+    assert got[10] == (0, True) and got[11] == (0, False)
+    assert got[20] == (1, True) and got[21] == (1, False)
+    assert got[12][0] == 0 and got[12][1]  # near but below threshold: kept
+
+
 def test_real_bmp_wav_decode_to_srp_neardup(spark):
     """REAL media decode, no fake path: hand-built BMP and WAV payloads
     decode to pixel/sample histogram features (verified against a driver-side

@@ -694,6 +694,48 @@ where i / (za.sz + zb.sz - i) >= 0.5
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Train/test decontamination: corpus docs sharing ≥2 distinct 3-gram
+    shingles with a benchmark stand-in (the first-60%-token truncations of
+    every 97th doc — partial overlap, derived identically by both engines).
+    The eval shingle set broadcasts; the corpus is scanned once."""
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        spark.read.parquet(_T(sf_dir, "documents"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), F.lower("text").alias("text"))
+        .repartition(par, "doc_id")
+    )
+    corpus = base.withColumn("doc_id", F.col("doc_id").cast("string"))
+    t = base.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.split("text", r"\s+").alias("t")
+    )
+    eval_docs = t.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice("t", 1, F.greatest((F.size("t") * 6 / 10).cast("int"), F.lit(1)))
+        ).alias("text"),
+    )
+    return DD.contamination_hits(corpus, eval_docs, ngram=3, min_hits=2)
+
+
+_SQL_EVAL_CORPUS = """
+  select doc_id::varchar as doc_id,
+         array_to_string(t[1:greatest((len(t) * 6 // 10)::int, 1)], ' ') as text
+  from (select doc_id, regexp_split_to_array(lower(text), '\\s+') as t
+        from documents where doc_id % 97 = 0)
+"""
+
+SQL_CONTAMINATION = f"""
+with csh as ({_sql_shingles("select doc_id::varchar as doc_id, lower(text) as text from documents")}),
+esh as (select distinct shingle from ({_sql_shingles(_SQL_EVAL_CORPUS)}) where shingle <> '')
+select c.doc_id, count(*) as hits
+from csh c join esh e using (shingle)
+where c.shingle <> ''
+group by 1
+having count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------- textstats
 def q_token_counts(spark, sf_dir):
     docs = spark.read.parquet(_T(sf_dir, "documents"))
@@ -922,6 +964,58 @@ select query_id, neighbor_id, rank from (
   select *, row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
   from scored
 ) where rank <= 5
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over embeddings ∪ exact twins: nearest-frozen-centroid
+    clusters (same quantizer rows as ann_topk_ivf), min-id survivor per
+    cosine-0.999 neighborhood. Twins always share a cluster, so every twin
+    is dropped; output is the full (vec_id, cluster, kept) accounting."""
+    emb = spark.read.parquet(_T(sf_dir, "embeddings")).select("vec_id", "embedding")
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    both = emb.unionByName(twin)
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < _IVF_N_CENTROIDS).collect()
+    )
+    out = DD.semantic_dedup(both, cents, threshold=0.999)
+    return out.select("vec_id", "cluster", F.col("kept").cast("int").alias("kept"))
+
+
+SQL_SEMANTIC_DEDUP = f"""
+with uni as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 100000 as vec_id, embedding from embeddings
+),
+cent as (
+  select vec_id as cluster, embedding::DOUBLE[] as cvec
+  from embeddings where vec_id < {_IVF_N_CENTROIDS}
+),
+r as (
+  select u.vec_id, u.embedding, c.cluster,
+         row_number() over (
+           partition by u.vec_id
+           order by list_dot_product(u.embedding::DOUBLE[], u.embedding::DOUBLE[])
+                  - 2 * list_dot_product(u.embedding::DOUBLE[], c.cvec)
+                  + list_dot_product(c.cvec, c.cvec) asc,
+                  c.cluster asc
+         ) as pr
+  from uni u cross join cent c
+),
+assigned as (select vec_id, embedding, cluster from r where pr = 1),
+dropped as (
+  select distinct b.vec_id
+  from assigned a join assigned b on a.cluster = b.cluster and a.vec_id < b.vec_id
+  where list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+)
+select vec_id, cluster,
+       (vec_id not in (select vec_id from dropped))::int as kept
+from assigned
 """
 
 
@@ -1218,6 +1312,8 @@ QUERIES: dict[str, Query] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "knn_vote": q_knn_vote,
     "embedding_neardup": q_embedding_neardup,
+    "contamination": q_contamination,
+    "semantic_dedup": q_semantic_dedup,
     "linking_priors": q_linking_priors,
     "connected_components": q_connected_components,
     "sample_docs_o3": q_sample_docs_o3,
@@ -1262,6 +1358,8 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP_TEMPLATE.format(
         bucket=_srp_bucket_sql()
     ),
+    "contamination": SQL_CONTAMINATION,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "linking_priors": SQL_LINKING_PRIORS,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "sample_docs_o3": SQL_SAMPLE_DOCS_O3,

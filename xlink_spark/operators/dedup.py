@@ -310,3 +310,76 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Train/test decontamination: docs sharing n-grams with a held-out set.
+
+    The standard LLM-curation rule (GPT-3 appendix C / PaLM style): a
+    training document is contaminated if it shares at least ``min_hits``
+    distinct word ``ngram``-grams with any document of the evaluation
+    corpus. Output: (doc_id, hits) for contaminated docs — anti-join it
+    against the corpus to get the clean view.
+
+    100-TB shape: the eval side is benchmark-sized (thousands of docs) — its
+    distinct shingle set broadcasts, so the check is a map-side semi of the
+    corpus shingle scan plus one count aggregate keyed by doc; the corpus is
+    touched exactly once and nothing quadratic exists anywhere.
+    """
+    corpus_sh = shingles(docs, text_col, id_col, ngram)
+    eval_sh = shingles(eval_docs, text_col, id_col, ngram).select("shingle").distinct()
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))  # shingles are distinct per doc
+        .filter(F.col("hits") >= min_hits)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style pruning (Abbas et al. '23): per-cluster cosine dedup.
+
+    Every vector is assigned to its nearest centroid (scan-speed literal
+    expression — similarity.centroid_probe_clusters); within each cluster, a
+    vector is dropped iff a SMALLER-id vector of the same cluster sits at
+    cosine ≥ ``threshold`` (deterministic min-id survivor — the
+    SQL-expressible variant of the paper's greedy sweep). Output:
+    (vec_id, cluster, kept).
+
+    100-TB shape: the only pair product is within clusters (the quantizer's
+    balance is the knob, same as IVF search); the drop test is one blocked
+    self-join + semi-join back — no global quadratic anywhere.
+    """
+    from xlink_spark.operators.similarity import centroid_probe_clusters
+
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(
+            centroid_probe_clusters(F.col(vec_col), centroids, nprobe=1), 1
+        ).alias("cluster"),
+    )
+    pairs = embedding_near_duplicates(
+        assigned, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        block_col="cluster",
+    )
+    # id_a < id_b by construction: b loses, min-id survivor stays
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "_dropped", F.lit(1)
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        id_col, "cluster", F.col("_dropped").isNull().alias("kept")
+    )
