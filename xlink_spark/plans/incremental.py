@@ -73,7 +73,7 @@ def link_increment(
     """
     spark = new_docs_plain.sparkSession
     if batch_id in store.iterations("links"):
-        return spark.read.parquet(store.iteration_data_path("links", batch_id))
+        return store.read_iteration(spark, "links", batch_id)
     d = dictionary if dictionary is not None else load_dictionary(spark, store)
     held: list = []
     try:
@@ -90,7 +90,7 @@ def link_increment(
     # return THIS batch's committed snapshot, not the latest iteration —
     # re-running an older gap batch after newer ones committed must hand
     # back the gap batch's rows
-    return spark.read.parquet(store.iteration_data_path("links", batch_id))
+    return store.read_iteration(spark, "links", batch_id)
 
 
 def all_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
@@ -100,9 +100,4 @@ def all_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
     glob, which would also match stale ``.tmp-`` dirs from a crashed commit
     and manifest-less half-written batches.
     """
-    iters = store.iterations("links")
-    if not iters:
-        raise FileNotFoundError("no committed link batches under links/")
-    return spark.read.parquet(
-        *[store.iteration_data_path("links", k) for k in iters]
-    )
+    return store.read_iterations_union(spark, "links")

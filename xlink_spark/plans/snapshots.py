@@ -121,6 +121,19 @@ class SnapshotStore:
     def iteration_data_path(self, stage: str, iteration: int) -> str:
         return os.path.join(self._dir(stage, iteration), "data")
 
+    def read_iteration(self, spark: SparkSession, stage: str, iteration: int) -> DataFrame:
+        return spark.read.parquet(self.iteration_data_path(stage, iteration))
+
+    def read_iterations_union(self, spark: SparkSession, stage: str) -> DataFrame:
+        """Union of every manifest-valid iteration — one multi-path parquet
+        scan (a single FileScan node, not an N-way union)."""
+        iters = self.iterations(stage)
+        if not iters:
+            raise FileNotFoundError(f"no committed iterations under {stage}/")
+        return spark.read.parquet(
+            *[self.iteration_data_path(stage, k) for k in iters]
+        )
+
     def last_iteration(
         self, stage: str
     ) -> tuple[int, Callable[[SparkSession], DataFrame]] | None:
@@ -161,6 +174,140 @@ class SnapshotStore:
         exactly the reference's 9-step numbered-main resume-by-hand
         (main.py:405-481), made automatic.
         """
+        if not self.has_table(name):
+            self.commit_table(name, compute(), metrics)
+        return self.read_table(spark, name)
+
+
+class CatalogSnapshotStore:
+    """The same commit protocol over catalog tables (``df.writeTo``).
+
+    Drop-in for :class:`SnapshotStore` — identical method surface, so every
+    consumer (build_dictionary stage memoization, the CC loop,
+    link_increment/all_links) runs unchanged against either backend; the
+    resume tests pin both.
+
+    Data lands via ``df.writeTo(ns_name).using("parquet").createOrReplace()``
+    and the manifest is a single-row JSON table written LAST — a snapshot is
+    valid iff its ``__manifest`` table exists, the same manifest-last rule as
+    the directory store. With an Iceberg catalog configured (production),
+    ``createOrReplace`` is an atomic metadata swap and every commit is an
+    Iceberg snapshot with time travel for free. This container ships no
+    Iceberg jar, so tests run against Spark's built-in session catalog: the
+    same code, functionally identical, minus the catalog-side atomicity that
+    the manifest-last rule covers anyway.
+
+    ``rows`` in the manifest comes from a count over the committed table
+    (the session catalog exposes no file-footer shortcut); per-partition
+    lineage stays with the directory store, whose parquet footers are
+    directly readable.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str = "snap"):
+        self.spark = spark
+        self.ns = namespace
+
+    # -- naming --------------------------------------------------------------
+    def _t(self, name: str, iteration: int | None = None) -> str:
+        base = f"{self.ns}_{name}"
+        return base if iteration is None else f"{base}_iter_{iteration:05d}"
+
+    # -- low-level commit ----------------------------------------------------
+    def _write(self, tbl: str, df: DataFrame) -> None:
+        """writeTo().createOrReplace() where the catalog supports it (v2 —
+        Iceberg's atomic metadata swap), else the v1 saveAsTable overwrite
+        (the built-in session catalog rejects REPLACE TABLE AS SELECT)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            df.writeTo(tbl).using("parquet").createOrReplace()
+        except AnalysisException:
+            df.write.format("parquet").mode("overwrite").saveAsTable(tbl)
+
+    def _commit(
+        self,
+        tbl: str,
+        df: DataFrame,
+        metrics: dict | None,
+        metrics_fn: Callable[[], dict] | None = None,
+    ) -> dict:
+        self._write(tbl, df)
+        resolved = dict(metrics or {})
+        if metrics_fn is not None:
+            resolved.update(metrics_fn() or {})
+        manifest = {
+            "rows": self.spark.table(tbl).count(),
+            "committed_at": time.time(),
+            "metrics": resolved,
+        }
+        self._write(
+            tbl + "__manifest",
+            self.spark.createDataFrame([(json.dumps(manifest),)], "manifest string"),
+        )
+        return manifest
+
+    def _is_valid(self, tbl: str) -> bool:
+        return self.spark.catalog.tableExists(tbl + "__manifest")
+
+    # -- iteration snapshots -------------------------------------------------
+    def commit(self, stage: str, iteration: int, df: DataFrame, metrics: dict | None = None) -> dict:
+        return self._commit(self._t(stage, iteration), df, metrics)
+
+    def iterations(self, stage: str) -> list[int]:
+        pat = re.compile(rf"^{re.escape(self._t(stage))}_iter_(\d{{5}})$")
+        out = []
+        for t in self.spark.catalog.listTables():
+            m = pat.match(t.name)
+            if m and self._is_valid(t.name):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read_iteration(self, spark: SparkSession, stage: str, iteration: int) -> DataFrame:
+        return spark.table(self._t(stage, iteration))
+
+    def read_iterations_union(self, spark: SparkSession, stage: str) -> DataFrame:
+        iters = self.iterations(stage)
+        if not iters:
+            raise FileNotFoundError(f"no committed iterations for {stage}")
+        out = None
+        for k in iters:
+            df = self.read_iteration(spark, stage, k)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def last_iteration(
+        self, stage: str
+    ) -> tuple[int, Callable[[SparkSession], DataFrame]] | None:
+        iters = self.iterations(stage)
+        if not iters:
+            return None
+        k = iters[-1]
+        return k, lambda spark: self.read_iteration(spark, stage, k)
+
+    # -- named stage tables --------------------------------------------------
+    def commit_table(
+        self,
+        name: str,
+        df: DataFrame,
+        metrics: dict | None = None,
+        metrics_fn: Callable[[], dict] | None = None,
+    ) -> dict:
+        return self._commit(self._t(name), df, metrics, metrics_fn)
+
+    def has_table(self, name: str) -> bool:
+        return self._is_valid(self._t(name))
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.table(self._t(name))
+
+    def manifest(self, name: str, iteration: int | None = None) -> dict:
+        row = self.spark.table(self._t(name, iteration) + "__manifest").first()
+        return json.loads(row["manifest"])
+
+    def get_or_compute(
+        self, spark: SparkSession, name: str, compute: Callable[[], DataFrame],
+        metrics: dict | None = None,
+    ) -> DataFrame:
         if not self.has_table(name):
             self.commit_table(name, compute(), metrics)
         return self.read_table(spark, name)
