@@ -206,6 +206,37 @@ def test_multimodal_feature_neardup_end_to_end(spark, sdfs):
     assert hits >= n  # every asset finds its twin (in at least one direction)
 
 
+def test_simhash_near_pairs_matches_brute_force(spark):
+    """Banded Hamming LSH over 64-bit SimHash: for k < bands the pigeonhole
+    guarantee makes the blocked join EXACTLY equal to brute-force Hamming
+    search; identical docs pair at hamming 0."""
+    from xlink_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [("d%02d" % i, ("tok%d " % (i % 6)) * 10 + ("x%d " % i) * (i % 3)) for i in range(18)]
+        + [("twin_a", "alpha beta gamma delta"), ("twin_b", "alpha beta gamma delta")],
+        "doc_id string, text string",
+    )
+    fp = DD.simhash(docs).cache()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in DD.simhash_near_pairs(fp, k=3, bands=4).collect()
+    }
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert ("twin_a", "twin_b", 0) in got
+    fp.unpersist()
+
+
 def test_contamination_hits(spark):
     """Decontamination: a doc sharing ≥min_hits distinct n-grams with the
     eval set is flagged with the exact overlap count; others are not."""

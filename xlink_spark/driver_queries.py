@@ -1122,13 +1122,12 @@ SQL_STATS_BY_SOURCE_GS = (
 )
 
 
-def q_simhash16(spark, sf_dir):
-    """16-bit SimHash from md5 nibble parities — engine-portable variant.
+def _simhash16_fingerprints(docs):
+    """(doc_id, simhash16) — 16-bit SimHash from md5 nibble parities.
 
     Bit j of token t := parity of hex digit j of md5(t); per-doc fingerprint
     = majority vote per bit (Charikar '02 construction over a portable hash
     family; the production 64-bit xxhash64 variant is dedup.simhash)."""
-    docs = spark.read.parquet(_T(sf_dir, "documents"))
     toks = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))).alias("tok"),
@@ -1147,11 +1146,17 @@ def q_simhash16(spark, sf_dir):
     return agg.select("doc_id", fp.cast("long").alias("simhash16"))
 
 
-SQL_SIMHASH16 = f"""
+def q_simhash16(spark, sf_dir):
+    """16-bit portable SimHash fingerprints over the documents table."""
+    return _simhash16_fingerprints(spark.read.parquet(_T(sf_dir, "documents")))
+
+
+def _sql_simhash16(corpus_sql: str) -> str:
+    return f"""
 with toks as (
   select doc_id::varchar as doc_id, md5(tok) as h from (
     select doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-           x -> x <> '')) as tok from documents)
+           x -> x <> '')) as tok from ({corpus_sql}))
 ), votes as (
   select doc_id,
     {', '.join(f"sum(case when (strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) % 2 = 1 then 1 else -1 end) as v{j}" for j in range(16))}
@@ -1160,6 +1165,35 @@ with toks as (
 select doc_id,
   ({' + '.join(f"case when v{j} > 0 then {1 << j} else 0 end" for j in range(16))})::bigint as simhash16
 from votes
+"""
+
+
+SQL_SIMHASH16 = _sql_simhash16("select doc_id, text from documents")
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Hamming-≤1 SimHash near-dup pairs over the twin corpus.
+
+    Banded Hamming LSH on the portable 16-bit fingerprint: 4 bands of 4
+    bits — by pigeonhole, recall is perfect for Hamming < 4; candidates are
+    verified with one bit_count(xor). k=1 because a 16-bit fingerprint is
+    coarse (the production path is the same operator over the 64-bit
+    dedup.simhash, whose 16-bit band keys give real bucketing); this checks
+    the banded join + xor-verify mechanics end to end."""
+    fp = _simhash16_fingerprints(_doc_pairs_corpus(spark, sf_dir))
+    return DD.simhash_near_pairs(fp, k=1, bands=4, sim_col="simhash16", bits=16)
+
+
+SQL_SIMHASH_NEAR_PAIRS = f"""
+with fp as ({_sql_simhash16(_SQL_PAIRS_CORPUS)}),
+banded as (
+  select doc_id, simhash16, band, (simhash16 >> (band * 4)) & 15 as key
+  from fp, (values (0), (1), (2), (3)) bands(band)
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       bit_count(xor(a.simhash16, b.simhash16))::int as hamming
+from banded a join banded b on a.band = b.band and a.key = b.key
+where a.doc_id < b.doc_id and bit_count(xor(a.simhash16, b.simhash16)) <= 1
 """
 
 
@@ -1319,6 +1353,7 @@ QUERIES: dict[str, Query] = {
     "sample_docs_o3": q_sample_docs_o3,
     "stats_by_source_gs": q_stats_by_source_gs,
     "simhash16": q_simhash16,
+    "simhash_near_pairs": q_simhash_near_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1365,4 +1400,5 @@ ORACLES: dict[str, str] = {
     "sample_docs_o3": SQL_SAMPLE_DOCS_O3,
     "stats_by_source_gs": SQL_STATS_BY_SOURCE_GS,
     "simhash16": SQL_SIMHASH16,
+    "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
 }

@@ -279,6 +279,64 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    k: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 64,
+) -> DataFrame:
+    """Hamming-≤k near-dup pairs over ``bits``-wide SimHash fingerprints.
+
+    Banded Hamming LSH: the fingerprint splits into ``bands`` equal bit
+    slices; by pigeonhole, any pair within Hamming distance < ``bands``
+    agrees EXACTLY on at least one slice — so with the default 4 bands,
+    candidate generation via equi-join on (band, slice) has perfect recall
+    for k ≤ 3, and each candidate is verified with one bit_count(xor).
+    Never compares all pairs: the join is blocked on band keys, same scale
+    shape as the MinHash path.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ k.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        id_col,
+        sim_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(sim_col, b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, sim_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col(sim_col).alias("sim_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col(sim_col).alias("sim_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str = "vec_id",
