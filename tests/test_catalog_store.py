@@ -15,6 +15,23 @@ from xlink_spark.operators.cluster import connected_components
 from xlink_spark.plans.snapshots import CatalogSnapshotStore
 
 
+@pytest.fixture(scope="module", autouse=True)
+def clean_warehouse(spark):
+    """Wipe leftover managed-table locations from previous sessions.
+
+    The in-memory session catalog forgets table METADATA across sessions,
+    but the managed locations under spark-warehouse/ persist — a fresh
+    session's saveAsTable then fails with LOCATION_ALREADY_EXISTS. A real
+    metastore (Hive/Iceberg) keeps metadata and never hits this; for the
+    in-memory backend the test suite owns the warehouse and clears it before
+    this module's tests create any tables.
+    """
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 def test_commit_read_manifest_metrics_fn(spark):
     store = CatalogSnapshotStore(spark, namespace="t_basic")
     store.commit_table(

@@ -201,6 +201,13 @@ class CatalogSnapshotStore:
     (the session catalog exposes no file-footer shortcut); per-partition
     lineage stays with the directory store, whose parquet footers are
     directly readable.
+
+    Session-catalog wart (absent with a real metastore): table METADATA is
+    in-memory per session while managed LOCATIONS persist under the
+    warehouse dir, so a fresh session re-creating a table name fails with
+    LOCATION_ALREADY_EXISTS until the stale location is removed — the test
+    suite clears the warehouse up front; production (Hive/Iceberg) keeps
+    metadata durable and never hits it.
     """
 
     def __init__(self, spark: SparkSession, namespace: str = "snap"):
