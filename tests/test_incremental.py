@@ -117,3 +117,11 @@ def test_crash_window_dirs_are_invisible(spark, tmp_path):
     assert k == 0
     assert reader(spark).count() == 5
     assert all_links(spark, store).count() == 5
+
+    # %05d grows past five digits at 100000 — six-digit iterations must
+    # still list (regression: a strict \d{5} pattern silently dropped them)
+    store.commit("links", 100000, junk)
+    assert store.iterations("links") == [0, 100000]
+    k2, reader2 = store.last_iteration("links")
+    assert k2 == 100000 and reader2(spark).count() == 3
+    assert all_links(spark, store).count() == 8

@@ -195,6 +195,8 @@ def test_aida_conll_malformed_b_line(spark, tmp_path):
         "-DOCSTART- (1 bad)\n"
         "Broken\tB\tBroken\tSomeYagoId\n"  # yago id, missing 5th URL column
         "Tokyo\tB\tTokyo\t--NME--\n"
+        "Short\tB\tShorty\n"  # 3 columns: no yago id at all (ref: IndexError)
+        "Tiny\tB\n"           # 2 columns: label falls back to the token
         "ok\n"
     )
     p = tmp_path / "bad.conll"
@@ -202,10 +204,15 @@ def test_aida_conll_malformed_b_line(spark, tmp_path):
     kb_uris = spark.createDataFrame([("/wiki/X", "ex")], "uri string, entity_id string")
     _docs, gold = CL.read_aida_conll(spark, str(p), kb_uris)
     st = {r["mention"]: r["status"] for r in gold.collect()}
-    assert st == {"Broken": "malformed", "Tokyo": "nil_nme"}
+    assert st == {
+        "Broken": "malformed",
+        "Tokyo": "nil_nme",
+        "Shorty": "malformed",
+        "Tiny": "malformed",
+    }
     s = CL.conll_stats(gold).collect()[0]
     # nme counter counts ONLY the genuine --NME-- mention
-    assert (s["total_mentions"], s["nme_mentions"], s["nil_mentions"]) == (2, 1, 2)
+    assert (s["total_mentions"], s["nme_mentions"], s["nil_mentions"]) == (4, 1, 4)
 
 
 def test_eval_on_conll_end_to_end(spark, tmp_path):

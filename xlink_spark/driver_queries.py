@@ -1186,9 +1186,14 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 SQL_SIMHASH_NEAR_PAIRS = f"""
 with fp as ({_sql_simhash16(_SQL_PAIRS_CORPUS)}),
-banded as (
+banded_all as (
   select doc_id, simhash16, band, (simhash16 >> (band * 4)) & 15 as key
   from fp, (values (0), (1), (2), (3)) bands(band)
+),
+bucket_w as (select band, key, count(*) as w from banded_all group by 1, 2),
+banded as (
+  select banded_all.* from banded_all join bucket_w using (band, key)
+  where w <= 1000
 )
 select distinct a.doc_id as doc_a, b.doc_id as doc_b,
        bit_count(xor(a.simhash16, b.simhash16))::int as hamming

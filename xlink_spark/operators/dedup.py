@@ -286,6 +286,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     sim_col: str = "simhash",
     bits: int = 64,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Hamming-≤k near-dup pairs over ``bits``-wide SimHash fingerprints.
 
@@ -294,8 +295,11 @@ def simhash_near_pairs(
     agrees EXACTLY on at least one slice — so with the default 4 bands,
     candidate generation via equi-join on (band, slice) has perfect recall
     for k ≤ 3, and each candidate is verified with one bit_count(xor).
-    Never compares all pairs: the join is blocked on band keys, same scale
-    shape as the MinHash path.
+    The join is blocked on band keys; ``max_bucket`` (ON by default, same
+    policy as ``lsh_candidate_pairs``) drops degenerate band buckets —
+    empty/boilerplate corpora collapse to one fingerprint whose bucket
+    would be O(b²) join rows; pass ``None`` for exact-parity runs. Exact
+    twins belong to ``simhash_duplicates`` / ``exact_duplicates`` anyway.
 
     Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ k.
     """
@@ -318,6 +322,13 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select(id_col, sim_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        wspec = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col(sim_col).alias("sim_a"), "band", "key"
     )
@@ -349,22 +360,24 @@ def embedding_near_duplicates(
     Brute-force within blocks (``block_col``; default one global block —
     fine at test scale, quadratic otherwise). The at-scale path buckets by
     sign-random-projection first (similarity.srp_buckets) and feeds the
-    bucket id as ``block_col``.
+    bucket id as ``block_col``. Vectors are unit-normalized ONCE per row so
+    each candidate pair costs a single dot product (the similarity.py
+    measurement: 2-3× on in-block scoring).
     """
-    from xlink_spark.functions.vectors import cosine
+    from xlink_spark.operators.similarity import _unit, _unit_cos
 
     a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col(id_col).alias("id_a"), _unit(vec_col).alias("vec_a"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
     )
     b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col(id_col).alias("id_b"), _unit(vec_col).alias("vec_b"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
     )
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine("vec_a", "vec_b"))
+        .withColumn("cos", _unit_cos("vec_a", "vec_b"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -29,8 +29,10 @@ MANIFEST = "MANIFEST.json"
 # Committed iteration dirs match EXACTLY this — temp dirs are named outside
 # the namespace (.tmp-iter_...) so a crash mid-commit can never leave a dir
 # that listing code mistakes for a snapshot (int("00001.tmp-ab12") ValueError,
-# or a manifest-less half-write unioned into all_links).
-_ITER_RE = re.compile(r"^iter_(\d{5})$")
+# or a manifest-less half-write unioned into all_links). \d{5,}: the %05d
+# format grows past five digits at iteration 100000 and those must still
+# list.
+_ITER_RE = re.compile(r"^iter_(\d{5,})$")
 
 
 class SnapshotStore:
@@ -105,7 +107,7 @@ class SnapshotStore:
     def iterations(self, stage: str) -> list[int]:
         """Sorted ids of manifest-valid committed iterations (and ONLY those).
 
-        Strict ``^iter_\\d{5}$`` match + manifest check: stale temp dirs from
+        Strict ``^iter_\\d{5,}$`` match + manifest check: stale temp dirs from
         a crashed commit and manifest-less half-writes are both invisible.
         """
         base = os.path.join(self.root, stage)
@@ -238,6 +240,13 @@ class CatalogSnapshotStore:
         metrics: dict | None,
         metrics_fn: Callable[[], dict] | None = None,
     ) -> dict:
+        # OVERWRITE commits must invalidate first: without this, a crash
+        # while the data table is being replaced would leave the PREVIOUS
+        # commit's manifest pointing at a half-replaced table that reads as
+        # valid. Dropping the manifest up front restores the manifest-last
+        # guarantee for re-commits; on a v2 catalog the data swap itself is
+        # also atomic.
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}__manifest")
         self._write(tbl, df)
         resolved = dict(metrics or {})
         if metrics_fn is not None:
@@ -261,7 +270,7 @@ class CatalogSnapshotStore:
         return self._commit(self._t(stage, iteration), df, metrics)
 
     def iterations(self, stage: str) -> list[int]:
-        pat = re.compile(rf"^{re.escape(self._t(stage))}_iter_(\d{{5}})$")
+        pat = re.compile(rf"^{re.escape(self._t(stage))}_iter_(\d{{5,}})$")
         out = []
         for t in self.spark.catalog.listTables():
             m = pat.match(t.name)

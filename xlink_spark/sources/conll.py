@@ -113,10 +113,20 @@ def parse_conll(files: DataFrame) -> DataFrame:
                 else:
                     arr = line.strip().split("\t")
                     if len(arr) > 1:
-                        flag, label, yago_id = arr[1], arr[2], arr[3]
+                        # annotation lines are token\tflag\tlabel\tyago[\turl];
+                        # SHORT tab lines (2-3 columns — where the reference
+                        # raises IndexError, AnnotationFormatter.py:45-57)
+                        # degrade to a malformed mention row, same policy as
+                        # the missing-URL case below: bad input yields rows,
+                        # never task failures
+                        flag = arr[1]
+                        label = arr[2] if len(arr) > 2 else arr[0]
+                        yago_id = arr[3] if len(arr) > 3 else None
                         if flag == "B":
                             url, bad = None, 0
-                            if yago_id != "--NME--":
+                            if yago_id is None:
+                                bad = 1
+                            elif yago_id != "--NME--":
                                 if len(arr) > 4:
                                     url = arr[4][prefix_len:]
                                 else:
