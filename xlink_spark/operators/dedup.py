@@ -425,9 +425,13 @@ def semantic_dedup(
 
     Every vector is assigned to its nearest centroid (scan-speed literal
     expression — similarity.centroid_probe_clusters); within each cluster, a
-    vector is dropped iff a SMALLER-id vector of the same cluster sits at
-    cosine ≥ ``threshold`` (deterministic min-id survivor — the
-    SQL-expressible variant of the paper's greedy sweep). Output:
+    vector is dropped iff ANY smaller-id vector of the same cluster sits at
+    cosine ≥ ``threshold``. Survivors are therefore exactly the id-local
+    minima of the in-cluster ≥threshold similarity graph — deterministic and
+    order-free (one blocked join, no sequential sweep), sitting between the
+    paper's greedy scan (which compares only against already-KEPT items) and
+    full connected-component collapse; for twin/star neighborhoods, where
+    every duplicate is near the same original, all three coincide. Output:
     (vec_id, cluster, kept).
 
     100-TB shape: the only pair product is within clusters (the quantizer's
