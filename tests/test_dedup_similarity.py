@@ -423,3 +423,38 @@ def test_ivf_topk_recall_and_probe_monotonicity(spark):
         for r in SIM.ivf_topk(emb, k=3, n_clusters=8, nprobe=8).collect()
     }
     assert full == brute
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The full curation plan: exact dup, junk, near-dup, and contaminated
+    docs each fall to their stage; the audit counts every drop."""
+    from xlink_spark.plans.curation import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and it is very happy today in the sun"
+    rows = [
+        ("d1", base),                      # kept
+        ("d2", base),                      # exact dup of d1 -> dropped
+        ("d3", base + " extra"),           # near-dup of d1 (J=15/16) -> dropped
+        ("d4", "!!! ??? ,,, !!! ???"),     # junk -> low_quality
+        ("d5", "alpha beta gamma delta epsilon zeta eta theta"),  # contaminated
+        ("d6", "some other completely different sentence with the usual and common words in it"),  # kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    eval_docs = spark.createDataFrame(
+        [("e1", "report contains alpha beta gamma delta verbatim")],
+        "doc_id string, text string",
+    )
+    held: list = []
+    kept, audit = curate_corpus(
+        docs, eval_docs, contamination_ngram=3, persisted_out=held
+    )
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
+    for h in held:
+        h.unpersist()
+    assert kept_ids == ["d1", "d6"]
+    assert counts == {
+        "exact_dup": 1, "low_quality": 1, "near_dup": 1, "contaminated": 1
+    }
+    # kept rows carry the quality column
+    assert all(r["quality"] >= 0.2 for r in kept.select("quality").collect())

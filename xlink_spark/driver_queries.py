@@ -786,9 +786,11 @@ with base as (
 select doc_id,
   floor(pr_raw * 1e6)::bigint as punct_ratio_u,
   floor(sw_raw * 1e6)::bigint as stopword_ratio_en_u,
-  floor((0.4 * least(n_chars / 1000.0, 1.0)
-       + 0.3 * (1.0 - least(pr_raw * 5.0, 1.0))
-       + 0.3 * least(sw_raw * 5.0, 1.0)) * 1e6)::bigint as quality_u
+  case when n_chars > 0 then
+    floor((0.4 * least(n_chars / 1000.0, 1.0)
+         + 0.3 * (1.0 - least(pr_raw * 5.0, 1.0))
+         + 0.3 * least(sw_raw * 5.0, 1.0)) * 1e6)::bigint
+  else 0 end as quality_u
 from r
 """
 

@@ -78,7 +78,12 @@ def quality_score_raw(text: Column | str) -> Column:
     len_term = F.least(F.length(c) / 1000.0, F.lit(1.0))
     punct_term = 1.0 - F.least(punct_ratio_raw(c) * 5.0, F.lit(1.0))
     sw_term = F.least(stopword_ratio_raw(c, "en") * 5.0, F.lit(1.0))
-    return 0.4 * len_term + 0.3 * punct_term + 0.3 * sw_term
+    # empty text scores 0 outright — otherwise it banks the full
+    # punctuation-sanity credit (0.3) for containing nothing and slips
+    # through curation quality gates
+    return F.when(
+        F.length(c) > 0, 0.4 * len_term + 0.3 * punct_term + 0.3 * sw_term
+    ).otherwise(F.lit(0.0))
 
 
 def language_scores(text: Column | str) -> list[Column]:
