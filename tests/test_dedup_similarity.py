@@ -458,3 +458,38 @@ def test_curate_corpus_end_to_end(spark):
     }
     # kept rows carry the quality column
     assert all(r["quality"] >= 0.2 for r in kept.select("quality").collect())
+
+
+def test_repetition_stats(spark):
+    """Gopher repetition signals: duplicate lines and degenerate bigrams."""
+    rows = [
+        ("r1", "nav bar\ncontent one\nnav bar\ncontent two\nnav bar"),  # 5 lines, 3 distinct
+        ("r2", "spam spam spam spam spam"),                             # one bigram 4/4
+        ("r3", "each line here\nis quite different\nno repeats at all"),
+        ("r4", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in TS.repetition_stats(docs).collect()}
+    assert got["r1"]["n_lines"] == 5
+    assert got["r1"]["dup_line_frac_u"] == 400000      # 1 - 3/5
+    assert got["r2"]["top_bigram_frac_u"] == 1000000   # 'spam spam' is all bigrams
+    assert got["r3"]["dup_line_frac_u"] == 0
+    assert got["r4"]["n_lines"] == 0 and got["r4"]["top_bigram_frac_u"] == 0
+
+
+def test_redact_pii(spark):
+    """Emails and phone-shaped runs are replaced with typed tags; counts
+    agree with the replacements; clean text is untouched."""
+    rows = [
+        ("p1", "write to alice.smith+x@mail.example.org or bob@ex.co today"),
+        ("p2", "call +1 (555) 010-7788 or 555-010-9944 now"),
+        ("p3", "no pii in this perfectly ordinary sentence"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in TS.redact_pii(docs).collect()}
+    assert got["p1"]["n_emails"] == 2 and got["p1"]["n_phones"] == 0
+    assert got["p1"]["redacted"] == "write to <EMAIL> or <EMAIL> today"
+    assert got["p2"]["n_phones"] == 2
+    assert got["p2"]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert got["p3"]["redacted"] == rows[2][1]
+    assert got["p3"]["n_emails"] == 0 and got["p3"]["n_phones"] == 0

@@ -843,6 +843,89 @@ from s
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document (dup-line fraction +
+    top-bigram fraction, micro-units)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return TS.repetition_stats(docs)
+
+
+SQL_REPETITION_STATS = """
+with lines as (
+  select doc_id::varchar as doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') as ls
+  from documents
+),
+base as (
+  select doc_id, len(ls) as n_lines,
+    case when len(ls) > 0 then
+      floor((1.0 - len(list_distinct(ls))::double / len(ls)::double) * 1e6)::bigint
+    else 0 end as dup_line_frac_u
+  from lines
+),
+toks as (
+  select doc_id::varchar as doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') as t
+  from documents
+),
+grams as (
+  select doc_id, unnest(
+    case when len(t) >= 2 then
+      list_transform(generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))
+    else []::varchar[] end
+  ) as gram from toks
+),
+per as (select doc_id, gram, count(*) as c from grams group by 1, 2),
+top as (
+  select doc_id,
+         floor(max(c)::double / sum(c)::double * 1e6)::bigint as top_bigram_frac_u
+  from per group by 1
+)
+select b.doc_id, b.n_lines, b.dup_line_frac_u,
+       coalesce(t.top_bigram_frac_u, 0) as top_bigram_frac_u
+from base b left join top t using (doc_id)
+"""
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over the corpus with a deterministic synthesized footer
+    (both engines append the same 'contact' line, so the email/phone
+    patterns actually fire on every row)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return TS.redact_pii(docs)
+
+
+SQL_REDACT_PII = f"""
+with d as (
+  select doc_id::varchar as doc_id,
+         text || ' contact: user' || doc_id::varchar
+              || '@example.com or +1 (555) 010-' || doc_id::varchar as text
+  from documents
+),
+ne as (
+  select doc_id, text,
+         regexp_replace(text, '{TS.PII_EMAIL_RE}', '<EMAIL>', 'g') as no_email
+  from d
+)
+select doc_id,
+  regexp_replace(no_email, '{TS.PII_PHONE_RE}', '<PHONE>', 'g') as redacted,
+  len(regexp_extract_all(text, '{TS.PII_EMAIL_RE}')) as n_emails,
+  len(regexp_extract_all(no_email, '{TS.PII_PHONE_RE}')) as n_phones
+from ne
+"""
+
+
 # --------------------------------------------------------------- similarity
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors (vec_id % 50 = 0)."""
@@ -1348,6 +1431,8 @@ QUERIES: dict[str, Query] = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "language_id": q_language_id,
+    "repetition_stats": q_repetition_stats,
+    "redact_pii": q_redact_pii,
     "ann_topk": q_ann_topk,
     "ann_topk_srp": q_ann_topk_srp,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -1391,6 +1476,8 @@ ORACLES: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "language_id": SQL_LANGUAGE_ID,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "redact_pii": SQL_REDACT_PII,
     "ann_topk": SQL_ANN_TOPK,
     "ann_topk_srp": SQL_ANN_TOPK_SRP_TEMPLATE.format(bucket=_srp_bucket_sql()),
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,

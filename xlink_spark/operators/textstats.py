@@ -151,3 +151,88 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. '21 quality rules).
+
+    Per document:
+      * ``n_lines`` / ``dup_line_frac`` — fraction of non-empty lines that
+        are duplicates of an earlier line (boilerplate/navigation detector);
+      * ``top_bigram_frac`` — occurrences of the most frequent word bigram
+        over all bigram occurrences (degenerate-repetition detector).
+
+    Fractions are emitted as micro-units (floor(x·1e6), bigint) — the
+    engine-portable convention quality_scores uses. Shapes: line stats are
+    pure array expressions at scan speed; the bigram mode needs one
+    (doc, bigram) count + one per-doc max — two map-side-combinable
+    aggregations, nothing quadratic.
+    """
+    # filter on x != "" (not trim): Java trim strips all chars <= U+0020 while
+    # SQL trim strips only spaces — the bare-emptiness test is the portable one
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.when(
+            F.size(lines) > 0,
+            F.floor(
+                (1.0 - F.size(F.array_distinct(lines)) / F.size(lines)) * 1e6
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dup_line_frac_u"),
+    )
+    toks = docs.select(F.col(id_col), tokens_lower(text_col).alias("t"))
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    top = per_gram.groupBy(id_col).agg(
+        F.floor(F.max("c") / F.sum("c") * 1e6).cast("long").alias("top_bigram_frac_u")
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac_u",
+        F.coalesce("top_bigram_frac_u", F.lit(0)).alias("top_bigram_frac_u"),
+    )
+
+
+# Simple, dialect-portable patterns: identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) — no backrefs, no lookaround, ASCII classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails/phone-shaped spans from a corpus before training.
+
+    Output: (doc_id, redacted, n_emails, n_phones). Emails are replaced
+    first (their local parts contain digits that would otherwise feed the
+    phone pattern), then phone-shaped digit runs. Counts come from
+    regexp_count on the SAME intermediate strings the replacements see, so
+    counts and replacements can never disagree. Pure scan-speed expressions;
+    patterns are deliberately dialect-portable (oracle-checked vs DuckDB's
+    RE2).
+    """
+    no_email = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>").alias("redacted"),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    )
