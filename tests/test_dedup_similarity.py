@@ -493,3 +493,24 @@ def test_redact_pii(spark):
     assert got["p2"]["redacted"] == "call <PHONE> or <PHONE> now"
     assert got["p3"]["redacted"] == rows[2][1]
     assert got["p3"]["n_emails"] == 0 and got["p3"]["n_phones"] == 0
+
+
+def test_curate_corpus_repetition_and_pii(spark):
+    """Optional curation stages: Gopher repetition gate drops boilerplate,
+    redact=True scrubs survivors' PII in place."""
+    from xlink_spark.plans.curation import curate_corpus
+
+    rows = [
+        ("d1", "the cat is in the house and it is warm write bob@x.org today"),
+        ("d2", "nav\nreal content line with the usual words here\nnav\nnav\nnav\nnav"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    kept, audit = curate_corpus(
+        docs, None, min_quality=0.0, max_dup_line_frac=0.5, redact=True
+    )
+    rows_kept = {r["doc_id"]: r for r in kept.collect()}
+    counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
+    assert set(rows_kept) == {"d1"}
+    assert counts["repetitive"] == 1
+    assert "<EMAIL>" in rows_kept["d1"]["text"]
+    assert rows_kept["d1"]["n_emails"] == 1

@@ -6,8 +6,11 @@ plan over a documents table:
 
   1. exact dedup         — keep the min-id copy of byte-identical docs
   2. quality gate        — drop docs below a quality_score threshold
+  2b. repetition gate    — drop docs above Gopher-style dup-line /
+                           top-bigram fractions (optional)
   3. MinHash-LSH near-dup — drop the larger-id side of each verified pair
   4. decontamination     — drop docs sharing n-grams with a held-out set
+  5. PII redaction       — scrub emails/phones from the survivors (optional)
 
 Each stage only SHRINKS the survivor set, so the stages compose as
 anti-joins on small drop-lists — the corpus body is scanned once per
@@ -32,6 +35,9 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float = 0.2,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    redact: bool = False,
     neardup_threshold: float = 0.8,
     shingle_n: int = 3,
     contamination_ngram: int = 13,
@@ -56,6 +62,20 @@ def curate_corpus(
     # 2. quality gate: pure scan-speed expression
     scored = after_exact.withColumn("quality", quality_score(text_col))
     after_quality = scored.filter(F.col("quality") >= min_quality)
+
+    # 2b. repetition gate (Gopher rules), only when a threshold is set
+    rep_drops = None
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        from xlink_spark.operators.textstats import repetition_stats
+
+        rep = repetition_stats(after_quality, text_col, id_col)
+        bad = F.lit(False)
+        if max_dup_line_frac is not None:
+            bad = bad | (F.col("dup_line_frac_u") > int(max_dup_line_frac * 1e6))
+        if max_top_bigram_frac is not None:
+            bad = bad | (F.col("top_bigram_frac_u") > int(max_top_bigram_frac * 1e6))
+        rep_drops = rep.filter(bad).select(id_col)
+        after_quality = after_quality.join(rep_drops, id_col, "left_anti")
     if persisted_out is not None:
         # three downstream consumers (near-dup pairs, contamination, kept)
         after_quality = after_quality.persist()
@@ -84,6 +104,17 @@ def curate_corpus(
         contaminated = None
         kept = after_near
 
+    # 5. PII scrub on the survivors only (no wasted work on dropped docs)
+    if redact:
+        from xlink_spark.operators.textstats import redact_pii
+
+        pii = redact_pii(kept, text_col, id_col)
+        kept = (
+            kept.drop(text_col)
+            .join(pii, id_col)
+            .withColumnRenamed("redacted", text_col)
+        )
+
     def n(df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_dropped"))
 
@@ -94,6 +125,10 @@ def curate_corpus(
         ),
         n(near_drops).select(F.lit("near_dup").alias("stage"), "n_dropped"),
     ]
+    if rep_drops is not None:
+        audit_parts.insert(
+            2, n(rep_drops).select(F.lit("repetitive").alias("stage"), "n_dropped")
+        )
     if contaminated is not None:
         audit_parts.append(
             n(contaminated).select(F.lit("contaminated").alias("stage"), "n_dropped")
