@@ -514,3 +514,53 @@ def test_curate_corpus_repetition_and_pii(spark):
     assert counts["repetitive"] == 1
     assert "<EMAIL>" in rows_kept["d1"]["text"]
     assert rows_kept["d1"]["n_emails"] == 1
+
+
+def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL source: good rows parse against the declared contract, broken
+    lines/contract violations land on the quarantine side with reasons."""
+    from xlink_spark.sources.jsonl import read_jsonl_corpus, write_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": "a", "text": "hello world", "source": "web", "lang": "en"}\n'
+        '{"doc_id": "b", "text": "zweite zeile", "meta": {"crawl": "2026-01"}}\n'
+        'this is not json at all\n'
+        '{"text": "orphan text without id"}\n'
+        '{"doc_id": "c"}\n'
+    )
+    docs, quar = read_jsonl_corpus(spark, str(p))
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["lang"] == "en"
+    assert "crawl" in (got["b"]["meta"] or "")  # nested object kept as raw JSON
+    reasons = sorted(r["reason"] for r in quar.collect())
+    assert reasons == ["missing_id", "missing_text", "not_json"]
+    # round-trip: write back out and re-read
+    out = tmp_path / "out"
+    write_jsonl_corpus(docs, str(out))
+    docs2, quar2 = read_jsonl_corpus(spark, str(out))
+    assert docs2.count() == 2 and quar2.count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing: every doc packed exactly once, no pack over capacity except
+    single oversized docs, deterministic across runs."""
+    from xlink_spark.operators.packing import pack_sequences, pack_summary
+
+    rows = [(f"d{i:03d}", (i * 37) % 900 + 50) for i in range(200)]
+    rows.append(("dbig", 5000))  # oversized: must get its own pack
+    docs = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    packed = pack_sequences(docs, capacity=2048)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, pack_sequences(docs, capacity=2048).collect()))
+    assert a == b  # deterministic
+    assert len(a) == 201 and len({r[1] for r in a}) == 201  # each doc once
+    summ = pack_summary(packed).collect()
+    for r in summ:
+        assert r["total_tokens"] <= 2048 or r["n_docs"] == 1
+    total = sum(r["total_tokens"] for r in summ)
+    assert total == sum(n for _, n in rows)
+    # the oversized doc is alone in its pack
+    big_pack = [r[0] for r in a if r[1] == "dbig"][0]
+    assert sum(1 for r in a if r[0] == big_pack) == 1
