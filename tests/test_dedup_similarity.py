@@ -445,19 +445,88 @@ def test_curate_corpus_end_to_end(spark):
         "doc_id string, text string",
     )
     held: list = []
-    kept, audit = curate_corpus(
+    kept, audit, drops = curate_corpus(
         docs, eval_docs, contamination_ngram=3, persisted_out=held
     )
     kept_ids = sorted(r["doc_id"] for r in kept.collect())
     counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
+    fates = {r["doc_id"]: r["stage"] for r in drops.collect()}
     for h in held:
         h.unpersist()
     assert kept_ids == ["d1", "d6"]
     assert counts == {
         "exact_dup": 1, "low_quality": 1, "near_dup": 1, "contaminated": 1
     }
+    assert fates == {
+        "d2": "exact_dup", "d4": "low_quality", "d3": "near_dup",
+        "d5": "contaminated",
+    }
     # kept rows carry the quality column
     assert all(r["quality"] >= 0.2 for r in kept.select("quality").collect())
+
+
+def test_curate_corpus_audit_reads_cached_drops(spark):
+    """With persisted_out passed, kept materializes the (persisted) drop
+    list once and the audit plan READS THE CACHE — the LSH band join and
+    contamination join never execute a second time. Pinned on the audit's
+    executed plan: it scans the in-memory relation and contains none of the
+    drop-chain's signature hashing."""
+    from xlink_spark.plans.curation import curate_corpus
+
+    rows = [(f"d{i}", f"document number {i} with some shared filler words "
+            + ("x " * (i % 7))) for i in range(30)]
+    rows += [("dup1", rows[0][1]), ("dup2", rows[0][1])]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    held: list = []
+    kept, audit, drops = curate_corpus(docs, None, persisted_out=held)
+    kept.count()  # materializes the chain; drops is now cached
+    audit.collect()
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert drops.is_cached
+    for h in held:
+        h.unpersist()
+    # every audit leg (3 active stages here) executed as a cache-reading AQE
+    # stage; a leg that re-ran the drop chain would execute shuffle stages
+    # instead of a TableCacheQueryStage (the md5 lineage visible in the
+    # string is only the InMemoryRelation's provenance printout)
+    assert plan.count("TableCacheQueryStage") == 3
+
+
+def test_exact_dup_drops_matches_group_view(spark):
+    """The windowed drop path (scale-safe) drops exactly the non-keepers
+    the collect_list report view identifies."""
+    rows = [("a", "t1"), ("b", "t1"), ("c", "t1"), ("d", "t2"), ("e", "t3"),
+            ("f", "t3")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    via_window = {r["doc_id"] for r in DD.exact_dup_drops(docs).collect()}
+    via_groups = {
+        d
+        for r in DD.exact_duplicates(docs).collect()
+        for d in r["doc_ids"]
+        if d != r["keeper"]
+    }
+    assert via_window == via_groups == {"b", "c", "f"}
+
+
+def test_lsh_plan_construction_runs_no_job(spark):
+    """lsh_candidate_pairs with num_hashes given must not trigger a Spark
+    job during PLAN CONSTRUCTION (the old first() width probe re-ran the
+    whole signature aggregation once per call)."""
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [("a", "one two three four five"), ("b", "one two three four six")],
+        "doc_id string, text string",
+    )
+    sig = DD.minhash_signatures(DD.shingles(docs), num_hashes=8)
+    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    cand = DD.lsh_candidate_pairs(sig, num_hashes=8, bands=4, max_bucket=10)
+    dropped = DD.lsh_dropped_buckets(sig, num_hashes=8, bands=4, max_bucket=10)
+    after = len(sc.statusTracker().getJobIdsForGroup(None))
+    assert after == before  # plan construction is action-free
+    # and the built plans still compute the same candidates as the probe path
+    probe = DD.lsh_candidate_pairs(sig, bands=4, max_bucket=10)
+    assert sorted(map(tuple, cand.collect())) == sorted(map(tuple, probe.collect()))
+    assert dropped.count() == 0
 
 
 def test_repetition_stats(spark):
@@ -505,7 +574,7 @@ def test_curate_corpus_repetition_and_pii(spark):
         ("d2", "nav\nreal content line with the usual words here\nnav\nnav\nnav\nnav"),
     ]
     docs = spark.createDataFrame(rows, "doc_id string, text string")
-    kept, audit = curate_corpus(
+    kept, audit, _drops = curate_corpus(
         docs, None, min_quality=0.0, max_dup_line_frac=0.5, redact=True
     )
     rows_kept = {r["doc_id"]: r for r in kept.collect()}

@@ -1096,7 +1096,7 @@ assigned as (select vec_id, embedding, cluster from r where pr = 1),
 dropped as (
   select distinct b.vec_id
   from assigned a join assigned b on a.cluster = b.cluster and a.vec_id < b.vec_id
-  where list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+  where round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.999
 )
 select vec_id, cluster,
        (vec_id not in (select vec_id from dropped))::int as kept
@@ -1159,7 +1159,7 @@ with uni as (
 b as (select vec_id, embedding, {bucket} as bucket from uni)
 select a.vec_id as id_a, c.vec_id as id_b
 from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
-where list_cosine_similarity(a.embedding, c.embedding) >= 0.999
+where round(list_cosine_similarity(a.embedding, c.embedding), 6) >= 0.999
 """
 
 

@@ -34,7 +34,11 @@ from xlink_spark.functions.text import tokens_lower
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_docs, doc_ids, keeper).
 
-    keeper = min(doc_id) — the deterministic survivor.
+    keeper = min(doc_id) — the deterministic survivor. REPORT/AUDIT view
+    only: ``doc_ids`` materializes a whole hash group into one array on one
+    reducer, and at corpus scale the degenerate groups (billions of empty or
+    boilerplate docs sharing one hash) are exactly the ones that exist — use
+    :func:`exact_dup_drops` as the drop path, never this.
     """
     return (
         docs.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
@@ -44,6 +48,22 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
             F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
             F.min(id_col).alias("keeper"),
         )
+    )
+
+
+def exact_dup_drops(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Ids of the non-keeper copies of byte-identical documents (one id
+    column). The scale-safe drop path: one ``row_number`` window on the
+    content-hash exchange — every row streams through its reducer, nothing
+    per-group is ever materialized, so a hash group of 10^9 empty docs costs
+    the same per row as a group of 2. Same survivor rule as
+    ``exact_duplicates`` (keeper = min id)."""
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
     )
 
 
@@ -83,6 +103,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     max_bucket: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on any full band become a candidate pair.
 
@@ -94,8 +115,18 @@ def lsh_candidate_pairs(
     caught in another band; exact-dup buckets belong to exact_duplicates
     anyway). NO silent truncation: capped buckets are observable via
     ``lsh_dropped_buckets``.
+
+    ``num_hashes`` is the signature width the caller built (minhash_dedup
+    always has it). Pass it: plan construction is then action-free. The
+    ``first()`` fallback exists only for ad-hoc use on foreign signature
+    tables — it runs the signature-producing plan once EXTRA just to read
+    one array length.
     """
-    n = signatures.select(F.size("sig")).first()[0]
+    n = (
+        num_hashes
+        if num_hashes is not None
+        else signatures.select(F.size("sig")).first()[0]
+    )
     rows_per_band = max(n // bands, 1)
     banded = signatures.select(
         id_col,
@@ -133,10 +164,21 @@ def lsh_candidate_pairs(
 
 
 def lsh_dropped_buckets(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, max_bucket: int = 1000
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket: int = 1000,
+    num_hashes: int | None = None,
 ) -> DataFrame:
-    """Audit view of buckets a ``max_bucket`` cap would drop: (band, key, width)."""
-    n = signatures.select(F.size("sig")).first()[0]
+    """Audit view of buckets a ``max_bucket`` cap would drop: (band, key, width).
+
+    Pass ``num_hashes`` (the signature width) to keep plan construction
+    action-free; the ``first()`` probe is the ad-hoc fallback only."""
+    n = (
+        num_hashes
+        if num_hashes is not None
+        else signatures.select(F.size("sig")).first()[0]
+    )
     rows_per_band = max(n // bands, 1)
     banded = signatures.select(
         id_col,
@@ -211,22 +253,23 @@ def minhash_dedup(
     ``max_bucket=None`` to disable (exact small-corpus parity runs).
 
     The shingle table feeds FOUR consumers (signatures, both sides of the
-    intersection join, set sizes); persist it spill-safe rather than
-    re-exploding the corpus per consumer — measured 2x on the bench corpus.
-    ``persisted_out``: callers that run this repeatedly pass a list to
-    receive the persisted shingle handle and unpersist it once the result is
-    materialized — same contract as ``link_corpus`` — otherwise cached
-    blocks accumulate across calls.
+    intersection join, set sizes); persisting it beats re-exploding the
+    corpus per consumer — measured 2x on the bench corpus. The persist
+    happens ONLY when the caller passes ``persisted_out`` to receive the
+    handle and unpersist it after materializing (same contract as
+    ``link_corpus``): an unowned persist would leak cached executor blocks
+    across calls, which costs more than the recompute it saves.
     """
-    from pyspark import StorageLevel
-
-    sh = shingles(docs, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = shingles(docs, text_col, id_col, shingle_n)
     if persisted_out is not None:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         persisted_out.append(sh)
     sig = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, bands, max_bucket=max_bucket)
+    cand = lsh_candidate_pairs(
+        sig, id_col, bands, max_bucket=max_bucket, num_hashes=num_hashes
+    )
     return jaccard_verify(cand, sh, id_col, threshold)
 
 
@@ -374,12 +417,16 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id_b"), _unit(vec_col).alias("vec_b"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
     )
+    # threshold the ROUNDED cosine: the 6-dp round absorbs FP association-
+    # order drift between engines (normalize-then-dot here vs dot/(‖a‖‖b‖)
+    # in a SQL oracle), so a pair sitting exactly at the threshold decides
+    # identically everywhere — the same convention the top-k queries use
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _unit_cos("vec_a", "vec_b"))
+        .withColumn("cos", F.round(_unit_cos("vec_a", "vec_b"), 6))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .select("id_a", "id_b", "cos")
     )
 
 

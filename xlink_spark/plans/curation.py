@@ -12,21 +12,114 @@ plan over a documents table:
   4. decontamination     — drop docs sharing n-grams with a held-out set
   5. PII redaction       — scrub emails/phones from the survivors (optional)
 
-Each stage only SHRINKS the survivor set, so the stages compose as
-anti-joins on small drop-lists — the corpus body is scanned once per
-stage-input, never collected, and every pair product inherits the blocked/
-capped shapes of the underlying operators. Per-stage drop accounting rides
-an audit DataFrame (stage, n_dropped) instead of driver-side counts, so a
-caller can write corpus + audit in the same job.
+Architecture: every stage contributes to ONE narrow drop-list
+``(doc_id, stage)`` — stages run on the survivors of the previous stage, so
+each doc appears at most once, labeled by the first stage that dropped it.
+The survivor set is a single anti-join of the corpus against that list, and
+the audit is a per-stage count over the SAME list — so materializing
+(kept, audit) computes each expensive stage (LSH band join, contamination
+join) exactly once when the list is persisted (it is id+stage only — a few
+bytes per dropped doc). Nothing per-group is ever collected: the exact-dup
+path is a ``row_number`` window (dedup.exact_dup_drops), not a
+collect_list, so degenerate hash groups stream through their reducer.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xlink_spark.operators import dedup as DD
 from xlink_spark.operators.textstats import quality_score
+
+
+def curation_drops(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.2,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    neardup_threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    contamination_ngram: int = 13,
+    contamination_min_hits: int = 1,
+    persisted_out: list | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """The chained drop-list: ``((doc_id, stage), stage_names)``.
+
+    Each stage sees only the survivors of the previous stages, so a doc
+    appears at most once. ``stage_names`` is the ordered list of stages that
+    were active (repetition/contamination are optional), for zero-preserving
+    audits.
+    """
+    # 1. exact dedup: row_number()>1 window — the scale-safe drop path
+    exact_drops = DD.exact_dup_drops(docs, text_col, id_col).select(
+        id_col, F.lit("exact_dup").alias("stage")
+    )
+    after_exact = docs.join(exact_drops.select(id_col), id_col, "left_anti")
+
+    # 2. quality gate: pure scan-speed expression
+    scored = after_exact.withColumn("quality", quality_score(text_col))
+    low = scored.filter(F.col("quality") < min_quality).select(
+        id_col, F.lit("low_quality").alias("stage")
+    )
+    after_quality = scored.filter(F.col("quality") >= min_quality).drop("quality")
+    stages = ["exact_dup", "low_quality"]
+    parts = [exact_drops, low]
+
+    # 2b. repetition gate (Gopher rules), only when a threshold is set
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        from xlink_spark.operators.textstats import repetition_stats
+
+        rep = repetition_stats(after_quality, text_col, id_col)
+        bad = F.lit(False)
+        if max_dup_line_frac is not None:
+            bad = bad | (F.col("dup_line_frac_u") > int(max_dup_line_frac * 1e6))
+        if max_top_bigram_frac is not None:
+            bad = bad | (F.col("top_bigram_frac_u") > int(max_top_bigram_frac * 1e6))
+        rep_drops = rep.filter(bad).select(id_col, F.lit("repetitive").alias("stage"))
+        after_quality = after_quality.join(rep_drops.select(id_col), id_col, "left_anti")
+        stages.append("repetitive")
+        parts.append(rep_drops)
+
+    # 3. near-dup: banded-LSH pairs (cap active), larger id loses
+    pairs = DD.minhash_dedup(
+        after_quality,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=neardup_threshold,
+        persisted_out=persisted_out,
+    )
+    near_drops = (
+        pairs.select(F.col("doc_b").alias(id_col))
+        .distinct()
+        .select(id_col, F.lit("near_dup").alias("stage"))
+    )
+    stages.append("near_dup")
+    parts.append(near_drops)
+
+    # 4. decontamination vs the held-out set (broadcast eval shingles)
+    if eval_docs is not None:
+        after_near = after_quality.join(
+            near_drops.select(id_col), id_col, "left_anti"
+        )
+        contaminated = DD.contamination_hits(
+            after_near, eval_docs, text_col, id_col,
+            ngram=contamination_ngram, min_hits=contamination_min_hits,
+        ).select(id_col, F.lit("contaminated").alias("stage"))
+        stages.append("contaminated")
+        parts.append(contaminated)
+
+    return reduce(DataFrame.unionByName, parts), stages
 
 
 def curate_corpus(
@@ -40,69 +133,53 @@ def curate_corpus(
     redact: bool = False,
     neardup_threshold: float = 0.8,
     shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
     contamination_ngram: int = 13,
     contamination_min_hits: int = 1,
     persisted_out: list | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Chain dedup → quality → near-dup → decontamination over ``docs``.
 
-    Returns ``(kept, audit)``: ``kept`` is the surviving (id, text, …) rows
-    with a ``quality`` column attached; ``audit`` is one row per stage
-    (stage, n_dropped) — materialize both in one action via a union write or
-    two actions sharing the persisted intermediates (pass ``persisted_out``
-    to release them afterwards, the library-wide contract).
+    Returns ``(kept, audit, drops)``:
+
+    * ``kept`` — the surviving rows with a ``quality`` column attached (and,
+      with ``redact=True``, PII-scrubbed ``text`` plus n_emails/n_phones);
+    * ``audit`` — one row per active stage (stage, n_dropped), zero counts
+      included;
+    * ``drops`` — the (doc_id, stage) list itself, for per-doc accounting.
+
+    ``kept`` and ``audit`` both derive from the single ``drops`` list, so
+    with ``persisted_out`` passed the expensive stages (LSH band join,
+    contamination join) run ONCE no matter how many of the three outputs are
+    materialized: ``drops`` is persisted (id+stage only) and appended to the
+    list for the caller to unpersist — the library-wide contract. Without
+    ``persisted_out`` nothing is persisted (leak-free default) and each
+    materialized output recomputes the chain.
     """
-    # 1. exact dedup: non-keepers out (hash groupBy, map-side combined)
-    exact = DD.exact_duplicates(docs, text_col, id_col)
-    exact_drops = exact.select(
-        F.explode(F.filter("doc_ids", lambda d: d != F.col("keeper"))).alias(id_col)
-    )
-    after_exact = docs.join(exact_drops, id_col, "left_anti")
-
-    # 2. quality gate: pure scan-speed expression
-    scored = after_exact.withColumn("quality", quality_score(text_col))
-    after_quality = scored.filter(F.col("quality") >= min_quality)
-
-    # 2b. repetition gate (Gopher rules), only when a threshold is set
-    rep_drops = None
-    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
-        from xlink_spark.operators.textstats import repetition_stats
-
-        rep = repetition_stats(after_quality, text_col, id_col)
-        bad = F.lit(False)
-        if max_dup_line_frac is not None:
-            bad = bad | (F.col("dup_line_frac_u") > int(max_dup_line_frac * 1e6))
-        if max_top_bigram_frac is not None:
-            bad = bad | (F.col("top_bigram_frac_u") > int(max_top_bigram_frac * 1e6))
-        rep_drops = rep.filter(bad).select(id_col)
-        after_quality = after_quality.join(rep_drops, id_col, "left_anti")
-    if persisted_out is not None:
-        # three downstream consumers (near-dup pairs, contamination, kept)
-        after_quality = after_quality.persist()
-        persisted_out.append(after_quality)
-
-    # 3. near-dup: banded-LSH pairs (cap active), larger id loses
-    pairs = DD.minhash_dedup(
-        after_quality,
+    drops, stages = curation_drops(
+        docs,
+        eval_docs,
         text_col,
         id_col,
+        min_quality=min_quality,
+        max_dup_line_frac=max_dup_line_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        neardup_threshold=neardup_threshold,
         shingle_n=shingle_n,
-        threshold=neardup_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        contamination_ngram=contamination_ngram,
+        contamination_min_hits=contamination_min_hits,
         persisted_out=persisted_out,
     )
-    near_drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    after_near = after_quality.join(near_drops, id_col, "left_anti")
+    if persisted_out is not None:
+        drops = drops.persist()
+        persisted_out.append(drops)
 
-    # 4. decontamination vs the held-out set (broadcast eval shingles)
-    if eval_docs is not None:
-        contaminated = DD.contamination_hits(
-            after_near, eval_docs, text_col, id_col,
-            ngram=contamination_ngram, min_hits=contamination_min_hits,
-        ).select(id_col)
-        kept = after_near.join(contaminated, id_col, "left_anti")
-    else:
-        contaminated = None
-        kept = after_near
+    kept = docs.join(drops.select(id_col), id_col, "left_anti").withColumn(
+        "quality", quality_score(text_col)
+    )
 
     # 5. PII scrub on the survivors only (no wasted work on dropped docs)
     if redact:
@@ -115,25 +192,11 @@ def curate_corpus(
             .withColumnRenamed("redacted", text_col)
         )
 
-    def n(df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_dropped"))
-
     audit_parts = [
-        n(exact_drops).select(F.lit("exact_dup").alias("stage"), "n_dropped"),
-        n(scored.filter(F.col("quality") < min_quality)).select(
-            F.lit("low_quality").alias("stage"), "n_dropped"
-        ),
-        n(near_drops).select(F.lit("near_dup").alias("stage"), "n_dropped"),
+        drops.filter(F.col("stage") == s)
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+        .select(F.lit(s).alias("stage"), "n_dropped")
+        for s in stages
     ]
-    if rep_drops is not None:
-        audit_parts.insert(
-            2, n(rep_drops).select(F.lit("repetitive").alias("stage"), "n_dropped")
-        )
-    if contaminated is not None:
-        audit_parts.append(
-            n(contaminated).select(F.lit("contaminated").alias("stage"), "n_dropped")
-        )
-    audit = audit_parts[0]
-    for p in audit_parts[1:]:
-        audit = audit.unionByName(p)
-    return kept, audit
+    audit = reduce(DataFrame.unionByName, audit_parts)
+    return kept, audit, drops
