@@ -564,6 +564,32 @@ def test_redact_pii(spark):
     assert got["p3"]["n_emails"] == 0 and got["p3"]["n_phones"] == 0
 
 
+def test_redact_pii_leaves_numeric_prose_alone(spark):
+    """Benign numeric text — year lists, scores, ISBNs, dates, version
+    strings, id lists — must NOT be redacted as phones; phone-shaped spans
+    (international +, parenthesized area code, hyphen groups ending in four
+    digits) still are."""
+    neg = [
+        ("n1", "in 2020 2021 2022 the scores were 10 20 30 and 40 50 60"),
+        ("n2", "ISBN 978-3-16-148410-0 was printed on 2026-08-17"),
+        ("n3", "versions 1.2.3 and 10.20.30 shipped on 17.08.2026"),
+        ("n4", "a list 1234 5678 9012 3456 of account ids"),
+    ]
+    pos = [
+        ("y1", "reach us at +86 10 1234 5678 during office hours"),
+        ("y2", "or (212) 555 0188 in new york"),
+        ("y3", "fax 0171-555-0123 still works"),
+    ]
+    docs = spark.createDataFrame(neg + pos, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in TS.redact_pii(docs).collect()}
+    for d, text in neg:
+        assert got[d]["n_phones"] == 0, (d, got[d]["redacted"])
+        assert got[d]["redacted"] == text
+    for d, _ in pos:
+        assert got[d]["n_phones"] == 1, (d, got[d]["redacted"])
+        assert "<PHONE>" in got[d]["redacted"]
+
+
 def test_curate_corpus_repetition_and_pii(spark):
     """Optional curation stages: Gopher repetition gate drops boilerplate,
     redact=True scrubs survivors' PII in place."""
@@ -633,3 +659,29 @@ def test_pack_sequences_invariants(spark):
     # the oversized doc is alone in its pack
     big_pack = [r[0] for r in a if r[1] == "dbig"][0]
     assert sum(1 for r in a if r[0] == big_pack) == 1
+
+
+def test_pack_sequences_deterministic_across_sessions_and_layouts(spark, tmp_path):
+    """Pack ids depend only on (doc_id, capacity, num_partitions): the same
+    parquet input packed under a different physical layout, a different
+    shuffle-partition setting, and a SEPARATE Spark session yields
+    bit-identical assignments (hash partitioning is a pure function of the
+    id — range boundaries sampled from layout are not)."""
+    from xlink_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:03d}", (i * 53) % 700 + 40) for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    path = str(tmp_path / "toks.parquet")
+    docs.write.parquet(path)
+
+    base = spark.read.parquet(path)
+    a = sorted(map(tuple, pack_sequences(base, capacity=1024).collect()))
+    # different upstream layout: scrambled partitioning and order
+    scrambled = base.repartition(7).sortWithinPartitions(F.col("doc_id").desc())
+    b = sorted(map(tuple, pack_sequences(scrambled, capacity=1024).collect()))
+    assert a == b
+    # separate session (fresh session state / different shuffle config)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "5")
+    c = sorted(map(tuple, pack_sequences(s2.read.parquet(path), capacity=1024).collect()))
+    assert a == c

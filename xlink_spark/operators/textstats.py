@@ -213,7 +213,22 @@ def repetition_stats(
 # Simple, dialect-portable patterns: identical semantics in Java regex
 # (Spark) and RE2 (DuckDB) — no backrefs, no lookaround, ASCII classes.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+# Phone spans must look LIKE PHONES, not merely like digits: a bare
+# "digits/spaces/hyphens >= 8 chars" rule redacts year lists, scores, ISBNs
+# and ids corpus-wide. Three phone-shaped alternatives instead:
+#   1. international: leading + (strong signal), then a bounded 7-18-char
+#      separator/digit run — "+86 10 1234 5678", "+1 (555) 010-7788";
+#   2. parenthesized area code: "(212) 555 0188";
+#   3. hyphen/dot-grouped with a FOUR-digit final group: "555-010-9944",
+#      "0171-555-0123" — the {4} tail is what keeps dates (2026-08-17),
+#      ISBNs and version strings out.
+# Precision over recall by design: an unseparated local number ("5550199")
+# is indistinguishable from an id and is deliberately not matched.
+PII_PHONE_RE = (
+    r"\+[0-9][0-9()\-. ]{5,16}[0-9]"
+    r"|\([0-9]{3,4}\)[-. ]?[0-9]{3,4}[-. ]?[0-9]{2,4}"
+    r"|[0-9]{2,4}(?:[-.][0-9]{3,4}){1,2}[-.][0-9]{4}"
+)
 
 
 def redact_pii(
