@@ -125,3 +125,47 @@ def test_crash_window_dirs_are_invisible(spark, tmp_path):
     k2, reader2 = store.last_iteration("links")
     assert k2 == 100000 and reader2(spark).count() == 3
     assert all_links(spark, store).count() == 8
+
+
+def test_overwrite_commit_never_deletes_last_snapshot(spark, tmp_path, monkeypatch):
+    """Re-committing an existing stage must keep a valid copy of the OLD
+    snapshot on disk at every instant: a crash exactly between moving the
+    old dir aside and swapping the new one in leaves the old data as a
+    recoverable .old- sibling (the previous rmtree-then-replace protocol
+    permanently lost it). The next successful commit sweeps the sibling."""
+    import os as os_mod
+
+    from xlink_spark.plans import snapshots as snapmod
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    store.commit_table("probs", spark.range(7).withColumnRenamed("id", "v"))
+    path = store._dir("probs")
+
+    real_replace = os_mod.replace
+
+    def crashing_replace(src, dst):
+        if dst == path and ".tmp-" in os_mod.path.basename(src):
+            raise OSError("simulated crash mid-swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(snapmod.os, "replace", crashing_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        store.commit_table("probs", spark.range(2).withColumnRenamed("id", "v"))
+    monkeypatch.setattr(snapmod.os, "replace", real_replace)
+
+    # the old snapshot survived, manifest-valid, as a .old- sibling
+    olds = [d for d in os_mod.listdir(store.root) if d.startswith(".old-probs-")]
+    assert len(olds) == 1
+    old_dir = os_mod.path.join(store.root, olds[0])
+    assert os_mod.path.exists(os_mod.path.join(old_dir, "MANIFEST.json"))
+    assert spark.read.parquet(os_mod.path.join(old_dir, "data")).count() == 7
+    # manual recovery is a single rename back into the committed namespace
+    real_replace(old_dir, path)
+    assert store.has_table("probs")
+    assert store.read_table(spark, "probs").count() == 7
+
+    # a subsequent overwrite succeeds and leaves no stale siblings behind
+    store.commit_table("probs", spark.range(3).withColumnRenamed("id", "v"))
+    assert store.read_table(spark, "probs").count() == 3
+    residue = [d for d in os_mod.listdir(store.root) if d.startswith((".old-", ".tmp-"))]
+    assert residue == []

@@ -56,6 +56,13 @@ class SnapshotStore:
         # manifest write and os.replace leaves ".tmp-iter_00001-<hex>", which
         # no listing pattern (_ITER_RE, has_table) can ever match
         parent, base = os.path.split(path)
+        # sweep this stage's stale siblings from earlier crashed commits
+        # (invisible to every listing, but they hold disk) — BEFORE creating
+        # our own temp, so the sweep can never eat the in-flight commit
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith((f".old-{base}-", f".tmp-{base}-")):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         tmp = os.path.join(parent, f".tmp-{base}-{uuid.uuid4().hex[:8]}")
         data_dir = os.path.join(tmp, "data")
         df.write.mode("overwrite").parquet(data_dir)
@@ -80,9 +87,23 @@ class SnapshotStore:
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f)
+        # overwrite protocol: NEVER delete the old committed dir before the
+        # new one is in place (rmtree-then-replace has a crash window that
+        # permanently loses the resume point). Rename the old dir aside
+        # (atomic), swap the new one in (atomic), THEN remove the sibling —
+        # a valid snapshot of this stage exists on disk at every instant:
+        # either at `path` or (mid-swap crash) as a .tmp-/.old- sibling a
+        # recovery can rename back. Sibling names live outside the
+        # committed-name namespace, so listings never mistake them for
+        # snapshots; stale ones from a crashed cleanup are swept best-effort
+        # at the start of the next commit.
         if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+            old = os.path.join(parent, f".old-{base}-{uuid.uuid4().hex[:8]}")
+            os.replace(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(tmp, path)
         return manifest
 
     @staticmethod
