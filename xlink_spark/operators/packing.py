@@ -5,10 +5,14 @@ no pack exceeds ``capacity`` tokens (an oversized single document gets its
 own pack — truncation is the tokenizer's job, not the packer's).
 
 Spark shape: packing is inherently sequential, so the unit of sequential
-work is the PARTITION — ``repartitionByRange`` on the id gives contiguous,
-deterministic, balanced ranges; each partition packs its ids in sorted
-order inside one Arrow-batched ``mapInPandas`` pass (state carries across
-batches within a partition). Pack ids are globally unique via
+work is the PARTITION — hash repartitioning on the id with a PINNED
+partition count assigns every doc to ``pmod(hash(doc_id), P)``, a pure
+function of the id: partition membership (and therefore every pack id) is
+bit-identical across sessions, upstream layouts and parallelism levels,
+unlike range partitioning whose boundaries are SAMPLED from the input's
+physical layout. Each partition packs its ids in sorted order inside one
+Arrow-batched ``mapInPandas`` pass (state carries across batches within a
+partition). Pack ids are globally unique via
 ``partition_id << 40 | local_pack``. Per-partition greedy wastes at most
 one partial pack per partition versus a global sequential fill — at 10^12
 docs that is noise, and it is what makes the operator embarrassingly
@@ -38,20 +42,28 @@ def pack_sequences(
     capacity: int,
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
+    num_partitions: int = 64,
 ) -> DataFrame:
     """(doc_id, n_tokens) → (pack_id, doc_id, n_tokens), deterministic.
 
-    Sequential next-fit in id order within range partitions: a document
+    Sequential next-fit in id order within hash partitions: a document
     that would overflow the open pack closes it and starts the next. Every
     pack satisfies ``total ≤ capacity`` unless it holds exactly one
     oversized document.
+
+    Determinism contract: for a fixed ``(capacity, num_partitions)``, every
+    (pack_id, doc_id) assignment is bit-identical across Spark sessions,
+    input file layouts, and cluster sizes — partition membership is
+    ``pmod(hash(doc_id), num_partitions)``, a pure function of the id
+    (NEVER a sampled range boundary or the session's shuffle-partition
+    config). Changing ``num_partitions`` is a repack.
     """
     base = (
         doc_tokens.select(
             F.col(id_col).cast("string").alias("doc_id"),
             F.col(count_col).cast("long").alias("n_tokens"),
         )
-        .repartitionByRange("doc_id")
+        .repartition(num_partitions, "doc_id")
         .sortWithinPartitions("doc_id")
     )
 
