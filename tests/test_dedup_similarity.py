@@ -425,6 +425,89 @@ def test_ivf_topk_recall_and_probe_monotonicity(spark):
     assert full == brute
 
 
+@pytest.fixture(scope="module")
+def quantizer_emb(spark):
+    """60 vectors + a 24-centroid quantizer derived from the first rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, (v / np.linalg.norm(v)).tolist())
+        for i, v in enumerate(rng.normal(size=(60, 10)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    cents = [(i, rows[i][1]) for i in range(24)]
+    return emb, cents
+
+
+def test_quantizer_assignment_literal_equals_join(spark, quantizer_emb):
+    """The broadcast-join assignment path produces BIT-IDENTICAL probe
+    lists to the literal-expression path on the same quantizer (same d²
+    arithmetic, same tie-break), for nprobe 1 and 3."""
+    emb, cents = quantizer_emb
+    for nprobe in (1, 3):
+        lit = {
+            r["vec_id"]: list(r["_probes"])
+            for r in SIM.assign_probe_clusters(
+                emb, cents, nprobe, literal_centroid_max=100
+            ).collect()
+        }
+        join = {
+            r["vec_id"]: list(r["_probes"])
+            for r in SIM.assign_probe_clusters(
+                emb, cents, nprobe, literal_centroid_max=1
+            ).collect()
+        }
+        assert lit == join
+        assert all(len(p) == nprobe for p in lit.values())
+
+
+def test_quantizer_assignment_plan_shapes(spark, quantizer_emb):
+    """Above literal_centroid_max the assignment plan is a broadcast
+    nested-loop fanout + narrow window — NOT a C-struct literal projection;
+    below it there is no join at all. The join path must project vectors
+    away before the ranking exchange (no array column rides the shuffle)."""
+    emb, cents = quantizer_emb
+    lit_plan = SIM.assign_probe_clusters(
+        emb, cents, 2, literal_centroid_max=100
+    )._jdf.queryExecution().optimizedPlan().toString()
+    join_plan = SIM.assign_probe_clusters(
+        emb, cents, 2, literal_centroid_max=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in lit_plan  # pure per-row expression
+    assert "BroadcastNestedLoopJoin" in join_plan
+    assert "row_number" in join_plan
+    # the exchange feeding the ranking window carries (id, cluster, d2) only
+    import re as _re
+
+    m = _re.search(r"Exchange hashpartitioning\(vec_id[^\n]*\n[^\n]*", join_plan)
+    assert m and "cvec" not in m.group(0) and "embedding" not in m.group(0)
+
+
+def test_ivf_and_semantic_dedup_identical_through_join_quantizer(spark, quantizer_emb):
+    """ivf_topk and semantic_dedup give the same answers whichever
+    assignment path the quantizer size selects."""
+    emb, cents = quantizer_emb
+    a = sorted(
+        map(tuple, SIM.ivf_topk(emb, k=3, nprobe=2, centroids=cents,
+                                literal_centroid_max=100).collect())
+    )
+    b = sorted(
+        map(tuple, SIM.ivf_topk(emb, k=3, nprobe=2, centroids=cents,
+                                literal_centroid_max=1).collect())
+    )
+    assert a == b and len(a) > 0
+    sa = sorted(
+        map(tuple, DD.semantic_dedup(emb, cents, threshold=0.9,
+                                     literal_centroid_max=100).collect())
+    )
+    sb = sorted(
+        map(tuple, DD.semantic_dedup(emb, cents, threshold=0.9,
+                                     literal_centroid_max=1).collect())
+    )
+    assert sa == sb and len(sa) == 60
+
+
 def test_curate_corpus_end_to_end(spark):
     """The full curation plan: exact dup, junk, near-dup, and contaminated
     docs each fall to their stage; the audit counts every drop."""

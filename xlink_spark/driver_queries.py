@@ -1018,13 +1018,16 @@ def q_ann_topk_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
-# the oracle mirrors centroid_probe_clusters' exact arithmetic: full
+# the oracle mirrors the engine's exact quantizer arithmetic: full
 # d2 = v·v − 2·v·c + c·c on DOUBLE lists (sequential folds on both engines),
-# ties broken by cluster id — then the same equi-join + top-k window
-SQL_ANN_TOPK_IVF = f"""
+# ties broken by cluster id — then the same equi-join + top-k window. The
+# SAME SQL covers both engine assignment paths (literal expression and
+# broadcast-join ranking) because they are value-identical by construction.
+def _sql_ivf(n_centroids: int, nprobe: int) -> str:
+    return f"""
 with cent as (
   select vec_id as cluster, embedding::DOUBLE[] as cvec
-  from embeddings where vec_id < {_IVF_N_CENTROIDS}
+  from embeddings where vec_id < {n_centroids}
 ),
 r as (
   select e.vec_id, e.embedding, c.cluster,
@@ -1038,7 +1041,7 @@ r as (
   from embeddings e cross join cent c
 ),
 assigned as (select vec_id as neighbor_id, embedding as nv, cluster from r where pr = 1),
-probes as (select vec_id as query_id, embedding as qv, cluster from r where pr <= {_IVF_NPROBE}),
+probes as (select vec_id as query_id, embedding as qv, cluster from r where pr <= {nprobe}),
 scored as (
   select p.query_id, a.neighbor_id,
          round(list_cosine_similarity(p.qv, a.nv), 6) as cos
@@ -1050,6 +1053,30 @@ select query_id, neighbor_id, rank from (
   from scored
 ) where rank <= 5
 """
+
+
+SQL_ANN_TOPK_IVF = _sql_ivf(_IVF_N_CENTROIDS, _IVF_NPROBE)
+
+# the join-quantizer configuration: 256 frozen centroids (clipped to the
+# table when the sf is tiny), forced through the broadcast-join assignment
+_IVF_C256 = 256
+SQL_ANN_TOPK_IVF_C256 = _sql_ivf(_IVF_C256, _IVF_NPROBE)
+
+
+def q_ann_topk_ivf_c256(spark, sf_dir):
+    """IVF ANN through the LARGE-quantizer path: 256 frozen centroids force
+    assignment onto the broadcast-centroid-table join (literal_centroid_max
+    =32 guarantees the join path even at tiny sf where fewer than 256
+    centroid rows exist) — the 10⁴-10⁵-cluster regime's plan shape, checked
+    against the same full-d² oracle as the literal path."""
+    emb = spark.read.parquet(_T(sf_dir, "embeddings")).select("vec_id", "embedding")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < _IVF_C256).collect()
+    )
+    return SIM.ivf_topk(
+        emb, k=5, nprobe=_IVF_NPROBE, centroids=cents, literal_centroid_max=32
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1436,6 +1463,7 @@ QUERIES: dict[str, Query] = {
     "ann_topk": q_ann_topk,
     "ann_topk_srp": q_ann_topk_srp,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_c256": q_ann_topk_ivf_c256,
     "knn_vote": q_knn_vote,
     "embedding_neardup": q_embedding_neardup,
     "contamination": q_contamination,
@@ -1481,6 +1509,7 @@ ORACLES: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_topk_srp": SQL_ANN_TOPK_SRP_TEMPLATE.format(bucket=_srp_bucket_sql()),
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+    "ann_topk_ivf_c256": SQL_ANN_TOPK_IVF_C256,
     "knn_vote": SQL_KNN_VOTE_TEMPLATE.format(
         srp_topk=SQL_ANN_TOPK_SRP_TEMPLATE.format(bucket=_srp_bucket_sql())
     ),

@@ -467,11 +467,14 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_centroid_max: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style pruning (Abbas et al. '23): per-cluster cosine dedup.
 
-    Every vector is assigned to its nearest centroid (scan-speed literal
-    expression — similarity.centroid_probe_clusters); within each cluster, a
+    Every vector is assigned to its nearest centroid
+    (similarity.assign_probe_clusters: scan-speed literal expression for
+    small quantizers, broadcast-join ranking above ``literal_centroid_max``
+    — SemDeDup's production regime is ~10⁵ clusters); within each cluster, a
     vector is dropped iff ANY smaller-id vector of the same cluster sits at
     cosine ≥ ``threshold``. Survivors are therefore exactly the id-local
     minima of the in-cluster ≥threshold similarity graph — deterministic and
@@ -485,14 +488,20 @@ def semantic_dedup(
     balance is the knob, same as IVF search); the drop test is one blocked
     self-join + semi-join back — no global quadratic anywhere.
     """
-    from xlink_spark.operators.similarity import centroid_probe_clusters
+    from xlink_spark.operators.similarity import (
+        LITERAL_CENTROID_MAX,
+        assign_probe_clusters,
+    )
 
-    assigned = emb.select(
+    if literal_centroid_max is None:
+        literal_centroid_max = LITERAL_CENTROID_MAX
+    assigned = assign_probe_clusters(
+        emb, centroids, nprobe=1, id_col=id_col, vec_col=vec_col,
+        literal_centroid_max=literal_centroid_max,
+    ).select(
         F.col(id_col),
         F.col(vec_col),
-        F.element_at(
-            centroid_probe_clusters(F.col(vec_col), centroids, nprobe=1), 1
-        ).alias("cluster"),
+        F.element_at("_probes", 1).alias("cluster"),
     )
     pairs = embedding_near_duplicates(
         assigned, id_col=id_col, vec_col=vec_col, threshold=threshold,

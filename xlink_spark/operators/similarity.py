@@ -165,11 +165,14 @@ def centroid_probe_clusters(
 ):
     """Expression: the ``nprobe`` nearest centroid ids for a vector column.
 
-    The coarse quantizer is by definition tiny (≤ a few thousand centroids),
-    so the centroids ride into the plan as literals and probe ranking is a
+    The SMALL-quantizer path (see ``assign_probe_clusters`` for selection):
+    the centroids ride into the plan as literals and probe ranking is a
     pure per-row expression — array_sort over (d², id) structs — instead of
     a vectors × centroids join + window shuffle. Assignment of 10^12 vectors
     becomes scan-speed map work; NOTHING shuffles until the in-cluster join.
+    The expression is O(C·dim) wide, so past a few dozen centroids it
+    exceeds JVM codegen method limits and analysis cost grows per query —
+    that is the join path's job.
 
     Distance is the full d² = v·v − 2·v·c + c·c with every dot a sequential
     double fold — the exact arithmetic a SQL oracle reproduces with
@@ -195,6 +198,75 @@ def centroid_probe_clusters(
     )
 
 
+# Above this centroid count, quantizer assignment switches from the literal
+# per-row expression to the broadcast-join path: a fully-unrolled C-struct
+# projection at C≫64 blows past JVM codegen method limits (measured in this
+# repo: interpreted fallback) and costs O(C·dim) PLAN ANALYSIS per query,
+# while SemDeDup/IVF at 10^12 vectors needs C in the 10⁴–10⁵ range. Same
+# policy shape as detect.py's broadcast_dict_max_rows.
+LITERAL_CENTROID_MAX = 64
+
+
+def assign_probe_clusters(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    literal_centroid_max: int = LITERAL_CENTROID_MAX,
+) -> DataFrame:
+    """(id, vec, _sd, _probes): each vector's v·v self-dot and its ``nprobe``
+    nearest centroid ids, ordered nearest-first.
+
+    Path selection by quantizer size (both produce BIT-IDENTICAL
+    assignments — same d² = v·v − 2·v·c + c·c with sequential double folds,
+    same (d², cluster) tie-break — pinned by test):
+
+    * ``C ≤ literal_centroid_max`` — the scan-speed literal expression
+      (``centroid_probe_clusters``): no shuffle anywhere.
+    * ``C > literal_centroid_max`` — broadcast the centroid table (tiny:
+      C × dim doubles) and rank per vector: the C-fanout rows are projected
+      down to (id, cluster, d²) BEFORE the ranking exchange, so vectors
+      never ride the candidate-level shuffle, and the per-vector work is
+      one narrow row_number window instead of a codegen-busting C-struct
+      projection. Cost: one narrow shuffle keyed by the (unique, skew-free)
+      vector id plus one hash join to re-attach vec/_sd — the price of not
+      folding 10⁴ centroids into every projection.
+    """
+    pre = emb.select(
+        F.col(id_col), F.col(vec_col), dot(vec_col, vec_col).alias("_sd")
+    )
+    if len(centroids) <= literal_centroid_max:
+        return pre.withColumn(
+            "_probes",
+            centroid_probe_clusters(
+                F.col(vec_col), centroids, nprobe, selfdot=F.col("_sd")
+            ),
+        )
+    spark = emb.sparkSession
+    rows = []
+    for cid, cvec in centroids:
+        cc = 0.0  # Python left fold == the JVM's sequential fold (oracle-safe)
+        for x in cvec:
+            cc += float(x) * float(x)
+        rows.append((int(cid), [float(x) for x in cvec], cc))
+    cents = spark.createDataFrame(rows, "cluster int, cvec array<double>, cc double")
+    d2 = F.col("_sd") - 2 * dot(vec_col, F.col("cvec")) + F.col("cc")
+    narrow = (
+        pre.join(F.broadcast(cents))  # map-side nested-loop fanout, C per row
+        .select(F.col(id_col), F.col("cluster"), d2.alias("_d2"))  # drop vec pre-shuffle
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("cluster").asc())
+    probes = (
+        narrow.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= nprobe)
+        .groupBy(id_col)  # same key as the window partitioning: no extra exchange
+        .agg(F.array_sort(F.collect_list(F.struct("_pr", "cluster"))).alias("_ps"))
+        .select(id_col, F.transform("_ps", lambda s: s["cluster"]).alias("_probes"))
+    )
+    return pre.join(probes, id_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -205,6 +277,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    literal_centroid_max: int = LITERAL_CENTROID_MAX,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantizer + in-cluster search.
 
@@ -213,8 +286,10 @@ def ivf_topk(
     quantizer is trained once offline and served as a tiny artifact, never
     refit per query. When omitted, MLlib KMeans learns it here (JVM,
     optionally on a ``sample_fraction`` of the input; deterministic given
-    ``seed``). Either way, assignment + probe ranking is one scan-speed
-    expression (``centroid_probe_clusters``): each vector's inverted-file
+    ``seed``). Assignment + probe ranking goes through
+    ``assign_probe_clusters`` — a scan-speed literal expression for small
+    quantizers, a broadcast-join ranking above ``literal_centroid_max``
+    (the 10⁴+-centroid regime real IVF needs): each vector's inverted-file
     cluster is its nearest centroid, each query probes its ``nprobe``
     nearest — and the neighbor search is an equi-join on cluster with
     fan-out nprobe × (cluster size). No cross join anywhere; recall is tuned
@@ -238,13 +313,13 @@ def ivf_topk(
         ]
     # one self-fold per vector serves BOTH the probe ranking (v·v term of
     # d²) and the unit normalization (‖v‖ = √(v·v), same fold, same value)
-    pre = emb.select(F.col(id_col), F.col(vec_col), dot(vec_col, vec_col).alias("_sd"))
-    probes = centroid_probe_clusters(
-        F.col(vec_col), centroids, nprobe, selfdot=F.col("_sd")
+    pre = assign_probe_clusters(
+        emb, centroids, nprobe, id_col, vec_col,
+        literal_centroid_max=literal_centroid_max,
     )
     nrm = F.sqrt(F.col("_sd"))
     unit = F.when(nrm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm))
-    base = pre.select(F.col(id_col), probes.alias("_probes"), unit.alias("_u"))
+    base = pre.select(F.col(id_col), "_probes", unit.alias("_u"))
     c = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_u").alias("nv"),
