@@ -35,9 +35,12 @@ HEADLINE = [
     "lsh_jaccard_pairs",
     "ann_topk_srp",
     "ann_topk_ivf",
+    "ann_topk_ivf_c256",  # join-quantizer assignment path (C=256)
     "ann_topk",
     "connected_components",
     "quality_scores",
+    "detected_mentions",  # join-path detection (n-gram ⋈ dictionary table)
+    "curation_plan",      # the composed end-to-end curation chain
 ]
 
 
@@ -131,16 +134,39 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     if "--scaling" in sys.argv:
         mult = int(os.environ.get("XLINK_SCALE_MULT", "16"))
+        reps = int(os.environ.get("XLINK_SCALE_REPS", "3"))
         scaled_dir = _build_scaled_corpus(mult)
         results = {}
+        # interleave core levels (8,32,8,32,...) so ambient-load drift hits
+        # both levels symmetrically instead of biasing one
+        runs: dict[int, list] = {8: [], 32: []}
+        for _rep in range(reps):
+            for cores in (8, 32):
+                load1 = os.getloadavg()[0]
+                dt, n_docs = run_flagship(f"local[{cores}]", cores, scaled_dir)
+                runs[cores].append(
+                    {
+                        "wall_sec": round(dt, 3),
+                        "docs_per_sec": round(n_docs / dt, 1),
+                        "ambient_load1_before": round(load1, 2),
+                    }
+                )
         for cores in (8, 32):
-            dt, n_docs = run_flagship(f"local[{cores}]", cores, scaled_dir)
+            rs = sorted(r["docs_per_sec"] for r in runs[cores])
+            best = max(rs)
             results[cores] = {
-                "wall_sec": round(dt, 3),
-                "docs_per_sec": round(n_docs / dt, 1),
                 "n_docs": n_docs,
+                "runs": runs[cores],
+                "docs_per_sec": best,  # best-of-N: least ambient interference
+                "docs_per_sec_median": rs[len(rs) // 2],
+                "wall_sec": min(r["wall_sec"] for r in runs[cores]),
             }
         tput_eff = results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4.0
+        med_eff = (
+            results[32]["docs_per_sec_median"]
+            / results[8]["docs_per_sec_median"]
+            / 4.0
+        )
         cpu_ceiling, bw_ceiling = _hardware_ceilings()
         print(
             json.dumps(
@@ -150,6 +176,8 @@ def main() -> None:
                     "unit": "ratio",
                     "sf": sf,
                     "corpus_multiplier": mult,
+                    "reps_per_level": reps,
+                    "value_median": round(med_eff, 3),
                     "local8": results[8],
                     "local32": results[32],
                     "speedup_8_to_32": round(

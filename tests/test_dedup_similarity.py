@@ -564,15 +564,29 @@ def test_curate_corpus_audit_reads_cached_drops(spark):
     kept, audit, drops = curate_corpus(docs, None, persisted_out=held)
     kept.count()  # materializes the chain; drops is now cached
     audit.collect()
-    plan = audit._jdf.queryExecution().executedPlan().toString()
+    sc = spark.sparkContext
+
+    def stages_run(action):
+        st = sc.statusTracker()
+        before = set(st.getJobIdsForGroup(None))
+        action()
+        new = [j for j in st.getJobIdsForGroup(None) if j not in before]
+        return sum(len(st.getJobInfo(j).stageIds) for j in new)
+
+    cached_stages = stages_run(lambda: audit.collect())
     assert drops.is_cached
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "TableCacheQueryStage" in plan  # the legs read the cache...
     for h in held:
         h.unpersist()
-    # every audit leg (3 active stages here) executed as a cache-reading AQE
-    # stage; a leg that re-ran the drop chain would execute shuffle stages
-    # instead of a TableCacheQueryStage (the md5 lineage visible in the
-    # string is only the InMemoryRelation's provenance printout)
-    assert plan.count("TableCacheQueryStage") == 3
+    # ...and the executed work proves it: an audit over the cached drop list
+    # runs only tiny cache-scan + single-partition-agg stages per leg
+    # (measured 15 with AQE), while recomputing the drop chain per leg runs
+    # the exact-dup window / LSH / quality scan again (measured 30)
+    _k2, audit2, _d2 = curate_corpus(docs, None)  # no persist → recompute
+    uncached_stages = stages_run(lambda: audit2.collect())
+    assert cached_stages < uncached_stages
+    assert cached_stages <= 18  # ~5 AQE stages per cached leg, 3 legs
 
 
 def test_exact_dup_drops_matches_group_view(spark):

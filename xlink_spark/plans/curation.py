@@ -66,6 +66,11 @@ def curation_drops(
 
     # 2. quality gate: pure scan-speed expression
     scored = after_exact.withColumn("quality", quality_score(text_col))
+    if persisted_out is not None:
+        # consumed by the low-quality drop AND the survivor branch: persist
+        # so the exact-dup window runs once (owner unpersists — contract)
+        scored = scored.persist()
+        persisted_out.append(scored)
     low = scored.filter(F.col("quality") < min_quality).select(
         id_col, F.lit("low_quality").alias("stage")
     )
@@ -87,6 +92,11 @@ def curation_drops(
         after_quality = after_quality.join(rep_drops.select(id_col), id_col, "left_anti")
         stages.append("repetitive")
         parts.append(rep_drops)
+    if persisted_out is not None:
+        # consumed by the shingle scan AND (with an eval set) the
+        # contamination branch: cut the upstream chain off both
+        after_quality = after_quality.persist()
+        persisted_out.append(after_quality)
 
     # 3. near-dup: banded-LSH pairs (cap active), larger id loses
     pairs = DD.minhash_dedup(
@@ -174,7 +184,11 @@ def curate_corpus(
         persisted_out=persisted_out,
     )
     if persisted_out is not None:
-        drops = drops.persist()
+        # the stage-wise union stacks partitions (n_stages × input parts);
+        # coalesce the narrow id+stage list back to the session's
+        # parallelism before caching — merges map work, no extra shuffle
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        drops = drops.coalesce(max(par, 1)).persist()
         persisted_out.append(drops)
 
     kept = docs.join(drops.select(id_col), id_col, "left_anti").withColumn(
