@@ -347,6 +347,78 @@ def test_real_bmp_wav_decode_to_srp_neardup(spark):
     assert top.get("bmp_a") == "bmp_b" and top.get("bmp_b") == "bmp_a"
 
 
+def test_resize_images_nearest_neighbor(spark):
+    """resize_images: real BMP decode → integer nearest-neighbor map →
+    real BMP re-encode. Identity resize is byte-stable, downscale picks the
+    exact floor(i·src/dst) pixels, non-BMP payloads get typed errors, and
+    the resized table chains into extract_features."""
+    import numpy as np
+
+    from xlink_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    rows = [
+        ("img", "image", bytearray(MM.make_bmp(px))),
+        ("bad", "image", bytearray(b"not an image at all")),
+    ]
+    assets = spark.createDataFrame(rows, "media_ref string, kind string, payload binary")
+
+    same = {r["media_ref"]: r for r in MM.resize_images(assets, 4, 4).collect()}
+    assert bytes(same["img"]["payload"]) == MM.make_bmp(px)  # identity round-trip
+    assert same["bad"]["payload"] is None and same["bad"]["decode_error"]
+
+    small = {r["media_ref"]: r for r in MM.resize_images(assets, 2, 2).collect()}
+    assert (small["img"]["width"], small["img"]["height"]) == (2, 2)
+    expected = px[[0, 2]][:, [0, 2]]  # floor(i*4/2) index map
+    assert bytes(small["img"]["payload"]) == MM.make_bmp(expected)
+
+    # chains into the feature extractor as a normal asset table
+    resized_assets = spark.createDataFrame(
+        [("img", "image", small["img"]["payload"])],
+        "media_ref string, kind string, payload binary",
+    )
+    feats = {r["media_ref"]: r for r in MM.extract_features(resized_assets, dim=8).collect()}
+    assert feats["img"]["decode_error"] is None and len(feats["img"]["feature"]) == 8
+
+
+def test_sample_frames_every_ms(spark):
+    """Frame sampling over the XLV1 test container: first frame at/after
+    each every_ms boundary is emitted with its index and timestamp; frames
+    are real BMP payloads; real video formats yield a typed decode_error
+    (no demuxer in this environment — the documented stub)."""
+    import numpy as np
+
+    from xlink_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(9)
+    frames = []
+    for t in (0, 400, 800, 1200, 2000):
+        img = rng.randint(0, 256, size=(2, 2, 3)).astype(np.uint8)
+        frames.append((t, MM.make_bmp(img)))
+    rows = [
+        ("vid", "video", bytearray(MM.make_video(frames))),
+        ("mp4", "video", bytearray(b"\x00\x00\x00 ftypisom rest-of-an-mp4")),
+    ]
+    assets = spark.createDataFrame(rows, "media_ref string, kind string, payload binary")
+    got = MM.sample_frames(assets, every_ms=1000).collect()
+    vid = sorted(
+        ((r["frame_idx"], r["t_ms"]) for r in got if r["media_ref"] == "vid"),
+    )
+    assert vid == [(0, 0), (3, 1200), (4, 2000)]  # one per 1000ms window
+    sampled = {r["frame_idx"]: r for r in got if r["media_ref"] == "vid"}
+    assert bytes(sampled[3]["frame"]) == frames[3][1]  # the real BMP bytes
+    mp4 = [r for r in got if r["media_ref"] == "mp4"]
+    assert len(mp4) == 1 and mp4[0]["decode_error"] and mp4[0]["frame"] is None
+    # sampled frames chain into the image feature extractor
+    fa = spark.createDataFrame(
+        [(f"vid#{r}", "image", sampled[r]["frame"]) for r in sampled],
+        "media_ref string, kind string, payload binary",
+    )
+    feats = MM.extract_features(fa, dim=8).collect()
+    assert all(r["decode_error"] is None for r in feats)
+
+
 def test_bucketed_topk_multiprobe_improves_recall(spark):
     """Multi-probe searches Hamming-1 buckets: recall@1 vs brute force is
     monotone in probes, and full 1-bit probing recovers boundary-split

@@ -203,6 +203,176 @@ def extract_features(
     return assets.select("media_ref", "payload").mapInPandas(run, _FEATURES)
 
 
+_RESIZED = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, batch_rows: int = 64
+) -> DataFrame:
+    """Resize image payloads to ``width``×``height`` (nearest-neighbor).
+
+    BMP (uncompressed 24/32-bit) payloads are decoded, resized with
+    deterministic nearest-neighbor index mapping (floor(i·src/dst) — no
+    interpolation, no FP kernels, bit-reproducible), and re-encoded as
+    24-bit BMP. Other formats yield a typed ``decode_error`` row (this
+    container ships no PIL; a corpus at scale always carries undecodable
+    assets, so errors are DATA, never task failures).
+
+    Output: (media_ref, payload, width, height, decode_error) — the resized
+    table is schema-compatible with ``assets`` via a rename, so resize
+    chains with extract_features. Same Arrow batch-cap note as
+    extract_features (payloads are large; cap maxRecordsPerBatch).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse_bmp(b):
+            # header parse shared with the feature decoder; returns HxWx3
+            if len(b) < 54 or b[:2] != b"BM":
+                raise ValueError("not a BMP")
+            off = struct.unpack_from("<I", b, 10)[0]
+            hdr = struct.unpack_from("<IiiHHI", b, 14)
+            _sz, w, h, _planes, bpp, comp = hdr
+            if comp != 0 or bpp not in (24, 32):
+                raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+            flip = h > 0
+            h = abs(h)
+            nch = bpp // 8
+            stride = (w * nch + 3) & ~3
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            for r in range(h):
+                row = np.frombuffer(b, dtype=np.uint8, count=w * nch, offset=off + r * stride)
+                row = row.reshape(w, nch)[:, :3][:, ::-1]  # BGR(A) -> RGB
+                px[h - 1 - r if flip else r] = row
+            return px
+
+        def encode_bmp(px):
+            h, w = px.shape[0], px.shape[1]
+            stride = (w * 3 + 3) & ~3
+            body = bytearray()
+            for row in px[::-1]:
+                r = row[:, ::-1].tobytes()
+                body += r + b"\x00" * (stride - len(r))
+            off = 14 + 40
+            header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+            )
+            return bytes(header + info + body)
+
+        def one(payload):
+            if payload is None:
+                return None, None, None, "empty payload"
+            b = bytes(payload)
+            try:
+                px = parse_bmp(b)
+                sh, sw = px.shape[0], px.shape[1]
+                # nearest-neighbor: integer index map, no FP accumulation
+                ri = (np.arange(height) * sh) // height
+                ci = (np.arange(width) * sw) // width
+                out = px[ri][:, ci]
+                return encode_bmp(out), width, height, None
+            except Exception as e:
+                return None, None, None, f"{type(e).__name__}: {e}"
+
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                p, w, h, err = one(payload)
+                rows.append((ref, p, w, h, err))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "payload", "width", "height", "decode_error"]
+            )
+
+    return assets.select("media_ref", "payload").mapInPandas(run, _RESIZED)
+
+
+_FRAMES = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("t_ms", IntegerType(), True),
+        StructField("frame", BinaryType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+# Toy deterministic video container for plumbing tests: b"XLV1" + u32 frame
+# count, then per frame u32 t_ms + u32 byte length + payload (a BMP). Real
+# containers (mp4/mkv) need a demuxer this environment doesn't ship — they
+# yield a typed decode_error, the clearly-marked stub the brief prescribes.
+VIDEO_MAGIC = b"XLV1"
+
+
+def make_video(frames: list[tuple[int, bytes]]) -> bytes:
+    """Encode (t_ms, frame_payload) pairs as the XLV1 test container."""
+    import struct
+
+    out = bytearray(VIDEO_MAGIC + struct.pack("<I", len(frames)))
+    for t_ms, payload in frames:
+        out += struct.pack("<II", int(t_ms), len(payload)) + payload
+    return bytes(out)
+
+
+def sample_frames(
+    assets: DataFrame, every_ms: int = 1000, batch_rows: int = 16
+) -> DataFrame:
+    """Frame-sample video payloads: one frame per ``every_ms`` window.
+
+    The selection rule is deterministic: the FIRST frame at or after each
+    multiple of ``every_ms`` is emitted (frame 0 always qualifies). One
+    input row explodes to N output rows inside the Arrow batch — the
+    fan-out happens executor-side, partitioned by asset; nothing returns
+    to the driver. XLV1 test containers parse for real; other formats get
+    one typed ``decode_error`` row each.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def frames_of(b):
+            if len(b) < 8 or b[:4] != VIDEO_MAGIC:
+                raise ValueError("not an XLV1 container (no demuxer for real video formats in environment)")
+            n = struct.unpack_from("<I", b, 4)[0]
+            off = 8
+            for _i in range(n):
+                t_ms, ln = struct.unpack_from("<II", b, off)
+                off += 8
+                yield t_ms, b[off : off + ln]
+                off += ln
+
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    rows.append((ref, None, None, None, "empty payload"))
+                    continue
+                try:
+                    next_t = 0
+                    idx = 0
+                    for t_ms, frame in frames_of(bytes(payload)):
+                        if t_ms >= next_t:
+                            rows.append((ref, idx, int(t_ms), frame, None))
+                            next_t = (t_ms // every_ms + 1) * every_ms
+                        idx += 1
+                except Exception as e:
+                    rows.append((ref, None, None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "frame_idx", "t_ms", "frame", "decode_error"]
+            )
+
+    return assets.select("media_ref", "payload").mapInPandas(run, _FRAMES)
+
+
 def make_bmp(pixels) -> bytes:
     """Encode an HxWx3 uint8 RGB array as a real uncompressed 24-bit BMP.
 
