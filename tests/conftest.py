@@ -13,6 +13,24 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _bound_cache_accumulation():
+    """Unpersist everything at each module boundary.
+
+    The suite shares ONE session; cached blocks accumulated across modules
+    can fill the storage pool until broadcast reads thrash in
+    evictBlocksToFreeSpace (observed as a multi-minute livelock with dozens
+    of threads blocked on the UnifiedMemoryManager monitor). Session-scoped
+    cached fixtures (sdfs) recompute lazily from local relations — cheap.
+    """
+    yield
+    import pyspark.sql
+
+    active = pyspark.sql.SparkSession.getActiveSession()
+    if active is not None:
+        active.catalog.clearCache()
+
+
 @pytest.fixture(scope="session")
 def corpus():
     return generate_corpus(seed=42, n_docs=120, n_entities=60)
