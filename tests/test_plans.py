@@ -153,3 +153,43 @@ def test_ivf_driver_query_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_ivf_c256_driver_query_uses_join_quantizer(spark):
+    """The large-quantizer IVF entry: assignment runs as the INTENDED
+    broadcast nested-loop fanout over the tiny centroid table (not a
+    codegen-busting literal projection, not a cartesian shuffle product),
+    and nothing else in the plan is Python or cartesian."""
+    from xlink_spark.driver_queries import q_ann_topk_ivf_c256
+
+    plan = _plan(q_ann_topk_ivf_c256(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan  # the centroid fanout
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_detected_mentions_query_plan_shape(spark):
+    """The oracled join-path detection query: exactly ONE Arrow crossing
+    (the n-gram span scan — dictionary derivation is pure SQL), dictionary
+    matched by equi-join, never a nested loop / cartesian product, and no
+    row-at-a-time Python anywhere."""
+    from xlink_spark.driver_queries import q_detected_mentions
+
+    plan = _plan(q_detected_mentions(spark, "/root/testdata/sf0.001"))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_curation_plan_query_is_pure_jvm(spark):
+    """The composed curation chain (exact dedup → quality → repetition →
+    LSH → decontamination → redaction): every stage is declarative — no
+    Python eval nodes of any kind, no cartesian products; the only pair
+    generation is the banded equi-join."""
+    from xlink_spark.driver_queries import q_curation_plan
+
+    plan = _plan(q_curation_plan(spark, "/root/testdata/sf0.001"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
