@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis): invariants that must hold for ALL
+inputs, not just the curated examples.
+
+Pure-Python properties (regex behavior shared verbatim with the Spark and
+DuckDB sides) run at full example counts; Spark-backed properties run a
+handful of examples each (a SparkSession action per example is ~1s, and the
+invariants are data-shape-independent — a few adversarial draws suffice on
+top of the deterministic unit suites).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xlink_spark.operators.textstats import PII_EMAIL_RE, PII_PHONE_RE
+
+_PHONE = re.compile(PII_PHONE_RE)
+_EMAIL = re.compile(PII_EMAIL_RE)
+
+
+@given(st.lists(st.integers(0, 9999), min_size=1, max_size=12))
+def test_phone_regex_never_matches_space_separated_numbers(groups):
+    """Numeric prose — space-separated digit groups (years, scores, ids) —
+    must NEVER be redacted as a phone: no +, no parens, no separator
+    structure means no match, for every combination of group values."""
+    text = " ".join(str(g) for g in groups)
+    assert _PHONE.search(text) is None, text
+
+
+@given(
+    st.integers(10, 9999),
+    st.integers(100, 9999),
+    st.integers(1000, 9999),
+    st.sampled_from(["-", "."]),
+)
+def test_phone_regex_always_matches_grouped_numbers(a, b, c, sep):
+    """Hyphen/dot-grouped digit runs ending in a four-digit group — the
+    structural phone shape (first group 2-4 digits; a 1-digit head is
+    ISBN-like and deliberately excluded) — always match, for every digit
+    combination."""
+    assert _PHONE.search(f"call {a}{sep}{b:03d}{sep}{c} now") is not None
+
+
+@given(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789._", min_size=1, max_size=20),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=15),
+    st.sampled_from(["com", "org", "de", "co", "io"]),
+)
+def test_email_regex_matches_generated_addresses(local, dom, tld):
+    assert _EMAIL.search(f"mail {local}@{dom}.{tld} please") is not None
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(1, 900), min_size=1, max_size=60),
+    st.integers(256, 2048),
+)
+def test_pack_sequences_invariants_hold_for_any_input(spark, sizes, capacity):
+    """For ANY token-count multiset and capacity: every doc packed exactly
+    once, no pack over capacity unless it holds a single oversized doc, and
+    the token total is conserved."""
+    from xlink_spark.operators.packing import pack_sequences, pack_summary
+
+    rows = [(f"d{i:04d}", n) for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    packed = pack_sequences(docs, capacity=capacity, num_partitions=4)
+    got = packed.collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(d for d, _ in rows)
+    summ = pack_summary(packed).collect()
+    for r in summ:
+        assert r["total_tokens"] <= capacity or r["n_docs"] == 1
+    assert sum(r["total_tokens"] for r in summ) == sum(sizes)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 80), st.integers(1, 15)), min_size=1, max_size=25
+    )
+)
+def test_resolve_conflicts_winners_never_overlap(spark, spans):
+    """For ANY span set: conflict-resolution winners are pairwise
+    non-overlapping within a doc, every winner is an input span, and the
+    result is deterministic across re-runs."""
+    from xlink_spark.operators.detect import resolve_conflicts
+
+    rows = [
+        ("doc", s, s + ln, f"m{i}", "ma") for i, (s, ln) in enumerate(spans)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, start int, end int, surface string, parse_from string"
+    )
+    won = sorted(
+        (r["start"], r["end"], r["surface"]) for r in resolve_conflicts(df).collect()
+    )
+    inputs = {(s, e, m) for _, s, e, m, _ in rows}
+    assert all((s, e, m) in inputs for s, e, m in won)
+    for (s1, e1, _), (s2, e2, _) in zip(won, won[1:]):
+        assert s2 >= e1, won  # winners sorted by start never overlap
+    again = sorted(
+        (r["start"], r["end"], r["surface"]) for r in resolve_conflicts(df).collect()
+    )
+    assert won == again
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_simhash_banded_recall_is_perfect_below_band_count(spark, data):
+    """Pigeonhole guarantee: with 4 bands over 64 bits, EVERY pair within
+    Hamming distance ≤ 3 must be found (uncapped). Planted twins at random
+    base fingerprints with ≤3 random bit flips are always recovered."""
+    from xlink_spark.operators.dedup import simhash_near_pairs
+
+    n = data.draw(st.integers(3, 8))
+    bases = data.draw(
+        st.lists(
+            st.integers(-(2**63), 2**63 - 1), min_size=n, max_size=n, unique=True
+        )
+    )
+    rows, expected = [], set()
+    for i, b in enumerate(bases):
+        rows.append((f"a{i}", b))
+        flips = data.draw(st.lists(st.integers(0, 63), min_size=0, max_size=3))
+        twin = b
+        for f in flips:
+            twin ^= 1 << f
+        if twin >= 2**63:
+            twin -= 2**64
+        rows.append((f"b{i}", twin))
+        if bin((b ^ twin) & (2**64 - 1)).count("1") <= 3:
+            expected.add((f"a{i}", f"b{i}"))
+    fp = spark.createDataFrame(rows, "doc_id string, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(fp, k=3, bands=4, max_bucket=None).collect()
+    }
+    assert expected <= got  # pigeonhole: no planted twin is ever missed
