@@ -76,6 +76,12 @@ def test_simhash_identical_and_different(toy_docs):
     assert fp["a"] != fp["d"]
     dups = DD.simhash_duplicates(toy_docs).collect()
     assert any(set(r["doc_ids"]) >= {"a", "b"} for r in dups)
+    # the windowed drop path agrees with the group view's non-keepers
+    via_window = {r["doc_id"] for r in DD.simhash_dup_drops(toy_docs).collect()}
+    via_groups = {
+        d for r in dups for d in r["doc_ids"] if d != min(r["doc_ids"])
+    }
+    assert via_window == via_groups
 
 
 def test_embedding_near_duplicates(spark):

@@ -313,12 +313,33 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
 
 
 def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Docs sharing an identical SimHash fingerprint (Hamming-0 near-dups)."""
+    """Docs sharing an identical SimHash fingerprint (Hamming-0 near-dups).
+
+    REPORT/AUDIT view (same caveat as ``exact_duplicates``): ``doc_ids``
+    materializes a whole fingerprint group on one reducer, and degenerate
+    groups (empty/boilerplate corpora collapsing to one fingerprint) are
+    the ones that exist at corpus scale — use :func:`simhash_dup_drops` as
+    the drop path."""
     fp = simhash(docs, text_col, id_col)
     return (
         fp.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_dup_drops(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Ids of the non-keeper members of each identical-SimHash group (one id
+    column; keeper = min id). The scale-safe drop path: a ``row_number``
+    window on the fingerprint exchange — rows stream through the reducer,
+    no per-group array ever materializes (the same construction as
+    ``exact_dup_drops``)."""
+    fp = simhash(docs, text_col, id_col)
+    w = Window.partitionBy("simhash").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
     )
 
 
