@@ -153,12 +153,16 @@ def main() -> None:
                 )
         for cores in (8, 32):
             rs = sorted(r["docs_per_sec"] for r in runs[cores])
-            best = max(rs)
+            # true median (mean of middle two when even) — rs[len//2] would
+            # silently report the MAX for 2 reps, defeating the load-robust
+            # second statistic this field exists to provide
+            mid = len(rs) // 2
+            median = rs[mid] if len(rs) % 2 else round((rs[mid - 1] + rs[mid]) / 2, 1)
             results[cores] = {
                 "n_docs": n_docs,
                 "runs": runs[cores],
-                "docs_per_sec": best,  # best-of-N: least ambient interference
-                "docs_per_sec_median": rs[len(rs) // 2],
+                "docs_per_sec": max(rs),  # best-of-N: least ambient interference
+                "docs_per_sec_median": median,
                 "wall_sec": min(r["wall_sec"] for r in runs[cores]),
             }
         tput_eff = results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4.0

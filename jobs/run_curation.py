@@ -65,20 +65,20 @@ def run_curation_job(spark, args) -> dict:
             from xlink_spark.plans.snapshots import SnapshotStore
 
             store = SnapshotStore(args.snapshots)
-            store.commit_table("curation_drops", drops)
+            drops_manifest = store.commit_table("curation_drops", drops)
             audit_counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
-            store.commit_table("curated_docs", kept, metrics=audit_counts)
-            kept_path = f"{args.snapshots}/curated_docs/data"
-            drops_path = f"{args.snapshots}/curation_drops/data"
+            kept_manifest = store.commit_table("curated_docs", kept, metrics=audit_counts)
+            # counts come from the committed manifests (parquet footers read
+            # driver-side at commit) — no recount jobs over the written data
+            n_kept = kept_manifest["rows"]
+            n_dropped = drops_manifest["rows"]
         else:
             drops.write.mode("overwrite").parquet(f"{args.output}/drops")
             kept.write.mode("overwrite").parquet(f"{args.output}/kept")
             audit_counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
-            kept_path = f"{args.output}/kept"
-            drops_path = f"{args.output}/drops"
+            n_kept = spark.read.parquet(f"{args.output}/kept").count()
+            n_dropped = sum(audit_counts.values())
         audit.write.mode("overwrite").parquet(f"{args.output}/audit")
-        n_kept = spark.read.parquet(kept_path).count()
-        n_dropped = spark.read.parquet(drops_path).count()
     finally:
         for h in held:
             h.unpersist()

@@ -423,6 +423,10 @@ def test_sample_frames_every_ms(spark):
     )
     feats = MM.extract_features(fa, dim=8).collect()
     assert all(r["decode_error"] is None for r in feats)
+    # output flushing (batch_rows) never loses rows: every frame qualifies
+    # at every_ms=1 and a 2-row flush cap still emits all five
+    allf = MM.sample_frames(assets, every_ms=1, batch_rows=2).collect()
+    assert sorted(r["frame_idx"] for r in allf if r["media_ref"] == "vid") == [0, 1, 2, 3, 4]
 
 
 def test_bucketed_topk_multiprobe_improves_recall(spark):

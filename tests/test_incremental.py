@@ -159,6 +159,17 @@ def test_overwrite_commit_never_deletes_last_snapshot(spark, tmp_path, monkeypat
     old_dir = os_mod.path.join(store.root, olds[0])
     assert os_mod.path.exists(os_mod.path.join(old_dir, "MANIFEST.json"))
     assert spark.read.parquet(os_mod.path.join(old_dir, "data")).count() == 7
+
+    # a rerun that fails during its (long) WRITE phase must not have
+    # deleted the recovery copy at commit start — .old- sweeping happens
+    # only after a successful swap (the bad plan fails at EXECUTION, i.e.
+    # inside the commit's write, after the commit-start sweep already ran)
+    bad = spark.range(1).select((F.col("id") / F.lit(0)).alias("v"))
+    with pytest.raises(Exception):
+        store.commit_table("probs", bad)
+    assert [
+        d for d in os_mod.listdir(store.root) if d.startswith(".old-probs-")
+    ] == olds
     # manual recovery is a single rename back into the committed namespace
     real_replace(old_dir, path)
     assert store.has_table("probs")

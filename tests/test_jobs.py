@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
+
+_JOBS_DIR = str(Path(__file__).resolve().parent.parent / "jobs")
 
 
 def _curation_args(**kw) -> argparse.Namespace:
@@ -23,7 +26,7 @@ def test_run_curation_job_jsonl_with_snapshots(spark, tmp_path):
     (quarantined), exact dup dropped, junk dropped, kept docs committed
     through the SnapshotStore with audit counts in the manifest, per-doc
     fates written, metrics consistent."""
-    sys.path.insert(0, "/root/repo/jobs")
+    sys.path.insert(0, _JOBS_DIR)
     from run_curation import run_curation_job
 
     from xlink_spark.plans.snapshots import SnapshotStore
@@ -61,7 +64,7 @@ def test_run_curation_job_jsonl_with_snapshots(spark, tmp_path):
 
 def test_run_curation_job_parquet_redact(spark, tmp_path):
     """Parquet input + --redact: survivors' text is scrubbed in place."""
-    sys.path.insert(0, "/root/repo/jobs")
+    sys.path.insert(0, _JOBS_DIR)
     from run_curation import run_curation_job
 
     docs = spark.createDataFrame(

@@ -1624,9 +1624,14 @@ def q_curation_plan(spark, sf_dir):
 
     # repeat-call hygiene: a query function can't unpersist after its caller
     # materializes, so each NEW call releases the previous call's handles
-    # (bench runs cold+warm pairs; the harness clearCache covers the rest)
+    # (bench runs cold+warm pairs; the harness clearCache covers the rest).
+    # Handles may belong to an already-STOPPED session (two sessions in one
+    # process) — a dead handle has nothing cached, so just drop it.
     while _CURATION_HELD:
-        _CURATION_HELD.pop().unpersist()
+        try:
+            _CURATION_HELD.pop().unpersist()
+        except Exception:
+            pass
     corpus, eval_docs = _curation_corpus(spark, sf_dir)
     held = _CURATION_HELD
     kept, _audit, drops = curate_corpus(

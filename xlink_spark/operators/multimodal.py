@@ -98,10 +98,11 @@ def extract_features(
     ``fake=True`` every row gets the deterministic content-hash
     pseudo-feature instead (plumbing tests).
 
-    Batch shape matters at scale: payloads are large, so Arrow batches are
-    capped by ``batch_rows`` (set spark.sql.execution.arrow.maxRecordsPerBatch
-    accordingly) and the scan partitions by file, never collecting payloads
-    to the driver.
+    Batch shape matters at scale: payloads are large, so OUTPUT frames are
+    flushed every ``batch_rows`` rows (bounds peak per-batch payload memory
+    executor-side); the INPUT Arrow batch size is session-governed — set
+    spark.sql.execution.arrow.maxRecordsPerBatch to match. The scan
+    partitions by file, never collecting payloads to the driver.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -193,12 +194,17 @@ def extract_features(
             except Exception as e:  # corrupt headers must yield rows, not task failures
                 return None, f"{type(e).__name__}: {e}"
 
+        cols = ["media_ref", "feature", "decode_error"]
+        out = []
         for pdf in batches:
-            out = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 feat, err = decode(payload, ref)
                 out.append((ref, feat, err))
-            yield pd.DataFrame(out, columns=["media_ref", "feature", "decode_error"])
+                if len(out) >= batch_rows:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
     return assets.select("media_ref", "payload").mapInPandas(run, _FEATURES)
 
@@ -228,8 +234,9 @@ def resize_images(
 
     Output: (media_ref, payload, width, height, decode_error) — the resized
     table is schema-compatible with ``assets`` via a rename, so resize
-    chains with extract_features. Same Arrow batch-cap note as
-    extract_features (payloads are large; cap maxRecordsPerBatch).
+    chains with extract_features. Output frames flush every ``batch_rows``
+    rows (same memory-cap convention as extract_features); input batch size
+    is spark.sql.execution.arrow.maxRecordsPerBatch.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -284,14 +291,17 @@ def resize_images(
             except Exception as e:
                 return None, None, None, f"{type(e).__name__}: {e}"
 
+        cols = ["media_ref", "payload", "width", "height", "decode_error"]
+        rows = []
         for pdf in batches:
-            rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 p, w, h, err = one(payload)
                 rows.append((ref, p, w, h, err))
-            yield pd.DataFrame(
-                rows, columns=["media_ref", "payload", "width", "height", "decode_error"]
-            )
+                if len(rows) >= batch_rows:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("media_ref", "payload").mapInPandas(run, _RESIZED)
 
@@ -330,10 +340,11 @@ def sample_frames(
 
     The selection rule is deterministic: the FIRST frame at or after each
     multiple of ``every_ms`` is emitted (frame 0 always qualifies). One
-    input row explodes to N output rows inside the Arrow batch — the
-    fan-out happens executor-side, partitioned by asset; nothing returns
-    to the driver. XLV1 test containers parse for real; other formats get
-    one typed ``decode_error`` row each.
+    input row explodes to N output rows — the fan-out happens executor-side
+    (nothing returns to the driver) and output frames flush every
+    ``batch_rows`` rows, INCLUDING mid-video, so a single long video never
+    materializes all its sampled frames in one batch. XLV1 test containers
+    parse for real; other formats get one typed ``decode_error`` row each.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -350,8 +361,9 @@ def sample_frames(
                 yield t_ms, b[off : off + ln]
                 off += ln
 
+        cols = ["media_ref", "frame_idx", "t_ms", "frame", "decode_error"]
+        rows = []
         for pdf in batches:
-            rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 if payload is None:
                     rows.append((ref, None, None, None, "empty payload"))
@@ -364,11 +376,16 @@ def sample_frames(
                             rows.append((ref, idx, int(t_ms), frame, None))
                             next_t = (t_ms // every_ms + 1) * every_ms
                         idx += 1
+                        if len(rows) >= batch_rows:  # one video can explode
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
                 except Exception as e:
                     rows.append((ref, None, None, None, f"{type(e).__name__}: {e}"))
-            yield pd.DataFrame(
-                rows, columns=["media_ref", "frame_idx", "t_ms", "frame", "decode_error"]
-            )
+                if len(rows) >= batch_rows:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("media_ref", "payload").mapInPandas(run, _FRAMES)
 

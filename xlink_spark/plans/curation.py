@@ -114,6 +114,14 @@ def curation_drops(
         .distinct()
         .select(id_col, F.lit("near_dup").alias("stage"))
     )
+    if persisted_out is not None and eval_docs is not None:
+        # near_drops feeds BOTH the drop-list union and (through after_near)
+        # the contamination branch; Spark shares no common subplans across
+        # union legs, so without this persist the LSH band join + Jaccard
+        # verify — the most expensive shuffles in the chain — would execute
+        # twice in the first materialization. The list is id-only (tiny).
+        near_drops = near_drops.persist()
+        persisted_out.append(near_drops)
     stages.append("near_dup")
     parts.append(near_drops)
 

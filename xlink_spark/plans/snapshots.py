@@ -56,12 +56,16 @@ class SnapshotStore:
         # manifest write and os.replace leaves ".tmp-iter_00001-<hex>", which
         # no listing pattern (_ITER_RE, has_table) can ever match
         parent, base = os.path.split(path)
-        # sweep this stage's stale siblings from earlier crashed commits
-        # (invisible to every listing, but they hold disk) — BEFORE creating
-        # our own temp, so the sweep can never eat the in-flight commit
+        # sweep ONLY stale temps here. Stale .old- siblings are the crash
+        # RECOVERY copies — after a crash between rename-aside and swap-in,
+        # the .old- dir is the stage's only surviving snapshot, and the
+        # rerun's write phase is the widest crash window of all: deleting
+        # the recovery copy before the new commit lands would reopen
+        # exactly the data-loss hole this protocol closes. .old- sweeping
+        # happens after a SUCCESSFUL swap only (below).
         if os.path.isdir(parent):
             for d in os.listdir(parent):
-                if d.startswith((f".old-{base}-", f".tmp-{base}-")):
+                if d.startswith(f".tmp-{base}-"):
                     shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         tmp = os.path.join(parent, f".tmp-{base}-{uuid.uuid4().hex[:8]}")
         data_dir = os.path.join(tmp, "data")
@@ -95,15 +99,20 @@ class SnapshotStore:
         # either at `path` or (mid-swap crash) as a .tmp-/.old- sibling a
         # recovery can rename back. Sibling names live outside the
         # committed-name namespace, so listings never mistake them for
-        # snapshots; stale ones from a crashed cleanup are swept best-effort
-        # at the start of the next commit.
+        # snapshots; stale temps are swept at the start of the next commit,
+        # stale .old- recovery copies only AFTER the next successful swap.
         if os.path.exists(path):
             old = os.path.join(parent, f".old-{base}-{uuid.uuid4().hex[:8]}")
             os.replace(path, old)
             os.replace(tmp, path)
-            shutil.rmtree(old, ignore_errors=True)
         else:
             os.replace(tmp, path)
+        # the new snapshot is committed: NOW all .old- siblings (this
+        # commit's rename-aside plus any stale recovery copies from earlier
+        # crashes) are superseded and safe to sweep
+        for d in os.listdir(parent):
+            if d.startswith(f".old-{base}-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         return manifest
 
     @staticmethod
