@@ -75,6 +75,37 @@ def test_iterations_listing_is_manifest_strict(spark):
     assert store.read_iterations_union(spark, "links").count() == 7
 
 
+def test_v1_overwrite_keeps_a_full_copy_at_every_instant(spark, monkeypatch):
+    """The staged v1 swap: a crash between dropping the old table and
+    renaming the stage in leaves the new data complete in __stage (nothing
+    is ever lost mid-overwrite), and the next successful commit sweeps it."""
+    store = CatalogSnapshotStore(spark, namespace="t_stage")
+    store.commit_table("p", spark.range(5).withColumnRenamed("id", "v"))
+    tbl = store._t("p")
+
+    real_sql = spark.sql
+
+    def crashing_sql(q, *a, **kw):
+        if q.startswith("ALTER TABLE") and "__stage" in q:
+            raise RuntimeError("simulated crash before rename")
+        return real_sql(q, *a, **kw)
+
+    monkeypatch.setattr(store.spark, "sql", crashing_sql)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.commit_table("p", spark.range(9).withColumnRenamed("id", "v"))
+    monkeypatch.setattr(store.spark, "sql", real_sql)
+
+    # old table dropped mid-swap, but the NEW data is complete in __stage —
+    # a full copy exists; the store correctly reports the stage uncommitted
+    assert not store.has_table("p")
+    assert spark.table(tbl + "__stage").count() == 9
+    # the next commit lands and sweeps the stale stage copy
+    store.commit_table("p", spark.range(3).withColumnRenamed("id", "v"))
+    assert store.read_table(spark, "p").count() == 3
+    assert store.manifest("p")["rows"] == 3
+    assert not spark.catalog.tableExists(tbl + "__stage")
+
+
 def test_cc_resume_from_catalog_snapshot(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(20)], "src long, dst long")
     store = CatalogSnapshotStore(spark, namespace="t_cc")

@@ -254,14 +254,35 @@ class CatalogSnapshotStore:
     # -- low-level commit ----------------------------------------------------
     def _write(self, tbl: str, df: DataFrame) -> None:
         """writeTo().createOrReplace() where the catalog supports it (v2 —
-        Iceberg's atomic metadata swap), else the v1 saveAsTable overwrite
-        (the built-in session catalog rejects REPLACE TABLE AS SELECT)."""
+        Iceberg's atomic metadata swap), else a STAGED v1 swap: write the
+        new data to ``<tbl>__stage``, drop the old table, rename the stage
+        in (the built-in session catalog rejects REPLACE TABLE AS SELECT,
+        and a plain overwrite would destroy the old data for the whole
+        duration of the new write — the same crash window the directory
+        store's .old- protocol closes). At every instant a COMPLETE copy of
+        the stage's data exists under some table name; a crash between drop
+        and rename leaves it in ``__stage``, swept only after the next
+        successful commit."""
         from pyspark.errors import AnalysisException
 
         try:
             df.writeTo(tbl).using("parquet").createOrReplace()
+            return
         except AnalysisException:
+            pass
+        stage = tbl + "__stage"
+        if self.spark.catalog.tableExists(tbl):
+            # old table intact through the (long) write of the new data
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")  # superseded copy
+            df.write.format("parquet").mode("overwrite").saveAsTable(stage)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            self.spark.sql(f"ALTER TABLE {stage} RENAME TO {tbl}")
+        else:
+            # tbl absent: a prior crash may have left the ONLY copy in
+            # __stage — write the fresh table first, sweep the stale stage
+            # only once the new commit's data is in place
             df.write.format("parquet").mode("overwrite").saveAsTable(tbl)
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
     def _commit(
         self,
