@@ -261,8 +261,10 @@ class CatalogSnapshotStore:
         duration of the new write — the same crash window the directory
         store's .old- protocol closes). At every instant a COMPLETE copy of
         the stage's data exists under some table name; a crash between drop
-        and rename leaves it in ``__stage``, swept only after the next
-        successful commit."""
+        and rename leaves it in ``__stage``, swept only once the NEXT
+        commit's data table is fully in place (the sweep precedes that
+        commit's manifest, so the guarantee is about data copies, not about
+        commit visibility)."""
         from pyspark.errors import AnalysisException
 
         try:
