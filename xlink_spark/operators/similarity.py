@@ -236,6 +236,15 @@ def assign_probe_clusters(
     pre = emb.select(
         F.col(id_col), F.col(vec_col), dot(vec_col, vec_col).alias("_sd")
     )
+    # the per-vector work (C dot-product folds on the join path, a C-struct
+    # expression on the literal path) inherits the INPUT partitioning — a
+    # small parquet is 1-2 splits, which would serialize the whole
+    # assignment onto one core (measured: C=4096 assignment 59s 1-way vs
+    # ~2s 32-way). Spread only when under-split; at real corpus scale the
+    # scan has thousands of natural splits and this branch is never taken.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if pre.rdd.getNumPartitions() < par:
+        pre = pre.repartition(par, id_col)
     if len(centroids) <= literal_centroid_max:
         return pre.withColumn(
             "_probes",
