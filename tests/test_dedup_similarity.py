@@ -566,6 +566,77 @@ def test_quantizer_assignment_plan_shapes(spark, quantizer_emb):
     assert m and "cvec" not in m.group(0) and "embedding" not in m.group(0)
 
 
+def test_hier_quantizer_full_probe_equals_flat(spark, quantizer_emb):
+    """Two-level assignment with ALL coarse cells probed reproduces the
+    flat join assignment EXACTLY (every centroid scored, same d², same
+    tie-break); and with centroids placed on the data points, the top-1
+    probe under partial coarse probing is always the vector's own centroid
+    (its nearest coarse cell is by construction its centroid's cell)."""
+    emb, cents = quantizer_emb
+    flat = {
+        r["vec_id"]: list(r["_probes"])
+        for r in SIM.assign_probe_clusters(
+            emb, cents, 2, literal_centroid_max=1
+        ).collect()
+    }
+    full = {
+        r["vec_id"]: list(r["_probes"])
+        for r in SIM.assign_probe_clusters_hier(
+            emb, cents, 2, n_coarse=5, nprobe_coarse=5
+        ).collect()
+    }
+    assert flat == full
+    # centroids == first 24 data vectors: those vectors' top-1 probe must be
+    # their own centroid even under partial probing (nprobe_coarse=1)
+    part = {
+        r["vec_id"]: list(r["_probes"])
+        for r in SIM.assign_probe_clusters_hier(
+            emb, cents, 1, n_coarse=5, nprobe_coarse=1
+        ).collect()
+    }
+    for cid, _ in cents:
+        assert part[cid][0] == cid
+    # growing the coarse probe set never worsens the best distance found:
+    # the full-probe top-1 equals the flat top-1 for every vector
+    assert all(full[v][0] == flat[v][0] for v in flat)
+
+
+def test_hier_quantizer_exact_on_clustered_data(spark):
+    """The operator's target setting: on well-separated blob-structured
+    embeddings, partial coarse probing (2 of 8 cells) agrees with the flat
+    assignment EXACTLY — coarse cells capture the real neighborhoods.
+    (On unstructured Gaussian data agreement drops to ~0.35-0.40, the
+    textbook IVF behavior; the docstring records that measurement.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    blobs = rng.normal(scale=0.05, size=(8, 1, 16)) + rng.normal(
+        scale=10, size=(8, 1, 16)
+    )
+    cents = [
+        (i, (blobs[i % 8, 0] + rng.normal(scale=0.05, size=16)).tolist())
+        for i in range(96)
+    ]
+    vecs = [
+        (i, (blobs[i % 8, 0] + rng.normal(scale=0.05, size=16)).tolist())
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    flat = {
+        r["vec_id"]: r["_probes"][0]
+        for r in SIM.assign_probe_clusters(
+            emb, cents, 1, literal_centroid_max=1
+        ).collect()
+    }
+    hier = {
+        r["vec_id"]: r["_probes"][0]
+        for r in SIM.assign_probe_clusters_hier(
+            emb, cents, 1, n_coarse=8, nprobe_coarse=2
+        ).collect()
+    }
+    assert flat == hier
+
+
 def test_ivf_and_semantic_dedup_identical_through_join_quantizer(spark, quantizer_emb):
     """ivf_topk and semantic_dedup give the same answers whichever
     assignment path the quantizer size selects."""
