@@ -73,10 +73,14 @@ def run_curation_job(spark, args) -> dict:
             n_kept = kept_manifest["rows"]
             n_dropped = drops_manifest["rows"]
         else:
+            from xlink_spark.plans.snapshots import parquet_dir_rows
+
             drops.write.mode("overwrite").parquet(f"{args.output}/drops")
             kept.write.mode("overwrite").parquet(f"{args.output}/kept")
             audit_counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
-            n_kept = spark.read.parquet(f"{args.output}/kept").count()
+            # counts from the written files' parquet footers (driver-side
+            # metadata) — no recount job over data this job just wrote
+            n_kept = parquet_dir_rows(f"{args.output}/kept")
             n_dropped = sum(audit_counts.values())
         audit.write.mode("overwrite").parquet(f"{args.output}/audit")
     finally:

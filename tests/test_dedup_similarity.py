@@ -896,9 +896,9 @@ def test_pack_sequences_invariants(spark):
     rows = [(f"d{i:03d}", (i * 37) % 900 + 50) for i in range(200)]
     rows.append(("dbig", 5000))  # oversized: must get its own pack
     docs = spark.createDataFrame(rows, "doc_id string, n_tokens long")
-    packed = pack_sequences(docs, capacity=2048)
+    packed = pack_sequences(docs, capacity=2048, num_partitions=64)
     a = sorted(map(tuple, packed.collect()))
-    b = sorted(map(tuple, pack_sequences(docs, capacity=2048).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, capacity=2048, num_partitions=64).collect()))
     assert a == b  # deterministic
     assert len(a) == 201 and len({r[1] for r in a}) == 201  # each doc once
     summ = pack_summary(packed).collect()
@@ -925,13 +925,178 @@ def test_pack_sequences_deterministic_across_sessions_and_layouts(spark, tmp_pat
     docs.write.parquet(path)
 
     base = spark.read.parquet(path)
-    a = sorted(map(tuple, pack_sequences(base, capacity=1024).collect()))
+    a = sorted(map(tuple, pack_sequences(base, capacity=1024, num_partitions=64).collect()))
     # different upstream layout: scrambled partitioning and order
     scrambled = base.repartition(7).sortWithinPartitions(F.col("doc_id").desc())
-    b = sorted(map(tuple, pack_sequences(scrambled, capacity=1024).collect()))
+    b = sorted(map(tuple, pack_sequences(scrambled, capacity=1024, num_partitions=64).collect()))
     assert a == b
     # separate session (fresh session state / different shuffle config)
     s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "5")
-    c = sorted(map(tuple, pack_sequences(s2.read.parquet(path), capacity=1024).collect()))
+    c = sorted(map(tuple, pack_sequences(s2.read.parquet(path), capacity=1024, num_partitions=64).collect()))
     assert a == c
+
+
+def test_coarse_cells_never_empty_and_hier_loses_no_rows(spark):
+    """Row-loss guard: Lloyd over a duplicate-heavy quantizer leaves coarse
+    cells with ZERO member centroids (ties all resolve to the smallest cell
+    id); a vector whose probed cells were all empty would silently vanish
+    through the hier path's final inner join. coarse_cells must therefore
+    never return an empty cell — and hier assignment must preserve row
+    count for every vector."""
+    # 8 duplicate centroids + 2 off to the side: seeds 0,2,4,6,8 collapse —
+    # every [10,10] centroid ties to the smallest duplicate cell, leaving
+    # the other duplicate-seeded cells memberless
+    cents = [(i, [10.0, 10.0]) for i in range(8)] + [
+        (8, [0.0, 0.0]), (9, [0.1, 0.0])
+    ]
+    coarse, cell_of = SIM.coarse_cells(cents, 5)
+    member_cells = set(cell_of.values())
+    assert {c for c, _ in coarse} == member_cells  # no empty cell survives
+    assert set(cell_of) == {i for i in range(10)}  # every centroid assigned
+    # end-to-end: every input vector appears in the hier assignment output,
+    # wherever its probes land
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, (rng.normal(scale=8, size=2)).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = SIM.assign_probe_clusters_hier(
+        emb, cents, nprobe=1, n_coarse=5, nprobe_coarse=1
+    )
+    assert out.count() == 40
+
+
+def test_ivf_hier_opt_in_matches_flat_on_full_probe(spark, quantizer_emb):
+    """ivf_topk(hier=True) with all coarse cells probed returns exactly the
+    flat-path answers (the ergonomic wrapper adds no drift), and
+    hier_agreement_rate reads 1.0 in that regime."""
+    emb, cents = quantizer_emb
+    flat = sorted(
+        map(tuple, SIM.ivf_topk(emb, k=3, nprobe=2, centroids=cents).collect())
+    )
+    hier = sorted(
+        map(tuple, SIM.ivf_topk(
+            emb, k=3, nprobe=2, centroids=cents,
+            hier=True, n_coarse=5, nprobe_coarse=5,
+        ).collect())
+    )
+    assert flat == hier and len(flat) > 0
+    rate = SIM.hier_agreement_rate(
+        emb, cents, nprobe=1, n_coarse=5, nprobe_coarse=5, sample_rows=500
+    )
+    assert rate == 1.0
+
+
+def test_hier_agreement_rate_blob_data(spark):
+    """The go/no-go gauge on the operator's target setting: on separated
+    blob-structured embeddings, partial coarse probing (2 of 8 cells)
+    agrees with the flat assignment for every sampled vector."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    blobs = rng.normal(scale=0.05, size=(8, 1, 16)) + rng.normal(
+        scale=10, size=(8, 1, 16)
+    )
+    cents = [
+        (i, (blobs[i % 8, 0] + rng.normal(scale=0.05, size=16)).tolist())
+        for i in range(96)
+    ]
+    vecs = [
+        (i, (blobs[i % 8, 0] + rng.normal(scale=0.05, size=16)).tolist())
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rate = SIM.hier_agreement_rate(
+        emb, cents, nprobe=1, n_coarse=8, nprobe_coarse=2, sample_rows=100
+    )
+    assert rate == 1.0
+    # and semantic_dedup's opt-in hier path agrees with its flat path here
+    flat = sorted(map(tuple, DD.semantic_dedup(emb, cents, threshold=0.95).collect()))
+    hier = sorted(map(tuple, DD.semantic_dedup(
+        emb, cents, threshold=0.95, hier=True, n_coarse=8, nprobe_coarse=2
+    ).collect()))
+    assert flat == hier
+
+
+def test_ivf_default_training_is_bounded_sample(spark):
+    """The convenience KMeans training path samples by DEFAULT once the
+    input exceeds the row cap (no accidental full-corpus iterative ML job),
+    trains full only when the input is under the cap, and an explicit
+    sample_fraction=1.0 opts back into the full fit."""
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    emb = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    capped = SIM.quantizer_training_frame(emb, train_row_cap=50)
+    assert "Sample" in plan(capped)
+    under = SIM.quantizer_training_frame(emb, train_row_cap=1000)
+    assert "Sample" not in plan(under)
+    full = SIM.quantizer_training_frame(emb, sample_fraction=1.0)
+    assert "Sample" not in plan(full)
+    # sampled training still yields a working quantizer end-to-end, and the
+    # frozen-centroid path (all oracles) is unaffected by the default change
+    got = SIM.ivf_topk(emb, k=2, n_clusters=4, nprobe=2, train_row_cap=50)
+    assert got.count() > 0
+
+
+def test_resize_images_hostile_header_is_data_error(spark):
+    """A BMP header declaring huge dimensions over a tiny payload must land
+    on the typed decode_error path BEFORE any allocation — never an OOM-risk
+    np.zeros from untrusted header fields."""
+    import struct
+
+    from xlink_spark.operators import multimodal as MM
+
+    def fake_bmp(w, h):
+        off = 54
+        header = struct.pack("<2sIHHI", b"BM", off + 16, 0, 0, off)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 16, 2835, 2835, 0, 0)
+        return header + info + b"\x00" * 16  # 16 bytes of "pixels"
+
+    rows = [
+        ("huge", "image", bytearray(fake_bmp(30000, 30000))),     # payload-size lie
+        ("absurd", "image", bytearray(fake_bmp(1 << 20, 4))),     # dimension cap
+        ("negw", "image", bytearray(fake_bmp(-5, 4))),
+    ]
+    assets = spark.createDataFrame(rows, "media_ref string, kind string, payload binary")
+    got = {r["media_ref"]: r for r in MM.resize_images(assets, 2, 2).collect()}
+    for ref in ("huge", "absurd", "negw"):
+        assert got[ref]["payload"] is None
+        assert got[ref]["decode_error"] and "ValueError" in got[ref]["decode_error"]
+
+
+def test_sample_frames_truncated_container_is_data_error(spark):
+    """A frame length field overrunning the XLV1 buffer must yield a typed
+    decode_error row — never silently-truncated garbage frame bytes with
+    decode_error=None (Python slicing does not raise on overrun)."""
+    import struct
+
+    import numpy as np
+
+    from xlink_spark.operators import multimodal as MM
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = MM.make_bmp(img)
+    # frame 0 intact, frame 1 declares 10_000 bytes but the buffer ends
+    lying = (
+        MM.VIDEO_MAGIC + struct.pack("<I", 2)
+        + struct.pack("<II", 0, len(good)) + good
+        + struct.pack("<II", 1000, 10_000) + b"\x01\x02\x03"
+    )
+    assets = spark.createDataFrame(
+        [("trunc", "video", bytearray(lying))],
+        "media_ref string, kind string, payload binary",
+    )
+    got = MM.sample_frames(assets, every_ms=1).collect()
+    errs = [r for r in got if r["decode_error"]]
+    assert len(errs) == 1 and "truncated XLV1" in errs[0]["decode_error"]
+    # no garbage frame row was emitted for the overrunning frame
+    assert all(r["t_ms"] != 1000 for r in got if r["decode_error"] is None)

@@ -80,3 +80,17 @@ def test_run_curation_job_parquet_redact(spark, tmp_path):
     assert m["n_kept"] == 1
     kept = spark.read.parquet(str(tmp_path / "out" / "kept")).collect()[0]
     assert "<EMAIL>" in kept["text"] and kept["n_emails"] == 1
+
+
+def test_parquet_dir_rows_matches_written_data(spark, tmp_path):
+    """parquet_dir_rows counts a written directory from file footers
+    driver-side — the count a writer uses instead of re-scanning its own
+    output — and it launches ZERO Spark jobs."""
+    from xlink_spark.plans.snapshots import parquet_dir_rows
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1234).repartition(7).write.parquet(p)
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    assert parquet_dir_rows(p) == 1234
+    assert len(sc.statusTracker().getJobIdsForGroup(None)) == before

@@ -193,3 +193,31 @@ def test_curation_plan_query_is_pure_jvm(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_gate_cache_is_narrow(spark):
+    """The persisted gate branch caches (doc_id, quality) ONLY — a cache
+    whose footprint scales with corpus TEXT width would be ~a corpus copy
+    in MEMORY_AND_DISK at 100 TB. Text must flow once through the kept
+    chain; only after_quality (whose text feeds two real branches) and the
+    id-narrow lists may persist, and NO persisted handle except
+    after_quality carries the text column."""
+    from xlink_spark.plans.curation import curate_corpus
+
+    rows = [(f"d{i}", f"document number {i} with plain ordinary filler words "
+            + ("pad " * (i % 5))) for i in range(20)]
+    rows.append(("dup", rows[0][1]))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    held: list = []
+    kept, audit, drops = curate_corpus(docs, None, persisted_out=held)
+    text_carrying = [h for h in held if "text" in h.columns]
+    # exactly one full-width persist: the post-gate survivor table
+    assert len(text_carrying) == 1
+    gate = [h for h in held if "quality" in h.columns and "text" not in h.columns]
+    assert len(gate) == 1 and set(gate[0].columns) == {"doc_id", "quality"}
+    # counts unchanged by the narrowing
+    counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
+    assert counts["exact_dup"] == 1
+    assert kept.count() + sum(counts.values()) == 21
+    for h in held:
+        h.unpersist()

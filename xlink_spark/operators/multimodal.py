@@ -254,7 +254,15 @@ def resize_images(
             flip = h > 0
             h = abs(h)
             nch = bpp // 8
+            if w <= 0 or h == 0 or w > 32768 or h > 32768:
+                raise ValueError(f"bad BMP dimensions {w}x{h}")
             stride = (w * nch + 3) & ~3
+            # validate the declared dimensions against the actual payload
+            # BEFORE allocating: a corrupt/hostile header declaring huge w/h
+            # must land on the typed decode_error path, not attempt a
+            # multi-GB np.zeros that can OOM the executor first
+            if off + h * stride > len(b):
+                raise ValueError("truncated BMP pixel data")
             px = np.zeros((h, w, 3), dtype=np.uint8)
             for r in range(h):
                 row = np.frombuffer(b, dtype=np.uint8, count=w * nch, offset=off + r * stride)
@@ -358,6 +366,11 @@ def sample_frames(
             for _i in range(n):
                 t_ms, ln = struct.unpack_from("<II", b, off)
                 off += 8
+                if off + ln > len(b):
+                    # Python slicing never raises on overrun — without this
+                    # check a truncated container silently emits short/garbage
+                    # frame bytes with decode_error=None; errors are DATA
+                    raise ValueError("truncated XLV1 container (frame length overruns buffer)")
                 yield t_ms, b[off : off + ln]
                 off += ln
 

@@ -42,7 +42,7 @@ def pack_sequences(
     capacity: int,
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
-    num_partitions: int = 64,
+    num_partitions: int = 1024,
 ) -> DataFrame:
     """(doc_id, n_tokens) → (pack_id, doc_id, n_tokens), deterministic.
 
@@ -57,6 +57,13 @@ def pack_sequences(
     ``pmod(hash(doc_id), num_partitions)``, a pure function of the id
     (NEVER a sampled range boundary or the session's shuffle-partition
     config). Changing ``num_partitions`` is a repack.
+
+    ``num_partitions`` is ALSO the operator's parallelism ceiling — each
+    partition packs sequentially in one mapInPandas task. The default (1024)
+    saturates a mid-size cluster; for 10^9+-doc inputs SIZE IT EXPLICITLY
+    (docs_per_partition ≈ n_docs / num_partitions is the unit of sequential
+    work; pack_id's ``partition_id << 40`` layout supports P up to 2^23).
+    A small-data caller wanting few tasks should likewise pass a small P.
     """
     base = (
         doc_tokens.select(

@@ -206,6 +206,12 @@ def centroid_probe_clusters(
 # policy shape as detect.py's broadcast_dict_max_rows.
 LITERAL_CENTROID_MAX = 64
 
+# Default row cap for the convenience KMeans quantizer training in ivf_topk
+# (used only when neither frozen centroids nor an explicit sample_fraction is
+# given): ample for 10³-10⁴ centroids at ~10-100 rows per centroid, and it
+# keeps the training job bounded no matter the corpus size.
+IVF_TRAIN_ROW_CAP = 262_144
+
 
 def assign_probe_clusters(
     emb: DataFrame,
@@ -311,10 +317,24 @@ def coarse_cells(
             members = CC[assign == m]
             if len(members):
                 CM[m] = members.mean(0)
-    coarse = [(i, CM[i].tolist()) for i in range(CM.shape[0])]
     # final assignment with the exact d² + smaller-id tie-break
     d2 = cc2 - 2.0 * CC @ CM.T + (CM * CM).sum(1)[None, :]
     cell_of = {cid: int(d2[row].argmin()) for row, (cid, _) in enumerate(srt)}
+    # INVARIANT: every returned cell has ≥1 member centroid. Lloyd can leave
+    # cells empty (duplicate-heavy quantizers; ties all resolve to the
+    # smallest cell id) — an empty cell that ranks among a vector's
+    # nprobe_coarse nearest would contribute zero candidate rows, and a
+    # vector whose probed cells are ALL empty would vanish through the final
+    # inner join (row loss, not approximation). Dropping empty cells and
+    # reindexing (order-preserving, so the smaller-id tie-break is stable)
+    # guarantees every probed cell yields candidates, hence every vector
+    # survives — pinned by test_coarse_cells_never_empty.
+    used = sorted(set(cell_of.values()))
+    if len(used) < CM.shape[0]:
+        remap = {old: new for new, old in enumerate(used)}
+        CM = CM[used]
+        cell_of = {cid: remap[c] for cid, c in cell_of.items()}
+    coarse = [(i, CM[i].tolist()) for i in range(CM.shape[0])]
     return coarse, cell_of
 
 
@@ -404,6 +424,82 @@ def assign_probe_clusters_hier(
     return pre.drop("_cells").join(probes, id_col)
 
 
+def hier_agreement_rate(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 1,
+    n_coarse: int | None = None,
+    nprobe_coarse: int | None = None,
+    sample_rows: int = 2000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sampled flat-vs-hier agreement probe: the go/no-go gauge for ``hier``.
+
+    Runs both quantizer assignments on a bounded sample and returns the
+    fraction of vectors whose NEAREST probe cluster (element 1 of _probes)
+    agrees. Near 1.0 → the embedding space is clustered enough for partial
+    coarse probing (turn ``hier=True`` on in ivf_topk/semantic_dedup);
+    ~1/n_coarse-ish → unstructured space, stay on the flat path. The sample
+    is deterministic (seed) and bounded, so the probe costs two small
+    assignment jobs regardless of corpus size — run it once per quantizer,
+    not per query.
+    """
+    n = emb.count()
+    frac = min(1.0, sample_rows / n) if n > sample_rows else 1.0
+    s = emb if frac >= 1.0 else emb.sample(frac, seed=seed)
+    s = s.select(id_col, vec_col)
+    flat = assign_probe_clusters(emb=s, centroids=centroids, nprobe=nprobe,
+                                 id_col=id_col, vec_col=vec_col)
+    hier = assign_probe_clusters_hier(
+        emb=s, centroids=centroids, nprobe=nprobe, n_coarse=n_coarse,
+        nprobe_coarse=nprobe_coarse, id_col=id_col, vec_col=vec_col,
+    )
+    agree = (
+        flat.select(id_col, F.element_at("_probes", 1).alias("_f"))
+        .join(hier.select(id_col, F.element_at("_probes", 1).alias("_h")), id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_f") == F.col("_h"), 1).otherwise(0)).alias("same"),
+        )
+        .first()
+    )
+    return float(agree["same"] / agree["n"]) if agree and agree["n"] else 0.0
+
+
+def quantizer_training_frame(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    train_row_cap: int | None = None,
+) -> DataFrame:
+    """The (BOUNDED by default) KMeans quantizer training projection.
+
+    With no explicit ``sample_fraction``, fitting iterative KMeans on the
+    full input would be an accidental full-corpus ML job at 10^12 rows,
+    while a coarse quantizer needs only ~hundreds of rows per centroid — so
+    the default training set is a deterministic sample capped at
+    ``IVF_TRAIN_ROW_CAP`` rows (the cap costs one count(), noise next to
+    the k-means passes it bounds). Pass ``sample_fraction=1.0`` to opt back
+    into a full fit; frozen ``centroids`` (the production shape) skip
+    training entirely.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_feat")
+    )
+    if sample_fraction is None:
+        cap = train_row_cap if train_row_cap is not None else IVF_TRAIN_ROW_CAP
+        n = emb.count()
+        sample_fraction = min(1.0, cap / n) if n > cap else 1.0
+    return feat if sample_fraction >= 1.0 else feat.sample(sample_fraction, seed=seed)
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -415,6 +511,10 @@ def ivf_topk(
     sample_fraction: float | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     literal_centroid_max: int = LITERAL_CENTROID_MAX,
+    train_row_cap: int | None = None,
+    hier: bool = False,
+    n_coarse: int | None = None,
+    nprobe_coarse: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantizer + in-cluster search.
 
@@ -436,24 +536,31 @@ def ivf_topk(
     """
     if centroids is None:
         from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
 
-        feat = emb.select(
-            array_to_vector(
-                F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            ).alias("_feat")
+        train = quantizer_training_frame(
+            emb, vec_col=vec_col, sample_fraction=sample_fraction,
+            seed=seed, train_row_cap=train_row_cap,
         )
-        train = feat if sample_fraction is None else feat.sample(sample_fraction, seed=seed)
         model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat").fit(train)
         centroids = [
             (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
     # one self-fold per vector serves BOTH the probe ranking (v·v term of
     # d²) and the unit normalization (‖v‖ = √(v·v), same fold, same value)
-    pre = assign_probe_clusters(
-        emb, centroids, nprobe, id_col, vec_col,
-        literal_centroid_max=literal_centroid_max,
-    )
+    if hier:
+        # EXPLICIT opt-in for the 10⁴-10⁵-centroid regime on CLUSTERED
+        # embedding spaces: partial coarse probing is approximate on
+        # unstructured data (see assign_probe_clusters_hier) — measure with
+        # hier_agreement_rate before turning this on.
+        pre = assign_probe_clusters_hier(
+            emb, centroids, nprobe, n_coarse=n_coarse,
+            nprobe_coarse=nprobe_coarse, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        pre = assign_probe_clusters(
+            emb, centroids, nprobe, id_col, vec_col,
+            literal_centroid_max=literal_centroid_max,
+        )
     nrm = F.sqrt(F.col("_sd"))
     unit = F.when(nrm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm))
     base = pre.select(F.col(id_col), "_probes", unit.alias("_u"))

@@ -67,13 +67,21 @@ def curation_drops(
     # 2. quality gate: pure scan-speed expression
     scored = after_exact.withColumn("quality", quality_score(text_col))
     if persisted_out is not None:
-        # consumed by the low-quality drop AND the survivor branch: persist
-        # so the exact-dup window runs once (owner unpersists — contract)
-        scored = scored.persist()
-        persisted_out.append(scored)
-    low = scored.filter(F.col("quality") < min_quality).select(
-        id_col, F.lit("low_quality").alias("stage")
-    )
+        # The gate cache is the NARROW (doc_id, quality) projection, never
+        # the full-text rows: the low-quality drop branch needs only ids and
+        # scores, and a corpus-wide full-width cache is ~a corpus copy in
+        # MEMORY_AND_DISK at 100 TB. Text flows ONCE through the kept chain
+        # instead (after_quality persists below, where its text genuinely
+        # feeds two branches). Owner unpersists — contract.
+        gate = scored.select(id_col, "quality").persist()
+        persisted_out.append(gate)
+        low = gate.filter(F.col("quality") < min_quality).select(
+            id_col, F.lit("low_quality").alias("stage")
+        )
+    else:
+        low = scored.filter(F.col("quality") < min_quality).select(
+            id_col, F.lit("low_quality").alias("stage")
+        )
     after_quality = scored.filter(F.col("quality") >= min_quality).drop("quality")
     stages = ["exact_dup", "low_quality"]
     parts = [exact_drops, low]

@@ -35,6 +35,15 @@ MANIFEST = "MANIFEST.json"
 _ITER_RE = re.compile(r"^iter_(\d{5,})$")
 
 
+def parquet_dir_rows(data_dir: str) -> int:
+    """Exact row count of a written parquet directory from file FOOTERS —
+    driver-side metadata reads, zero Spark jobs. The count any writer should
+    use right after a .write.parquet() instead of re-scanning its own output
+    (each footer read is one small ranged read; at cluster scale the same
+    numbers come from the commit manifest, as SnapshotStore does)."""
+    return sum(SnapshotStore._file_row_counts(data_dir).values())
+
+
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
