@@ -41,6 +41,7 @@ HEADLINE = [
     "quality_scores",
     "detected_mentions",  # join-path detection (n-gram ⋈ dictionary table)
     "curation_plan",      # the composed end-to-end curation chain
+    "linking_pipeline_ascii",  # the fully-oracled flagship variant
 ]
 
 

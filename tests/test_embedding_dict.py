@@ -3,6 +3,8 @@ zh tokenization (C7), title marking (C14)."""
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -87,3 +89,22 @@ def test_mark_title_mentions(spark):
     assert got["Alpha"] == "the [[e1|Alpha]] paper on [[e1|Alpha]]"
     assert got["Beta"] == "already [[e2|Beta]] here"  # untouched (already anchored)
     assert got["Gamma"] == "no entity Gamma"
+
+
+@pytest.mark.skipif(
+    not importlib.util.find_spec("jieba"), reason="jieba optional extra not installed"
+)
+def test_tokenize_zh_jieba_exact(spark):
+    """With the optional `jieba` extra installed, the zh tokenizer must use
+    REAL jieba segmentation (reference WordParser.py:76-79) — multi-char
+    dictionary words come back whole, not as char unigrams. Skipped in
+    environments without the extra, where the pinned char-granularity
+    fallback (test_tokenize_zh_fallback) is the contract."""
+    import jieba
+
+    udf = make_tokenize_zh_udf()
+    df = spark.createDataFrame([("我爱北京天安门",)], "t string")
+    toks = df.select(udf("t").alias("toks")).collect()[0]["toks"]
+    expected = [w for w in jieba.cut("我爱北京天安门") if w.strip()]
+    assert toks == expected
+    assert any(len(w) > 1 for w in toks)  # real segmentation, not chars

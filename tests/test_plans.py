@@ -221,3 +221,20 @@ def test_curation_gate_cache_is_narrow(spark):
     assert kept.count() + sum(counts.values()) == 21
     for h in held:
         h.unpersist()
+
+
+def test_linking_pipeline_ascii_python_is_one_arrow_scan(spark):
+    """The fully-oracled ASCII flagship (detect → resolve → context →
+    tokenize → mean-pool cosine → fuse → gate → top-1): the ONLY Python in
+    the plan is the single Arrow-batched n-gram span scan of join-path
+    detection — every scoring/pooling/gating stage is JVM-side — and the
+    dictionary/embedding joins broadcast (the candidate explosion must
+    never sort-merge on the Zipf-skewed surface key)."""
+    from xlink_spark.driver_queries import q_linking_pipeline_ascii
+
+    plan = _plan(q_linking_pipeline_ascii(spark, "/root/testdata/sf0.001"))
+    assert plan.count("MapInPandas") == 1  # the detection span scan, only
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

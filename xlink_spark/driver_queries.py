@@ -1429,22 +1429,11 @@ from gated where link_prob > 0.008 and believe > 0.2
 """
 
 
-def q_detected_mentions(spark, sf_dir):
-    """Join-path mention detection (J1, detect.py:detect_mentions_join):
-    positional n-gram spans from an Arrow-batched scan, first-token
-    prefilter, equi-join against a dictionary TABLE — the at-scale path for
-    dictionaries too large to broadcast, emitting exactly what the
-    broadcast scanner emits (all hits, nested spans included; reference
-    anchor: the automaton scan, generate_prob_files.py:65-82).
-
-    Corpus: lower(text) normalized to single-space separation (so char
-    offsets are derivable arithmetically in the oracle). Dictionary:
-    unigram tokens of length ≥ 6 as the anchor dict ('ma') ∪ bigrams with
-    corpus frequency ≥ 40 as the title dict ('tt') — multi-word surfaces
-    exercise the n-gram width and the nested-span emission.
-    """
-    from xlink_spark.operators.detect import detect_mentions_join
-
+def _detection_base(spark, sf_dir):
+    """Shared detection inputs: the single-space-normalized lowercase corpus
+    and the anchor∪title dictionary (unigrams len≥6 as 'ma', bigrams with
+    corpus frequency ≥40 as 'tt') — the self-supervised projection both the
+    detection oracle and the fully-oracled ASCII flagship run over."""
     par = spark.sparkContext.defaultParallelism
     base = (
         spark.read.parquet(_T(sf_dir, "documents"))
@@ -1479,7 +1468,27 @@ def q_detected_mentions(spark, sf_dir):
         .select("mention")
         .withColumn("parse_from", F.lit("tt"))
     )
-    out = detect_mentions_join(docs_norm, uni.unionByName(bi), max_words=2)
+    return docs_norm, uni.unionByName(bi)
+
+
+def q_detected_mentions(spark, sf_dir):
+    """Join-path mention detection (J1, detect.py:detect_mentions_join):
+    positional n-gram spans from an Arrow-batched scan, first-token
+    prefilter, equi-join against a dictionary TABLE — the at-scale path for
+    dictionaries too large to broadcast, emitting exactly what the
+    broadcast scanner emits (all hits, nested spans included; reference
+    anchor: the automaton scan, generate_prob_files.py:65-82).
+
+    Corpus: lower(text) normalized to single-space separation (so char
+    offsets are derivable arithmetically in the oracle). Dictionary:
+    unigram tokens of length ≥ 6 as the anchor dict ('ma') ∪ bigrams with
+    corpus frequency ≥ 40 as the title dict ('tt') — multi-word surfaces
+    exercise the n-gram width and the nested-span emission.
+    """
+    from xlink_spark.operators.detect import detect_mentions_join
+
+    docs_norm, dct = _detection_base(spark, sf_dir)
+    out = detect_mentions_join(docs_norm, dct, max_words=2)
     return out.select(
         "doc_id",
         F.col("start").cast("long").alias("start"),
@@ -1566,6 +1575,168 @@ select doc_id, start, "end", surface, parse_from from (
                   ("end" - start) desc, start asc) as rn
   from grp
 ) where rn = 1
+"""
+
+
+def _hash_embeddings_md5(spark, sf_dir, keys: DataFrame, key_col: str) -> DataFrame:
+    """key → embeddings row at (first 15 hex chars of md5(key)) mod n_emb —
+    the ENGINE-PORTABLE twin of flagship._hash_embeddings (which uses
+    xxhash64, a Spark-only function): md5 hex strings are identical across
+    Spark and DuckDB, 15 hex chars fit a signed 64-bit int exactly
+    (DuckDB: ('0x' || substr(md5(k),1,15))::bigint), and both operands are
+    non-negative so pmod ≡ %. Returns (key, vec double-castable)."""
+    emb = spark.read.parquet(_T(sf_dir, "embeddings"))
+    n_emb = emb.count()
+    keyed = (
+        keys.select(F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn(
+            "vec_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("key"), 1, 15), 16, 10).cast("long"),
+                F.lit(n_emb),
+            ),
+        )
+    )
+    return keyed.join(F.broadcast(emb.select("vec_id", "embedding")), "vec_id").select(
+        "key", F.col("embedding").alias("vec")
+    )
+
+
+def q_linking_pipeline_ascii(spark, sf_dir):
+    """The FULLY-ORACLED flagship: detect → resolve → ±50-char context →
+    whitespace tokenize → word-vector mean-pool → cosine vs entity vector →
+    prior fusion → gates → top-1, end-to-end through the REAL operators
+    (detect.detect_mentions_join, detect.resolve_conflicts,
+    scoring.attach_context, scoring.context_word_vector,
+    scoring.candidate_table, scoring.score_has_prob — xlink.py:107-176 +
+    318-354).
+
+    This is the ASCII-corpus variant the flagship's rows-only check could
+    not cover: on the single-space-normalized corpus the tokenizer is plain
+    whitespace splitting and every arithmetic stage is DuckDB-expressible —
+    context windows are substring arithmetic, the mean-pool is per-dim SUMs
+    over exploded word vectors, the cosine is a dot/norm ratio with the
+    same sequential fold order on both engines, and the believe fusion is
+    (P(e|m)^0.02·word_sim + link_prob)/2 with the reference gates. Word and
+    entity vectors come from the md5-portable hash-embedding projection
+    (xxhash64 has no DuckDB twin). believe is floor-quantized at 1e6; the
+    only cross-engine drift is summation-order ulps (~1e-15), and every
+    decision margin is ≥9 orders of magnitude wider (measured on the data
+    at both sf: believe-gate margin ≥0.038, link_prob-gate ≥0.35,
+    floor-boundary ≥1e-4, top-1-vs-top-2 ranking gap ≥6.9e-6 with zero
+    non-exact ties). Candidate ordering ties are exact on both engines
+    (same vec_id AND same rounded prior) and break deterministically by
+    entity_id.
+    """
+    from xlink_spark.config import DEFAULT
+    from xlink_spark.operators import scoring as SC
+    from xlink_spark.operators.detect import detect_mentions_join, resolve_conflicts
+
+    docs_norm, dct = _detection_base(spark, sf_dir)
+    mentions = resolve_conflicts(
+        detect_mentions_join(docs_norm, dct, max_words=2), weighted=True
+    )
+    word_emb = _hash_embeddings_md5(
+        spark, sf_dir, _tokens(spark, sf_dir).select("tok"), "tok"
+    )
+    egm = q_e_given_m(spark, sf_dir)
+    entity_emb = _hash_embeddings_md5(
+        spark, sf_dir, egm.select("entity_id"), "entity_id"
+    )
+    ctx = SC.attach_context(mentions, docs_norm.select("doc_id", "text"), window=50)
+    ctxv = SC.context_word_vector(ctx, word_emb)
+    cands = SC.candidate_table(
+        ctxv, egm.select("mention", "entity_id"), egm, entity_emb
+    ).withColumn("ctx_ent_sim", F.lit(1.0))
+    lp = q_link_prob(spark, sf_dir).select("mention", "link_prob")
+    links = SC.score_has_prob(cands, lp, DEFAULT.predictor)
+    return links.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "surface",
+        "entity_id",
+        F.floor(F.col("believe") * 1e6).cast("long").alias("believe_q"),
+    )
+
+
+SQL_LINKING_PIPELINE_ASCII = f"""
+with egm as ({SQL_E_GIVEN_M}),
+lp as ({SQL_LINK_PROB}),
+resolved as ({SQL_RESOLVED_MENTIONS_TEMPLATE.format(detected=SQL_DETECTED_MENTIONS)}),
+norm as (
+  select doc_id::varchar as doc_id,
+         array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ') as text
+  from documents
+),
+nemb as (select count(*) as n from embeddings),
+wvec as (
+  select w.tok, e.embedding::DOUBLE[] as v from
+  (select distinct tok from ({_TOKENS_SQL})) w join embeddings e
+  on e.vec_id = ('0x' || substr(md5(w.tok), 1, 15))::bigint % (select n from nemb)
+),
+evec as (
+  select s.entity_id, e.embedding::DOUBLE[] as v from
+  (select distinct entity_id from egm) s join embeddings e
+  on e.vec_id = ('0x' || substr(md5(s.entity_id), 1, 15))::bigint % (select n from nemb)
+),
+ctx as (
+  select m.doc_id, m.start, m."end", m.surface,
+         substr(t.text, greatest(m.start - 50, 0) + 1,
+                m.start - greatest(m.start - 50, 0)) as ctx_prev,
+         substr(t.text, m."end" + 1, 50) as ctx_after
+  from resolved m join norm t using (doc_id)
+),
+cw as (
+  select doc_id, start, "end",
+         unnest(list_filter(regexp_split_to_array(ctx_prev, '\\s+'), x -> x <> '')) as w
+  from ctx
+  union all
+  select doc_id, start, "end",
+         unnest(list_filter(regexp_split_to_array(ctx_after, '\\s+'), x -> x <> '')) as w
+  from ctx
+),
+perdim as (
+  select c.doc_id, c.start, c."end",
+         generate_subscripts(wv.v, 1) as d, unnest(wv.v) as val
+  from cw c join wvec wv on wv.tok = c.w
+),
+pool as (
+  select doc_id, start, "end", list(s order by d) as pl
+  from (select doc_id, start, "end", d, sum(val) as s
+        from perdim group by 1, 2, 3, 4)
+  group by 1, 2, 3
+),
+cands as (
+  select c.doc_id, c.start, c."end", c.surface, e.entity_id, e.p,
+         case when p2.pl is null then 0.0
+              when list_dot_product(p2.pl, p2.pl) <= 0 then 0.0
+              else list_dot_product(p2.pl, ev.v)
+                   / (sqrt(list_dot_product(p2.pl, p2.pl))
+                      * sqrt(list_dot_product(ev.v, ev.v)))
+         end as sim
+  from ctx c
+  join egm e on e.mention = c.surface
+  join evec ev on ev.entity_id = e.entity_id
+  left join pool p2
+    on p2.doc_id = c.doc_id and p2.start = c.start and p2."end" = c."end"
+),
+best as (
+  select *, row_number() over (
+    partition by doc_id, start, "end"
+    order by pow(p, 0.02) * sim desc, entity_id asc) as rn
+  from cands
+),
+gated as (
+  select b.doc_id, b.start, b."end", b.surface, b.entity_id,
+         (pow(b.p, 0.02) * b.sim + l.link_prob) / 2 as believe, l.link_prob
+  from best b join lp l on l.mention = b.surface
+  where b.rn = 1
+)
+select doc_id, start, "end", surface, entity_id,
+       floor(believe * 1e6)::bigint as believe_q
+from gated where link_prob > 0.008 and believe > 0.2
 """
 
 
@@ -1838,6 +2009,7 @@ QUERIES: dict[str, Query] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "detected_mentions": q_detected_mentions,
     "resolved_mentions": q_resolved_mentions,
+    "linking_pipeline_ascii": q_linking_pipeline_ascii,
     "curation_plan": q_curation_plan,
 }
 
@@ -1893,5 +2065,6 @@ ORACLES: dict[str, str] = {
     "resolved_mentions": SQL_RESOLVED_MENTIONS_TEMPLATE.format(
         detected=SQL_DETECTED_MENTIONS
     ),
+    "linking_pipeline_ascii": SQL_LINKING_PIPELINE_ASCII,
     "curation_plan": SQL_CURATION_PLAN,
 }
