@@ -238,3 +238,24 @@ def test_linking_pipeline_ascii_python_is_one_arrow_scan(spark):
         assert marker not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_linking_seeded_ascii_python_is_one_arrow_scan(spark):
+    """The seeded flagship variant (adds the unambiguous-seed doc pool and
+    ctx_ent_sim to the ascii DAG): mentions fan out to the context AND seed
+    branches, so the query persists them eagerly — BOTH branches must read
+    the cache (two InMemoryTableScans; the Arrow detection scan executed
+    once, at persist time — plan TEXT shows it once per printed
+    InMemoryRelation, so count cache scans, not MapInPandas strings). No
+    other Python, no cartesian product, broadcast dictionary joins."""
+    from xlink_spark.driver_queries import _SEEDED_HELD, q_linking_seeded_ascii
+
+    plan = _plan(q_linking_seeded_ascii(spark, "/root/testdata/sf0.001"))
+    assert plan.count("InMemoryTableScan") == 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for h in list(_SEEDED_HELD):
+        h.unpersist()
+    _SEEDED_HELD.clear()

@@ -1661,8 +1661,11 @@ def q_linking_pipeline_ascii(spark, sf_dir):
     )
 
 
-SQL_LINKING_PIPELINE_ASCII = f"""
-with egm as ({SQL_E_GIVEN_M}),
+# Shared CTE block for the two oracled flagship variants: dictionary +
+# link_prob + detection/resolution + normalized corpus + md5-portable word
+# and entity vectors + per-mention context-word pool (per-dim SUMs collected
+# into an ordered list so cosines use list_dot_product's sequential fold).
+_SQL_ASCII_CTES = f"""egm as ({SQL_E_GIVEN_M}),
 lp as ({SQL_LINK_PROB}),
 resolved as ({SQL_RESOLVED_MENTIONS_TEMPLATE.format(detected=SQL_DETECTED_MENTIONS)}),
 norm as (
@@ -1707,15 +1710,22 @@ pool as (
   from (select doc_id, start, "end", d, sum(val) as s
         from perdim group by 1, 2, 3, 4)
   group by 1, 2, 3
-),
-cands as (
-  select c.doc_id, c.start, c."end", c.surface, e.entity_id, e.p,
-         case when p2.pl is null then 0.0
+)"""
+
+# word-sim expression shared by both variants (engine-parity notes in
+# q_linking_pipeline_ascii's docstring)
+_SQL_ASCII_WORD_SIM = """case when p2.pl is null then 0.0
               when list_dot_product(p2.pl, p2.pl) <= 0 then 0.0
               else list_dot_product(p2.pl, ev.v)
                    / (sqrt(list_dot_product(p2.pl, p2.pl))
                       * sqrt(list_dot_product(ev.v, ev.v)))
-         end as sim
+         end"""
+
+SQL_LINKING_PIPELINE_ASCII = f"""
+with {_SQL_ASCII_CTES},
+cands as (
+  select c.doc_id, c.start, c."end", c.surface, e.entity_id, e.p,
+         {_SQL_ASCII_WORD_SIM} as sim
   from ctx c
   join egm e on e.mention = c.surface
   join evec ev on ev.entity_id = e.entity_id
@@ -1731,6 +1741,145 @@ best as (
 gated as (
   select b.doc_id, b.start, b."end", b.surface, b.entity_id,
          (pow(b.p, 0.02) * b.sim + l.link_prob) / 2 as believe, l.link_prob
+  from best b join lp l on l.mention = b.surface
+  where b.rn = 1
+)
+select doc_id, start, "end", surface, entity_id,
+       floor(believe * 1e6)::bigint as believe_q
+from gated where link_prob > 0.008 and believe > 0.2
+"""
+
+
+_SEEDED_HELD: list = []
+
+
+def q_linking_seeded_ascii(spark, sf_dir):
+    """The COMPLETE has-prob flagship, fully oracled — linking_pipeline_ascii
+    PLUS the unambiguous-seed context-entity pool (xlink.py:115-145 +
+    157-161): seeds are resolved mentions whose surface has exactly one
+    dictionary candidate, the per-doc pool is the elementwise sum of their
+    (occurrence-counted) entity vectors, ctx_ent_sim is the cosine of each
+    candidate's entity vector against the unit-normalized pool
+    (empty pool ⇒ 1, the reference's cal_candidate_context_entities_sim
+    convention), and cand_believe = P(e|m)^0.02 · word_sim · ent_sim. This
+    runs stage-for-stage the same operator sequence as flagship.py
+    (seed_pool_from_dictionary → candidate_table → context_entity_vector →
+    score_has_prob), so every stage of the flagship DAG now has a green
+    hash oracle. The raw self-supervised dictionary is maximally ambiguous
+    (every token under every source — no seeds could exist), so this query
+    applies the F3-style prior refinement (p ≥ 0.08) the reference applies
+    when refining its dictionary; at that threshold both seed surfaces and
+    multi-candidate surfaces exist at both sf. Engine-parity margins
+    measured on the data at both sf: believe-gate ≥4.1e-6, floor-boundary
+    ≥2.1e-4, top-1 ranking gap ≥1.6e-6 with zero non-exact ties — ≥9
+    orders above summation ulps; the p-threshold comparison is EXACT
+    (round(int/int, 6) is bit-identical cross-engine).
+    """
+    from xlink_spark.config import DEFAULT
+    from xlink_spark.operators import scoring as SC
+    from xlink_spark.operators.detect import detect_mentions_join, resolve_conflicts
+
+    # mentions fans out to the context branch AND the seed branch — exactly
+    # the flagship's fan-out point, handled the same way: persist the narrow
+    # mention rows eagerly so the Python detection scan runs ONCE (union
+    # legs share no common subplans). Repeat-call hygiene mirrors
+    # _CURATION_HELD: each new call releases the previous call's handle.
+    while _SEEDED_HELD:
+        try:
+            _SEEDED_HELD.pop().unpersist()
+        except Exception:
+            pass
+    docs_norm, dct = _detection_base(spark, sf_dir)
+    mentions = resolve_conflicts(
+        detect_mentions_join(docs_norm, dct, max_words=2), weighted=True
+    ).persist()
+    mentions.count()
+    _SEEDED_HELD.append(mentions)
+    word_emb = _hash_embeddings_md5(
+        spark, sf_dir, _tokens(spark, sf_dir).select("tok"), "tok"
+    )
+    egm = q_e_given_m(spark, sf_dir)
+    entity_emb = _hash_embeddings_md5(
+        spark, sf_dir, egm.select("entity_id"), "entity_id"
+    )
+    ctx = SC.attach_context(mentions, docs_norm.select("doc_id", "text"), window=50)
+    ctxv = SC.context_word_vector(ctx, word_emb)
+    # F3-style dictionary refinement (filter_anchors semantics): the raw
+    # self-supervised dictionary is maximally ambiguous (every token appears
+    # under every source), so unambiguous seed surfaces only exist after the
+    # prior gate the reference applies when refining its dictionary. The
+    # comparison is EXACT cross-engine: p is round(cnt/sum, 6) of integer
+    # ratios, bit-identical on both sides (nearest raw p is ≥1.1e-4 from the
+    # threshold anyway, measured at both sf).
+    egm_f = egm.filter(F.col("p") >= 0.08)
+    seeds, doc_agg = SC.seed_pool_from_dictionary(
+        mentions, egm_f.select("mention", "entity_id"), egm_f, entity_emb
+    )
+    cands = SC.candidate_table(
+        ctxv, egm_f.select("mention", "entity_id"), egm_f, entity_emb
+    )
+    cands = SC.context_entity_vector(
+        cands, seeds, doc_agg, empty_sim=1.0, entity_emb=entity_emb,
+        exclusion="none",  # has-prob pass: pool includes own seed
+    )
+    lp = q_link_prob(spark, sf_dir).select("mention", "link_prob")
+    links = SC.score_has_prob(cands, lp, DEFAULT.predictor)
+    return links.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "surface",
+        "entity_id",
+        F.floor(F.col("believe") * 1e6).cast("long").alias("believe_q"),
+    )
+
+
+SQL_LINKING_SEEDED_ASCII = f"""
+with {_SQL_ASCII_CTES},
+egmf as (select * from egm where p >= 0.08),
+surf1 as (
+  select mention, min(entity_id) as seed_eid
+  from egmf group by mention having count(*) = 1
+),
+seeds as (
+  select r.doc_id, s.seed_eid
+  from resolved r join surf1 s on s.mention = r.surface
+),
+dpool as (
+  select doc_id, list(s order by d) as dl
+  from (
+    select doc_id, d, sum(val) as s from (
+      select sd.doc_id, generate_subscripts(ev.v, 1) as d, unnest(ev.v) as val
+      from seeds sd join evec ev on ev.entity_id = sd.seed_eid
+    ) group by 1, 2
+  ) group by 1
+),
+cands as (
+  select c.doc_id, c.start, c."end", c.surface, e.entity_id, e.p,
+         {_SQL_ASCII_WORD_SIM} as sim,
+         case when dp.dl is null then 1.0
+              when list_dot_product(dp.dl, dp.dl) <= 0 then 1.0
+              else list_dot_product(dp.dl, ev.v)
+                   / (sqrt(list_dot_product(dp.dl, dp.dl))
+                      * sqrt(list_dot_product(ev.v, ev.v)))
+         end as esim
+  from ctx c
+  join egmf e on e.mention = c.surface
+  join evec ev on ev.entity_id = e.entity_id
+  left join pool p2
+    on p2.doc_id = c.doc_id and p2.start = c.start and p2."end" = c."end"
+  left join dpool dp on dp.doc_id = c.doc_id
+),
+best as (
+  select *, row_number() over (
+    partition by doc_id, start, "end"
+    order by pow(p, 0.02) * sim * esim desc, entity_id asc) as rn
+  from cands
+),
+gated as (
+  select b.doc_id, b.start, b."end", b.surface, b.entity_id,
+         (pow(b.p, 0.02) * b.sim * b.esim + l.link_prob) / 2 as believe,
+         l.link_prob
   from best b join lp l on l.mention = b.surface
   where b.rn = 1
 )
@@ -2010,6 +2159,7 @@ QUERIES: dict[str, Query] = {
     "detected_mentions": q_detected_mentions,
     "resolved_mentions": q_resolved_mentions,
     "linking_pipeline_ascii": q_linking_pipeline_ascii,
+    "linking_seeded_ascii": q_linking_seeded_ascii,
     "curation_plan": q_curation_plan,
 }
 
@@ -2066,5 +2216,6 @@ ORACLES: dict[str, str] = {
         detected=SQL_DETECTED_MENTIONS
     ),
     "linking_pipeline_ascii": SQL_LINKING_PIPELINE_ASCII,
+    "linking_seeded_ascii": SQL_LINKING_SEEDED_ASCII,
     "curation_plan": SQL_CURATION_PLAN,
 }

@@ -62,6 +62,14 @@ def curation_drops(
     exact_drops = DD.exact_dup_drops(docs, text_col, id_col).select(
         id_col, F.lit("exact_dup").alias("stage")
     )
+    if persisted_out is not None:
+        # the md5 window is the chain's first full shuffle and every later
+        # stage sits downstream of its anti-join: persist the NARROW
+        # (id, stage) result so consumers re-scan the corpus against a
+        # cached id list instead of re-running the window (same
+        # narrow-cache-only policy as the gate below)
+        exact_drops = exact_drops.persist()
+        persisted_out.append(exact_drops)
     after_exact = docs.join(exact_drops.select(id_col), id_col, "left_anti")
 
     # 2. quality gate: pure scan-speed expression
