@@ -1100,3 +1100,56 @@ def test_sample_frames_truncated_container_is_data_error(spark):
     assert len(errs) == 1 and "truncated XLV1" in errs[0]["decode_error"]
     # no garbage frame row was emitted for the overrunning frame
     assert all(r["t_ms"] != 1000 for r in got if r["decode_error"] is None)
+
+
+def test_winnow_fingerprint_guarantee_and_discrimination(spark):
+    """Winnowing's contract: any shared run of k+w-1 tokens yields a shared
+    fingerprint; disjoint-vocabulary docs share none; identical docs share
+    all. k=5, w=4 ⇒ guaranteed detection of ≥8-token shared passages."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        ("a", f"one two three four five six {shared} seven eight nine ten"),
+        ("b", f"uno dos tres cuatro cinco seis {shared} siete ocho nueve"),
+        ("c", "red orange yellow green blue indigo violet magenta cyan teal"),
+        ("d", f"one two three four five six {shared} seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    fps = DD.winnow_fingerprints(docs, k=5, w=4)
+    by_doc = {
+        r["doc_id"]: set(r["f"])
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("f")).collect()
+    }
+    assert by_doc["a"] & by_doc["b"], "shared 8-token passage must share a fingerprint"
+    assert by_doc["a"] == by_doc["d"], "identical docs share the whole set"
+    assert not (by_doc["a"] & by_doc["c"]) and not (by_doc["b"] & by_doc["c"])
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in DD.winnow_overlap_pairs(docs, k=5, w=4, min_shared=1).collect()
+    }
+    assert ("a", "d") in pairs and pairs[("a", "d")] == len(by_doc["a"])
+    assert ("a", "b") in pairs
+    assert not any("c" in p for p in pairs)
+
+
+def test_winnow_short_doc_and_bucket_cap(spark):
+    """Docs shorter than k tokens fingerprint their whole token array (so
+    byte-identical short docs still collide), and max_bucket drops a
+    fingerprint shared by more docs than the cap BEFORE pair generation."""
+    rows = [("s1", "tiny doc"), ("s2", "tiny doc"), ("s3", "other text")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.winnow_overlap_pairs(docs, k=5, w=4, min_shared=1).collect()
+    }
+    assert pairs == {("s1", "s2")}
+
+    # 5 identical docs → one 5-wide fingerprint bucket; cap at 4 kills it
+    wide = spark.createDataFrame(
+        [(f"w{i}", "alpha beta gamma delta epsilon zeta") for i in range(5)],
+        "doc_id string, text string",
+    )
+    capped = DD.winnow_overlap_pairs(wide, k=5, w=4, min_shared=1, max_bucket=4)
+    assert capped.count() == 0
+    uncapped = DD.winnow_overlap_pairs(wide, k=5, w=4, min_shared=1)
+    assert uncapped.count() == 10  # C(5,2)

@@ -694,6 +694,87 @@ where i / (za.sz + zb.sz - i) >= 0.5
 """
 
 
+def _sql_winnow_fps(corpus_sql: str, k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of dedup._winnow_fp_expr: (doc_id, fp) winnowing
+    fingerprints. Same md5→mod token hash, same polynomial fold, same
+    window-min selection — bit-identical values (smoke-verified)."""
+    M, B = DD.WINNOW_MOD, DD.WINNOW_BASE
+    return f"""
+  with corpus as ({corpus_sql}),
+  toks as (select doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') as t
+           from corpus),
+  th as (select doc_id,
+                list_transform(t, x -> ('0x' || substr(md5(x),1,15))::bigint % {M}) as h
+         from toks),
+  grams as (
+    select doc_id,
+      case when len(h) = 0 then [0]
+           when len(h) >= {k} then
+        list_transform(generate_series(1, len(h) - {k - 1}), i ->
+          list_reduce(h[i:i+{k - 1}], (a, b) -> (a * {B} + b) % {M}))
+      else [list_reduce(h, (a, b) -> (a * {B} + b) % {M})] end as g
+    from th
+  ),
+  fps as (
+    select doc_id,
+      case when len(g) >= {w} then
+        list_distinct(list_transform(generate_series(1, len(g) - {w - 1}),
+                                     j -> list_min(g[j:j+{w - 1}])))
+      else [list_min(g)] end as f
+    from grams
+  )
+  select doc_id, unnest(f) as fp from fps
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (MOSS; Schleimer et al. '03) over the
+    near-dup pairs corpus, summarized per doc: fingerprint count, min/max
+    and mod-M checksum — every selected hash value is pinned through the
+    checksum while the compared relation stays one row per doc."""
+    corpus = _doc_pairs_corpus(spark, sf_dir)
+    fps = DD.winnow_fingerprints(corpus, k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.pmod(F.sum("fp"), F.lit(DD.WINNOW_MOD)).alias("fp_checksum"),
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+with fp as ({_sql_winnow_fps(_SQL_PAIRS_CORPUS)})
+select doc_id, count(*) as n_fps, min(fp) as fp_min, max(fp) as fp_max,
+       (sum(fp) % {DD.WINNOW_MOD})::bigint as fp_checksum
+from fp group by doc_id
+"""
+
+
+_WINNOW_MAX_BUCKET = 1000  # boilerplate-fingerprint cap, ACTIVE in the checked path
+
+
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Copied-passage detection: doc pairs sharing ≥2 winnowing fingerprints
+    (each truncated copy shares its whole prefix with its source). The
+    degenerate-bucket cap is ON — the at-scale configuration."""
+    corpus = _doc_pairs_corpus(spark, sf_dir)
+    return DD.winnow_overlap_pairs(
+        corpus, k=5, w=4, min_shared=2, max_bucket=_WINNOW_MAX_BUCKET
+    )
+
+
+SQL_WINNOW_OVERLAP_PAIRS = f"""
+with fp as ({_sql_winnow_fps(_SQL_PAIRS_CORPUS)}),
+bw as (select fp, count(*) as n from fp group by 1),
+capped as (select fp.doc_id, fp.fp from fp join bw using (fp) where n <= {_WINNOW_MAX_BUCKET})
+select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+from capped a join capped b on a.fp = b.fp and a.doc_id < b.doc_id
+group by 1, 2
+having count(*) >= 2
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Train/test decontamination: corpus docs sharing ≥2 distinct 3-gram
     shingles with a benchmark stand-in (the first-60%-token truncations of
@@ -2137,6 +2218,8 @@ QUERIES: dict[str, Query] = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_signatures": q_minhash_signatures,
     "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "language_id": q_language_id,
@@ -2188,6 +2271,8 @@ ORACLES: dict[str, str] = {
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "lsh_jaccard_pairs": SQL_LSH_JACCARD_PAIRS,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "language_id": SQL_LANGUAGE_ID,

@@ -550,3 +550,123 @@ def semantic_dedup(
     return assigned.join(dropped, id_col, "left").select(
         id_col, "cluster", F.col("_dropped").isNull().alias("kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the MOSS algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_MOD = 1_000_000_007  # hash modulus: < 2^31 so acc*base stays in int64
+WINNOW_BASE = 1_000_003     # polynomial rolling-hash base (prime, < modulus)
+
+
+def _winnow_fp_expr(text_col: str, k: int, w: int):
+    """array<long> of winnowing fingerprints for one document, as a PURE
+    JVM-side expression chain (no Python in the hot path):
+
+    1. lower-cased whitespace tokens;
+    2. per-token 60-bit md5 value reduced mod ``WINNOW_MOD`` (md5 rather
+       than xxhash64 so a DuckDB oracle computes the identical value —
+       ``('0x' || substr(md5(t),1,15))::bigint % M``);
+    3. polynomial hash of every ``k``-token gram:
+       ``h = ((t1·B + t2)·B + ...) mod M`` — the classic Rabin-Karp
+       rolling-hash value (computed per-gram with a fold here: O(n·k)
+       instead of O(n), identical values, and the fold stays inside
+       whole-stage codegen where a stateful rolling scan would not);
+    4. winnowing: the minimum hash of every window of ``w`` consecutive
+       gram hashes, distinct — the guarantee is that any shared token run
+       of length ≥ k + w − 1 contributes at least one SHARED fingerprint.
+
+    Documents shorter than ``k`` tokens hash their whole token array
+    (the same degenerate-doc convention as :func:`shingles`).
+    """
+    toks = tokens_lower(text_col)
+    tokh = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(WINNOW_MOD),
+        ),
+    )
+    poly = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(WINNOW_BASE) + x, F.lit(WINNOW_MOD)),
+    )
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: poly(F.slice(tokh, i, k)),
+        ),
+    ).otherwise(F.array(poly(tokh)))
+    fps = F.when(
+        F.size(grams) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(grams) - w + 1),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(grams)))
+    return F.array_distinct(fps)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, fp) — the winnowing fingerprint set of each document.
+
+    Winnowing selects ~2/(w+1) of the k-gram hashes, position-independently:
+    two documents sharing any k + w − 1 consecutive tokens are GUARANTEED to
+    share a fingerprint, so fingerprint equality is a recall-guaranteed
+    blocking key for copied-passage detection (the dedup family's
+    "document fingerprinting" entry; the MOSS construction).
+
+    100-TB shape: selection is a per-row expression (scan speed, no
+    shuffle); the output is a narrow (id, long) relation whose size is
+    ~2·n_tokens/(w+1) rows per doc.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.explode(_winnow_fp_expr(text_col, k, w)).alias("fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — doc pairs sharing ≥ min_shared winnowing
+    fingerprints; the copied-passage / boilerplate detector.
+
+    Same candidate-generation shape as banded LSH: an equi-join on the
+    fingerprint value, so the pair space is quadratic only within one
+    fingerprint bucket. ``max_bucket`` drops degenerate buckets (a
+    fingerprint shared by half the corpus is boilerplate, not plagiarism)
+    BEFORE the join — the same windowed-count cap the LSH path uses.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w)
+    if max_bucket is not None:
+        cnt = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_n", F.count(F.lit(1)).over(cnt))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # fps distinct per doc
+        .filter(F.col("n_shared") >= min_shared)
+    )
