@@ -684,9 +684,13 @@ def test_curate_corpus_end_to_end(spark):
     kept, audit, drops = curate_corpus(
         docs, eval_docs, contamination_ngram=3, persisted_out=held
     )
-    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    kept_rows = kept.collect()
+    kept_ids = sorted(r["doc_id"] for r in kept_rows)
     counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
     fates = {r["doc_id"]: r["stage"] for r in drops.collect()}
+    # release only after every output is consumed: the drops/survivor
+    # frames are lineage-truncated, so a released handle is gone for good
+    # (unlike a persist, which would silently recompute)
     for h in held:
         h.unpersist()
     assert kept_ids == ["d1", "d6"]
@@ -698,7 +702,7 @@ def test_curate_corpus_end_to_end(spark):
         "d5": "contaminated",
     }
     # kept rows carry the quality column
-    assert all(r["quality"] >= 0.2 for r in kept.select("quality").collect())
+    assert all(r["quality"] >= 0.2 for r in kept_rows)
 
 
 def test_curate_corpus_audit_reads_cached_drops(spark):
@@ -727,19 +731,24 @@ def test_curate_corpus_audit_reads_cached_drops(spark):
         return sum(len(st.getJobInfo(j).stageIds) for j in new)
 
     cached_stages = stages_run(lambda: audit.collect())
-    assert drops.is_cached
     plan = audit._jdf.queryExecution().executedPlan().toString()
-    assert "TableCacheQueryStage" in plan  # the legs read the cache...
+    # drops is lineage-TRUNCATED (localCheckpoint): the audit legs scan the
+    # stored blocks through a flat ExistingRDD — none of the drop chain's
+    # operators (window, LSH hashing, quality scan) appear in its plan,
+    # which is also how the nested-cache planning blowup is kept out
+    assert "ExistingRDD" in plan
+    for marker in ("row_number", "md5", "Window"):
+        assert marker not in plan
     for h in held:
         h.unpersist()
-    # ...and the executed work proves it: an audit over the cached drop list
-    # runs only tiny cache-scan + single-partition-agg stages per leg
-    # (measured 15 with AQE), while recomputing the drop chain per leg runs
-    # the exact-dup window / LSH / quality scan again (measured 30)
+    # ...and the executed work proves it: an audit over the checkpointed
+    # drop list runs only tiny block-scan + single-partition-agg stages per
+    # leg, while recomputing the drop chain per leg runs the exact-dup
+    # window / LSH / quality scan again (measured ~30)
     _k2, audit2, _d2 = curate_corpus(docs, None)  # no persist → recompute
     uncached_stages = stages_run(lambda: audit2.collect())
     assert cached_stages < uncached_stages
-    assert cached_stages <= 18  # ~5 AQE stages per cached leg, 3 legs
+    assert cached_stages <= 18  # ~5 AQE stages per leg over stored blocks
 
 
 def test_exact_dup_drops_matches_group_view(spark):

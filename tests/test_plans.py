@@ -214,13 +214,46 @@ def test_curation_gate_cache_is_narrow(spark):
     # exactly one full-width persist: the post-gate survivor table
     assert len(text_carrying) == 1
     gate = [h for h in held if "quality" in h.columns and "text" not in h.columns]
-    assert len(gate) == 1 and set(gate[0].columns) == {"doc_id", "quality"}
+    assert len(gate) == 1 and set(gate[0].columns) == {
+        "doc_id", "content_hash", "quality",
+    }
     # counts unchanged by the narrowing
     counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
     assert counts["exact_dup"] == 1
     assert kept.count() + sum(counts.values()) == 21
     for h in held:
         h.unpersist()
+
+
+def test_curation_held_release_frees_all_storage(spark):
+    """The persisted_out contract must release EVERYTHING — including the
+    lineage-truncated (localCheckpoint) frames, whose blocks live as RDD
+    storage that ``DataFrame.unpersist`` alone would never touch. A leak
+    here accumulates a drop-list + survivor copy per curation call until
+    the storage pool fills (the observed evictBlocksToFreeSpace livelock).
+    Pin: after unpersisting every handle, the context reports zero cached
+    RDDs and the SQL cache is empty."""
+    from xlink_spark.plans.curation import curate_corpus
+
+    sc = spark.sparkContext
+
+    def rdd_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    spark.catalog.clearCache()
+    baseline = rdd_ids()  # other suites may leave internal (e.g. MLlib) blocks
+    rows = [(f"d{i}", f"document number {i} with plain ordinary filler words "
+            + ("pad " * (i % 5))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    held: list = []
+    kept, audit, drops = curate_corpus(docs, None, persisted_out=held)
+    audit.collect()
+    kept.count()
+    # the checkpointed frames materialized real blocks
+    assert rdd_ids() - baseline
+    for h in held:
+        h.unpersist()
+    assert rdd_ids() - baseline == set()
 
 
 def test_linking_pipeline_ascii_python_is_one_arrow_scan(spark):

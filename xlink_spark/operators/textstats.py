@@ -170,11 +170,24 @@ def repetition_stats(
     (doc, bigram) count + one per-doc max — two map-side-combinable
     aggregations, nothing quadratic.
     """
+    base = docs.select(F.col(id_col), *repetition_line_cols(text_col))
+    top = top_bigram_frame(docs, text_col, id_col)
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac_u",
+        F.coalesce("top_bigram_frac_u", F.lit(0)).alias("top_bigram_frac_u"),
+    )
+
+
+def repetition_line_cols(text_col: str) -> list:
+    """The per-row half of repetition_stats: scan-speed array expressions
+    callers can fold into an existing projection of the same scan (the
+    curation facts frame does) instead of paying a separate text read."""
     # filter on x != "" (not trim): Java trim strips all chars <= U+0020 while
     # SQL trim strips only spaces — the bare-emptiness test is the portable one
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
-    base = docs.select(
-        F.col(id_col),
+    return [
         F.size(lines).alias("n_lines"),
         F.when(
             F.size(lines) > 0,
@@ -184,7 +197,18 @@ def repetition_stats(
         )
         .otherwise(F.lit(0).cast("long"))
         .alias("dup_line_frac_u"),
-    )
+    ]
+
+
+def top_bigram_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The aggregated half of repetition_stats: (id, top_bigram_frac_u).
+
+    Docs whose token count is < 2 have no bigrams and emit NO row — join it
+    left and coalesce to 0. Two map-side-combinable aggregations; the
+    explode never materializes per-doc bigram arrays on the driver.
+    """
     toks = docs.select(F.col(id_col), tokens_lower(text_col).alias("t"))
     grams = toks.select(
         id_col,
@@ -199,14 +223,8 @@ def repetition_stats(
         ).alias("gram"),
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
-    top = per_gram.groupBy(id_col).agg(
+    return per_gram.groupBy(id_col).agg(
         F.floor(F.max("c") / F.sum("c") * 1e6).cast("long").alias("top_bigram_frac_u")
-    )
-    return base.join(top, id_col, "left").select(
-        id_col,
-        "n_lines",
-        "dup_line_frac_u",
-        F.coalesce("top_bigram_frac_u", F.lit(0)).alias("top_bigram_frac_u"),
     )
 
 

@@ -22,17 +22,73 @@ join) exactly once when the list is persisted (it is id+stage only — a few
 bytes per dropped doc). Nothing per-group is ever collected: the exact-dup
 path is a ``row_number`` window (dedup.exact_dup_drops), not a
 collect_list, so degenerate hash groups stream through their reducer.
+
+Two structural choices are measurement-driven, not stylistic:
+
+* ONE text pass for all gate facts — content hash, quality score, and the
+  Gopher repetition signals are computed in a single narrow ``facts``
+  frame, so the corpus text is read for gating exactly once and the
+  exact-dup window shuffles (doc_id, hash), never text.
+* Lineage TRUNCATION (``localCheckpoint``) at the two product boundaries
+  (``after_quality``, ``drops``) instead of more SQL caches. Nesting
+  in-memory relations is poison on this chain: each extra nested cache
+  level multiplies AQE's per-query re-planning and provenance cost
+  (measured: the pyramid under ``kept`` printed a 397 MB executed plan and
+  cost ~50 s of DRIVER time on a 15 k-doc corpus; truncated, the same plan
+  is 9 KB and kept/audit run in <1 s). The checkpointed frames are tiny
+  (id+stage) or mid-chain survivors; durability across job restarts comes
+  from the snapshot layer (jobs/run_curation commits drops/kept to
+  snapshot tables), not from in-job checkpoint blocks.
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xlink_spark.operators import dedup as DD
 from xlink_spark.operators.textstats import quality_score
+
+
+class _CheckpointHandle:
+    """Held-list shim for a lineage-truncated (localCheckpoint) frame.
+
+    ``DataFrame.unpersist`` only clears the SQL cache, which a local
+    checkpoint never enters — its blocks live as RDD storage tied to the
+    LogicalRDD. This shim frees those blocks through the analyzed plan's
+    RDD, so the ``persisted_out`` contract (owner calls ``unpersist()`` on
+    every handle) releases checkpoint storage too.
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.columns = df.columns
+
+    @property
+    def is_cached(self) -> bool:  # held-contract introspection
+        return True
+
+    def unpersist(self, blocking: bool = False):
+        try:
+            self.df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
+        except Exception:
+            pass  # stopped session / already released — nothing cached
+        return self.df
+
+
+def _truncate(df: DataFrame, persisted_out: list | None) -> DataFrame:
+    """localCheckpoint (lazy) + register a release handle.
+
+    Only active under ``persisted_out`` — the default call stays pure plan
+    construction (no storage side effects), mirroring the persist contract.
+    """
+    if persisted_out is None:
+        return df
+    out = df.localCheckpoint(eager=False)
+    persisted_out.append(_CheckpointHandle(out))
+    return out
 
 
 def curation_drops(
@@ -58,60 +114,85 @@ def curation_drops(
     were active (repetition/contamination are optional), for zero-preserving
     audits.
     """
-    # 1. exact dedup: row_number()>1 window — the scale-safe drop path
-    exact_drops = DD.exact_dup_drops(docs, text_col, id_col).select(
-        id_col, F.lit("exact_dup").alias("stage")
-    )
-    after_exact = docs.join(exact_drops.select(id_col), id_col, "left_anti")
+    # 1+2+2b. ONE corpus text pass computes every per-doc gate fact: the
+    # content hash (exact dedup), the quality score, and — when a threshold
+    # activates the repetition gate — the Gopher repetition signals. The
+    # facts frame is NARROW (no text): a few dozen bytes per doc, the only
+    # corpus-WIDE thing that may sit in cache. Every gate stage (exact-dup
+    # window, quality filter, repetition filter) then derives from facts, so
+    # the expensive text expressions run once per curation no matter how
+    # many drop branches consume them — at 100 TB the corpus text is read
+    # for gating exactly once, and the exact-dup window shuffles only
+    # (doc_id, content_hash, quality), never text.
+    rep_active = max_dup_line_frac is not None or max_top_bigram_frac is not None
+    fact_cols = [
+        F.md5(F.col(text_col)).alias("content_hash"),
+        quality_score(text_col).alias("quality"),
+    ]
+    if rep_active:
+        from xlink_spark.operators.textstats import (
+            repetition_line_cols,
+            top_bigram_frame,
+        )
 
-    # 2. quality gate: pure scan-speed expression
-    scored = after_exact.withColumn("quality", quality_score(text_col))
+        # the per-row repetition signals ride the SAME projection (no extra
+        # text read); only the bigram mode — a genuine grouped aggregation —
+        # joins in from its own explode scan (left + coalesce: <2-token docs
+        # have no bigrams)
+        fact_cols += repetition_line_cols(text_col)
+    facts = docs.select(F.col(id_col), *fact_cols)
+    if rep_active:
+        facts = facts.join(
+            top_bigram_frame(docs, text_col, id_col), id_col, "left"
+        ).withColumn(
+            "top_bigram_frac_u", F.coalesce("top_bigram_frac_u", F.lit(0))
+        )
     if persisted_out is not None:
-        # The gate cache is the NARROW (doc_id, quality) projection, never
-        # the full-text rows: the low-quality drop branch needs only ids and
-        # scores, and a corpus-wide full-width cache is ~a corpus copy in
-        # MEMORY_AND_DISK at 100 TB. Text flows ONCE through the kept chain
-        # instead (after_quality persists below, where its text genuinely
-        # feeds two branches). Owner unpersists — contract.
-        # Cache LEVELS are deliberately capped at r4's five (gate,
-        # after_quality, shingles, near_drops, drops): persisting the
-        # exact-dup or repetition id-lists as additional layers measured
-        # 1.7-2.3x WORSE wall time on this chain — every extra nested
-        # in-memory-relation level multiplies AQE's per-query planning and
-        # provenance-printing cost, which dominates at bench scale and adds
-        # driver overhead at any scale.
-        gate = scored.select(id_col, "quality").persist()
-        persisted_out.append(gate)
-        low = gate.filter(F.col("quality") < min_quality).select(
-            id_col, F.lit("low_quality").alias("stage")
-        )
-    else:
-        low = scored.filter(F.col("quality") < min_quality).select(
-            id_col, F.lit("low_quality").alias("stage")
-        )
-    after_quality = scored.filter(F.col("quality") >= min_quality).drop("quality")
+        # Served twice: once by the after_quality anti-join legs, once by
+        # the drops-union legs. It is a plain SQL cache (not a checkpoint)
+        # because nothing nests UNDER it — the pyramid-poison documented in
+        # the module docstring needs nested caches; one shallow cache under
+        # a truncation boundary is the cheap, safe case. Owner unpersists.
+        facts = facts.persist()
+        persisted_out.append(facts)
+
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    exact_drops = (
+        facts.select(id_col, "content_hash")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, F.lit("exact_dup").alias("stage"))
+    )
+    after_exact = facts.join(exact_drops.select(id_col), id_col, "left_anti")
+    low = after_exact.filter(F.col("quality") < min_quality).select(
+        id_col, F.lit("low_quality").alias("stage")
+    )
     stages = ["exact_dup", "low_quality"]
     parts = [exact_drops, low]
 
-    # 2b. repetition gate (Gopher rules), only when a threshold is set
-    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
-        from xlink_spark.operators.textstats import repetition_stats
-
-        rep = repetition_stats(after_quality, text_col, id_col)
+    if rep_active:
         bad = F.lit(False)
         if max_dup_line_frac is not None:
             bad = bad | (F.col("dup_line_frac_u") > int(max_dup_line_frac * 1e6))
         if max_top_bigram_frac is not None:
             bad = bad | (F.col("top_bigram_frac_u") > int(max_top_bigram_frac * 1e6))
-        rep_drops = rep.filter(bad).select(id_col, F.lit("repetitive").alias("stage"))
-        after_quality = after_quality.join(rep_drops.select(id_col), id_col, "left_anti")
+        rep_drops = (
+            after_exact.filter(F.col("quality") >= min_quality)
+            .filter(bad)
+            .select(id_col, F.lit("repetitive").alias("stage"))
+        )
         stages.append("repetitive")
         parts.append(rep_drops)
-    if persisted_out is not None:
-        # consumed by the shingle scan AND (with an eval set) the
-        # contamination branch: cut the upstream chain off both
-        after_quality = after_quality.persist()
-        persisted_out.append(after_quality)
+
+    # the text survivors the near-dup/contamination stages chew on: ONE
+    # corpus scan anti-joined against the (tiny, facts-derived) gate drops.
+    # TRUNCATED, not cached: the shingle scan and the contamination branch
+    # both read the stored blocks, and everything downstream plans against
+    # a flat scan instead of the facts pyramid (see module docstring).
+    gate_dropped = reduce(DataFrame.unionByName, parts).select(id_col)
+    after_quality = _truncate(
+        docs.join(gate_dropped, id_col, "left_anti"), persisted_out
+    )
 
     # 3. near-dup: banded-LSH pairs (cap active), larger id loses
     pairs = DD.minhash_dedup(
@@ -185,10 +266,11 @@ def curate_corpus(
     ``kept`` and ``audit`` both derive from the single ``drops`` list, so
     with ``persisted_out`` passed the expensive stages (LSH band join,
     contamination join) run ONCE no matter how many of the three outputs are
-    materialized: ``drops`` is persisted (id+stage only) and appended to the
-    list for the caller to unpersist — the library-wide contract. Without
-    ``persisted_out`` nothing is persisted (leak-free default) and each
-    materialized output recomputes the chain.
+    materialized: ``drops`` is lineage-truncated (localCheckpoint, id+stage
+    only) and a release handle is appended to the list for the caller to
+    unpersist — the library-wide contract. Without ``persisted_out`` nothing
+    is persisted or checkpointed (leak-free default) and each materialized
+    output recomputes the chain.
     """
     drops, stages = curation_drops(
         docs,
@@ -209,10 +291,12 @@ def curate_corpus(
     if persisted_out is not None:
         # the stage-wise union stacks partitions (n_stages × input parts);
         # coalesce the narrow id+stage list back to the session's
-        # parallelism before caching — merges map work, no extra shuffle
+        # parallelism — merges map work, no extra shuffle. Then TRUNCATE:
+        # kept and audit need the list's VALUES, not its lineage, and a
+        # cached (rather than checkpointed) drop list would nest the whole
+        # five-stage pyramid into every downstream plan (module docstring).
         par = docs.sparkSession.sparkContext.defaultParallelism
-        drops = drops.coalesce(max(par, 1)).persist()
-        persisted_out.append(drops)
+        drops = _truncate(drops.coalesce(max(par, 1)), persisted_out)
 
     kept = docs.join(drops.select(id_col), id_col, "left_anti").withColumn(
         "quality", quality_score(text_col)
