@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xlink_spark.operators import dedup as DD
+from xlink_spark.operators import sampling as SAMP
 from xlink_spark.operators import similarity as SIM
 from xlink_spark.operators import textstats as TS
 
@@ -2192,6 +2193,125 @@ union all select doc_id, 'kept', md5(redacted) from red
 """.replace("{EMAIL_RE}", TS.PII_EMAIL_RE).replace("{PHONE_RE}", TS.PII_PHONE_RE)
 
 
+# ------------------------------------------- deterministic sampling / mixing
+# Shared hash-bucket twin: (first 15 hex chars of md5(key || salt)) mod 1e6 —
+# the same engine-portable idiom _hash_embeddings_md5 uses (15 hex < 2^60;
+# both operands non-negative so Spark pmod ≡ SQL %).
+
+
+def _sql_bucket(key_sql: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5({key_sql} || '{salt}'), 1, 15))::bigint"
+        f" % 1000000)"
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli(0.37) corpus subsample: membership is a pure
+    function of (doc_id, salt), reproducible across engines, partition
+    layouts, and reruns (operators/sampling.hash_sample)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return SAMP.hash_sample(docs, 0.37, salt="split0").select("doc_id", "lang")
+
+
+SQL_HASH_SAMPLE = (
+    "select doc_id, lang from documents where "
+    + _sql_bucket("doc_id::varchar", "split0")
+    + " < 370000"
+)
+
+
+# Target mixture for the weights/stratified queries; the micro-unit shares
+# are computed ONCE here and inlined into both engines' plans so they cannot
+# drift (sampling.mixture_weights performs the same int(v·1e6/total)).
+_MIX_TARGET = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_TOTAL = sum(_MIX_TARGET.values())
+_MIX_SHARES = {
+    k: int(v * 1_000_000 / _MIX_TOTAL) for k, v in sorted(_MIX_TARGET.items())
+}
+
+_SQL_MIX_WEIGHTS = f"""
+with counts as (
+  select lang, count(*)::bigint as n_docs from documents group by lang
+),
+shares as (
+  select * from (values {", ".join(f"('{k}', {v})" for k, v in _MIX_SHARES.items())})
+  s(lang, share_u)
+),
+per as (
+  select s.lang, coalesce(c.n_docs, 0)::bigint as n_docs,
+         s.share_u::bigint as share_u
+  from shares s left join counts c on s.lang = c.lang
+),
+cap as (select min(n_docs * 1000000 // share_u) as t_max from per)
+select per.lang, per.n_docs,
+       (per.share_u * cap.t_max // 1000000)::bigint as n_target,
+       (case when per.n_docs > 0
+             then (per.share_u * cap.t_max // 1000000) * 1000000 // per.n_docs
+             else 0 end)::bigint as rate_u
+from per, cap
+"""
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Dataset-mixing plan: per-language keep-rates that reshape the
+    corpus's natural language skew into the 40/15/15/15/15 target at the
+    largest feasible total — integer micro-unit arithmetic end-to-end
+    (operators/sampling.mixture_weights)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return SAMP.mixture_weights(docs, _MIX_TARGET).select(
+        "lang", "n_docs", "n_target", "rate_u"
+    )
+
+
+SQL_MIXTURE_WEIGHTS = _SQL_MIX_WEIGHTS
+
+
+def q_stratified_sample(spark, sf_dir):
+    """The composed mixing chain: mixture_weights → broadcast the rate
+    table → hash-filter the corpus in place (no corpus shuffle). Output is
+    the sampled (doc_id, lang) membership itself, so the oracle hash checks
+    every individual keep/drop decision."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    w = SAMP.mixture_weights(docs, _MIX_TARGET)
+    return SAMP.stratified_hash_sample(docs, w, salt="mix").select(
+        "doc_id", "lang"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+with w as ({_SQL_MIX_WEIGHTS})
+select d.doc_id, d.lang
+from documents d join w on d.lang = w.lang
+where {_sql_bucket("d.doc_id::varchar", "mix")} < w.rate_u
+"""
+
+
+def q_quota_sample(spark, sf_dir):
+    """Deterministic quota: the 7 lowest-hash docs of every source, via the
+    SCALE path (counts-driven hash pre-filter before the per-stratum
+    window); the oracle ranks each full stratum directly, so the
+    pre-filter ≡ plain identity is hash-checked on real data."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return SAMP.quota_sample(
+        docs, 7, stratum_col="source", salt="q",
+        prefilter_counts=counts, oversample=2,
+    ).select("doc_id", "source")
+
+
+SQL_QUOTA_SAMPLE = f"""
+select doc_id, source from (
+  select doc_id, source,
+         row_number() over (
+           partition by source
+           order by {_sql_bucket("doc_id::varchar", "q")}, doc_id
+         ) as rk
+  from documents
+) t where rk <= 7
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -2244,6 +2364,10 @@ QUERIES: dict[str, Query] = {
     "linking_pipeline_ascii": q_linking_pipeline_ascii,
     "linking_seeded_ascii": q_linking_seeded_ascii,
     "curation_plan": q_curation_plan,
+    "hash_sample": q_hash_sample,
+    "mixture_weights": q_mixture_weights,
+    "stratified_sample": q_stratified_sample,
+    "quota_sample": q_quota_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2303,4 +2427,8 @@ ORACLES: dict[str, str] = {
     "linking_pipeline_ascii": SQL_LINKING_PIPELINE_ASCII,
     "linking_seeded_ascii": SQL_LINKING_SEEDED_ASCII,
     "curation_plan": SQL_CURATION_PLAN,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "quota_sample": SQL_QUOTA_SAMPLE,
 }

@@ -1,0 +1,203 @@
+"""Deterministic corpus sampling: hash-Bernoulli, stratified mixing, quotas.
+
+A 100 TB training-data pipeline rarely wants `rand()`-based sampling: the
+sample must be REPRODUCIBLE across reruns, partition layouts, and engines
+(the same doc must make the same cut every time), and the mixture across
+languages/sources/domains must hit a TARGET distribution, not the corpus's
+natural skew. Everything here is therefore a pure function of (doc_id,
+salt) and integer micro-unit arithmetic:
+
+* ``hash_sample``       — Bernoulli(p) by md5 bucket: one scan-speed filter,
+                          no shuffle, no state, safe to push down.
+* ``mixture_weights``   — per-stratum keep-rates that reshape the observed
+                          stratum counts into a target mixture at the
+                          largest achievable total size (the classic
+                          dataset-mixing computation, e.g. The Pile /
+                          Gopher-style source reweighting).
+* ``stratified_hash_sample`` — apply per-stratum rates: broadcast the tiny
+                          rate table, filter at scan speed; the corpus is
+                          never shuffled.
+* ``quota_sample``      — exactly ≤k docs per stratum, chosen by hash rank
+                          (deterministic "random k"): one shuffle on the
+                          stratum key; an optional counts-driven hash
+                          pre-filter keeps the per-stratum sort bounded at
+                          head-stratum scale.
+
+Portability: the hash bucket is ``(first 15 hex chars of md5(key)) mod 1e6``
+— md5 hex is identical across Spark and DuckDB, 15 hex chars < 2^60 fit a
+signed 64-bit int exactly, and both operands are non-negative so Spark's
+``pmod`` ≡ SQL ``%``. Rates and shares are integer micro-units (parts per
+1e6) combined with integer division only — no float ever decides a
+membership, so the oracle check is exact (the convention textstats'
+micro-unit fractions established).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, 1e6) as a pure function of (key, salt).
+
+    The engine-portable deterministic-sampling primitive: DuckDB twin is
+    ``('0x' || substr(md5(key || salt), 1, 15))::bigint % 1000000``. Changing
+    the salt draws an independent sample (disjoint decisions), which is how
+    train/validation splits stay uncorrelated with earlier subsampling.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(salt)))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(MICRO)
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff its hash bucket < floor(fraction·1e6).
+
+    Reproducible Bernoulli(p): membership depends only on (id, salt), never
+    on partitioning, task retries, or row order — unlike ``df.sample``,
+    whose per-partition RNG reshuffles membership when the split layout
+    changes. Pure scan-speed filter; at 100 TB this is a predicate the
+    reader evaluates, not a job.
+    """
+    return docs.filter(hash_bucket(id_col, salt) < int(fraction * MICRO))
+
+
+def mixture_weights(
+    docs: DataFrame,
+    target: dict[str, float],
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum keep-rates that reshape the corpus into ``target``.
+
+    ``target`` maps stratum value → desired share (shares need not sum to
+    1; they are normalized in micro-units). The achievable total sample is
+    capped by the scarcest stratum relative to its target share:
+
+        T = min_s floor(c_s · 1e6 / share_u_s)      (largest feasible total)
+        n_s = share_u_s · T div 1e6                 (per-stratum quota)
+        rate_u_s = n_s · 1e6 div c_s                (micro-unit keep-rate)
+
+    All integer division — bit-identical across engines. Strata present in
+    the corpus but absent from ``target`` get rate 0 (dropped); a target
+    stratum missing from the corpus caps T at 0 — a loud degenerate output
+    rather than a silently skewed mixture.
+
+    Scale shape: one map-combinable count per stratum (strata are few); the
+    min and the rate arithmetic run on that tiny aggregate, broadcast back.
+    """
+    spark = docs.sparkSession
+    total_share = sum(target.values())
+    rows = [
+        (k, int(v * MICRO / total_share)) for k, v in sorted(target.items())
+    ]
+    if any(s <= 0 for _, s in rows):
+        # a zero micro-unit share would divide by zero in the cap and
+        # silently starve the stratum; demand ≥1ppm explicitly instead
+        raise ValueError(f"target shares must be >= 1e-6 of total: {rows}")
+    shares = spark.createDataFrame(
+        rows, f"{stratum_col} string, share_u long"
+    )
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # right join keeps target strata with no corpus rows (n_docs → 0)
+    per = counts.join(shares, stratum_col, "right").select(
+        stratum_col,
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        "share_u",
+    )
+    cap = per.select(
+        F.min(F.expr(f"n_docs * {MICRO} div share_u")).alias("t_max")
+    )
+    return (
+        per.join(F.broadcast(cap))
+        .select(
+            stratum_col,
+            "n_docs",
+            F.expr(f"share_u * t_max div {MICRO}").alias("n_target"),
+            F.expr(
+                f"case when n_docs > 0 then (share_u * t_max div {MICRO})"
+                f" * {MICRO} div n_docs else 0 end"
+            ).alias("rate_u"),
+        )
+    )
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Apply per-stratum micro-unit keep-rates (a (stratum, rate_u) table).
+
+    The rate table is strata-sized (tiny) — broadcast it and the corpus is
+    filtered in place: no shuffle, no skew surface, compatible with column
+    pruning (only id + stratum are consulted). Rows whose stratum has no
+    rate row are dropped (inner join ≡ rate 0).
+    """
+    return docs.join(
+        F.broadcast(rates.select(stratum_col, "rate_u")), stratum_col
+    ).filter(hash_bucket(id_col, salt) < F.col("rate_u")).drop("rate_u")
+
+
+def quota_sample(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    prefilter_counts: DataFrame | None = None,
+    oversample: int = 4,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) docs per stratum, by ascending hash bucket.
+
+    Deterministic "pick k at random": rank docs within each stratum by
+    (hash_bucket, id) and keep rank ≤ k — same k docs on every engine and
+    every rerun. One shuffle on the stratum key.
+
+    At head-stratum scale (one stratum ≫ k) sorting the whole stratum to
+    keep k rows is waste; pass ``prefilter_counts`` (a (stratum, n_docs)
+    frame, e.g. from ``mixture_weights`` input stats) and the corpus is
+    first thinned with the SAME hash at rate ``oversample·k / n_s`` before
+    the window. Because the pre-filter keeps exactly the rows with the
+    SMALLEST buckets' range (bucket < r), the top-k-by-bucket of the
+    survivors equals the global top-k whenever ≥ k rows survive — with a
+    4× oversample the shortfall probability is Chernoff-negligible
+    (≈ exp(-0.57·k)), and the identity is pinned by test, not assumed.
+    """
+    ranked_src = docs
+    if prefilter_counts is not None:
+        rates = prefilter_counts.select(
+            stratum_col,
+            F.least(
+                F.lit(MICRO),
+                F.expr(f"{int(oversample * k) * MICRO} div n_docs"),
+            ).alias("rate_u"),
+        )
+        ranked_src = docs.join(
+            F.broadcast(rates), stratum_col
+        ).filter(hash_bucket(id_col, salt) < F.col("rate_u")).drop("rate_u")
+    w = (
+        F.row_number()
+        .over(
+            Window.partitionBy(stratum_col).orderBy(
+                hash_bucket(id_col, salt), F.col(id_col)
+            )
+        )
+        .alias("_rk")
+    )
+    return (
+        ranked_src.select("*", w)
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
