@@ -1162,3 +1162,69 @@ def test_winnow_short_doc_and_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = DD.winnow_overlap_pairs(wide, k=5, w=4, min_shared=1)
     assert uncapped.count() == 10  # C(5,2)
+
+
+def test_boilerplate_lines_thresholds(spark):
+    """Footer on 4/4 docs and promo on 2/4 (exactly the 50% threshold) are
+    boilerplate; a note on 1/4 and ANY line of a single-doc source are not
+    (min_docs=2 guards tiny groups); empty lines never count."""
+    rows = [
+        ("a", 1, "alpha body one\nFOOTER A\npromo line"),
+        ("a", 2, "alpha body two\nFOOTER A\npromo line"),
+        ("a", 3, "alpha body three\n\nFOOTER A\nrare note"),
+        ("a", 4, "alpha body four\nFOOTER A"),
+        ("b", 5, "solo doc\nFOOTER B"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    bp = {(r["source"], r["line"]): r["n_docs_line"] for r in
+          DD.boilerplate_lines(docs, min_docs=2, min_frac_u=500_000).collect()}
+    assert bp == {("a", "FOOTER A"): 4, ("a", "promo line"): 2}
+
+
+def test_boilerplate_counts_once_per_doc(spark):
+    """A line repeated INSIDE one doc counts once: 'echo' appears 3x in one
+    doc and 1x in another of 4 docs — 2/4 = 50%, boilerplate; without the
+    per-doc distinct it would be overcounted but with it a 1-doc spam line
+    ('selfspam', 5x in one doc) stays below min_docs."""
+    rows = [
+        ("a", 1, "echo\necho\necho\nselfspam\nselfspam\nselfspam\nselfspam\nselfspam\nu1"),
+        ("a", 2, "echo\nu2"),
+        ("a", 3, "u3"),
+        ("a", 4, "u4"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    bp = {r["line"]: r["n_docs_line"] for r in
+          DD.boilerplate_lines(docs, min_docs=2, min_frac_u=500_000).collect()}
+    assert bp == {"echo": 2}
+
+
+def test_strip_boilerplate_order_survival_and_structure(spark):
+    """Stripping keeps line order and empty lines, and a doc whose every
+    line is boilerplate survives with empty text instead of vanishing."""
+    rows = [
+        ("a", 1, "first\nFOOTER\nmiddle\n\nlast"),
+        ("a", 2, "FOOTER"),
+        ("a", 3, "other\nFOOTER"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    bp = DD.boilerplate_lines(docs, min_docs=2, min_frac_u=500_000)
+    out = {r["doc_id"]: r["text"]
+           for r in DD.strip_boilerplate(docs, bp).collect()}
+    assert out == {1: "first\nmiddle\n\nlast", 2: "", 3: "other"}
+
+
+def test_strip_boilerplate_is_group_scoped(spark):
+    """The same line is boilerplate in one source and content in another —
+    decisions must not leak across groups."""
+    rows = [
+        ("a", 1, "shared line\nx1"),
+        ("a", 2, "shared line\nx2"),
+        ("b", 3, "shared line\ny1"),
+        ("b", 4, "unrelated\ny2"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    bp = DD.boilerplate_lines(docs, min_docs=2, min_frac_u=500_000)
+    out = {r["doc_id"]: r["text"]
+           for r in DD.strip_boilerplate(docs, bp).collect()}
+    assert out[1] == "x1" and out[2] == "x2"
+    assert out[3] == "shared line\ny1" and out[4] == "unrelated\ny2"

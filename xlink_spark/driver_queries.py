@@ -2312,6 +2312,106 @@ select doc_id, source from (
 """
 
 
+# ------------------------------------------------- boilerplate line removal
+# Synthetic boilerplate corpus: every doc gains a per-source license footer
+# (100% of the source → boilerplate), 17/25 of each source gain a newsletter
+# line (680000 ppm ≥ the 500000 threshold → boilerplate), and 6/25 gain a
+# rare editorial note (240000 ppm → below threshold, must SURVIVE the
+# strip). The (doc_id div 20) % 10 conditions vary WITHIN each source
+# (source = src{doc_id % 20} in the testdata layout).
+
+
+def _bp_corpus(spark, sf_dir):
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncopyright footer "),
+            F.col("source"),
+            F.when(
+                F.expr("(doc_id div 20) % 10 < 6"),
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.expr("(doc_id div 20) % 10 < 2"),
+                F.lit("\nrare editorial note"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_SQL_BP_CORPUS = """
+select doc_id, source,
+       text || chr(10) || 'copyright footer ' || source
+            || (case when (doc_id // 20) % 10 < 6
+                     then chr(10) || 'subscribe to our newsletter' else '' end)
+            || (case when (doc_id // 20) % 10 < 2
+                     then chr(10) || 'rare editorial note' else '' end) as text
+from documents
+"""
+
+_SQL_BP_LINES = f"""
+with corpus as ({_SQL_BP_CORPUS}),
+lines as (
+  select doc_id, source, generate_subscripts(ls, 1) as pos, unnest(ls) as line
+  from (select doc_id, source, string_split(text, chr(10)) as ls from corpus)
+),
+sizes as (select source, count(*)::bigint as n_docs_group from corpus group by 1),
+counted as (
+  select source, line, count(*)::bigint as n_docs_line
+  from (select distinct source, doc_id, line from lines where line <> '')
+  group by 1, 2
+),
+bp as (
+  select c.source, c.line, c.n_docs_line, s.n_docs_group
+  from counted c join sizes s using (source)
+  where c.n_docs_line >= 2
+    and c.n_docs_line * 1000000 // s.n_docs_group >= 500000
+)
+"""
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Per-source boilerplate line detection (RefinedWeb/CCNet-style):
+    non-empty lines verbatim-shared by ≥2 docs and ≥50% of a source
+    (operators/dedup.boilerplate_lines — per-document frequency, integer
+    micro-unit threshold)."""
+    return DD.boilerplate_lines(
+        _bp_corpus(spark, sf_dir), min_docs=2, min_frac_u=500_000
+    )
+
+
+SQL_BOILERPLATE_LINES = (
+    _SQL_BP_LINES + "select source, line, n_docs_line, n_docs_group from bp"
+)
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """Boilerplate removal end-to-end: detect per-source repeated lines,
+    strip them from every doc preserving line order and doc survival;
+    output hashes the full cleaned text so every kept/removed line of every
+    doc is checked (operators/dedup.strip_boilerplate)."""
+    corpus = _bp_corpus(spark, sf_dir)
+    bp = DD.boilerplate_lines(corpus, min_docs=2, min_frac_u=500_000)
+    return DD.strip_boilerplate(corpus, bp).select(
+        "doc_id", F.md5("text").alias("strip_hash")
+    )
+
+
+SQL_STRIP_BOILERPLATE = _SQL_BP_LINES + """
+select l.doc_id,
+       md5(coalesce(
+         string_agg(case when b.line is null then l.line end,
+                    chr(10) order by l.pos),
+         '')) as strip_hash
+from lines l
+left join bp b on l.source = b.source and l.line = b.line
+group by l.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -2368,6 +2468,8 @@ QUERIES: dict[str, Query] = {
     "mixture_weights": q_mixture_weights,
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,
+    "boilerplate_lines": q_boilerplate_lines,
+    "strip_boilerplate": q_strip_boilerplate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2431,4 +2533,6 @@ ORACLES: dict[str, str] = {
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "quota_sample": SQL_QUOTA_SAMPLE,
+    "boilerplate_lines": SQL_BOILERPLATE_LINES,
+    "strip_boilerplate": SQL_STRIP_BOILERPLATE,
 }

@@ -670,3 +670,107 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))  # fps distinct per doc
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_docs: int = 2,
+    min_frac_u: int = 500_000,
+) -> DataFrame:
+    """Line-level boilerplate within a group: (group, line, n_docs_line,
+    n_docs_group).
+
+    The RefinedWeb/CCNet-style observation: navigation bars, cookie
+    banners, and license footers repeat VERBATIM across most documents of
+    the same source — so a non-empty line contained in ≥ ``min_docs`` docs
+    AND ≥ ``min_frac_u`` micro-units (ppm) of the group's docs is
+    boilerplate, however fluent it reads. Frequency is per-DOCUMENT
+    (``array_distinct`` before the explode), so a line repeated inside one
+    doc counts once; the threshold compares integer micro-units
+    (``n_docs_line·1e6 div n_docs_group``) — engine-portable, no float.
+
+    Scale shape: one explode → one (group, line) map-combinable count —
+    line strings shuffle once, grouped by content, so a 100 TB corpus costs
+    one aggregation over its distinct (group, line) pairs; the group-size
+    side is a tiny broadcastable aggregate.
+    """
+    lines = docs.select(
+        group_col,
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col(text_col), "\n"), lambda x: x != F.lit("")
+                )
+            )
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(group_col, "line").agg(
+        F.count(F.lit(1)).alias("n_docs_line")
+    )
+    sizes = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs_group")
+    )
+    return (
+        per_line.join(F.broadcast(sizes), group_col)
+        .filter(
+            (F.col("n_docs_line") >= min_docs)
+            & (
+                F.expr(f"n_docs_line * {1_000_000} div n_docs_group")
+                >= min_frac_u
+            )
+        )
+        .select(group_col, "line", "n_docs_line", "n_docs_group")
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    bp: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """(id, text) with the group's boilerplate lines removed, order kept.
+
+    Every document survives — one whose lines are ALL boilerplate comes
+    back with empty text (the caller's quality gate decides its fate; a
+    cleaning operator must never silently delete rows). Empty lines are
+    never boilerplate (the detector skips them), so paragraph structure is
+    preserved.
+
+    Scale shape: posexplode (position-tagged) → one equi-join against the
+    (group, line) boilerplate table → per-doc ordered reassembly. The
+    reassembly groups by doc id and sorts each doc's OWN lines (bounded by
+    per-document length, no cross-doc state); the join key is (group,
+    line), the same content-grouped shuffle the detector used. The marker
+    join is a left join + null-filtered collect, not an anti-join, exactly
+    so all-boilerplate docs keep their output row.
+    """
+    pos_lines = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    marked = pos_lines.join(
+        bp.select(group_col, "line", F.lit(1).alias("_bp")),
+        [group_col, "line"],
+        "left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_bp").isNull(), F.struct("pos", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
