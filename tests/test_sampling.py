@@ -63,6 +63,33 @@ def test_mixture_weights_math(docs, spark):
     assert w["zh"]["n_target"] == 14 and w["zh"]["rate_u"] == 933_333
 
 
+def test_mixture_weights_by_token_mass(docs):
+    """mixture_weights_by reshapes integer MASS (e.g. tokens), not doc
+    count: with per-doc mass 1 + doc_id % 5, the stratum masses differ
+    from 3x the doc counts, and the exact micro-unit arithmetic applies
+    to those masses."""
+    weighted = docs.withColumn(
+        "n_tokens", (F.col("doc_id") % 5 + 1).cast("long")
+    )
+    masses = {
+        lang: sum(i % 5 + 1 for i in ids)
+        for lang, ids in (
+            ("en", range(0, 60)), ("de", range(60, 85)), ("zh", range(85, 100))
+        )
+    }
+    share = int(1 * 1_000_000 / 3)
+    t_max = min(m * 1_000_000 // share for m in masses.values())
+    w = {r["lang"]: r.asDict() for r in
+         S.mixture_weights_by(
+             weighted, {"en": 1, "de": 1, "zh": 1}, "n_tokens"
+         ).collect()}
+    for lang, m in masses.items():
+        target = share * t_max // 1_000_000
+        assert w[lang]["mass"] == m
+        assert w[lang]["mass_target"] == target
+        assert w[lang]["rate_u"] == target * 1_000_000 // m
+
+
 def test_mixture_weights_missing_stratum_is_loud(docs):
     """A target stratum with zero corpus rows caps the feasible total at 0
     — a degenerate all-zero plan, not a silently reskewed mixture."""

@@ -2287,6 +2287,43 @@ where {_sql_bucket("d.doc_id::varchar", "mix")} < w.rate_u
 """
 
 
+def q_mixture_weights_tokens(spark, sf_dir):
+    """Token-budget mixing: the same 40/15/15/15/15 target reshapes per-
+    language TOKEN mass (sum of whitespace token counts) instead of doc
+    counts — the budget training mixtures actually meter
+    (operators/sampling.mixture_weights_by)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    weighted = docs.withColumn("n_tokens", TS.token_count("text"))
+    return SAMP.mixture_weights_by(
+        weighted, _MIX_TARGET, "n_tokens"
+    ).select("lang", "mass", "mass_target", "rate_u")
+
+
+SQL_MIXTURE_WEIGHTS_TOKENS = f"""
+with counts as (
+  select lang,
+         sum(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')))::bigint as mass
+  from documents group by lang
+),
+shares as (
+  select * from (values {", ".join(f"('{k}', {v})" for k, v in _MIX_SHARES.items())})
+  s(lang, share_u)
+),
+per as (
+  select s.lang, coalesce(c.mass, 0)::bigint as mass, s.share_u::bigint as share_u
+  from shares s left join counts c on s.lang = c.lang
+),
+cap as (select min(mass * 1000000 // share_u) as t_max from per)
+select per.lang, per.mass,
+       (per.share_u * cap.t_max // 1000000)::bigint as mass_target,
+       (case when per.mass > 0
+             then (per.share_u * cap.t_max // 1000000) * 1000000 // per.mass
+             else 0 end)::bigint as rate_u
+from per, cap
+"""
+
+
 def q_quota_sample(spark, sf_dir):
     """Deterministic quota: the 7 lowest-hash docs of every source, via the
     SCALE path (counts-driven hash pre-filter before the per-stratum
@@ -2468,6 +2505,7 @@ QUERIES: dict[str, Query] = {
     "mixture_weights": q_mixture_weights,
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,
+    "mixture_weights_tokens": q_mixture_weights_tokens,
     "boilerplate_lines": q_boilerplate_lines,
     "strip_boilerplate": q_strip_boilerplate,
 }
@@ -2533,6 +2571,7 @@ ORACLES: dict[str, str] = {
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "quota_sample": SQL_QUOTA_SAMPLE,
+    "mixture_weights_tokens": SQL_MIXTURE_WEIGHTS_TOKENS,
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
 }

@@ -95,7 +95,41 @@ def mixture_weights(
     Scale shape: one map-combinable count per stratum (strata are few); the
     min and the rate arithmetic run on that tiny aggregate, broadcast back.
     """
-    spark = docs.sparkSession
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return _mixture_rates(counts, target, stratum_col, "n_docs", "n_target")
+
+
+def mixture_weights_by(
+    docs: DataFrame,
+    target: dict[str, float],
+    weight_col: str,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """``mixture_weights`` over an integer per-doc mass instead of doc count.
+
+    The budget that matters for training mixtures is usually TOKENS, not
+    documents: stratum mass = sum(weight_col) (e.g. a token count — must be
+    integral, the micro-unit arithmetic stays exact), the target reshapes
+    token mass, and the emitted ``rate_u`` is still a per-DOC hash keep-rate
+    — realized token mass matches the target in expectation because the
+    hash bucket is independent of document length. Output columns:
+    (stratum, mass, mass_target, rate_u).
+    """
+    counts = docs.groupBy(stratum_col).agg(
+        F.sum(weight_col).cast("long").alias("mass")
+    )
+    return _mixture_rates(counts, target, stratum_col, "mass", "mass_target")
+
+
+def _mixture_rates(
+    counts: DataFrame,
+    target: dict[str, float],
+    stratum_col: str,
+    mass_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Shared integer micro-unit mixing arithmetic over (stratum, mass)."""
+    spark = counts.sparkSession
     total_share = sum(target.values())
     rows = [
         (k, int(v * MICRO / total_share)) for k, v in sorted(target.items())
@@ -107,25 +141,25 @@ def mixture_weights(
     shares = spark.createDataFrame(
         rows, f"{stratum_col} string, share_u long"
     )
-    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    # right join keeps target strata with no corpus rows (n_docs → 0)
+    # right join keeps target strata with no corpus rows (mass → 0)
     per = counts.join(shares, stratum_col, "right").select(
         stratum_col,
-        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce(mass_col, F.lit(0)).alias(mass_col),
         "share_u",
     )
     cap = per.select(
-        F.min(F.expr(f"n_docs * {MICRO} div share_u")).alias("t_max")
+        F.min(F.expr(f"{mass_col} * {MICRO} div share_u")).alias("t_max")
     )
     return (
         per.join(F.broadcast(cap))
         .select(
             stratum_col,
-            "n_docs",
-            F.expr(f"share_u * t_max div {MICRO}").alias("n_target"),
+            mass_col,
+            F.expr(f"share_u * t_max div {MICRO}").alias(target_col),
             F.expr(
-                f"case when n_docs > 0 then (share_u * t_max div {MICRO})"
-                f" * {MICRO} div n_docs else 0 end"
+                f"case when {mass_col} > 0 then"
+                f" (share_u * t_max div {MICRO}) * {MICRO} div {mass_col}"
+                f" else 0 end"
             ).alias("rate_u"),
         )
     )
