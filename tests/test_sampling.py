@@ -63,6 +63,40 @@ def test_mixture_weights_math(docs, spark):
     assert w["zh"]["n_target"] == 14 and w["zh"]["rate_u"] == 933_333
 
 
+def test_hash_split_partitions_and_is_growth_stable(docs, spark):
+    """90/5/5 split: every doc gets exactly one split; the assignment is a
+    pure function of doc_id, so growing the corpus never moves an existing
+    doc between train and test (the contamination guarantee)."""
+    out = {r["doc_id"]: r["split"] for r in
+           S.hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+                        salt="sp").select("doc_id", "split").collect()}
+    assert len(out) == 100 and set(out.values()) <= {"train", "val", "test"}
+    assert None not in out.values()  # fractions sum to 1 → full coverage
+    assert sum(v == "train" for v in out.values()) > 70
+    grown = docs.union(spark.createDataFrame(
+        [(1000 + i, f"new doc {i}", "en") for i in range(50)],
+        docs.schema,
+    ))
+    out2 = {r["doc_id"]: r["split"] for r in
+            S.hash_split(grown, {"train": 0.9, "val": 0.05, "test": 0.05},
+                         salt="sp").select("doc_id", "split").collect()}
+    assert all(out2[k] == v for k, v in out.items())
+
+
+def test_hash_split_heldout_and_validation(docs):
+    """Fractions summing below 1 leave a NULL held-out remainder; bad
+    fraction dicts fail loudly."""
+    out = S.hash_split(docs, {"train": 0.5}, salt="sp").collect()
+    splits = [r["split"] for r in out]
+    assert splits.count(None) > 0 and splits.count("train") > 0
+    with pytest.raises(ValueError):
+        S.hash_split(docs, {"a": 0.7, "b": 0.5})
+    with pytest.raises(ValueError):
+        S.hash_split(docs, {"a": 0.5, "b": -0.1})
+    with pytest.raises(ValueError):
+        S.hash_split(docs, {})
+
+
 def test_mixture_weights_by_token_mass(docs):
     """mixture_weights_by reshapes integer MASS (e.g. tokens), not doc
     count: with per-doc mass 1 + doc_id % 5, the stratum masses differ

@@ -2324,6 +2324,29 @@ from per, cap
 """
 
 
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment: each doc lands in the
+    split whose cumulative hash-bucket interval contains it — stable across
+    reruns, layouts, and corpus growth (operators/sampling.hash_split)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return SAMP.hash_split(docs, _SPLITS, salt="sp").select("doc_id", "split")
+
+
+# thresholds come from the SAME split_thresholds the operator uses, so the
+# integer literals cannot drift between the two engines
+SQL_HASH_SPLIT = f"""
+select doc_id,
+       case {" ".join(f"when b < {t} then '{name}'"
+                      for name, t in SAMP.split_thresholds(_SPLITS))}
+       end as split
+from (select doc_id, {_sql_bucket("doc_id::varchar", "sp")} as b
+      from documents)
+"""
+
+
 def q_quota_sample(spark, sf_dir):
     """Deterministic quota: the 7 lowest-hash docs of every source, via the
     SCALE path (counts-driven hash pre-filter before the per-stratum
@@ -2506,6 +2529,7 @@ QUERIES: dict[str, Query] = {
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,
     "mixture_weights_tokens": q_mixture_weights_tokens,
+    "hash_split": q_hash_split,
     "boilerplate_lines": q_boilerplate_lines,
     "strip_boilerplate": q_strip_boilerplate,
 }
@@ -2572,6 +2596,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "quota_sample": SQL_QUOTA_SAMPLE,
     "mixture_weights_tokens": SQL_MIXTURE_WEIGHTS_TOKENS,
+    "hash_split": SQL_HASH_SPLIT,
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
 }

@@ -72,6 +72,63 @@ def hash_sample(
     return docs.filter(hash_bucket(id_col, salt) < int(fraction * MICRO))
 
 
+def hash_split(
+    docs: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by hash bucket interval.
+
+    The deterministic train/val/test split: ``splits`` maps name → fraction
+    (insertion order fixes the bucket intervals), and each row lands in the
+    split whose cumulative-threshold interval contains its bucket. Because
+    membership is a pure function of (id, salt), the split is stable across
+    reruns, partition layouts, and CORPUS GROWTH — adding documents never
+    moves an existing document between train and test, which is the
+    contamination guarantee a refreshed corpus needs.
+
+    Fractions must be positive and sum to ≤ 1 (+ float tolerance); buckets
+    beyond the last threshold get a NULL split (held out). Thresholds are
+    integer micro-units computed driver-side, so the same literals embed in
+    any engine's CASE expression — exact cross-engine parity.
+
+    Scale shape: one scan-speed CASE over the hash expression; no shuffle,
+    no state, safe under column pruning (only ``id_col`` is consulted).
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    if any(f <= 0 for f in splits.values()):
+        raise ValueError(f"split fractions must be positive: {splits}")
+    total = sum(splits.values())
+    if total > 1 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1: {splits}")
+    thresholds = split_thresholds(splits)
+    bucket = hash_bucket(id_col, salt)
+    col = None
+    for name, t in thresholds:
+        cond = bucket < F.lit(t)
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    return docs.withColumn(
+        split_col, col.otherwise(F.lit(None).cast("string"))
+    )
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative micro-unit upper bounds per split, in insertion order.
+
+    Exposed so an external oracle/consumer can embed the IDENTICAL integer
+    literals; rounding happens once, on the cumulative sum (never on the
+    parts), so fractions summing to 1.0 always cover the full bucket range.
+    """
+    out, cum = [], 0.0
+    for name, f in splits.items():
+        cum += f
+        out.append((name, int(round(cum * MICRO))))
+    return out
+
+
 def mixture_weights(
     docs: DataFrame,
     target: dict[str, float],
