@@ -1228,3 +1228,29 @@ def test_strip_boilerplate_is_group_scoped(spark):
            for r in DD.strip_boilerplate(docs, bp).collect()}
     assert out[1] == "x1" and out[2] == "x2"
     assert out[3] == "shared line\ny1" and out[4] == "unrelated\ny2"
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    """Known corpus: exact counts, (count desc, ngram asc) total order at
+    the k boundary, short docs contribute nothing, n=1 degenerates to
+    token counts."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),   # "a b c"x2, "b c a"x2, "c a b"x2
+            (2, "a b c d"),           # +1 "a b c", "b c d"
+            (3, "x y"),               # too short for trigrams
+        ],
+        "doc_id long, text string",
+    )
+    top = TS.top_ngrams(docs, n=3, k=3).collect()
+    assert [(r["ngram"], r["n_occurrences"]) for r in top] == [
+        ("a b c", 3),
+        ("b c a", 2),
+        ("c a b", 2),  # ties with "b c a"; ngram asc decides — and "b c d"
+    ]                  # (count 1) falls outside k deterministically
+    uni = {r["ngram"]: r["n_occurrences"]
+           for r in TS.top_ngrams(docs, n=1, k=10).collect()}
+    assert uni["a"] == 4 and uni["b"] == 4 and uni["x"] == 1
+    plan = TS.top_ngrams(docs, n=3, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -2347,6 +2347,34 @@ from (select doc_id, {_sql_bucket("doc_id::varchar", "sp")} as b
 """
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Global top-50 word trigrams by corpus frequency, tiebroken (count
+    desc, ngram asc) so the boundary selection is engine-exact
+    (operators/textstats.top_ngrams — TakeOrderedAndProject shape)."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return TS.top_ngrams(docs, n=3, k=50)
+
+
+SQL_TOP_NGRAMS = """
+with toks as (
+  select list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') as t
+  from documents
+),
+grams as (
+  select unnest(case when len(t) >= 3 then
+      list_transform(generate_series(1, len(t) - 2),
+                     i -> array_to_string(t[i:i+2], ' '))
+      else []::varchar[] end) as ngram
+  from toks
+)
+select ngram, count(*)::bigint as n_occurrences
+from grams group by ngram
+order by n_occurrences desc, ngram
+limit 50
+"""
+
+
 def q_quota_sample(spark, sf_dir):
     """Deterministic quota: the 7 lowest-hash docs of every source, via the
     SCALE path (counts-driven hash pre-filter before the per-stratum
@@ -2530,6 +2558,7 @@ QUERIES: dict[str, Query] = {
     "quota_sample": q_quota_sample,
     "mixture_weights_tokens": q_mixture_weights_tokens,
     "hash_split": q_hash_split,
+    "top_ngrams": q_top_ngrams,
     "boilerplate_lines": q_boilerplate_lines,
     "strip_boilerplate": q_strip_boilerplate,
 }
@@ -2597,6 +2626,7 @@ ORACLES: dict[str, str] = {
     "quota_sample": SQL_QUOTA_SAMPLE,
     "mixture_weights_tokens": SQL_MIXTURE_WEIGHTS_TOKENS,
     "hash_split": SQL_HASH_SPLIT,
+    "top_ngrams": SQL_TOP_NGRAMS,
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
 }

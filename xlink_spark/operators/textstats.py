@@ -228,6 +228,43 @@ def top_bigram_frame(
     )
 
 
+def top_ngrams(
+    docs: DataFrame, n: int = 3, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Global top-k word n-grams by corpus frequency → (ngram, n_occurrences).
+
+    The corpus-analysis staple (tokenizer-training prep, contamination
+    screens, boilerplate discovery): expand each doc's n-grams, count
+    globally, keep the k most frequent under the TOTAL deterministic order
+    (count desc, ngram asc) — the tiebreak makes the boundary selection
+    identical on every engine and rerun.
+
+    Scale shape: the n-gram expansion is a scan-side array transform (docs
+    shorter than n contribute nothing); the count is one map-side-combinable
+    aggregation on the n-gram key; the top-k compiles to
+    TakeOrderedAndProject (per-partition heap of k, driver merges P·k rows)
+    — never a global sort of the n-gram table.
+    """
+    if n < 1 or k < 1:
+        raise ValueError(f"n and k must be >= 1: n={n}, k={k}")
+    toks = docs.select(tokens_lower(text_col).alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return counts.orderBy(F.col("n_occurrences").desc(), "ngram").limit(k)
+
+
 # Simple, dialect-portable patterns: identical semantics in Java regex
 # (Spark) and RE2 (DuckDB) — no backrefs, no lookaround, ASCII classes.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
