@@ -73,14 +73,23 @@ def run_curation_job(spark, args) -> dict:
             n_kept = kept_manifest["rows"]
             n_dropped = drops_manifest["rows"]
         else:
+            import os
+
             from xlink_spark.plans.snapshots import parquet_dir_rows
 
             drops.write.mode("overwrite").parquet(f"{args.output}/drops")
             kept.write.mode("overwrite").parquet(f"{args.output}/kept")
             audit_counts = {r["stage"]: r["n_dropped"] for r in audit.collect()}
             # counts from the written files' parquet footers (driver-side
-            # metadata) — no recount job over data this job just wrote
-            n_kept = parquet_dir_rows(f"{args.output}/kept")
+            # metadata) — no recount job over data this job just wrote; the
+            # footer walk only sees the LOCAL filesystem, so a remote output
+            # URI (s3a://, hdfs://) falls back to a Spark count instead of
+            # silently reporting 0
+            kept_dir = f"{args.output}/kept"
+            if os.path.isdir(kept_dir):
+                n_kept = parquet_dir_rows(kept_dir)
+            else:
+                n_kept = spark.read.parquet(kept_dir).count()
             n_dropped = sum(audit_counts.values())
         audit.write.mode("overwrite").parquet(f"{args.output}/audit")
     finally:

@@ -1213,6 +1213,20 @@ def test_strip_boilerplate_order_survival_and_structure(spark):
     assert out == {1: "first\nmiddle\n\nlast", 2: "", 3: "other"}
 
 
+def test_strip_boilerplate_null_text_survives(spark):
+    """split(NULL) is NULL and posexplode(NULL) emits zero rows — without
+    the coalesce a NULL-text doc would vanish, violating the 'every
+    document survives' contract. It must come back as empty text."""
+    rows = [("a", 1, "keep\nFOOTER"), ("a", 2, None), ("a", 3, "FOOTER")]
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, text string"
+    )
+    bp = DD.boilerplate_lines(docs, min_docs=2, min_frac_u=500_000)
+    out = {r["doc_id"]: r["text"]
+           for r in DD.strip_boilerplate(docs, bp).collect()}
+    assert set(out) == {1, 2, 3} and out[2] == ""
+
+
 def test_strip_boilerplate_is_group_scoped(spark):
     """The same line is boilerplate in one source and content in another —
     decisions must not leak across groups."""

@@ -63,6 +63,62 @@ def test_mixture_weights_math(docs, spark):
     assert w["zh"]["n_target"] == 14 and w["zh"]["rate_u"] == 933_333
 
 
+def test_hash_sample_threshold_rounds_not_floors(docs):
+    """0.29·1e6 is 289999.99999... in binary float; the documented
+    convention is round() → 290000, so membership must equal bucket <
+    290000 exactly (the split_thresholds convention)."""
+    kept = {r["doc_id"] for r in S.hash_sample(docs, 0.29).collect()}
+    by_bucket = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", S.hash_bucket("doc_id").alias("b")
+        ).collect()
+        if r["b"] < 290_000
+    }
+    assert kept == by_bucket
+
+
+def test_mixture_weights_by_survives_huge_masses(spark):
+    """Token masses past int64/1e6 (~9.2e12) must not wrap: a 4e15-token
+    stratum against a 1ppm share would overflow `mass * 1e6` in int64 and
+    emit garbage rates; the decimal intermediates keep the arithmetic
+    exact."""
+    counts_docs = spark.createDataFrame(
+        [(1, "a", 4_000_000_000_000_000), (2, "b", 4_000_000_000_000_000)],
+        "doc_id long, lang string, w long",
+    )
+    w = {r["lang"]: r.asDict() for r in
+         S.mixture_weights_by(
+             counts_docs, {"a": 0.999999, "b": 0.000001}, "w"
+         ).collect()}
+    m = 4_000_000_000_000_000
+    share_a, share_b = 999_999, 1
+    t_max = min(m * 1_000_000 // share_a, m * 1_000_000 // share_b)
+    for lang, share in (("a", share_a), ("b", share_b)):
+        tgt = share * t_max // 1_000_000
+        assert w[lang]["mass_target"] == tgt
+        assert w[lang]["rate_u"] == tgt * 1_000_000 // m
+    assert all(v["rate_u"] > 0 for v in w.values())
+
+
+def test_quota_prefilter_unknown_stratum_is_not_thinned(docs, spark):
+    """A stratum absent from prefilter_counts (stats from an older
+    snapshot) must still deliver its exact k — no thinning, never silent
+    deletion."""
+    stale = spark.createDataFrame(
+        [("en", 60), ("de", 25)], "lang string, n_docs long"
+    )  # zh missing
+    q = S.quota_sample(docs, 8, prefilter_counts=stale, oversample=4)
+    by_lang = {r["lang"]: r["n"] for r in
+               q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["zh"] == 8
+    plain = sorted(
+        (r["lang"], r["doc_id"]) for r in S.quota_sample(docs, 8).collect()
+    )
+    pre = sorted((r["lang"], r["doc_id"]) for r in q.collect())
+    assert plain == pre
+
+
 def test_hash_split_partitions_and_is_growth_stable(docs, spark):
     """90/5/5 split: every doc gets exactly one split; the assignment is a
     pure function of doc_id, so growing the corpus never moves an existing
@@ -95,6 +151,8 @@ def test_hash_split_heldout_and_validation(docs):
         S.hash_split(docs, {"a": 0.5, "b": -0.1})
     with pytest.raises(ValueError):
         S.hash_split(docs, {})
+    with pytest.raises(ValueError):  # sub-ppm fraction → zero-width bucket
+        S.hash_split(docs, {"train": 0.9999996, "probe": 4e-7})
 
 
 def test_mixture_weights_by_token_mass(docs):

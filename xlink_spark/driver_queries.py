@@ -2384,7 +2384,7 @@ def q_quota_sample(spark, sf_dir):
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return SAMP.quota_sample(
         docs, 7, stratum_col="source", salt="q",
-        prefilter_counts=counts, oversample=2,
+        prefilter_counts=counts, oversample=4,
     ).select("doc_id", "source")
 
 

@@ -749,10 +749,14 @@ def strip_boilerplate(
     join is a left join + null-filtered collect, not an anti-join, exactly
     so all-boilerplate docs keep their output row.
     """
+    # coalesce: split(NULL) is NULL and posexplode(NULL) emits ZERO rows, so
+    # a NULL-text doc would silently vanish — it must survive as empty text
     pos_lines = docs.select(
         F.col(id_col),
         F.col(group_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     marked = pos_lines.join(
         bp.select(group_col, "line", F.lit(1).alias("_bp")),

@@ -56,7 +56,10 @@ def pack_sequences(
     input file layouts, and cluster sizes — partition membership is
     ``pmod(hash(doc_id), num_partitions)``, a pure function of the id
     (NEVER a sampled range boundary or the session's shuffle-partition
-    config). Changing ``num_partitions`` is a repack.
+    config). Changing ``num_partitions`` is a repack — and that includes
+    DEFAULT changes across library versions (the default was 64 before it
+    became 1024): any caller whose pack ids must survive an upgrade should
+    pin ``num_partitions`` explicitly rather than rely on the default.
 
     ``num_partitions`` is ALSO the operator's parallelism ceiling — each
     partition packs sequentially in one mapInPandas task. The default (1024)

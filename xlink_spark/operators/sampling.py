@@ -61,15 +61,18 @@ def hash_sample(
     id_col: str = "doc_id",
     salt: str = "",
 ) -> DataFrame:
-    """Keep each row iff its hash bucket < floor(fraction·1e6).
+    """Keep each row iff its hash bucket < round(fraction·1e6).
 
     Reproducible Bernoulli(p): membership depends only on (id, salt), never
     on partitioning, task retries, or row order — unlike ``df.sample``,
     whose per-partition RNG reshuffles membership when the split layout
     changes. Pure scan-speed filter; at 100 TB this is a predicate the
-    reader evaluates, not a job.
+    reader evaluates, not a job. The threshold rounds (not floors) so a
+    binary-float fraction like 0.29 → exactly 290000, the same convention
+    ``split_thresholds`` uses — external consumers computing the documented
+    threshold agree on every bucket.
     """
-    return docs.filter(hash_bucket(id_col, salt) < int(fraction * MICRO))
+    return docs.filter(hash_bucket(id_col, salt) < round(fraction * MICRO))
 
 
 def hash_split(
@@ -105,6 +108,16 @@ def hash_split(
     if total > 1 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1: {splits}")
     thresholds = split_thresholds(splits)
+    prev = 0
+    for name, t in thresholds:
+        if t <= prev:
+            # a fraction below ~5e-7 rounds to a zero-width bucket interval:
+            # that split would be silently always-empty (the starvation
+            # _mixture_rates' 1ppm share guard exists to prevent)
+            raise ValueError(
+                f"split '{name}' rounds to an empty bucket interval: {splits}"
+            )
+        prev = t
     bucket = hash_bucket(id_col, salt)
     col = None
     for name, t in thresholds:
@@ -204,19 +217,41 @@ def _mixture_rates(
         F.coalesce(mass_col, F.lit(0)).alias(mass_col),
         "share_u",
     )
-    cap = per.select(
-        F.min(F.expr(f"{mass_col} * {MICRO} div share_u")).alias("t_max")
+    # Overflow-safe arithmetic: a naive `mass * 1e6` wraps int64 once a
+    # stratum holds > ~9.2e12 tokens — inside the 100 TB design target. The
+    # candidate floor(mass·1e6/share) uses the exact decomposition
+    #   (m div s)·1e6 + ((m mod s)·1e6) div s        (m mod s < s ≤ 1e6)
+    # clamped at CAP when even the decomposed value cannot fit int64
+    # (candidate > 9.2e18 micro-mass — such a candidate can only be the
+    # min, and therefore inexact, if EVERY stratum exceeds ~9.2e12 tokens
+    # per ppm of share: exabyte scale, 5 orders past the design target).
+    long_max = (1 << 63) - 1
+    cap_quot = long_max // MICRO - 1
+    candidate = (
+        f"case when {mass_col} div share_u > {cap_quot}"
+        f" then {cap_quot * MICRO}"
+        f" else ({mass_col} div share_u) * {MICRO}"
+        f"      + (({mass_col} % share_u) * {MICRO}) div share_u end"
+    )
+    cap = per.select(F.min(F.expr(candidate)).alias("t_max"))
+    # target = share·t_max div 1e6, decomposed the same way (share ≤ 1e6,
+    # t_max ≤ CAP → every term fits); the result is ≤ mass by construction
+    target_sql = (
+        f"(t_max div {MICRO}) * share_u"
+        f" + ((t_max % {MICRO}) * share_u) div {MICRO}"
     )
     return (
         per.join(F.broadcast(cap))
         .select(
             stratum_col,
             mass_col,
-            F.expr(f"share_u * t_max div {MICRO}").alias(target_col),
+            F.expr(target_sql).alias(target_col),
+            # rate ≤ 1e6 always fits long; decimal(38,0) holds the ≤1e25
+            # numerator and `div` takes the exact integral part
             F.expr(
                 f"case when {mass_col} > 0 then"
-                f" (share_u * t_max div {MICRO}) * {MICRO} div {mass_col}"
-                f" else 0 end"
+                f" cast(({target_sql}) as decimal(38,0)) * {MICRO}"
+                f" div {mass_col} else 0 end"
             ).alias("rate_u"),
         )
     )
@@ -275,9 +310,15 @@ def quota_sample(
                 F.expr(f"{int(oversample * k) * MICRO} div n_docs"),
             ).alias("rate_u"),
         )
+        # left join: a stratum absent from the counts frame (e.g. a source
+        # added after the stats snapshot) gets NO thinning rather than
+        # silent deletion — the exact-k contract holds for unknown strata
         ranked_src = docs.join(
-            F.broadcast(rates), stratum_col
-        ).filter(hash_bucket(id_col, salt) < F.col("rate_u")).drop("rate_u")
+            F.broadcast(rates), stratum_col, "left"
+        ).filter(
+            hash_bucket(id_col, salt)
+            < F.coalesce(F.col("rate_u"), F.lit(MICRO))
+        ).drop("rate_u")
     w = (
         F.row_number()
         .over(
