@@ -123,3 +123,49 @@ def test_believe_v1_runs_from_main_pipeline(built, sdfs):
     )
     out = link_corpus(plain, d, wemb, eemb, cfg)
     assert out.count() > 0
+
+
+def test_blocking_quality_hand_values(spark):
+    """PC/RR from group sizes, pinned against a hand-computed case:
+    blocks b1=[e1,e1,e2] b2=[e1,e2,e2] → cand=6, true=6, co-blocked=2,
+    all-pairs=15 → pc=2/6, rr=1−6/15 (floor µ-units)."""
+    from xlink_spark.eval.blocking import blocking_quality
+
+    rows = [("b1", "e1"), ("b1", "e1"), ("b1", "e2"),
+            ("b2", "e1"), ("b2", "e2"), ("b2", "e2")]
+    df = spark.createDataFrame(rows, "block string, entity_id string")
+    r = blocking_quality(df).collect()[0].asDict()
+    assert r == {
+        "n_records": 6, "n_blocks": 2, "n_entities": 2,
+        "cand_pairs": 6, "true_pairs": 6, "co_blocked_pairs": 2,
+        "pc_micro": 333333, "rr_micro": 600000,
+    }
+
+
+def test_blocking_quality_perfect_and_degenerate(spark):
+    """block == label ⇒ PC=1; a single global block ⇒ RR=0; one record ⇒
+    both default to 1e6 (no pairs to lose, nothing to reduce)."""
+    from xlink_spark.eval.blocking import blocking_quality
+
+    same = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), ("y", "y")], "block string, entity_id string"
+    )
+    r = blocking_quality(same).collect()[0]
+    assert r["pc_micro"] == 1_000_000 and r["co_blocked_pairs"] == r["true_pairs"]
+
+    one_block = spark.createDataFrame(
+        [("g", "e1"), ("g", "e2"), ("g", "e3")], "block string, entity_id string"
+    )
+    assert blocking_quality(one_block).collect()[0]["rr_micro"] == 0
+
+    single = spark.createDataFrame([("b", "e")], "block string, entity_id string")
+    r = blocking_quality(single).collect()[0]
+    assert (r["pc_micro"], r["rr_micro"]) == (1_000_000, 1_000_000)
+
+    empty = spark.createDataFrame([], "block string, entity_id string")
+    r = blocking_quality(empty).collect()[0].asDict()
+    assert r == {
+        "n_records": 0, "n_blocks": 0, "n_entities": 0,
+        "cand_pairs": 0, "true_pairs": 0, "co_blocked_pairs": 0,
+        "pc_micro": 1_000_000, "rr_micro": 1_000_000,
+    }

@@ -2500,6 +2500,48 @@ group by l.doc_id
 """
 
 
+def q_blocking_metrics(spark, sf_dir):
+    """Blocking-stage diagnostics (eval/blocking.blocking_quality): pair
+    completeness + reduction ratio of the surface-form blocking key against
+    the entity labels, computed from group sizes only — no pair is ever
+    materialized (the reference evaluates end-result F1 only,
+    MentionParsingEval.py:12-69; at 10^12 docs the blocking key needs its
+    own gauge). Records = annotated-corpus token occurrences, block = the
+    token surface (the linking pipeline's real blocking key), label = the
+    doc's entity (source)."""
+    from xlink_spark.eval.blocking import blocking_quality
+
+    recs = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select(F.col("tok").alias("block"), F.col("source").alias("entity_id"))
+    )
+    return blocking_quality(recs)
+
+
+SQL_BLOCKING_METRICS = f"""
+with r as (select tok as b, source as e from ({_TOKENS_SQL}) where lang = 'en'),
+bb as (select b, count(*)::bigint as n from r group by 1),
+ee as (select e, count(*)::bigint as n from r group by 1),
+be as (select b, e, count(*)::bigint as n from r group by 1, 2),
+agg as (select
+  (select sum(n)::bigint from bb) as n_records,
+  (select count(*)::bigint from bb) as n_blocks,
+  (select count(*)::bigint from ee) as n_entities,
+  (select sum(n * (n - 1) // 2)::bigint from bb) as cand_pairs,
+  (select sum(n * (n - 1) // 2)::bigint from ee) as true_pairs,
+  (select sum(n * (n - 1) // 2)::bigint from be) as co_blocked_pairs)
+select n_records, n_blocks, n_entities, cand_pairs, true_pairs, co_blocked_pairs,
+  (case when true_pairs > 0
+        then co_blocked_pairs * 1000000 // true_pairs
+        else 1000000 end)::bigint as pc_micro,
+  (case when n_records > 1
+        then 1000000 - cand_pairs * 1000000 // (n_records * (n_records - 1) // 2)
+        else 1000000 end)::bigint as rr_micro
+from agg
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -2561,6 +2603,7 @@ QUERIES: dict[str, Query] = {
     "top_ngrams": q_top_ngrams,
     "boilerplate_lines": q_boilerplate_lines,
     "strip_boilerplate": q_strip_boilerplate,
+    "blocking_metrics": q_blocking_metrics,
 }
 
 ORACLES: dict[str, str] = {
@@ -2629,4 +2672,5 @@ ORACLES: dict[str, str] = {
     "top_ngrams": SQL_TOP_NGRAMS,
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
+    "blocking_metrics": SQL_BLOCKING_METRICS,
 }

@@ -1,1 +1,1 @@
-"""Evaluation harness — pairwise F1 + span-sequence equality."""
+"""Evaluation harness — pairwise F1, span-sequence equality, blocking PC/RR."""
