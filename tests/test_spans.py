@@ -131,3 +131,21 @@ def test_uri_parent_path_fallback(spark):
     assert got["http://baike.com/view/123/extra"] == "e1"  # parent-path fallback
     assert got["http://baike.com/other/999"] == "e3"       # full-title fallback
     assert got["http://nohit.com/a"] is None
+
+
+def test_adjacent_anchors_single_space_span(spark):
+    """Two anchors separated by one space parse to ONE single-space text
+    span between them (the separator char is shared, not doubled) — the
+    semantics the span_roundtrip oracle derives independently."""
+    df = spark.createDataFrame(
+        [("d", "a [[e1|x]] [[e2|yy]] b")], "doc_id string, text string"
+    )
+    sp = SP.parse_markup_to_spans(df).collect()[0]["spans"]
+    got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sp]
+    assert got == [
+        ("text", "a ", None, 0),
+        ("anchor", "x", "e1", 2),
+        ("text", " ", None, 3),
+        ("anchor", "yy", "e2", 4),
+        ("text", " b", None, 6),
+    ]

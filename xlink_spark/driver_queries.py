@@ -2542,6 +2542,129 @@ from agg
 """
 
 
+def q_span_roundtrip(spark, sf_dir):
+    """North-rule span-sequence invariant, end-to-end through the REAL span
+    operators: deterministically annotate the corpus (tokens of length ≥ 6
+    become ``[[source|tok]]`` anchors), run parse_markup_to_spans →
+    span_sequence_key / offsets / plain_text / spans_to_markup, and hash
+    each per doc. The oracle derives the expected span sequence
+    INDEPENDENTLY from a token walk (never from the parser's split logic),
+    so (kind, text, media_ref, order), exact char offsets, plain-text
+    reconstruction, and markup invertibility are all hash-pinned
+    cross-engine (reference semantics: utils/mention.py:11-42,
+    OutputFormatter.py:12-104)."""
+    from xlink_spark.operators.spans import (
+        parse_markup_to_spans,
+        plain_text,
+        span_sequence_key,
+        spans_to_markup,
+    )
+
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    marked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.when(
+                    F.length(t) >= 6,
+                    F.concat(F.lit("[["), F.col("source"), F.lit("|"), t, F.lit("]]")),
+                ).otherwise(t),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    sp = parse_markup_to_spans(marked)
+    return sp.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.md5(span_sequence_key("spans")).alias("seq_hash"),
+        F.md5(
+            F.concat_ws(
+                "\u0001",
+                F.transform("spans", lambda s: s["offset"].cast("string")),
+            )
+        ).alias("off_hash"),
+        F.md5(plain_text("spans")).alias("plain_hash"),
+        F.md5(spans_to_markup("spans")).alias("rt_hash"),
+    )
+
+
+# Expected spans from a token walk: anchor tokens (len ≥ 6) are spans of
+# their own; maximal runs of raw tokens fold into ONE text span that absorbs
+# the space separators (leading space iff an anchor precedes the run,
+# trailing space iff one follows); adjacent anchors leave a single-space
+# text span between them. Offsets are cumulative token positions in the
+# plain text. plain_hash = md5(text) directly (the parser must reconstruct
+# the original), rt_hash = md5(markup) (serialization must invert).
+SQL_SPAN_ROUNDTRIP = """
+with t1 as (
+  select doc_id, source, i, tok, length(tok) >= 6 as anch,
+    coalesce(sum(length(tok) + 1) over (partition by doc_id order by i
+      rows between unbounded preceding and 1 preceding), 0)::int as pos,
+    coalesce(sum(case when length(tok) >= 6 then 1 else 0 end)
+      over (partition by doc_id order by i
+      rows between unbounded preceding and 1 preceding), 0)::int as r
+  from (
+    select doc_id, source, generate_subscripts(ts, 1) as i, unnest(ts) as tok
+    from (select doc_id, source, string_split(text, ' ') as ts from documents)
+  )
+),
+na as (select doc_id, sum(case when anch then 1 else 0 end)::int as a_total
+       from t1 group by 1),
+anchors as (select doc_id, r + 1 as k, tok, pos, source from t1 where anch),
+runs as (
+  select doc_id, r, string_agg(tok, ' ' order by i) as body,
+         min(pos)::int as first_pos
+  from t1 where not anch group by doc_id, r
+),
+cand as (
+  select a.doc_id, a.k as r, (a.pos + length(a.tok))::int as empty_off
+  from anchors a join na using (doc_id) where a.k < na.a_total
+),
+tspans as (
+  select coalesce(rn.doc_id, c.doc_id) as doc_id,
+         -- empty interior run = the ONE separator char between two
+         -- adjacent anchors; leading/trailing affixes apply only when the
+         -- run has tokens (then they are distinct characters)
+         case when rn.r is null then ' '
+              else case when rn.r > 0 then ' ' else '' end
+                || rn.body
+                || case when rn.r < n.a_total then ' ' else '' end
+         end as content,
+         coalesce(rn.first_pos - case when rn.r > 0 then 1 else 0 end,
+                  c.empty_off)::int as off
+  from runs rn
+  full outer join cand c on rn.doc_id = c.doc_id and rn.r = c.r
+  join na n on n.doc_id = coalesce(rn.doc_id, c.doc_id)
+),
+allspans as (
+  select doc_id, off, 'text' as kind, content as stext,
+         cast(null as varchar) as mref
+  from tspans where content <> ''
+  union all
+  select doc_id, pos as off, 'anchor' as kind, tok as stext, source as mref
+  from anchors
+),
+agg as (
+  select doc_id, count(*)::int as n_spans,
+    md5(string_agg(kind || chr(2) || coalesce(stext, chr(0)) || chr(2)
+                   || coalesce(mref, chr(0)), chr(1) order by off)) as seq_hash,
+    md5(string_agg(off::varchar, chr(1) order by off)) as off_hash
+  from allspans group by doc_id
+),
+marked as (
+  select doc_id,
+    string_agg(case when anch then '[[' || source || '|' || tok || ']]'
+               else tok end, ' ' order by i) as markup
+  from t1 group by doc_id
+)
+select d.doc_id, a.n_spans, a.seq_hash, a.off_hash,
+       md5(d.text) as plain_hash, md5(m.markup) as rt_hash
+from documents d join agg a using (doc_id) join marked m using (doc_id)
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -2604,6 +2727,7 @@ QUERIES: dict[str, Query] = {
     "boilerplate_lines": q_boilerplate_lines,
     "strip_boilerplate": q_strip_boilerplate,
     "blocking_metrics": q_blocking_metrics,
+    "span_roundtrip": q_span_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -2673,4 +2797,5 @@ ORACLES: dict[str, str] = {
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
     "blocking_metrics": SQL_BLOCKING_METRICS,
+    "span_roundtrip": SQL_SPAN_ROUNDTRIP,
 }
