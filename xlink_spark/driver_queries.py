@@ -2665,6 +2665,71 @@ from documents d join agg a using (doc_id) join marked m using (doc_id)
 """
 
 
+def q_lm_scores(spark, sf_dir):
+    """CCNet-style n-gram LM fluency filter (operators/lm.py): bigram
+    stupid-backoff model trained on the lang='en' reference partition,
+    scoring EVERY doc by mean token probability + OOV rate — all exact
+    integer micro-unit arithmetic (log-free), so the oracle is bit-exact."""
+    from xlink_spark.operators.lm import lm_scores, train_bigram_lm
+
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    uni, bg = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm_scores(docs, uni, bg)
+
+
+SQL_LM_SCORES = """
+with toks as (
+  select doc_id, lang, i, tok
+  from (
+    select doc_id, lang, generate_subscripts(ts, 1) as i, unnest(ts) as tok
+    from (select doc_id, lang, string_split(lower(text), ' ') as ts
+          from documents)
+  ) where tok <> ''
+),
+uni as (select tok as w, count(*)::bigint as c1 from toks
+        where lang = 'en' group by 1),
+tot as (select sum(c1)::bigint as total from uni),
+refbg as (
+  select w1, w2, count(*)::bigint as c12
+  from (select tok as w1,
+               lead(tok) over (partition by doc_id order by i) as w2
+        from toks where lang = 'en')
+  where w2 is not null group by 1, 2
+),
+bg as (
+  select doc_id, w1, w2
+  from (select doc_id, tok as w1,
+               lead(tok) over (partition by doc_id order by i) as w2
+        from toks)
+  where w2 is not null
+),
+p as (
+  select bg.doc_id,
+    case when rb.c12 is not null then rb.c12 * 1000000 // u1.c1
+         when u2.c1 is not null
+           then u2.c1 * 1000000 * 2 // (5 * (select total from tot))
+         else 0 end::bigint as p_u,
+    case when u2.c1 is null then 1 else 0 end as is_oov
+  from bg
+  left join refbg rb on rb.w1 = bg.w1 and rb.w2 = bg.w2
+  left join uni u1 on u1.w = bg.w1
+  left join uni u2 on u2.w = bg.w2
+),
+agg as (
+  select doc_id, count(*)::bigint as n_bigrams,
+         (sum(p_u) // count(*))::bigint as lm_score_u,
+         (sum(is_oov) * 1000000 // count(*))::bigint as oov_u
+  from p group by 1
+)
+select d.doc_id,
+       coalesce(a.n_bigrams, 0)::bigint as n_bigrams,
+       coalesce(a.lm_score_u, 0)::bigint as lm_score_u,
+       coalesce(a.oov_u, 0)::bigint as oov_u
+from (select distinct doc_id from documents) d
+left join agg a using (doc_id)
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -2728,6 +2793,7 @@ QUERIES: dict[str, Query] = {
     "strip_boilerplate": q_strip_boilerplate,
     "blocking_metrics": q_blocking_metrics,
     "span_roundtrip": q_span_roundtrip,
+    "lm_scores": q_lm_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -2798,4 +2864,5 @@ ORACLES: dict[str, str] = {
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
     "blocking_metrics": SQL_BLOCKING_METRICS,
     "span_roundtrip": SQL_SPAN_ROUNDTRIP,
+    "lm_scores": SQL_LM_SCORES,
 }
