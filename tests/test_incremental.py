@@ -180,3 +180,79 @@ def test_overwrite_commit_never_deletes_last_snapshot(spark, tmp_path, monkeypat
     assert store.read_table(spark, "probs").count() == 3
     residue = [d for d in os_mod.listdir(store.root) if d.startswith((".old-", ".tmp-"))]
     assert residue == []
+
+def test_table_diff_hand_values(spark):
+    """added/removed/changed classification + unchanged rows dropped."""
+    from xlink_spark.plans.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, None, "w")],
+        "k int, t string, u string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "y"), (5, "e", "v"), (4, None, "w")],
+        "k int, t string, u string",
+    )
+    got = {(r["k"], r["change"]) for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (5, "added")}
+
+
+def test_table_diff_null_safety_and_validation(spark):
+    """NULL in a compare column must differ from the empty string AND from
+    a shifted column split; missing columns raise."""
+    from xlink_spark.plans.incremental import table_diff
+
+    old = spark.createDataFrame([(1, None, "b")], "k int, t string, u string")
+    new_empty = spark.createDataFrame([(1, "", "b")], "k int, t string, u string")
+    assert table_diff(old, new_empty, ["k"]).collect()[0]["change"] == "changed"
+
+    # ('ab', '') vs ('a', 'b') — separator keeps the concat unambiguous
+    o2 = spark.createDataFrame([(1, "ab", "")], "k int, t string, u string")
+    n2 = spark.createDataFrame([(1, "a", "b")], "k int, t string, u string")
+    assert n2 is not None and table_diff(o2, n2, ["k"]).count() == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="missing"):
+        table_diff(old, new_empty.drop("u"), ["k"], compare_cols=["t", "u"])
+
+
+def test_snapshot_diff_between_committed_iterations(spark, tmp_path):
+    """End-to-end through the store: commit corpus v0 and v1 as iterations,
+    diff them, and check only the real changes surface."""
+    from xlink_spark.plans.incremental import snapshot_diff
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    v0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id int, text string"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (4, "delta")], "doc_id int, text string"
+    )
+    store.commit("corpus", 0, v0)
+    store.commit("corpus", 1, v1)
+    got = {
+        (r["doc_id"], r["change"])
+        for r in snapshot_diff(spark, store, "corpus", 0, 1, ["doc_id"]).collect()
+    }
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_table_diff_plan_shuffles_hash_not_text(spark, tmp_path):
+    """The exchange must carry (key, md5) only — document text is projected
+    away before the full-outer join's shuffle."""
+    from xlink_spark.plans.incremental import table_diff
+
+    p = str(tmp_path / "docs")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"), F.repeat(F.lit("x"), 1000).alias("text")
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    d = table_diff(docs, docs.limit(50), ["doc_id"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    # text never appears downstream of the scan: the only projected columns
+    # crossing the exchange are doc_id and the hash
+    import re
+
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges and all("text" not in ln for ln in exchanges)

@@ -2730,6 +2730,41 @@ left join agg a using (doc_id)
 """
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot changelog (plans/incremental.table_diff): diff the corpus
+    against a simulated next version (doc_id%10 deleted, doc_id%7 edited,
+    doc_id%5 copied in under +300000 ids) — the operator that lets
+    link_increment re-process ONLY added/changed docs between two committed
+    snapshots. The oracle derives the expected fates independently from the
+    update rules, never by re-running a diff."""
+    from xlink_spark.plans.incremental import table_diff
+
+    docs = spark.read.parquet(_T(sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text", "lang", "source"
+    )
+    return table_diff(docs, new.unionByName(added), ["doc_id"])
+
+
+SQL_TABLE_DIFF = """
+select doc_id, 'removed' as change from documents where doc_id % 10 = 0
+union all
+select doc_id, 'changed' as change from documents
+where doc_id % 7 = 0 and doc_id % 10 <> 0
+union all
+select doc_id + 300000 as doc_id, 'added' as change from documents
+where doc_id % 5 = 0
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -2794,6 +2829,7 @@ QUERIES: dict[str, Query] = {
     "blocking_metrics": q_blocking_metrics,
     "span_roundtrip": q_span_roundtrip,
     "lm_scores": q_lm_scores,
+    "table_diff": q_table_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -2865,4 +2901,5 @@ ORACLES: dict[str, str] = {
     "blocking_metrics": SQL_BLOCKING_METRICS,
     "span_roundtrip": SQL_SPAN_ROUNDTRIP,
     "lm_scores": SQL_LM_SCORES,
+    "table_diff": SQL_TABLE_DIFF,
 }

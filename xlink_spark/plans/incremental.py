@@ -101,3 +101,81 @@ def all_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
     and manifest-less half-written batches.
     """
     return store.read_iterations_union(spark, "links")
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two versions of a table: (keys…, change).
+
+    ``change`` ∈ {'added', 'removed', 'changed'}; rows identical on every
+    compare column are dropped. This is the lake's incremental driver —
+    diff two committed corpus snapshots and feed ONLY the added/changed
+    doc_ids into link_increment instead of re-linking 10^12 rows (the same
+    role as Iceberg's changelog/incremental scan between snapshot ids).
+
+    Scale shape: each side is reduced to (keys…, md5-of-compare-columns)
+    BEFORE the full-outer join, so the only shuffle carries keys + one
+    32-char hash — document text never rides the exchange. NULL-safe: every
+    compare column is coalesced to a NUL sentinel and joined with a \\u0001
+    separator, so ('a', NULL) never collides with ('a',)."""
+    from pyspark.sql import functions as F
+
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    missing = [
+        c
+        for c in list(key_cols) + list(compare_cols)
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"diff columns missing from a side: {missing}")
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\u0001",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*key_cols, h.alias(alias))
+
+    joined = fp(old, "_h_old").join(fp(new, "_h_new"), list(key_cols), "full_outer")
+    return (
+        joined.filter(
+            F.col("_h_old").isNull()
+            | F.col("_h_new").isNull()
+            | (F.col("_h_old") != F.col("_h_new"))
+        )
+        .select(
+            *key_cols,
+            F.when(F.col("_h_old").isNull(), F.lit("added"))
+            .when(F.col("_h_new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    store: SnapshotStore,
+    stage: str,
+    old_iteration: int,
+    new_iteration: int,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """table_diff over two committed iterations of a snapshot stage."""
+    return table_diff(
+        store.read_iteration(spark, stage, old_iteration),
+        store.read_iteration(spark, stage, new_iteration),
+        key_cols,
+        compare_cols,
+    )
