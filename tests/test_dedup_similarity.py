@@ -1268,3 +1268,48 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     plan = TS.top_ngrams(docs, n=3, k=3)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_documents_hand_values(spark):
+    """Window arithmetic pinned: 10 tokens, max 4, stride 3 → 3 chunks with
+    exact texts and char offsets; short docs → one chunk; empty → none."""
+    from xlink_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [("d1", "a bb ccc dd e ff g hh i jj"), ("d2", "one two"), ("d3", "")],
+        "doc_id string, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["char_start"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=4, stride=3).collect()
+    )
+    assert got == [
+        ("d1", 0, 0, "a bb ccc dd"),
+        ("d1", 1, 9, "dd e ff g"),
+        ("d1", 2, 17, "g hh i jj"),
+        ("d2", 0, 0, "one two"),
+    ]
+    # char offsets index into the original text
+    text = "a bb ccc dd e ff g hh i jj"
+    for _, _, start, chunk in got[:3]:
+        assert text[start : start + len(chunk)] == chunk
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=0, stride=3)
+
+
+def test_chunk_documents_plan_is_pure_jvm_no_shuffle(spark):
+    """Chunking is one projection: no Python eval nodes, no exchange."""
+    from xlink_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_documents(docs, 40, 30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
+        assert marker not in plan

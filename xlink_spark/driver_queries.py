@@ -2765,6 +2765,49 @@ where doc_id % 5 = 0
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token-window chunking for context prep
+    (operators/packing.chunk_documents): 40-token windows, stride 30 —
+    every chunk's text, exact char offset, and token count hash-checked."""
+    from xlink_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return chunk_documents(docs, max_tokens=40, stride=30).select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        "char_start",
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+with d as (
+  select doc_id, list_filter(string_split(text, ' '), t -> t <> '') as ts
+  from documents
+),
+b as (
+  select doc_id, ts, len(ts) as n,
+    case when len(ts) <= 0 then 0
+         else 1 + greatest(0, (len(ts) - 40 + 30 - 1) // 30) end as n_chunks
+  from d
+),
+k as (
+  select doc_id, ts, n, unnest(generate_series(0, n_chunks - 1)) as chunk_id
+  from b where n_chunks > 0
+)
+select doc_id, chunk_id::bigint as chunk_id,
+  len(list_slice(ts, chunk_id * 30 + 1, least(chunk_id * 30 + 40, n)))::bigint
+    as n_tokens,
+  (length(coalesce(array_to_string(list_slice(ts, 1, chunk_id * 30), ' '), ''))
+    + case when chunk_id > 0 then 1 else 0 end)::bigint as char_start,
+  md5(array_to_string(
+    list_slice(ts, chunk_id * 30 + 1, least(chunk_id * 30 + 40, n)), ' '
+  )) as chunk_hash
+from k
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -2830,6 +2873,7 @@ QUERIES: dict[str, Query] = {
     "span_roundtrip": q_span_roundtrip,
     "lm_scores": q_lm_scores,
     "table_diff": q_table_diff,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -2902,4 +2946,5 @@ ORACLES: dict[str, str] = {
     "span_roundtrip": SQL_SPAN_ROUNDTRIP,
     "lm_scores": SQL_LM_SCORES,
     "table_diff": SQL_TABLE_DIFF,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }
