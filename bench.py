@@ -42,6 +42,7 @@ HEADLINE = [
     "detected_mentions",  # join-path detection (n-gram ⋈ dictionary table)
     "curation_plan",      # the composed end-to-end curation chain
     "linking_pipeline_ascii",  # the fully-oracled flagship variant
+    "lm_scores",          # bigram-LM fluency filter (broadcast model joins)
 ]
 
 
