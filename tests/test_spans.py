@@ -149,3 +149,75 @@ def test_adjacent_anchors_single_space_span(spark):
         ("anchor", "yy", "e2", 4),
         ("text", " b", None, 6),
     ]
+
+
+def test_media_markup_roundtrip(spark):
+    """serialize → parse round-trips an interleaved text+media+anchor doc
+    span-for-span (the north-rule invariant including media): kinds, texts,
+    media refs, order AND offsets all survive."""
+    sp = [
+        ("text", "see ", None, 0),
+        ("media", None, "asset://img/7.jpg", 4),
+        ("text", " and ", None, 4),
+        ("anchor", "spark", "e9", 9),
+        ("text", " docs", None, 14),
+    ]
+    df = spark.createDataFrame(
+        [(sp,)],
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    marked = df.select(
+        F.lit("d").alias("doc_id"), SP.spans_to_markup("spans").alias("text")
+    )
+    assert marked.collect()[0]["text"] == "see [[media:asset://img/7.jpg]] and [[e9|spark]] docs"
+    assert marked.select(SP.is_markup_valid("text").alias("v")).collect()[0]["v"]
+    back = SP.parse_markup_to_spans(marked).collect()[0]["spans"]
+    got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in back]
+    assert got == sp
+
+
+def test_media_roundtrip_on_fixture_corpus(sdfs):
+    """Every fixture doc (media spans included) survives spans_to_markup →
+    parse_markup_to_spans with an identical CANONICAL span sequence
+    (normalize_spans merges runs of adjacent text spans, the one boundary
+    markup cannot represent) — kinds, texts, refs, order AND offsets."""
+    docs, *_ = sdfs
+    marked = docs.select(
+        "doc_id", SP.spans_to_markup("spans").alias("text"), "spans"
+    )
+    back = SP.parse_markup_to_spans(marked.select("doc_id", "text"))
+    j = marked.select(
+        "doc_id", F.to_json(SP.normalize_spans("spans")).alias("j_orig")
+    ).join(
+        back.select("doc_id", F.to_json("spans").alias("j_back")),
+        "doc_id",
+    )
+    bad = j.filter(F.col("j_orig") != F.col("j_back"))
+    assert bad.count() == 0, bad.first()
+
+
+def test_normalize_spans_merges_text_runs(spark):
+    sp = [
+        ("text", "a", None, 0),
+        ("text", "b", None, 1),
+        ("anchor", "x", "e1", 2),
+        ("text", "c", None, 3),
+        ("media", None, "asset://m", 4),
+        ("text", "d", None, 4),
+        ("text", "e", None, 5),
+    ]
+    df = spark.createDataFrame(
+        [(sp,)],
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in df.select(SP.normalize_spans("spans").alias("n")).collect()[0]["n"]
+    ]
+    assert got == [
+        ("text", "ab", None, 0),
+        ("anchor", "x", "e1", 2),
+        ("text", "c", None, 3),
+        ("media", None, "asset://m", 4),
+        ("text", "de", None, 4),
+    ]

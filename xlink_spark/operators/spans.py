@@ -28,17 +28,26 @@ def is_markup_valid(text: Column | str) -> Column:
     Reference: is_annotation_valid / is_corpus_line_valid
     (prepare_standard_input.py:67-96). A text is valid iff every ``[[`` is
     closed by a ``]]`` before the next ``[[`` and each anchor body contains
-    exactly one ``|``.
+    exactly one ``|``. Extension beyond the reference: a pipe-less body
+    with the ``media:`` prefix is a valid zero-width media marker (the form
+    ``spans_to_markup`` emits for media spans).
     """
     c = F.col(text) if isinstance(text, str) else text
     opens = F.size(F.split(c, r"\[\[")) - 1
     closes = F.size(F.split(c, r"\]\]")) - 1
-    # each post-'[[' segment must contain ']]' and exactly one '|' before it
+    # each post-'[[' segment must contain ']]' and, before it, either
+    # exactly one '|' (anchor) or a media: marker (no '|')
     parts = F.slice(F.split(c, r"\[\["), 2, 1_000_000)
     each_ok = F.forall(
         parts,
         lambda p: p.contains("]]")
-        & (F.size(F.split(F.substring_index(p, "]]", 1), r"\|")) == 2)
+        & (
+            (F.size(F.split(F.substring_index(p, "]]", 1), r"\|")) == 2)
+            | (
+                F.substring_index(p, "]]", 1).startswith("media:")
+                & (F.size(F.split(F.substring_index(p, "]]", 1), r"\|")) == 1)
+            )
+        )
         & ~F.substring_index(p, "]]", 1).contains("[["),
     )
     return (opens == closes) & each_ok
@@ -51,7 +60,11 @@ def parse_markup_to_spans(
 
     Plain text is the input with each ``[[eid|mention]]`` replaced by
     ``mention``; every span's ``offset`` is its char position in that plain
-    text (utils/mention.py:11-42 semantics).
+    text (utils/mention.py:11-42 semantics). Extension beyond the
+    reference: a pipe-less ``[[media:uri]]`` marker (the form
+    ``spans_to_markup`` emits) parses back to a zero-width media span, so
+    serialize → parse round-trips interleaved text+media documents
+    span-for-span.
 
     Plan shape: one posexplode + one window (partitioned by doc, ordered by
     segment position) + groupBy(doc) collect — a single shuffle by doc_id,
@@ -77,12 +90,24 @@ def parse_markup_to_spans(
         "tail_text",
         F.substring_index("body", "|", 1).alias("eid"),
         F.when(F.col("pos") > 0, F.substring_index("body", "|", -1)).alias("mention"),
+        # zero-width media marker [[media:uri]] — spans_to_markup's media
+        # form (the uri must not contain '|', or it reads as an anchor)
+        F.coalesce(
+            (F.col("pos") > 0)
+            & F.col("body").startswith("media:")
+            & ~F.col("body").contains("|"),
+            F.lit(False),
+        ).alias("is_media"),
+        F.when(F.col("pos") > 0, F.expr("substring(body, 7)")).alias("media_uri"),
     )
-    # plain-text contribution of segment i: pos 0 → lead_text; else mention+tail
+    # plain-text contribution of segment i: pos 0 → lead_text; else
+    # mention+tail (media contributes no plain text)
     seg = seg.withColumn(
         "contrib_len",
         F.when(F.col("pos") == 0, F.length(F.coalesce("lead_text", F.lit("")))).otherwise(
-            F.length(F.coalesce("mention", F.lit("")))
+            F.when(F.col("is_media"), F.lit(0)).otherwise(
+                F.length(F.coalesce("mention", F.lit("")))
+            )
             + F.length(F.coalesce("tail_text", F.lit("")))
         ),
     )
@@ -110,11 +135,21 @@ def parse_markup_to_spans(
                         ),
                     ),
                 ).otherwise(
-                    F.struct(
-                        F.lit("anchor").alias("kind"),
-                        F.col("mention").alias("text"),
-                        F.col("eid").alias("media_ref"),
-                        F.col("start").alias("offset"),
+                    F.when(
+                        F.col("is_media"),
+                        F.struct(
+                            F.lit("media").alias("kind"),
+                            F.lit(None).cast("string").alias("text"),
+                            F.col("media_uri").alias("media_ref"),
+                            F.col("start").alias("offset"),
+                        ),
+                    ).otherwise(
+                        F.struct(
+                            F.lit("anchor").alias("kind"),
+                            F.col("mention").alias("text"),
+                            F.col("eid").alias("media_ref"),
+                            F.col("start").alias("offset"),
+                        )
                     )
                 ),
                 F.when(
@@ -123,9 +158,12 @@ def parse_markup_to_spans(
                         F.lit("text").alias("kind"),
                         F.col("tail_text").alias("text"),
                         F.lit(None).cast("string").alias("media_ref"),
-                        (F.col("start") + F.length(F.coalesce("mention", F.lit("")))).cast(
-                            "int"
-                        ).alias("offset"),
+                        (
+                            F.col("start")
+                            + F.when(F.col("is_media"), F.lit(0)).otherwise(
+                                F.length(F.coalesce("mention", F.lit("")))
+                            )
+                        ).cast("int").alias("offset"),
                     ),
                 ),
             )
@@ -190,6 +228,8 @@ def spans_to_markup(spans: Column | str) -> Column:
 
     Media spans serialize as ``[[media:uri]]`` markers (an extension — the
     reference has no media; OutputFormatter.py:12-104 covers text+anchor).
+    ``parse_markup_to_spans`` reads the marker back to a media span as long
+    as the uri contains no ``|``.
     """
     c = F.col(spans) if isinstance(spans, str) else spans
     return F.concat_ws(
@@ -271,6 +311,44 @@ def links_to_annotated_doc(
         ),
     )
     return j.select("doc_id", F.coalesce(folded, F.col("text")).alias("annotated"))
+
+
+def normalize_spans(spans: Column | str) -> Column:
+    """Canonical span form: merge runs of consecutive text spans into one.
+
+    The span-struct model can fragment plain text arbitrarily ("ab" ≡
+    "a"+"b"), and the markup serialization cannot represent the boundary —
+    so span-sequence EQUALITY checks must compare the canonical form, where
+    every maximal run of text spans is a single span carrying the first
+    fragment's offset. Anchors and media pass through untouched. One JVM
+    ``aggregate`` fold per row; no shuffle, no UDF."""
+    c = F.col(spans) if isinstance(spans, str) else spans
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    return F.aggregate(
+        c,
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1)["kind"] == "text")
+            & (s["kind"] == "text"),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.concat(
+                            F.coalesce(F.element_at(acc, -1)["text"], F.lit("")),
+                            F.coalesce(s["text"], F.lit("")),
+                        ).alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        F.element_at(acc, -1)["offset"].alias("offset"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
 
 
 def span_sequence_key(spans: Column | str) -> Column:
