@@ -169,3 +169,23 @@ def test_blocking_quality_perfect_and_degenerate(spark):
         "cand_pairs": 0, "true_pairs": 0, "co_blocked_pairs": 0,
         "pc_micro": 1_000_000, "rr_micro": 1_000_000,
     }
+
+
+def test_blocking_quality_of_pipeline_key(sdfs):
+    """The pipeline's real blocking key (normalized surface form) gauged by
+    PC/RR over gold mentions: pair completeness must clear the F1 gate's
+    ceiling (a pair the blocking drops can never be linked), and the key
+    must eliminate most of the quadratic space on this corpus."""
+    from xlink_spark.eval.blocking import blocking_quality
+    from xlink_spark.functions.text import surface_norm
+
+    *_, gold = sdfs
+    recs = gold.select(
+        surface_norm(F.col("surface")).alias("block"),
+        F.col("entity_id").alias("entity_id"),
+    ).filter(F.col("block").isNotNull() & F.col("entity_id").isNotNull())
+    r = blocking_quality(recs).collect()[0]
+    # gate ordering: blocked-pair F1 ≥ 0.99 is only achievable if the key
+    # keeps ≥ that fraction of true pairs together
+    assert r["pc_micro"] >= 990_000, r.asDict()
+    assert r["rr_micro"] >= 500_000, r.asDict()
