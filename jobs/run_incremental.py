@@ -1,0 +1,136 @@
+"""spark-submit entrypoint: incremental corpus update — diff, link the delta.
+
+Usage (cluster or local):
+
+    zip -r xlink_spark.zip xlink_spark
+    spark-submit --py-files xlink_spark.zip jobs/run_incremental.py \\
+        --documents /lake/documents_v2 --snapshots /lake/snapshots \\
+        --word-emb /lake/word_embeddings --entity-emb /lake/entity_embeddings \\
+        [--batch-id 7] [--master ...]
+
+The lake's steady-state loop (the full-rebuild sibling is run_pipeline.py):
+
+  1. read the NEW corpus version (interleaved-span parquet, same shape as
+     run_pipeline's input) and the last committed ``corpus`` snapshot
+     iteration from the store;
+  2. ``table_diff`` them on doc_id over the span-sequence key — the shuffle
+     carries (doc_id, md5) only, never text or spans;
+  3. link ONLY added/changed docs against the frozen dictionary
+     (``link_increment`` → ``links/iter_<batch>`` snapshot, idempotent);
+  4. commit the removed+changed doc ids as ``retractions/iter_<batch>`` so
+     downstream readers subtract stale links without rewriting history;
+  5. commit the new corpus's NARROW fingerprint (doc_id, span-sequence
+     key) as ``corpus_fp/iter_<batch>`` — all the next diff needs. The text
+     itself stays wherever the lake keeps corpus versions; per-batch
+     committed state never copies it.
+
+First run (no committed corpus): every doc is 'added' and the whole corpus
+links — the job degrades to the batch path without a separate bootstrap
+flag. A re-run of the same --batch-id is a no-op returning the committed
+counts (every commit is manifest-last and idempotent per iteration).
+
+Dictionary snapshots must already exist in the store (run_pipeline.py or
+build_dictionary(store=...) writes them) — incremental linking against a
+half-built dictionary is an error, not a silent rebuild.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def run_incremental_job(spark, args) -> dict:
+    """The job body, importable for in-session testing."""
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.spans import plain_text, span_sequence_key
+    from xlink_spark.plans.incremental import link_increment, table_diff
+    from xlink_spark.plans.snapshots import SnapshotStore
+
+    store = SnapshotStore(args.snapshots)
+    new_docs = spark.read.parquet(args.documents)
+    wemb = spark.read.parquet(args.word_emb)
+    eemb = spark.read.parquet(args.entity_emb)
+
+    committed = store.iterations("corpus_fp")
+    batch_id = args.batch_id if args.batch_id is not None else (
+        (committed[-1] + 1) if committed else 0
+    )
+    if batch_id in committed:
+        # idempotent re-run: everything for this batch is already on disk
+        return {
+            "batch_id": batch_id,
+            "resumed": True,
+            "n_linked_rows": store.manifest("links", batch_id)["rows"],
+            "n_retractions": store.manifest("retractions", batch_id)["rows"],
+        }
+
+    # diff on the span-sequence fingerprint: any change to the interleaved
+    # (kind, text, media_ref, order) sequence re-links the doc
+    new_fp = new_docs.select("doc_id", span_sequence_key("spans").alias("seq"))
+    if committed:
+        old_fp = store.read_iteration(spark, "corpus_fp", committed[-1])
+        delta = table_diff(old_fp, new_fp, ["doc_id"])
+    else:
+        delta = new_docs.select("doc_id", F.lit("added").alias("change"))
+    delta = delta.persist()
+    counts = {r["change"]: r["n"] for r in delta.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+
+    try:
+        # link ONLY the added/changed docs; the semi join prunes the new
+        # corpus before any text leaves the scan
+        todo = new_docs.join(
+            delta.filter(F.col("change") != "removed").select("doc_id"),
+            "doc_id",
+            "semi",
+        )
+        plain = todo.select("doc_id", plain_text("spans").alias("text"))
+        link_increment(store, batch_id, plain, wemb, eemb)
+        n_linked = store.manifest("links", batch_id)["rows"]
+
+        # retractions: docs whose old links are stale (changed docs get
+        # fresh links in this batch; removed docs get none)
+        retract = delta.filter(F.col("change") != "added").select(
+            "doc_id", "change"
+        )
+        store.commit("retractions", batch_id, retract)
+        store.commit("corpus_fp", batch_id, new_fp)
+    finally:
+        delta.unpersist()
+    return {
+        "batch_id": batch_id,
+        "resumed": False,
+        "n_added": counts.get("added", 0),
+        "n_changed": counts.get("changed", 0),
+        "n_removed": counts.get("removed", 0),
+        "n_linked_rows": n_linked,
+        "n_retractions": counts.get("changed", 0) + counts.get("removed", 0),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True, help="NEW corpus version (parquet)")
+    ap.add_argument("--snapshots", required=True)
+    ap.add_argument("--word-emb", required=True)
+    ap.add_argument("--entity-emb", required=True)
+    ap.add_argument("--batch-id", type=int, default=None,
+                    help="default: last committed corpus iteration + 1")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from xlink_spark.session import get_spark
+
+    spark = get_spark(app_name="xlink_incremental", master=args.master)
+    t0 = time.time()
+    metrics = run_incremental_job(spark, args)
+    metrics["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,80 @@ def test_parquet_dir_rows_matches_written_data(spark, tmp_path):
     before = len(sc.statusTracker().getJobIdsForGroup(None))
     assert parquet_dir_rows(p) == 1234
     assert len(sc.statusTracker().getJobIdsForGroup(None)) == before
+
+
+def test_run_incremental_job_links_only_the_delta(spark, tmp_path, sdfs):
+    """The incremental entrypoint end-to-end: batch 0 bootstraps (all docs
+    'added'), batch 1 sees a mutated corpus and links ONLY added/changed
+    docs, retractions carry removed+changed ids, and a re-run of batch 1 is
+    a resumed no-op."""
+    sys.path.insert(0, _JOBS_DIR)
+    from run_incremental import run_incremental_job
+
+    from pyspark.sql import functions as F
+
+    from xlink_spark.plans.pipeline import build_dictionary
+    from xlink_spark.plans.snapshots import SnapshotStore
+
+    docs, kb, wemb, eemb, gold = sdfs
+    snap = str(tmp_path / "snap")
+    store = SnapshotStore(snap)
+    build_dictionary(docs, kb, eemb, store=store)
+
+    v1 = str(tmp_path / "v1")
+    docs.write.parquet(v1)
+    wpath, epath = str(tmp_path / "wemb"), str(tmp_path / "eemb")
+    wemb.write.parquet(wpath)
+    eemb.write.parquet(epath)
+
+    def _args(documents, batch_id=None):
+        return argparse.Namespace(
+            documents=documents, snapshots=snap, word_emb=wpath,
+            entity_emb=epath, batch_id=batch_id, master=None,
+        )
+
+    m0 = run_incremental_job(spark, _args(v1))
+    n_docs = docs.count()
+    assert m0["batch_id"] == 0 and not m0["resumed"]
+    assert m0["n_added"] == n_docs and m0["n_changed"] == 0 == m0["n_removed"]
+
+    # v2: drop 2 docs, mutate 1 (append a text span), keep the rest
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    removed, changed = set(ids[:2]), ids[2]
+    extra = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), F.lit(" tail").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    v2df = docs.filter(~F.col("doc_id").isin(*removed)).withColumn(
+        "spans",
+        F.when(F.col("doc_id") == changed, F.concat("spans", extra)).otherwise(
+            F.col("spans")
+        ),
+    )
+    v2 = str(tmp_path / "v2")
+    v2df.write.parquet(v2)
+
+    m1 = run_incremental_job(spark, _args(v2))
+    assert m1["batch_id"] == 1 and not m1["resumed"]
+    assert m1["n_added"] == 0
+    assert m1["n_changed"] == 1 and m1["n_removed"] == 2
+    assert m1["n_retractions"] == 3
+
+    # batch 1's links cover ONLY the changed doc
+    linked_ids = {
+        r["doc_id"]
+        for r in store.read_iteration(spark, "links", 1).select("doc_id").collect()
+    }
+    assert linked_ids <= {changed}
+    retr = {
+        (r["doc_id"], r["change"])
+        for r in store.read_iteration(spark, "retractions", 1).collect()
+    }
+    assert retr == {(changed, "changed")} | {(d, "removed") for d in removed}
+
+    # idempotent re-run
+    m1b = run_incremental_job(spark, _args(v2, batch_id=1))
+    assert m1b["resumed"] and m1b["n_linked_rows"] == m1["n_linked_rows"]
