@@ -1,0 +1,78 @@
+"""Hand-computed pins for the cluster-grain eval metrics (eval/bcubed)."""
+
+from __future__ import annotations
+
+from xlink_spark.eval.bcubed import bcubed
+
+MICRO = 1_000_000
+
+
+def _row(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def test_bcubed_textbook_example(spark):
+    # The classic 7-item example (Amigó et al. 2009 variants):
+    # gold clusters: {1,2,3,4,5} (A), {6,7} (B)
+    # pred clusters: {1,2,3} (x), {4,5,6,7} (y)
+    # Per-item P: items 1-3 → 3/3; 4,5 → 2/4; 6,7 → 2/4
+    #   B³P = (3·1 + 4·0.5) / 7 = 5/7
+    # Per-item R: 1-3 → 3/5; 4,5 → 2/5; 6,7 → 2/2
+    #   B³R = (3·(3/5) + 2·(2/5) + 2·1) / 7 = (9/5 + 4/5 + 2) / 7 = 23/35
+    items = [
+        (1, "x", "A"), (2, "x", "A"), (3, "x", "A"),
+        (4, "y", "A"), (5, "y", "A"), (6, "y", "B"), (7, "y", "B"),
+    ]
+    df = spark.createDataFrame(items, ["id", "pred", "gold"]).select("pred", "gold")
+    r = _row(bcubed(df))
+    assert r["n_items"] == 7
+    assert r["n_pred_clusters"] == 2
+    assert r["n_gold_clusters"] == 2
+    # sum-of-floors semantics: per-cell floor(n_pg²·1e6 / n_den), then // N
+    psum = (9 * MICRO // 3) + (4 * MICRO // 4) + (4 * MICRO // 4)
+    rsum = (9 * MICRO // 5) + (4 * MICRO // 5) + (4 * MICRO // 2)
+    assert r["bcubed_p_micro"] == psum // 7  # == 714285 (5/7)
+    assert r["bcubed_r_micro"] == rsum // 7  # == 657142 (23/35)
+    f = 2 * r["bcubed_p_micro"] * r["bcubed_r_micro"] // (
+        r["bcubed_p_micro"] + r["bcubed_r_micro"]
+    )
+    assert r["bcubed_f_micro"] == f
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    # Perfect clustering → all three metrics 1.0
+    perfect = spark.createDataFrame(
+        [("a", "A"), ("a", "A"), ("b", "B")], ["pred", "gold"]
+    )
+    r = _row(bcubed(perfect))
+    assert (
+        r["bcubed_p_micro"] == r["bcubed_r_micro"] == r["bcubed_f_micro"] == MICRO
+    )
+
+    # All-in-one pred over 2 golds of size 2+2: P = 0.5, R = 1.0
+    lump = spark.createDataFrame(
+        [("z", "A"), ("z", "A"), ("z", "B"), ("z", "B")], ["pred", "gold"]
+    )
+    r = _row(bcubed(lump))
+    assert r["bcubed_p_micro"] == MICRO // 2
+    assert r["bcubed_r_micro"] == MICRO
+    assert r["bcubed_f_micro"] == 2 * (MICRO // 2) * MICRO // (MICRO // 2 + MICRO)
+
+    # Singletons pred over one gold of size 3: P = 1.0, R = 1/3
+    split = spark.createDataFrame(
+        [("p1", "A"), ("p2", "A"), ("p3", "A")], ["pred", "gold"]
+    )
+    r = _row(bcubed(split))
+    assert r["bcubed_p_micro"] == MICRO
+    assert r["bcubed_r_micro"] == MICRO // 3
+
+
+def test_bcubed_empty_input_is_vacuous(spark):
+    empty = spark.createDataFrame([], "pred string, gold string")
+    r = _row(bcubed(empty))
+    assert r["n_items"] == 0
+    assert r["bcubed_p_micro"] == MICRO
+    assert r["bcubed_r_micro"] == MICRO
+    assert r["bcubed_f_micro"] == MICRO

@@ -2542,6 +2542,58 @@ from agg
 """
 
 
+def q_bcubed_metrics(spark, sf_dir):
+    """B-cubed cluster precision/recall/F1 (eval/bcubed.bcubed) of the REAL
+    linking decisions: items = the gated top-1 mention links produced by
+    score_has_prob (the linking_priors DAG), predicted cluster = the linked
+    entity_id, gold cluster = the document's source entity. The cluster-
+    grain complement of the reference's mention-level micro F1
+    (MentionParsingEval.py:12-69) — computed from contingency-cell sizes
+    only, no item pair materialized (Bagga & Baldwin 1998)."""
+    from xlink_spark.eval.bcubed import bcubed
+
+    links = q_linking_priors(spark, sf_dir)
+    docs = spark.read.parquet(_T(sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    items = links.join(docs, "doc_id", "inner")
+    return bcubed(items, pred_col="entity_id", gold_col="source")
+
+
+SQL_BCUBED_METRICS = f"""
+with links as ({SQL_LINKING_PRIORS}),
+items as (
+  select l.entity_id as p, d.source as g
+  from links l join documents d on l.doc_id = d.doc_id::varchar
+),
+cells as (select p, g, count(*)::bigint as n_pg from items group by 1, 2),
+preds as (select p, count(*)::bigint as n_p from items group by 1),
+golds as (select g, count(*)::bigint as n_g from items group by 1),
+j as (
+  select c.n_pg, pr.n_p, go.n_g
+  from cells c join preds pr on c.p = pr.p join golds go on c.g = go.g
+),
+agg as (select
+  (select coalesce(sum(n_pg), 0)::bigint from j) as n_items,
+  (select count(*)::bigint from preds) as n_pred_clusters,
+  (select count(*)::bigint from golds) as n_gold_clusters,
+  (select coalesce(sum(n_pg * n_pg * 1000000 // n_p), 0)::bigint from j) as psum,
+  (select coalesce(sum(n_pg * n_pg * 1000000 // n_g), 0)::bigint from j) as rsum),
+pr as (select n_items, n_pred_clusters, n_gold_clusters,
+  (case when n_items > 0 then psum // n_items else 1000000 end)::bigint
+    as bcubed_p_micro,
+  (case when n_items > 0 then rsum // n_items else 1000000 end)::bigint
+    as bcubed_r_micro
+from agg)
+select *,
+  (case when bcubed_p_micro + bcubed_r_micro > 0
+        then 2 * bcubed_p_micro * bcubed_r_micro
+             // (bcubed_p_micro + bcubed_r_micro)
+        else 0 end)::bigint as bcubed_f_micro
+from pr
+"""
+
+
 def q_span_roundtrip(spark, sf_dir):
     """North-rule span-sequence invariant, end-to-end through the REAL span
     operators: deterministically annotate the corpus (tokens of length ≥ 6
@@ -2870,6 +2922,7 @@ QUERIES: dict[str, Query] = {
     "boilerplate_lines": q_boilerplate_lines,
     "strip_boilerplate": q_strip_boilerplate,
     "blocking_metrics": q_blocking_metrics,
+    "bcubed_metrics": q_bcubed_metrics,
     "span_roundtrip": q_span_roundtrip,
     "lm_scores": q_lm_scores,
     "table_diff": q_table_diff,
@@ -2943,6 +2996,7 @@ ORACLES: dict[str, str] = {
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
     "blocking_metrics": SQL_BLOCKING_METRICS,
+    "bcubed_metrics": SQL_BCUBED_METRICS,
     "span_roundtrip": SQL_SPAN_ROUNDTRIP,
     "lm_scores": SQL_LM_SCORES,
     "table_diff": SQL_TABLE_DIFF,
