@@ -2594,6 +2594,40 @@ from pr
 """
 
 
+def q_skew_salt_plan(spark, sf_dir):
+    """Data-driven hot-key salt plan for the blocking join
+    (operators/skew.join_salt_plan): per blocking key, estimated join
+    output = token occurrences × candidate entities, salted where the
+    estimate exceeds the per-task target. The north rule's "salting hot
+    blocking keys" made a measured, reproducible artifact instead of a
+    fixed config (detect.candidate_join's n_salt); exact integer ceil
+    arithmetic end to end."""
+    from xlink_spark.operators.skew import join_salt_plan
+
+    probe = _tokens(spark, sf_dir).select(F.col("tok").alias("key"))
+    build = q_e_given_m(spark, sf_dir).select(F.col("mention").alias("key"))
+    return join_salt_plan(probe, build, "key", target_rows_per_task=8192)
+
+
+SQL_SKEW_SALT_PLAN = f"""
+with pc as (
+  select tok as key, count(*)::bigint as n_probe
+  from ({_TOKENS_SQL}) group by 1
+),
+bc as (
+  select mention as key, count(*)::bigint as n_build
+  from ({SQL_E_GIVEN_M}) group by 1
+),
+j as (
+  select key, n_probe, n_build, (n_probe * n_build)::bigint as est_rows
+  from pc join bc using (key)
+)
+select key, n_probe, n_build, est_rows,
+       ((est_rows + 8191) // 8192)::bigint as salt_factor
+from j where (est_rows + 8191) // 8192 >= 2
+"""
+
+
 def q_span_roundtrip(spark, sf_dir):
     """North-rule span-sequence invariant, end-to-end through the REAL span
     operators: deterministically annotate the corpus (tokens of length ≥ 6
@@ -2923,6 +2957,7 @@ QUERIES: dict[str, Query] = {
     "strip_boilerplate": q_strip_boilerplate,
     "blocking_metrics": q_blocking_metrics,
     "bcubed_metrics": q_bcubed_metrics,
+    "skew_salt_plan": q_skew_salt_plan,
     "span_roundtrip": q_span_roundtrip,
     "lm_scores": q_lm_scores,
     "table_diff": q_table_diff,
@@ -2997,6 +3032,7 @@ ORACLES: dict[str, str] = {
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
     "blocking_metrics": SQL_BLOCKING_METRICS,
     "bcubed_metrics": SQL_BCUBED_METRICS,
+    "skew_salt_plan": SQL_SKEW_SALT_PLAN,
     "span_roundtrip": SQL_SPAN_ROUNDTRIP,
     "lm_scores": SQL_LM_SCORES,
     "table_diff": SQL_TABLE_DIFF,
