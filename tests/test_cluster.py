@@ -91,3 +91,28 @@ def test_manifest_per_partition_lineage(spark, tmp_path):
     assert m["partitions"] == len(m["partition_rows"]) >= 1
     assert sum(m["partition_rows"].values()) == 100
     assert all(f.endswith(".parquet") for f in m["partition_rows"])
+
+
+def test_cluster_size_histogram_and_largest(spark):
+    """Hand-pinned size distribution + deterministic head-cluster report."""
+    from xlink_spark.operators.cluster import (
+        cluster_size_histogram,
+        connected_components,
+        largest_clusters,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        ["src", "dst"],
+    )
+    cc = connected_components(edges)
+    hist = {r["size"]: r.asDict() for r in cluster_size_histogram(cc).collect()}
+    assert hist[4]["n_clusters"] == 1 and hist[4]["n_nodes"] == 4
+    assert hist[2]["n_clusters"] == 2 and hist[2]["n_nodes"] == 4
+    assert sorted(hist) == [2, 4]
+
+    top = largest_clusters(cc, k=2).collect()
+    assert [r["size"] for r in top] == [4, 2]
+    # tie at size 2 broken by smallest component id: {10,11} beats {20,21}
+    assert top[1]["component"] == 10

@@ -1429,6 +1429,26 @@ select node, min(comp) as component from walk group by node
 """
 
 
+def q_cluster_size_histogram(spark, sf_dir):
+    """Cluster-size distribution of the CC output
+    (operators/cluster.cluster_size_histogram over connected_components) —
+    the head-entity skew gauge for the clustering product; two
+    map-combinable aggregations on top of the iterative large/small-star
+    job (cluster.py:66)."""
+    from xlink_spark.operators.cluster import cluster_size_histogram
+
+    return cluster_size_histogram(q_connected_components(spark, sf_dir))
+
+
+SQL_CLUSTER_SIZE_HISTOGRAM = f"""
+with cc as ({SQL_CONNECTED_COMPONENTS}),
+sizes as (select component, count(*)::bigint as size from cc group by 1)
+select size, count(*)::bigint as n_clusters,
+       (size * count(*))::bigint as n_nodes
+from sizes group by size
+"""
+
+
 # ------------------------------------------------------- flagship priors core
 def q_linking_priors(spark, sf_dir):
     """The flagship's SQL-expressible core (xlink.py:147-176): detection →
@@ -2958,6 +2978,7 @@ QUERIES: dict[str, Query] = {
     "blocking_metrics": q_blocking_metrics,
     "bcubed_metrics": q_bcubed_metrics,
     "skew_salt_plan": q_skew_salt_plan,
+    "cluster_size_histogram": q_cluster_size_histogram,
     "span_roundtrip": q_span_roundtrip,
     "lm_scores": q_lm_scores,
     "table_diff": q_table_diff,
@@ -3033,6 +3054,7 @@ ORACLES: dict[str, str] = {
     "blocking_metrics": SQL_BLOCKING_METRICS,
     "bcubed_metrics": SQL_BCUBED_METRICS,
     "skew_salt_plan": SQL_SKEW_SALT_PLAN,
+    "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     "span_roundtrip": SQL_SPAN_ROUNDTRIP,
     "lm_scores": SQL_LM_SCORES,
     "table_diff": SQL_TABLE_DIFF,

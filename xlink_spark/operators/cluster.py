@@ -155,3 +155,34 @@ def cluster_memberships(links: DataFrame, threshold: float = 0.0) -> DataFrame:
         .join(clusters, "entity_id")
         .select("doc_id", "start", "end", "surface", "entity_id", "cluster_id")
     )
+
+
+def cluster_size_histogram(assignments: DataFrame) -> DataFrame:
+    """Cluster-size distribution of a (node, component) assignment frame.
+
+    Output: one row per observed size — (size, n_clusters, n_nodes) ordered
+    small frame. The head-entity skew gauge for the clustering product: at
+    web scale the component size distribution is Zipf (country-name-like
+    entities own giant components) and this histogram is what decides
+    whether downstream per-cluster work needs its own salting. Two
+    map-side-combinable aggregations; nothing wide ever shuffles.
+    """
+    sizes = assignments.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("n_nodes"),
+        )
+    )
+
+
+def largest_clusters(assignments: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k components by member count, deterministic total order
+    (size desc, component asc) — the explicit head-cluster report that
+    feeds skew decisions. TakeOrderedAndProject shape: per-partition heap
+    of k, never a global sort."""
+    sizes = assignments.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.orderBy(F.col("size").desc(), F.col("component").asc()).limit(k)
