@@ -185,6 +185,58 @@ class SnapshotStore:
         path = self.iteration_data_path(stage, k)
         return k, lambda spark: spark.read.parquet(path)
 
+    def drop_iteration(self, stage: str, iteration: int) -> None:
+        """Remove one committed iteration (maintenance; see
+        plans/maintenance.expire_iterations for the semantics guard)."""
+        shutil.rmtree(self._dir(stage, iteration), ignore_errors=True)
+
+    def squash_iterations(self, spark: SparkSession, stage: str) -> dict | None:
+        """Rewrite a union-semantics stage's N iterations into ONE.
+
+        For delta stages (plans/incremental's ``links``: each iteration is
+        a disjoint batch, readers take the union) the iteration count grows
+        without bound; this is the Iceberg rewrite/expire analogue for the
+        directory backend. The whole STAGE directory is swapped atomically
+        — the union of valid iterations never double-counts and never
+        shrinks mid-squash:
+
+        1. the union of all committed iterations is written, manifest-last,
+           into a ``.tmp-<stage>-`` sibling tree as a single iteration
+           keeping the HIGHEST id (so a resuming producer continues with
+           max+1 exactly as before);
+        2. the live stage tree is renamed aside (``.old-<stage>-``), the
+           tmp tree swapped in, the recovery copy swept — the same
+           rename-aside protocol as `_commit_dir`, lifted one level.
+
+        A crash before the swap leaves the old tree live (tmp invisible to
+        `iterations`); a crash between the two renames leaves the only copy
+        in the ``.old-`` sibling, recoverable by renaming it back — the
+        same recovery contract as single-table commits. Returns the squash
+        manifest, or None when there is nothing to squash.
+        """
+        iters = self.iterations(stage)
+        if len(iters) <= 1:
+            return None
+        stage_dir = self._dir(stage)
+        parent, base = os.path.split(stage_dir)
+        for d in os.listdir(parent):
+            if d.startswith(f".tmp-{base}-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        union = self.read_iterations_union(spark, stage)
+        tmp = os.path.join(parent, f".tmp-{base}-{uuid.uuid4().hex[:8]}")
+        manifest = self._commit_dir(
+            os.path.join(tmp, f"iter_{iters[-1]:05d}"),
+            union,
+            metrics={"squashed_from": iters},
+        )
+        old = os.path.join(parent, f".old-{base}-{uuid.uuid4().hex[:8]}")
+        os.replace(stage_dir, old)
+        os.replace(tmp, stage_dir)
+        for d in os.listdir(parent):
+            if d.startswith(f".old-{base}-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        return manifest
+
     # -- named stage tables (pipeline resume) --------------------------------
     def commit_table(
         self,
@@ -361,6 +413,14 @@ class CatalogSnapshotStore:
             return None
         k = iters[-1]
         return k, lambda spark: self.read_iteration(spark, stage, k)
+
+    def drop_iteration(self, stage: str, iteration: int) -> None:
+        """Remove one committed iteration. Manifest first — a crash between
+        the two drops leaves an orphan data table that ``_is_valid`` already
+        treats as invisible (manifest-last, inverted)."""
+        tbl = self._t(stage, iteration)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}__manifest")
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
     # -- named stage tables --------------------------------------------------
     def commit_table(
