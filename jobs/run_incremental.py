@@ -59,12 +59,20 @@ def run_incremental_job(spark, args) -> dict:
         (committed[-1] + 1) if committed else 0
     )
     if batch_id in committed:
-        # idempotent re-run: everything for this batch is already on disk
+        # idempotent re-run: everything for this batch is already on disk.
+        # Per-batch counts are None when a later fold_retractions squashed
+        # this batch's iterations into the current view (the batch's effect
+        # is still committed — it lives inside the folded iteration).
+        def _rows(stage: str) -> int | None:
+            if batch_id in store.iterations(stage):
+                return store.manifest(stage, batch_id)["rows"]
+            return None
+
         return {
             "batch_id": batch_id,
             "resumed": True,
-            "n_linked_rows": store.manifest("links", batch_id)["rows"],
-            "n_retractions": store.manifest("retractions", batch_id)["rows"],
+            "n_linked_rows": _rows("links"),
+            "n_retractions": _rows("retractions"),
         }
 
     # diff on the span-sequence fingerprint: any change to the interleaved
@@ -100,9 +108,21 @@ def run_incremental_job(spark, args) -> dict:
         store.commit("corpus_fp", batch_id, new_fp)
     finally:
         delta.unpersist()
+
+    # steady-state maintenance: once the links trail outgrows the bound,
+    # fold retractions into a single current-view iteration (readers keep
+    # seeing a consistent union at every instant; producers resume at max+1)
+    fold_after = getattr(args, "fold_after", 0) or 0
+    folded = False
+    if fold_after and len(store.iterations("links")) > fold_after:
+        from xlink_spark.plans.incremental import fold_retractions
+
+        fold_retractions(spark, store)
+        folded = True
     return {
         "batch_id": batch_id,
         "resumed": False,
+        "folded": folded,
         "n_added": counts.get("added", 0),
         "n_changed": counts.get("changed", 0),
         "n_removed": counts.get("removed", 0),
@@ -119,6 +139,9 @@ def main() -> None:
     ap.add_argument("--entity-emb", required=True)
     ap.add_argument("--batch-id", type=int, default=None,
                     help="default: last committed corpus iteration + 1")
+    ap.add_argument("--fold-after", type=int, default=0,
+                    help="fold retractions + squash the links trail once it "
+                         "exceeds this many iterations (0 = never)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 

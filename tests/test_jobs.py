@@ -171,3 +171,18 @@ def test_run_incremental_job_links_only_the_delta(spark, tmp_path, sdfs):
     # idempotent re-run
     m1b = run_incremental_job(spark, _args(v2, batch_id=1))
     assert m1b["resumed"] and m1b["n_linked_rows"] == m1["n_linked_rows"]
+
+    # steady-state maintenance: --fold-after folds the trail after the batch
+    a2 = _args(v2)
+    a2.fold_after = 1
+    m2 = run_incremental_job(spark, a2)
+    assert not m2["resumed"] and m2["folded"]
+    store2 = SnapshotStore(snap)
+    assert store2.iterations("links") == [2]
+
+    from xlink_spark.plans.incremental import current_links
+
+    cur_ids = {r["doc_id"] for r in current_links(spark, store2).collect()}
+    # removed docs are gone from the current view; changed doc still linked
+    assert cur_ids.isdisjoint(removed)
+    assert changed in cur_ids

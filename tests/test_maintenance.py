@@ -138,3 +138,71 @@ def test_squash_crash_between_renames_is_recoverable(spark, tmp_path, monkeypatc
     os.replace(os.path.join(store.root, olds[0]), stage_dir)
     assert store.iterations("links") == [0, 1]
     assert _vals(store.read_iterations_union(spark, "links")) == expected
+
+
+def _links_batch(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "entity_id"])
+
+
+def _rets_batch(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "change"])
+
+
+def _fold_store(spark, tmp_path):
+    """batch 0: A,B linked; batch 1: A changed (re-linked), B removed;
+    batch 2: B re-added."""
+    store = SnapshotStore(str(tmp_path / "fold"))
+    store.commit("links", 0, _links_batch(spark, [("A", "e1"), ("B", "e2")]))
+    store.commit("links", 1, _links_batch(spark, [("A", "e9")]))
+    store.commit(
+        "retractions", 1, _rets_batch(spark, [("A", "changed"), ("B", "removed")])
+    )
+    store.commit("links", 2, _links_batch(spark, [("B", "e5")]))
+    return store
+
+
+def test_current_links_applies_wins_and_removals(spark, tmp_path):
+    from xlink_spark.plans.incremental import all_links, current_links
+
+    store = _fold_store(spark, tmp_path)
+    # raw history keeps everything
+    assert all_links(spark, store).count() == 4
+    cur = sorted(map(tuple, current_links(spark, store).collect()))
+    # A: batch 1 wins (e1 superseded); B: removed at 1 but re-added at 2
+    assert cur == [("A", "e9"), ("B", "e5")]
+
+
+def test_current_links_removed_without_readd(spark, tmp_path):
+    from xlink_spark.plans.incremental import current_links
+
+    store = SnapshotStore(str(tmp_path / "f2"))
+    store.commit("links", 0, _links_batch(spark, [("A", "e1"), ("B", "e2")]))
+    store.commit("retractions", 1, _rets_batch(spark, [("B", "removed")]))
+    store.commit(
+        "links", 1, spark.createDataFrame([], "doc_id string, entity_id string")
+    )
+    cur = sorted(map(tuple, current_links(spark, store).collect()))
+    assert cur == [("A", "e1")]
+
+
+def test_fold_retractions_materializes_current_view(spark, tmp_path):
+    from xlink_spark.plans.incremental import all_links, current_links, fold_retractions
+
+    store = _fold_store(spark, tmp_path)
+    expected = sorted(map(tuple, current_links(spark, store).collect()))
+
+    man = fold_retractions(spark, store)
+    assert man is not None and man["rows"] == 2
+    assert store.iterations("links") == [2]
+    # after the fold, RAW union == current view (history folded away)
+    assert sorted(map(tuple, all_links(spark, store).select("doc_id", "entity_id").collect())) == expected
+    # retractions squashed empty
+    rid = store.iterations("retractions")
+    assert len(rid) == 1 and store.manifest("retractions", rid[0])["rows"] == 0
+    # idempotent: fold of a folded store is the same view
+    fold_retractions(spark, store)
+    assert sorted(map(tuple, all_links(spark, store).select("doc_id", "entity_id").collect())) == expected
+    # producers resume past the fold unchanged
+    store.commit("links", 3, _links_batch(spark, [("C", "e7")]))
+    cur = sorted(map(tuple, current_links(spark, store).collect()))
+    assert cur == expected + [("C", "e7")]

@@ -103,6 +103,99 @@ def all_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
     return store.read_iterations_union(spark, "links")
 
 
+def links_with_batch(
+    spark: SparkSession, store: SnapshotStore, stage: str = "links"
+) -> DataFrame:
+    """Union of a delta stage's iterations WITH batch provenance.
+
+    ``read_iterations_union`` is the fast single-scan path but loses which
+    iteration a row came from; the retraction fold needs it, so this reads
+    each iteration with a literal ``batch_id`` column and unions. The
+    union's leg count equals the live iteration count — bounded in practice
+    because ``fold_retractions``/``squash_iterations`` periodically collapse
+    the trail back to one leg (that is exactly what they are for).
+    """
+    from pyspark.sql import functions as F
+
+    out = None
+    for k in store.iterations(stage):
+        df = store.read_iteration(spark, stage, k).withColumn(
+            "batch_id", F.lit(k)
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise FileNotFoundError(f"no committed iterations for {stage}")
+    return out
+
+
+def current_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
+    """The lake's CURRENT links view: retractions applied, history folded.
+
+    ``all_links`` is raw history (every batch's rows, including links a
+    later batch superseded). The current view keeps, per doc, only the rows
+    of the NEWEST batch that linked it (changed docs re-link wholesale, so
+    the newest batch is authoritative), then drops docs whose newest
+    'removed' retraction is more recent than their newest links — a doc
+    removed at batch k and re-added at k+2 survives.
+
+    Scale shape: the wide link rows shuffle ONCE (the doc-grain semi join
+    against the winning-batch list); winners and removals are narrow
+    (doc_id, batch_id) aggregates. Idempotent: folding an already-folded
+    store returns the same rows, which is what makes fold_retractions'
+    two-stage commit crash-safe without a cross-stage transaction.
+    """
+    from pyspark.sql import functions as F
+
+    links = links_with_batch(spark, store, "links")
+    wins = links.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    live = links.join(wins, ["doc_id", "batch_id"], "inner")
+    if not store.iterations("retractions"):
+        return live.drop("batch_id")
+    removed = (
+        links_with_batch(spark, store, "retractions")
+        .filter(F.col("change") == "removed")
+        .groupBy("doc_id")
+        .agg(F.max("batch_id").alias("removed_at"))
+    )
+    return (
+        live.join(removed, "doc_id", "left")
+        .filter(F.col("removed_at").isNull() | (F.col("removed_at") <= F.col("batch_id")))
+        .drop("removed_at", "batch_id")
+    )
+
+
+def fold_retractions(spark: SparkSession, store: SnapshotStore) -> dict | None:
+    """Maintenance: materialize ``current_links`` and reset the trail.
+
+    The MERGE-compaction of the linking lake: the links stage is squashed
+    to ONE iteration holding the current view (keeping the highest id, so
+    producers resume at max+1), then the retractions stage is squashed to
+    an EMPTY iteration (every retraction ≤ that id is now applied).
+
+    Crash safety without a cross-stage transaction: each squash is
+    individually atomic, and a crash between the two leaves folded links
+    with stale retractions still present — re-applying them is a no-op
+    because ``current_links`` is idempotent (the folded rows all carry the
+    max batch id, so no retraction at ≤ max can drop them). Batches
+    committed AFTER the fold behave exactly as before. Returns the links
+    squash manifest, or None when there are no links iterations.
+    """
+    from pyspark.sql import functions as F
+
+    if not store.iterations("links"):
+        return None
+    manifest = store.squash_iterations(
+        spark, "links", frame=current_links(spark, store)
+    )
+    rets = store.iterations("retractions")
+    if rets:
+        empty = store.read_iteration(spark, "retractions", rets[-1]).filter(
+            F.lit(False)
+        )
+        store.squash_iterations(spark, "retractions", frame=empty)
+    return manifest
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

@@ -190,7 +190,12 @@ class SnapshotStore:
         plans/maintenance.expire_iterations for the semantics guard)."""
         shutil.rmtree(self._dir(stage, iteration), ignore_errors=True)
 
-    def squash_iterations(self, spark: SparkSession, stage: str) -> dict | None:
+    def squash_iterations(
+        self,
+        spark: SparkSession,
+        stage: str,
+        frame: DataFrame | None = None,
+    ) -> dict | None:
         """Rewrite a union-semantics stage's N iterations into ONE.
 
         For delta stages (plans/incremental's ``links``: each iteration is
@@ -213,16 +218,22 @@ class SnapshotStore:
         in the ``.old-`` sibling, recoverable by renaming it back — the
         same recovery contract as single-table commits. Returns the squash
         manifest, or None when there is nothing to squash.
+
+        ``frame``: replacement content for the squashed iteration (defaults
+        to the plain union). plans/maintenance.fold_retractions passes the
+        retraction-folded current view here, so fold = squash with a
+        smarter frame; with a frame given, even a single-iteration stage is
+        rewritten (the content changes, not just the file layout).
         """
         iters = self.iterations(stage)
-        if len(iters) <= 1:
+        if not iters or (len(iters) <= 1 and frame is None):
             return None
         stage_dir = self._dir(stage)
         parent, base = os.path.split(stage_dir)
         for d in os.listdir(parent):
             if d.startswith(f".tmp-{base}-"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-        union = self.read_iterations_union(spark, stage)
+        union = frame if frame is not None else self.read_iterations_union(spark, stage)
         tmp = os.path.join(parent, f".tmp-{base}-{uuid.uuid4().hex[:8]}")
         manifest = self._commit_dir(
             os.path.join(tmp, f"iter_{iters[-1]:05d}"),
