@@ -185,6 +185,29 @@ def test_current_links_removed_without_readd(spark, tmp_path):
     assert cur == [("A", "e1")]
 
 
+def test_fold_link_history_pure_frames(spark):
+    """fold_link_history without a store: newest-batch-wins, removal after
+    the newest links drops the doc, removal at/before the winning batch does
+    not (re-link survives), and retractions=None is a pure wins fold."""
+    from xlink_spark.plans.incremental import fold_link_history
+
+    links = spark.createDataFrame(
+        [("A", "e1", 0), ("B", "e2", 0), ("A", "e9", 1), ("C", "e3", 0)],
+        ["doc_id", "entity_id", "batch_id"],
+    )
+    rets = spark.createDataFrame(
+        [("B", "removed", 1), ("A", "removed", 1), ("C", "changed", 1)],
+        ["doc_id", "change", "batch_id"],
+    )
+    cur = sorted(map(tuple, fold_link_history(links, rets).collect()))
+    # A removed at 1 but its winning links ARE batch 1 → survives;
+    # B removed at 1 > its newest links (0) → dropped;
+    # C only 'changed' (not removed) → survives.
+    assert cur == [("A", "e9"), ("C", "e3")]
+    no_rets = sorted(map(tuple, fold_link_history(links, None).collect()))
+    assert no_rets == [("A", "e9"), ("B", "e2"), ("C", "e3")]
+
+
 def test_fold_retractions_materializes_current_view(spark, tmp_path):
     from xlink_spark.plans.incremental import all_links, current_links, fold_retractions
 

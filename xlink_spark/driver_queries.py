@@ -2648,6 +2648,58 @@ from j where (est_rows + 8191) // 8192 >= 2
 """
 
 
+def q_current_links_fold(spark, sf_dir):
+    """Retraction-fold semantics under a hash oracle
+    (plans/incremental.fold_link_history — the pure core of
+    current_links/fold_retractions): a deterministic 2-batch link history
+    is synthesized from the corpus (batch 0 links every doc; docs ≡0 mod 5
+    re-link in batch 1 with _v2 entities; docs ≡0 mod 7 that did NOT
+    re-link are retracted as removed), then folded. Newest-batch-wins,
+    removed-after-linked drops, and re-link survival are all value-checked
+    cross-engine."""
+    from xlink_spark.plans.incremental import fold_link_history
+
+    toks = _tokens(spark, sf_dir)
+    l0 = toks.select(
+        "doc_id", F.col("tok").alias("entity_id"), F.lit(0).alias("batch_id")
+    ).distinct()
+    l1 = l0.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.col("entity_id"), F.lit("_v2")).alias("entity_id"),
+        F.lit(1).alias("batch_id"),
+    )
+    docs = toks.select("doc_id").distinct()
+    rets = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit("changed").alias("change"), F.lit(1).alias("batch_id")
+    ).unionByName(
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)).select(
+            "doc_id", F.lit("removed").alias("change"), F.lit(1).alias("batch_id")
+        )
+    )
+    return fold_link_history(l0.unionByName(l1), rets).select("doc_id", "entity_id")
+
+
+SQL_CURRENT_LINKS_FOLD = f"""
+with toks as ({_TOKENS_SQL}),
+l0 as (select distinct doc_id, tok as entity_id, 0 as batch_id from toks),
+l1 as (select doc_id, entity_id || '_v2' as entity_id, 1 as batch_id
+       from l0 where doc_id % 5 = 0),
+links as (select * from l0 union all select * from l1),
+wins as (select doc_id, max(batch_id) as b from links group by 1),
+live as (
+  select l.doc_id, l.entity_id, l.batch_id
+  from links l join wins w on l.doc_id = w.doc_id and l.batch_id = w.b
+),
+removed as (
+  select doc_id, 1 as removed_at from (select distinct doc_id from toks)
+  where doc_id % 7 = 0 and doc_id % 5 <> 0
+)
+select live.doc_id, entity_id
+from live left join removed on live.doc_id = removed.doc_id
+where removed_at is null or removed_at <= batch_id
+"""
+
+
 def q_span_roundtrip(spark, sf_dir):
     """North-rule span-sequence invariant, end-to-end through the REAL span
     operators: deterministically annotate the corpus (tokens of length ≥ 6
@@ -2979,6 +3031,7 @@ QUERIES: dict[str, Query] = {
     "bcubed_metrics": q_bcubed_metrics,
     "skew_salt_plan": q_skew_salt_plan,
     "cluster_size_histogram": q_cluster_size_histogram,
+    "current_links_fold": q_current_links_fold,
     "span_roundtrip": q_span_roundtrip,
     "lm_scores": q_lm_scores,
     "table_diff": q_table_diff,
@@ -3055,6 +3108,7 @@ ORACLES: dict[str, str] = {
     "bcubed_metrics": SQL_BCUBED_METRICS,
     "skew_salt_plan": SQL_SKEW_SALT_PLAN,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
+    "current_links_fold": SQL_CURRENT_LINKS_FOLD,
     "span_roundtrip": SQL_SPAN_ROUNDTRIP,
     "lm_scores": SQL_LM_SCORES,
     "table_diff": SQL_TABLE_DIFF,

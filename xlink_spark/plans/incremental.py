@@ -128,32 +128,31 @@ def links_with_batch(
     return out
 
 
-def current_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
-    """The lake's CURRENT links view: retractions applied, history folded.
+def fold_link_history(
+    links: DataFrame, retractions: DataFrame | None = None
+) -> DataFrame:
+    """Pure-frame fold of a batched link history into the current view.
 
-    ``all_links`` is raw history (every batch's rows, including links a
-    later batch superseded). The current view keeps, per doc, only the rows
-    of the NEWEST batch that linked it (changed docs re-link wholesale, so
-    the newest batch is authoritative), then drops docs whose newest
-    'removed' retraction is more recent than their newest links — a doc
-    removed at batch k and re-added at k+2 survives.
+    ``links`` carries a ``batch_id`` column (one row per link per batch
+    that produced it); ``retractions`` is (doc_id, change, batch_id). The
+    fold keeps, per doc, only the rows of the NEWEST batch that linked it
+    (changed docs re-link wholesale, so the newest batch is authoritative),
+    then drops docs whose newest 'removed' retraction is more recent than
+    their newest links — a doc removed at batch k and re-added at k+2
+    survives. Output drops the ``batch_id`` column.
 
-    Scale shape: the wide link rows shuffle ONCE (the doc-grain semi join
+    Scale shape: the wide link rows shuffle ONCE (the doc-grain join
     against the winning-batch list); winners and removals are narrow
-    (doc_id, batch_id) aggregates. Idempotent: folding an already-folded
-    store returns the same rows, which is what makes fold_retractions'
-    two-stage commit crash-safe without a cross-stage transaction.
+    (doc_id, batch_id) map-combinable aggregates.
     """
     from pyspark.sql import functions as F
 
-    links = links_with_batch(spark, store, "links")
     wins = links.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
     live = links.join(wins, ["doc_id", "batch_id"], "inner")
-    if not store.iterations("retractions"):
+    if retractions is None:
         return live.drop("batch_id")
     removed = (
-        links_with_batch(spark, store, "retractions")
-        .filter(F.col("change") == "removed")
+        retractions.filter(F.col("change") == "removed")
         .groupBy("doc_id")
         .agg(F.max("batch_id").alias("removed_at"))
     )
@@ -162,6 +161,24 @@ def current_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
         .filter(F.col("removed_at").isNull() | (F.col("removed_at") <= F.col("batch_id")))
         .drop("removed_at", "batch_id")
     )
+
+
+def current_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
+    """The lake's CURRENT links view: retractions applied, history folded.
+
+    ``all_links`` is raw history (every batch's rows, including links a
+    later batch superseded); this is ``fold_link_history`` over the store's
+    committed trail. Idempotent: folding an already-folded store returns
+    the same rows, which is what makes fold_retractions' two-stage commit
+    crash-safe without a cross-stage transaction.
+    """
+    links = links_with_batch(spark, store, "links")
+    rets = (
+        links_with_batch(spark, store, "retractions")
+        if store.iterations("retractions")
+        else None
+    )
+    return fold_link_history(links, rets)
 
 
 def fold_retractions(spark: SparkSession, store: SnapshotStore) -> dict | None:
