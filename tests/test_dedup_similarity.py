@@ -1313,3 +1313,25 @@ def test_chunk_documents_plan_is_pure_jvm_no_shuffle(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
         assert marker not in plan
+
+
+def test_neardup_clusters_chain_closure_and_survivor(spark):
+    """A~B, B~C closes to ONE cluster (A~C never observed); min-id
+    survivor keeps exactly one doc per cluster; disjoint pairs stay
+    separate clusters; pair order (doc_a > doc_b) doesn't matter."""
+    from xlink_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], ["doc_a", "doc_b"]
+    )
+    out = sorted(map(tuple, neardup_clusters(pairs).collect()))
+    assert out == [
+        ("a", "a", True),
+        ("b", "a", False),
+        ("c", "a", False),
+        ("x", "x", True),
+        ("y", "x", False),
+    ]
+    # exactly one survivor per cluster
+    kept = [d for d, _, k in out if k]
+    assert kept == ["a", "x"]

@@ -695,6 +695,40 @@ where i / (za.sz + zb.sz - i) >= 0.5
 """
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (dedup.neardup_clusters): the verified
+    MinHash-LSH pairs of `lsh_jaccard_pairs` closed transitively via the
+    iterative large/small-star CC job, min-doc_id survivor per cluster.
+    Exercises chain closure (A~B, B~C ⇒ one 3-cluster even when A~C was
+    never an LSH candidate) and the keep/drop survivor rule end to end; the
+    oracle recomputes the closure independently with recursive SQL over
+    string ids (the Spark side clusters on xxhash64 longs, so component
+    EQUALITY — not the hash values — is what's checked)."""
+    pairs = q_lsh_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return DD.neardup_clusters(pairs).orderBy("doc_id")
+
+
+SQL_NEARDUP_CLUSTERS = f"""
+with recursive pairs as ({SQL_LSH_JACCARD_PAIRS}),
+undirected as (
+  select doc_a as src, doc_b as dst from pairs
+  union
+  select doc_b, doc_a from pairs
+),
+walk (node, comp) as (
+  select src as node, least(src, min(dst)) as comp from undirected group by src
+  union
+  select w.node, least(w.comp, w2.comp) as comp
+  from walk w
+  join undirected u on u.src = w.node
+  join walk w2 on w2.node = u.dst
+  where least(w.comp, w2.comp) < w.comp
+),
+assigned as (select node as doc_id, min(comp) as cluster_id from walk group by node)
+select doc_id, cluster_id, doc_id = cluster_id as keep from assigned
+"""
+
+
 def _sql_winnow_fps(corpus_sql: str, k: int = 5, w: int = 4) -> str:
     """DuckDB twin of dedup._winnow_fp_expr: (doc_id, fp) winnowing
     fingerprints. Same md5→mod token hash, same polynomial fold, same
@@ -2992,6 +3026,7 @@ QUERIES: dict[str, Query] = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_signatures": q_minhash_signatures,
     "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+    "neardup_clusters": q_neardup_clusters,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "token_counts": q_token_counts,
@@ -3063,6 +3098,7 @@ ORACLES: dict[str, str] = {
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "lsh_jaccard_pairs": SQL_LSH_JACCARD_PAIRS,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -778,3 +778,48 @@ def strip_boilerplate(
             "\n",
         ).alias(text_col)
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Transitive near-dup clustering: verified pairs → (doc_id, cluster_id,
+    keep).
+
+    The MassiveText/RefinedWeb dedup shape: pair-grain near-dup evidence
+    (from ``minhash_dedup``, ``simhash_near_pairs``, or
+    ``embedding_near_duplicates``) is closed transitively — if A~B and B~C,
+    all three are one duplicate cluster even when A~C was never sampled by
+    LSH — and exactly ONE canonical doc per cluster survives
+    (``keep = cluster_id = min doc_id``, a deterministic engine-portable
+    survivor rule). Pair-grain dropping (always drop ``doc_b``) over-drops:
+    in a chain A~B, B~C it deletes both B and C even though C may only
+    resemble the already-deleted B.
+
+    Scale shape: doc ids ride the iterative CC job as xxhash64 longs (the
+    star rounds shuffle narrow (long, long) edges only); the string ids
+    rejoin once at (doc, component) grain and the survivor rule is one
+    map-combinable min per component. Hash collisions would merge unrelated
+    clusters — at 10^12 docs the birthday bound over 2^64 is ~3% for ONE
+    collision corpus-wide, an over-drop of O(1) docs, which is the right
+    trade for keeping strings off the iterative shuffle.
+    """
+    from xlink_spark.operators.cluster import connected_components
+
+    members = (
+        pairs.select(F.col(id_a).alias("doc_id"))
+        .unionByName(pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+        .withColumn("node", F.xxhash64("doc_id"))
+    )
+    edges = pairs.select(
+        F.xxhash64(id_a).alias("src"), F.xxhash64(id_b).alias("dst")
+    )
+    comp = connected_components(edges)
+    assigned = members.join(comp, "node", "inner")
+    reps = assigned.groupBy("component").agg(F.min("doc_id").alias("cluster_id"))
+    return assigned.join(reps, "component").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
