@@ -1335,3 +1335,30 @@ def test_neardup_clusters_chain_closure_and_survivor(spark):
     # exactly one survivor per cluster
     kept = [d for d, _, k in out if k]
     assert kept == ["a", "x"]
+
+
+def test_histogram_quantiles_hand_values(spark):
+    """Quantile p = lower bucket edge of the first cumulative bucket
+    reaching ceil(p·n); NULLs excluded from n; duplicates counted."""
+    from xlink_spark.operators.textstats import histogram_quantiles
+
+    rows = [(v,) for v in [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]]
+    rows.append((None,))
+    df = spark.createDataFrame(rows, "v double")
+    out = {
+        r["p_micro"]: (r["rank"], r["bucket"], r["q"])
+        for r in histogram_quantiles(df, "v", [500000, 900000, 1000000]).collect()
+    }
+    # n = 10 (NULL excluded): p50 → rank 5 → 5th sorted value 0.4;
+    # p90 → rank 9 → 0.8; p100 → rank 10 → 0.9
+    assert out[500000] == (5, 400000, 0.4)
+    assert out[900000] == (9, 800000, 0.8)
+    assert out[1000000] == (10, 900000, 0.9)
+
+    # duplicate mass: 7×0.2 and 3×0.8 → p50 lands inside the 0.2 bucket
+    dup = spark.createDataFrame([(0.2,)] * 7 + [(0.8,)] * 3, "v double")
+    d = {
+        r["p_micro"]: r["q"]
+        for r in histogram_quantiles(dup, "v", [500000, 800000]).collect()
+    }
+    assert d[500000] == 0.2 and d[800000] == 0.8

@@ -911,6 +911,46 @@ from r
 """
 
 
+def q_quality_quantiles(spark, sf_dir):
+    """Threshold-selection quantiles of the quality score
+    (textstats.histogram_quantiles): the sort-free integer-histogram path —
+    bucket = floor(quality·1e6) counts (grain bounded by the resolution,
+    never the corpus), cumulative over the bucket-grain histogram, quantile
+    = first bucket reaching ceil(p·n) in exact bigint arithmetic. This is
+    the operator behind every min_quality-style curation gate."""
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    scored = docs.select(TS.quality_score_raw("text").alias("quality"))
+    return TS.histogram_quantiles(
+        scored, "quality", [100000, 250000, 500000, 750000, 900000, 990000]
+    )
+
+
+SQL_QUALITY_QUANTILES = f"""
+with qs as ({SQL_QUALITY_SCORES}),
+hist as (select quality_u as bucket, count(*)::bigint as cnt from qs group by 1),
+cum as (
+  select bucket,
+         sum(cnt) over (order by bucket
+                        rows between unbounded preceding and current row)::bigint
+           as cum
+  from hist
+),
+tot as (select max(cum) as n from cum),
+probs(p_micro) as (
+  values (100000), (250000), (500000), (750000), (900000), (990000)
+),
+ranked as (
+  select p_micro::bigint as p_micro,
+         ((p_micro::bigint * n + 999999) // 1000000)::bigint as rank
+  from probs, tot
+)
+select p_micro, rank, min(bucket) as bucket,
+       round(min(bucket) / 1000000.0, 6) as q
+from ranked join cum on cum >= rank
+group by 1, 2
+"""
+
+
 def q_language_id(spark, sf_dir):
     docs = spark.read.parquet(_T(sf_dir, "documents"))
     return TS.language_id(docs).select(
@@ -3031,6 +3071,7 @@ QUERIES: dict[str, Query] = {
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
+    "quality_quantiles": q_quality_quantiles,
     "language_id": q_language_id,
     "repetition_stats": q_repetition_stats,
     "redact_pii": q_redact_pii,
@@ -3103,6 +3144,7 @@ ORACLES: dict[str, str] = {
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
+    "quality_quantiles": SQL_QUALITY_QUANTILES,
     "language_id": SQL_LANGUAGE_ID,
     "repetition_stats": SQL_REPETITION_STATS,
     "redact_pii": SQL_REDACT_PII,

@@ -306,3 +306,61 @@ def redact_pii(
         F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)).alias("n_emails"),
         F.regexp_count(no_email, F.lit(PII_PHONE_RE)).alias("n_phones"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    probs_micro: list[int],
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Exact-to-resolution quantiles without a global sort — the scale path
+    for picking curation thresholds off a score distribution.
+
+    Sorting 10^12 scores to find p50/p90 is a full-corpus exchange; instead
+    the scores fold into an integer histogram (``bucket = floor(value ·
+    resolution)``, one map-side-combinable count whose output grain is
+    bounded by the RESOLUTION, not the corpus), and quantile p is the lower
+    edge of the first bucket whose cumulative count reaches ``ceil(p · n)``.
+    Everything is bigint arithmetic — ``probs_micro`` are probabilities in
+    integer micro-units (250000 = p25) and the ceil is ``(p·n + 10^6 − 1)
+    div 10^6`` (positive operands, so truncating and flooring division
+    agree) — the reported edges are bit-identical across engines and runs.
+
+    The cumulative window is unpartitioned BY DESIGN: it runs over the
+    bucket-grain histogram (≤ resolution+1 rows however large the corpus),
+    never over rows. NULL scores are excluded from n. Returns one row per
+    requested probability: (p_micro, rank, bucket, q) where q = bucket /
+    resolution rounded to 6 dp.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    hist = vals.select(
+        F.floor(F.col("v") * F.lit(resolution)).cast("long").alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = cum.agg(F.max("cum").alias("n"))
+    probs = spark.createDataFrame(
+        [(int(p),) for p in probs_micro], "p_micro long"
+    )
+    ranked = probs.crossJoin(F.broadcast(totals)).withColumn(
+        "rank", F.expr("(p_micro * n + 999999) div 1000000")
+    )
+    hit = ranked.join(F.broadcast(cum), F.col("cum") >= F.col("rank"), "inner")
+    return (
+        hit.groupBy("p_micro", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "p_micro",
+            "rank",
+            "bucket",
+            F.round(F.col("bucket") / F.lit(float(resolution)), 6).alias("q"),
+        )
+    )
