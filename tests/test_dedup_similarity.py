@@ -1362,3 +1362,48 @@ def test_histogram_quantiles_hand_values(spark):
         for r in histogram_quantiles(dup, "v", [500000, 800000]).collect()
     }
     assert d[500000] == 0.2 and d[800000] == 0.8
+
+
+def test_paragraph_dedup_hand_values(spark):
+    """Keep-first paragraph dedup: cross-doc repeats keep the min
+    (doc_id, pos) copy, within-doc repeats keep the earliest, all-repeat
+    docs and NULL-text docs SURVIVE as empty text, empty paragraphs are
+    structural (never deduped), and reassembly preserves order."""
+    from xlink_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nshared one\n\nbeta"),
+            (2, "shared one\n\ngamma\n\nshared one"),
+            (3, "shared one"),
+            (4, "delta\n\n\n\nepsilon"),
+            (5, None),
+            (6, "zeta\n\nzeta"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert out == {
+        1: "alpha\n\nshared one\n\nbeta",
+        2: "gamma",
+        3: "",
+        4: "delta\n\n\n\nepsilon",
+        5: "",
+        6: "zeta",
+    }
+
+
+def test_paragraph_dedup_min_chars_floor(spark):
+    """Paragraphs under min_chars are structural — repeated short headers
+    stay in every doc; longer repeats still dedup."""
+    from xlink_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hi\n\nlong shared paragraph"), (2, "hi\n\nlong shared paragraph")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(docs, min_chars=5).collect()
+    }
+    assert out == {1: "hi\n\nlong shared paragraph", 2: "hi"}

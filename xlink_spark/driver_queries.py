@@ -2594,6 +2594,76 @@ group by l.doc_id
 """
 
 
+# ------------------------------------------------- paragraph-level dedup
+# Synthetic paragraph corpus: p1 = a text prefix (template texts collide
+# across docs, so some prefixes repeat), p2 = one of 7 shared passages
+# (kept only at its min-(doc_id,pos) occurrence), p3 = an overlapping text
+# slice ('' for short docs — empty paragraphs are never deduped), and every
+# 11th doc repeats its shared passage WITHIN the doc (the within-doc path).
+
+
+def _pd_corpus(spark, sf_dir):
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    sep = F.lit("\n\n")
+    shared = F.concat(F.lit("shared passage "), F.expr("cast(doc_id % 7 as string)"))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 100),
+            sep,
+            shared,
+            sep,
+            F.substring("text", 41, 80),
+            F.when(F.expr("doc_id % 11 = 0"), F.concat(sep, shared)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (CCNet-style): every repeated paragraph
+    survives only at its first (doc_id, pos) occurrence; documents always
+    survive, possibly empty (operators/dedup.paragraph_dedup). Output
+    hashes each rebuilt text, so survivor choice, within-doc repeats,
+    empty-paragraph preservation and reassembly order are all checked."""
+    return DD.paragraph_dedup(_pd_corpus(spark, sf_dir)).select(
+        "doc_id", F.md5("text").alias("dedup_hash")
+    )
+
+
+SQL_PARAGRAPH_DEDUP = """
+with corpus as (
+  select doc_id,
+         substr(text, 1, 100) || chr(10) || chr(10)
+           || 'shared passage ' || (doc_id % 7)::varchar || chr(10) || chr(10)
+           || substr(text, 41, 80)
+           || (case when doc_id % 11 = 0
+                    then chr(10) || chr(10) || 'shared passage '
+                         || (doc_id % 7)::varchar
+                    else '' end) as text
+  from documents
+),
+paras as (
+  select doc_id, generate_subscripts(ps, 1) - 1 as pos, unnest(ps) as para
+  from (select doc_id, string_split(text, chr(10) || chr(10)) as ps from corpus)
+),
+occ as (
+  select doc_id, pos,
+         row_number() over (partition by md5(para) order by doc_id, pos) as rn
+  from paras where length(para) >= 1
+),
+drops as (select doc_id, pos from occ where rn > 1)
+select p.doc_id,
+       md5(coalesce(string_agg(case when d.pos is null then p.para end,
+                               chr(10) || chr(10) order by p.pos),
+                    '')) as dedup_hash
+from paras p
+left join drops d on p.doc_id = d.doc_id and p.pos = d.pos
+group by p.doc_id
+"""
+
+
 def q_blocking_metrics(spark, sf_dir):
     """Blocking-stage diagnostics (eval/blocking.blocking_quality): pair
     completeness + reduction ratio of the surface-form blocking key against
@@ -3103,6 +3173,7 @@ QUERIES: dict[str, Query] = {
     "top_ngrams": q_top_ngrams,
     "boilerplate_lines": q_boilerplate_lines,
     "strip_boilerplate": q_strip_boilerplate,
+    "paragraph_dedup": q_paragraph_dedup,
     "blocking_metrics": q_blocking_metrics,
     "bcubed_metrics": q_bcubed_metrics,
     "skew_salt_plan": q_skew_salt_plan,
@@ -3182,6 +3253,7 @@ ORACLES: dict[str, str] = {
     "top_ngrams": SQL_TOP_NGRAMS,
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "blocking_metrics": SQL_BLOCKING_METRICS,
     "bcubed_metrics": SQL_BCUBED_METRICS,
     "skew_salt_plan": SQL_SKEW_SALT_PLAN,

@@ -823,3 +823,64 @@ def neardup_clusters(
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """(id, text) with every repeated paragraph removed except its FIRST
+    corpus-wide occurrence (CCNet-style paragraph dedup — the step the
+    reference has no analogue for; CCNet dedups paragraph hashes across
+    shards before anything else sees the text).
+
+    "First" is the (id, position) minimum — a total order, so the survivor
+    set is a pure function of the corpus, independent of partitioning. A
+    paragraph repeated INSIDE one document keeps only its earliest copy.
+    Paragraphs shorter than ``min_chars`` (and empty ones) are never
+    deduplicated — they stay where they are, preserving document structure.
+    Every document survives; one that was ALL repeats comes back empty, and
+    NULL text survives as empty (split/posexplode would silently drop it).
+
+    Scale shape: the content-grouped shuffle carries ONLY (md5, id, pos) —
+    paragraph text never rides it; drop positions come back per-doc as an
+    int array (row_number window over the hash, rn>1), and the rebuild is a
+    pure array expression over the document's own split — so text moves on
+    exactly one doc-keyed join shuffle, nothing else.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "pos", "para"
+        ),
+    )
+    occ = paras.filter(F.length("para") >= min_chars).select(
+        F.md5("para").alias("h"), id_col, "pos"
+    )
+    w = Window.partitionBy("h").orderBy(id_col, "pos")
+    drops = (
+        occ.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_drop_pos"))
+    )
+    rebuilt = (
+        docs.join(drops, id_col, "left")
+        .withColumn(
+            "_drop_pos", F.coalesce("_drop_pos", F.array().cast("array<int>"))
+        )
+        .withColumn(
+            text_col,
+            F.array_join(
+                F.filter(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+                    lambda x, i: ~F.array_contains(F.col("_drop_pos"), i),
+                ),
+                sep,
+            ),
+        )
+    )
+    return rebuilt.select(id_col, text_col)
