@@ -221,3 +221,38 @@ def test_normalize_spans_merges_text_runs(spark):
         ("media", None, "asset://m", 4),
         ("text", "de", None, 4),
     ]
+
+
+def test_media_ref_audit_hand_values(spark):
+    """Dangling-media audit: per-occurrence counting (repeated dangling ref
+    counts twice), zero-media docs survive with empty array, catalog
+    duplicates collapse, and dangling_refs comes back sorted."""
+    from xlink_spark.operators.spans import media_ref_audit, parse_markup_to_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a [[media:ok1]] b [[media:gone2]] c [[media:gone1]]"),
+            (2, "no media here"),
+            (3, "[[media:gone1]] x [[media:gone1]]"),
+            (4, "[[e1|anchor]] only"),  # anchors are not media
+        ],
+        "doc_id int, text string",
+    )
+    catalog = spark.createDataFrame(
+        [("ok1",), ("ok1",), ("unused",)], "media_ref string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in media_ref_audit(parse_markup_to_spans(docs), catalog).collect()
+    }
+    assert (out[1]["n_media"], out[1]["n_resolved"], out[1]["n_dangling"]) == (3, 1, 2)
+    assert out[1]["dangling_refs"] == ["gone1", "gone2"]
+    assert (out[2]["n_media"], out[2]["n_dangling"], out[2]["dangling_refs"]) == (
+        0,
+        0,
+        [],
+    )
+    assert (out[3]["n_media"], out[3]["n_dangling"]) == (2, 2)
+    assert out[3]["dangling_refs"] == ["gone1", "gone1"]
+    assert (out[4]["n_media"], out[4]["n_dangling"]) == (0, 0)
+    assert len(out) == 4

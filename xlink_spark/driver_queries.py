@@ -2899,6 +2899,96 @@ def q_span_roundtrip(spark, sf_dir):
 # text span between them. Offsets are cumulative token positions in the
 # plain text. plain_hash = md5(text) directly (the parser must reconstruct
 # the original), rt_hash = md5(markup) (serialization must invert).
+# ------------------------------------------------- media-ref integrity
+# Interleaved corpus: every doc carries one image marker (23 distinct
+# refs), every 3rd a video marker (5 refs), every 7th repeats its image
+# marker (per-OCCURRENCE counting). The catalog knows img_0..15 and
+# vid_0..2, so img_16..22 / vid_3..4 are dangling. The spans come from the
+# REAL markup parser, not from arithmetic — only the ORACLE derives the
+# expected refs independently.
+
+
+def q_media_ref_audit(spark, sf_dir):
+    """Media-reference integrity over the interleaved span table: parse
+    media markers through parse_markup_to_spans, audit every media span's
+    ref against a catalog (operators/spans.media_ref_audit). Per-doc
+    counts + sorted dangling list (hashed), all docs surviving — the
+    pre-publish validation pass for a text+media lake."""
+    from xlink_spark.operators.spans import media_ref_audit, parse_markup_to_spans
+
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    img = F.concat(F.lit("img_"), F.expr("cast(doc_id % 23 as string)"))
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" [[media:"), img, F.lit("]]"),
+            F.when(
+                F.expr("doc_id % 3 = 0"),
+                F.concat(
+                    F.lit(" x [[media:vid_"),
+                    F.expr("cast(doc_id % 5 as string)"),
+                    F.lit("]]"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.expr("doc_id % 7 = 0"),
+                F.concat(F.lit(" [[media:"), img, F.lit("]]")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    catalog = (
+        spark.range(16)
+        .select(F.concat(F.lit("img_"), F.col("id").cast("string")).alias("media_ref"))
+        .unionByName(
+            spark.range(3).select(
+                F.concat(F.lit("vid_"), F.col("id").cast("string")).alias("media_ref")
+            )
+        )
+    )
+    audited = media_ref_audit(parse_markup_to_spans(marked), catalog)
+    return audited.select(
+        "doc_id",
+        "n_media",
+        "n_resolved",
+        "n_dangling",
+        F.md5(F.array_join("dangling_refs", ",")).alias("dangling_hash"),
+    )
+
+
+SQL_MEDIA_REF_AUDIT = """
+with c as (
+  select doc_id,
+         'img_' || (doc_id % 23)::varchar as img,
+         case when doc_id % 3 = 0 then 'vid_' || (doc_id % 5)::varchar end as vid,
+         (doc_id % 7 = 0) as rep
+  from documents
+),
+refs as (
+  select doc_id, img as ref from c
+  union all select doc_id, vid from c where vid is not null
+  union all select doc_id, img from c where rep
+),
+cat as (
+  select 'img_' || i::varchar as ref from range(16) t(i)
+  union all select 'vid_' || i::varchar from range(3) u(i)
+),
+j as (
+  select r.doc_id, r.ref, (cat.ref is null) as dang
+  from refs r left join cat on r.ref = cat.ref
+)
+select d.doc_id,
+       count(j.ref)::bigint as n_media,
+       coalesce(sum(case when not dang then 1 else 0 end), 0)::bigint as n_resolved,
+       coalesce(sum(case when dang then 1 else 0 end), 0)::bigint as n_dangling,
+       md5(coalesce(string_agg(case when dang then j.ref end, ',' order by j.ref),
+                    '')) as dangling_hash
+from documents d
+left join j on d.doc_id = j.doc_id
+group by d.doc_id
+"""
+
+
 SQL_SPAN_ROUNDTRIP = """
 with t1 as (
   select doc_id, source, i, tok, length(tok) >= 6 as anch,
@@ -3180,6 +3270,7 @@ QUERIES: dict[str, Query] = {
     "cluster_size_histogram": q_cluster_size_histogram,
     "current_links_fold": q_current_links_fold,
     "span_roundtrip": q_span_roundtrip,
+    "media_ref_audit": q_media_ref_audit,
     "lm_scores": q_lm_scores,
     "table_diff": q_table_diff,
     "chunk_documents": q_chunk_documents,
@@ -3260,6 +3351,7 @@ ORACLES: dict[str, str] = {
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     "current_links_fold": SQL_CURRENT_LINKS_FOLD,
     "span_roundtrip": SQL_SPAN_ROUNDTRIP,
+    "media_ref_audit": SQL_MEDIA_REF_AUDIT,
     "lm_scores": SQL_LM_SCORES,
     "table_diff": SQL_TABLE_DIFF,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -370,3 +370,67 @@ def span_sequence_key(spans: Column | str) -> Column:
             ),
         ),
     )
+
+
+def media_ref_audit(
+    df: DataFrame,
+    catalog: DataFrame,
+    doc_id: str = "doc_id",
+    spans: str = "spans",
+    ref_col: str = "media_ref",
+    broadcast_catalog: bool = True,
+) -> DataFrame:
+    """Per-document media-reference integrity over the interleaved span
+    table: (doc_id, n_media, n_resolved, n_dangling, dangling_refs).
+
+    A lake of interleaved text+media documents accumulates dangling
+    ``media_ref``\\ s — blobs expired, moved, or never committed. This is
+    the validation pass a writer runs before publishing a snapshot. Every
+    document survives (zero media spans → counts 0, empty array), repeated
+    refs inside one doc count per OCCURRENCE, and ``dangling_refs`` comes
+    back sorted so the output is a pure function of the input.
+
+    Scale shape: media spans are filtered BEFORE the explode, so only
+    narrow (doc_id, ref) rows exist; the catalog joins as a distinct-ref
+    list (broadcast by default — flip ``broadcast_catalog`` off when the
+    media catalog itself is huge and let AQE pick the shuffle join); docs
+    re-enter via one doc-keyed left join carrying three ints and the
+    dangling list.
+    """
+    refs = df.select(
+        doc_id,
+        F.explode(
+            F.filter(F.col(spans), lambda s: s["kind"] == "media")
+        ).alias("s"),
+    ).select(doc_id, F.col("s.media_ref").alias("_ref"))
+    cat = (
+        catalog.select(F.col(ref_col).alias("_ref"))
+        .distinct()
+        .withColumn("_known", F.lit(True))
+    )
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    per_doc = (
+        refs.join(cat, "_ref", "left")
+        .groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.when(F.col("_known").isNull(), 1).otherwise(0)).alias(
+                "n_dangling"
+            ),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_known").isNull(), F.col("_ref")))
+            ).alias("dangling_refs"),
+        )
+    )
+    return df.select(doc_id).join(per_doc, doc_id, "left").select(
+        doc_id,
+        F.coalesce("n_media", F.lit(0)).cast("long").alias("n_media"),
+        (F.coalesce("n_media", F.lit(0)) - F.coalesce("n_dangling", F.lit(0)))
+        .cast("long")
+        .alias("n_resolved"),
+        F.coalesce("n_dangling", F.lit(0)).cast("long").alias("n_dangling"),
+        F.coalesce("dangling_refs", F.array().cast("array<string>")).alias(
+            "dangling_refs"
+        ),
+    )
