@@ -259,6 +259,7 @@ def detect_mentions_join(
     dictionary: DataFrame,
     max_words: int | None = None,
     first_token_max_rows: int = 5_000_000,
+    assume_deduped: bool = False,
 ) -> DataFrame:
     """Join-path detection for dictionaries too large to broadcast.
 
@@ -280,7 +281,13 @@ def detect_mentions_join(
     # is still correct, just with max_words x more generated rows
     first_tokens = first_token_set(dictionary, "mention", first_token_max_rows)
     grams = ngram_spans(docs_plain, max_words=max_words, first_tokens=first_tokens)
-    d = dictionary.select(F.col("mention").alias("surface"), "parse_from").distinct()
+    # assume_deduped: a PUBLISHED dictionary snapshot (e.g. the bucketed
+    # layout sources/bucketed.write_bucketed_dictionary lays down) is
+    # already distinct — the defensive .distinct() here would re-shuffle it
+    # on (surface, parse_from) and throw the bucket co-location away
+    d = dictionary.select(F.col("mention").alias("surface"), "parse_from")
+    if not assume_deduped:
+        d = d.distinct()
     return grams.join(d, "surface", "inner").select(
         "doc_id", "start", "end", "surface", "parse_from"
     )

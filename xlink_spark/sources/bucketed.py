@@ -71,3 +71,43 @@ def bucketed_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     return spark.table(left_table).join(spark.table(right_table), keys)
+
+
+def write_bucketed_dictionary(
+    dictionary: DataFrame, table: str, num_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Publish a (mention, parse_from) dictionary snapshot bucketed on the
+    blocking key.
+
+    Dedup happens ONCE here, at publish time, so every later linking batch
+    can run join-path detection with ``assume_deduped=True`` — the dict
+    side then reads straight from its buckets with no Exchange at all (the
+    defensive per-batch ``.distinct()`` would otherwise re-shuffle the full
+    dictionary every batch).
+    """
+    write_bucketed(dictionary.distinct(), table, "mention", num_buckets)
+
+
+def detect_with_bucketed_dictionary(
+    docs_plain: DataFrame,
+    table: str,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Join-path mention detection against a published bucketed dictionary.
+
+    Same matches as `operators.detect.detect_mentions_join` (pinned by
+    test); the plan difference is the point — the only shuffle left in the
+    blocking join is the probe (n-gram) side repartitioning to the
+    dictionary's bucket count. At 100 TB the dictionary is the stable,
+    repeatedly-joined side, so its per-batch Exchange is the one worth
+    deleting.
+    """
+    from xlink_spark.operators.detect import detect_mentions_join
+
+    spark = docs_plain.sparkSession
+    return detect_mentions_join(
+        docs_plain,
+        read_bucketed(spark, table),
+        max_words=max_words,
+        assume_deduped=True,
+    )
