@@ -1,0 +1,76 @@
+"""Deletion-neighborhood fuzzy surface matching (operators/fuzzy)."""
+
+from __future__ import annotations
+
+import random
+
+from xlink_spark.operators import fuzzy as FZ
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_variants_expr(spark):
+    row = spark.createDataFrame([("book",), ("ab",)], "s string").select(
+        FZ.deletion_variants("s").alias("v")
+    ).collect()
+    # repeated-char deletions collapse: book -> {book, ook, bok, boo}
+    assert sorted(row[0]["v"]) == ["bok", "boo", "book", "ook"]
+    assert sorted(row[1]["v"]) == ["a", "ab", "b"]
+
+
+def test_fuzzy_candidates_match_brute_force(spark):
+    """Blocked+verified pairs == brute-force levenshtein<=1 on random
+    surfaces, including the substitution case (meets only at the deleted
+    position) and the transposition FALSE POSITIVE ("ab"/"ba" share variants
+    but are distance 2 — the verify filter must kill it)."""
+    rng = random.Random(20260818)
+    vocab = "abcx"
+    qs = list({"".join(rng.choice(vocab) for _ in range(rng.randint(2, 5))) for _ in range(60)})
+    ds = list({"".join(rng.choice(vocab) for _ in range(rng.randint(2, 5))) for _ in range(60)})
+    qs += ["ab", "scan", "vaIue"]
+    ds += ["ba", "scat", "value"]
+    q = spark.createDataFrame([(s,) for s in qs], "mention string")
+    d = spark.createDataFrame([(s,) for s in ds], "surface string")
+    got = sorted(
+        (r["mention"], r["surface"], r["dist"])
+        for r in FZ.fuzzy_surface_candidates(q, d).collect()
+    )
+    want = sorted(
+        (a, b, _lev(a, b))
+        for a in set(qs)
+        for b in set(ds)
+        if _lev(a, b) <= 1 and len(a) >= 2 and len(b) >= 2
+    )
+    assert got == want and len(got) > 0
+    assert ("ab", "ba", 2) not in [(a, b, _lev(a, b)) for a, b, _ in got]
+    assert ("scan", "scat", 1) in got and ("vaIue", "value", 1) in got
+
+
+def test_fuzzy_candidates_plan_has_no_cartesian(spark):
+    """The whole point: an equi-join on the variant key, never a nested-loop
+    cross join with a levenshtein predicate."""
+    q = spark.createDataFrame([("scan",)], "mention string")
+    d = spark.createDataFrame([("scat",)], "surface string")
+    plan = (
+        FZ.fuzzy_surface_candidates(q, d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fuzzy_candidates_min_len_drops_short_surfaces(spark):
+    q = spark.createDataFrame([("a",), ("ab",)], "mention string")
+    d = spark.createDataFrame([("a",), ("ab",)], "surface string")
+    got = {(r["mention"], r["surface"]) for r in FZ.fuzzy_surface_candidates(q, d).collect()}
+    assert got == {("ab", "ab")}  # len-1 surfaces gated on BOTH sides
+    got3 = FZ.fuzzy_surface_candidates(q, d, min_len=1).count()
+    assert got3 == 4  # a~a, a~ab, ab~a, ab~ab all within distance 1

@@ -3200,6 +3200,85 @@ from k
 """
 
 
+def q_fuzzy_surface_match(spark, sf_dir):
+    """SymSpell-style fuzzy surface matching
+    (operators/fuzzy.fuzzy_surface_candidates): deletion-neighborhood
+    blocking + levenshtein verify — the linear-cost alternative to a cross
+    join for dirty-mention → KB candidate generation (the reference's trie
+    lookup, MentionParser.py:53-68, is exact-match only).
+
+    Dictionary: distinct unigram tokens (len ≥ 4) ∪ distinct bigrams of the
+    corpus. Dirty mentions: each surface with ONE char deleted at an
+    md5-chosen position (deterministic and portable — both engines pick the
+    same char). Output: every (mention, surface) pair within edit distance
+    1, the oracle finding them by brute-force levenshtein over all pairs.
+    """
+    from xlink_spark.operators.fuzzy import fuzzy_surface_candidates
+
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    ts = docs.select(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("ts")
+    )
+    uni = ts.select(F.explode("ts").alias("surface")).where(F.length("surface") >= 4)
+    bi = ts.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                " i -> concat(ts[i-1], ' ', ts[i]))"
+            )
+        ).alias("surface")
+    )
+    surfaces = uni.union(bi).distinct()
+    # delete the char at p = md5(surface) % len: 15 hex chars < 2^60 so the
+    # conv()-to-bigint is exact, and pmod == % because both are non-negative
+    p = "cast(pmod(conv(substring(md5(surface), 1, 15), 16, 10), length(surface)) as int)"
+    dirty = surfaces.select(
+        F.expr(
+            f"concat(substring(surface, 1, {p}), substring(surface, {p} + 2))"
+        ).alias("mention")
+    )
+    return fuzzy_surface_candidates(dirty, surfaces).orderBy("mention", "surface")
+
+
+SQL_FUZZY_SURFACE_MATCH = """
+with base as (
+  select doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') as ts
+  from documents
+),
+pos as (
+  select doc_id, unnest(ts) as surface, generate_subscripts(ts, 1) as i from base
+),
+uni as (
+  select surface from pos
+),
+bi as (
+  select a.surface || ' ' || b.surface as surface
+  from pos a join pos b on a.doc_id = b.doc_id and b.i = a.i + 1
+),
+surfaces as (
+  select distinct surface from (
+    select surface from uni where length(surface) >= 4
+    union all select surface from bi
+  )
+),
+dirty as (
+  select distinct
+    substr(surface, 1, p) || substr(surface, p + 2) as mention
+  from (
+    select surface,
+      (('0x' || substr(md5(surface), 1, 15))::bigint % length(surface))::int as p
+    from surfaces
+  )
+)
+select d.mention, s.surface, levenshtein(d.mention, s.surface)::int as dist
+from dirty d
+join surfaces s on levenshtein(d.mention, s.surface) <= 1
+where length(d.mention) >= 2 and length(s.surface) >= 2
+order by mention, surface
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3274,6 +3353,7 @@ QUERIES: dict[str, Query] = {
     "lm_scores": q_lm_scores,
     "table_diff": q_table_diff,
     "chunk_documents": q_chunk_documents,
+    "fuzzy_surface_match": q_fuzzy_surface_match,
 }
 
 ORACLES: dict[str, str] = {
@@ -3355,4 +3435,5 @@ ORACLES: dict[str, str] = {
     "lm_scores": SQL_LM_SCORES,
     "table_diff": SQL_TABLE_DIFF,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "fuzzy_surface_match": SQL_FUZZY_SURFACE_MATCH,
 }
