@@ -3279,6 +3279,81 @@ order by mention, surface
 """
 
 
+def q_fuzzy_candidate_priors(spark, sf_dir):
+    """Fuzzy candidate generation end-to-end: a dirty (md5-corrupted)
+    mention recovers its P(e|m) candidates through the deletion-neighborhood
+    match — the concrete ER payoff of operators/fuzzy (the reference's
+    exact-match probe, ProbHolder.py:37-51, returns nothing for these).
+
+    Top-3 candidates per dirty mention, ranked by (edit distance, anchor
+    count desc, entity_id): within a mention the P(e|m) denominator is
+    constant, so ranking by the exact bigint ``cnt`` IS the prior ranking
+    without float-ordering hazards; ``p`` is reported rounded.
+    """
+    from xlink_spark.operators.fuzzy import fuzzy_surface_candidates
+
+    ma = q_mention_anchors(spark, sf_dir)
+    surfaces = ma.select(F.col("mention").alias("surface")).distinct()
+    p = "cast(pmod(conv(substring(md5(surface), 1, 15), 16, 10), length(surface)) as int)"
+    dirty = surfaces.select(
+        F.expr(
+            f"concat(substring(surface, 1, {p}), substring(surface, {p} + 2))"
+        ).alias("mention")
+    )
+    pairs = fuzzy_surface_candidates(dirty, surfaces)
+    w = Window.partitionBy("mention")
+    egm = ma.select(
+        F.col("mention").alias("surface"),
+        "entity_id",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(w), 6).alias("p"),
+    )
+    ranked = pairs.join(egm, "surface").withColumn(
+        "cand_rank",
+        F.row_number().over(
+            Window.partitionBy("mention").orderBy(
+                "dist", F.col("cnt").desc(), "entity_id", "surface"
+            )
+        ),
+    )
+    return ranked.where(F.col("cand_rank") <= 3).select(
+        "mention", "surface", "dist", "entity_id", F.col("cnt").cast("long").alias("cnt"), "p", "cand_rank"
+    )
+
+
+SQL_FUZZY_CANDIDATE_PRIORS = f"""
+with ma as ({_MA_SQL}),
+surfaces as (select distinct mention as surface from ma),
+dirty as (
+  select distinct substr(surface, 1, q) || substr(surface, q + 2) as mention
+  from (
+    select surface,
+      (('0x' || substr(md5(surface), 1, 15))::bigint % length(surface))::int as q
+    from surfaces
+  )
+),
+pairs as (
+  select d.mention, s.surface, levenshtein(d.mention, s.surface)::int as dist
+  from dirty d join surfaces s on levenshtein(d.mention, s.surface) <= 1
+  where length(d.mention) >= 2 and length(s.surface) >= 2
+),
+egm as (
+  select mention as surface, entity_id, cnt::bigint as cnt,
+         round(cnt / (sum(cnt) over (partition by mention)), 6) as p
+  from ma
+),
+ranked as (
+  select pr.mention, pr.surface, pr.dist, e.entity_id, e.cnt, e.p,
+         row_number() over (
+           partition by pr.mention
+           order by pr.dist, e.cnt desc, e.entity_id, pr.surface
+         )::int as cand_rank
+  from pairs pr join egm e using (surface)
+)
+select * from ranked where cand_rank <= 3
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3354,6 +3429,7 @@ QUERIES: dict[str, Query] = {
     "table_diff": q_table_diff,
     "chunk_documents": q_chunk_documents,
     "fuzzy_surface_match": q_fuzzy_surface_match,
+    "fuzzy_candidate_priors": q_fuzzy_candidate_priors,
 }
 
 ORACLES: dict[str, str] = {
@@ -3436,4 +3512,5 @@ ORACLES: dict[str, str] = {
     "table_diff": SQL_TABLE_DIFF,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "fuzzy_surface_match": SQL_FUZZY_SURFACE_MATCH,
+    "fuzzy_candidate_priors": SQL_FUZZY_CANDIDATE_PRIORS,
 }
