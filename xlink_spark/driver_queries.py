@@ -3354,6 +3354,43 @@ select * from ranked where cand_rank <= 3
 """
 
 
+def q_jaccard_pairs_exact(spark, sf_dir):
+    """Exact prefix-filtered set-similarity join (operators/setsim) — the
+    zero-miss complement to lsh_jaccard_pairs on the SAME near-dup corpus
+    and threshold (0.5): candidates from an equi-join on rarest-first
+    shingle prefixes (complete by the prefix-filtering theorem), exact
+    bigint cross-multiplication threshold test. The oracle is a brute-force
+    shared-shingle self-join, so the hash certifies completeness, not just
+    precision.
+    """
+    from xlink_spark.operators.dedup import shingles
+    from xlink_spark.operators.setsim import jaccard_join_exact
+
+    corpus = _doc_pairs_corpus(spark, sf_dir)
+    sh = shingles(corpus, n=3)
+    return jaccard_join_exact(sh, threshold_ppm=500_000).orderBy("doc_a", "doc_b")
+
+
+SQL_JACCARD_PAIRS_EXACT = f"""
+with sh as ({_sql_shingles(_SQL_PAIRS_CORPUS)}),
+n as (select doc_id, count(*)::bigint as n from sh group by 1),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*)::bigint as inter
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+j as (
+  select doc_a, doc_b, inter, (na.n + nb.n - inter)::bigint as uni
+  from inter
+  join n na on na.doc_id = inter.doc_a
+  join n nb on nb.doc_id = inter.doc_b
+)
+select doc_a, doc_b, inter, uni, (inter * 1000000 // uni)::bigint as jac_ppm
+from j where inter * 1000000 >= 500000 * uni
+order by doc_a, doc_b
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3430,6 +3467,7 @@ QUERIES: dict[str, Query] = {
     "chunk_documents": q_chunk_documents,
     "fuzzy_surface_match": q_fuzzy_surface_match,
     "fuzzy_candidate_priors": q_fuzzy_candidate_priors,
+    "jaccard_pairs_exact": q_jaccard_pairs_exact,
 }
 
 ORACLES: dict[str, str] = {
@@ -3513,4 +3551,5 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "fuzzy_surface_match": SQL_FUZZY_SURFACE_MATCH,
     "fuzzy_candidate_priors": SQL_FUZZY_CANDIDATE_PRIORS,
+    "jaccard_pairs_exact": SQL_JACCARD_PAIRS_EXACT,
 }

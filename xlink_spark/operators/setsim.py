@@ -1,0 +1,123 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-family).
+
+MinHash-LSH (operators/dedup.minhash_dedup) is the probabilistic near-dup
+path: cheap at any scale, but banding can MISS true pairs near the
+threshold. This module is the exact complement — every pair with set-Jaccard
+>= t is found, no randomness — using the prefix-filtering principle
+(Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+
+order every document's shingles by one global total order (document
+frequency ascending, then shingle — rarest first); if J(x, y) >= t, then the
+(|x| - ceil(t*|x|) + 1)-prefixes of x and y MUST share a shingle, so an
+equi-join on prefix shingles alone generates a complete candidate set. Proof
+sketch: let c be the first shared shingle in the global order; if c sits
+after x's prefix, every shared shingle does, so |x∩y| <= |x| - L_x =
+ceil(t*|x|) - 1 < t*|x| <= t*|x∪y| <= |x∩y| — contradiction (symmetric
+in y).
+
+Why this shape at 100 TB: the candidate join touches only prefix rows —
+the RAREST shingles of each doc, by construction — so join buckets stay
+small even when the corpus shares a huge head vocabulary (the frequent
+shingles that would explode a naive shingle self-join are exactly the ones
+prefixes exclude). Thresholds are integer ppm and every comparison is exact
+bigint cross-multiplication — no float boundary ambiguity, engine-portable.
+The verify step carries each doc's shingle-set array across only the
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PPM = 1_000_000
+
+
+def prefix_candidates(
+    doc_shingles: DataFrame, threshold_ppm: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Complete candidate pairs (doc_a < doc_b) for Jaccard >= t.
+
+    ``doc_shingles``: distinct (id_col, shingle) rows. Prefix length per doc
+    is n - ceil(t*n) + 1 with ceil computed in exact integer arithmetic.
+    """
+    sh = doc_shingles.select(F.col(id_col).alias("_id"), "shingle")
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(df_, "shingle")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("_df", "shingle")
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    # L = n - ceil(t*n) + 1 ; ceil(t*n) = (t_ppm*n + PPM-1) div PPM, exact
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("_n")
+        - F.expr(f"({threshold_ppm}L * _n + {PPM - 1}) div {PPM}")
+        + F.lit(1)
+    ).select("_id", "shingle")
+    return (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "shingle")
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_join_exact(
+    doc_shingles: DataFrame, threshold_ppm: int = 500_000, id_col: str = "doc_id"
+) -> DataFrame:
+    """All unordered doc pairs with exact set-Jaccard >= threshold_ppm/1e6.
+
+    Returns (doc_a, doc_b, inter, uni, jac_ppm) — all exact bigints,
+    jac_ppm = floor(inter * 1e6 / uni). The threshold test is the
+    cross-multiplication ``inter * 1e6 >= t_ppm * uni`` so a pair exactly at
+    the threshold is decided identically on every engine.
+    """
+    cands = prefix_candidates(doc_shingles, threshold_ppm, id_col)
+    sets = doc_shingles.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_set("shingle").alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = (
+        cands.join(
+            sets.select(
+                F.col("_id").alias("doc_a"),
+                F.col("_set").alias("_sa"),
+                F.col("_n").alias("_na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("doc_b"),
+                F.col("_set").alias("_sb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
+            "_na",
+            "_nb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("_na") + F.col("_nb") - F.col("inter")).cast("long").alias("uni"),
+        )
+    )
+    return j.where(F.col("inter") * PPM >= F.lit(threshold_ppm) * F.col("uni")).select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "uni",
+        F.expr(f"(inter * {PPM}L) div uni").alias("jac_ppm"),
+    )
