@@ -148,11 +148,13 @@ def test_bucketed_dictionary_detection_same_matches_no_dict_exchange(spark):
         "doc_id string, text string",
     )
     surfaces = ["deep learning", "learning", "graph", "new york", "york city", "x"]
-    # duplicates in the raw dict: publish must dedup once so per-batch
-    # assume_deduped joins stay correct
+    # duplicates in the raw dict PLUS a payload column whose values differ
+    # across duplicate keys: publish must dedup on (mention, parse_from) —
+    # the key the assume_deduped join trusts — not on the full row
     dict_df = spark.createDataFrame(
-        [(s, "ma") for s in surfaces] + [(s, "ma") for s in surfaces[:3]],
-        "mention string, parse_from string",
+        [(s, "ma", i) for i, s in enumerate(surfaces)]
+        + [(s, "ma", 99) for s in surfaces[:3]],
+        "mention string, parse_from string, freq int",
     )
     key = lambda df: sorted(
         (r["doc_id"], r["start"], r["end"], r["surface"], r["parse_from"])

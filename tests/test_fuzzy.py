@@ -67,6 +67,29 @@ def test_fuzzy_candidates_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_fuzzy_surface_match_query_survives_degenerate_docs(spark, tmp_path):
+    """The driver query's bigram derivation must not ANSI-crash on 0/1-token
+    documents (sequence(1, 0) is DESCENDING in Spark, so an unguarded
+    transform indexes out of range)."""
+    from xlink_spark.driver_queries import q_fuzzy_surface_match
+
+    spark.createDataFrame(
+        [
+            (1, "hello", "en", "bd", 5),       # one token: no bigram
+            (2, "", "en", "bd", 0),            # empty text
+            (3, "alpha beta alpha", "en", "wiki", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        (r["mention"], r["surface"])
+        for r in q_fuzzy_surface_match(spark, str(tmp_path)).collect()
+    }
+    # "hello" (unigram, len>=4) corrupted must still match itself at dist 1
+    assert any(s == "hello" for _, s in rows)
+    assert any(s == "alpha beta" for _, s in rows)  # bigrams still emitted
+
+
 def test_fuzzy_candidates_min_len_drops_short_surfaces(spark):
     q = spark.createDataFrame([("a",), ("ab",)], "mention string")
     d = spark.createDataFrame([("a",), ("ab",)], "surface string")

@@ -104,6 +104,22 @@ def test_exact_join_is_superset_of_lsh_at_same_threshold(spark):
     assert lsh <= exact and len(exact) > 0
 
 
+def test_duplicate_shingle_rows_are_deduped_by_default(spark):
+    """Duplicate (doc, shingle) rows inflate counts and silently DROP true
+    pairs unless deduped — the default must protect, with assume_distinct
+    as the explicit scale opt-out."""
+    docs = {"a": {"x", "y"}, "b": {"x", "y"}}
+    clean = _mk_shingles(spark, docs)
+    dup = clean.union(clean.where(F.col("doc_id") == "a"))  # doc a doubled
+    key = lambda df: sorted(
+        (r["doc_a"], r["doc_b"], r["inter"], r["uni"]) for r in df.collect()
+    )
+    assert key(SS.jaccard_join_exact(dup)) == key(SS.jaccard_join_exact(clean))
+    assert key(SS.jaccard_join_exact(clean, assume_distinct=True)) == [
+        ("a", "b", 2, 2)
+    ]
+
+
 def test_plan_has_no_cartesian(spark):
     sh = _mk_shingles(spark, {"a": {"x", "y"}, "b": {"x", "z"}})
     plan = (

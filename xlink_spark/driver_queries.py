@@ -3220,12 +3220,18 @@ def q_fuzzy_surface_match(spark, sf_dir):
         F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("ts")
     )
     uni = ts.select(F.explode("ts").alias("surface")).where(F.length("surface") >= 4)
+    # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a 0/1-token
+    # doc would index out of range under ANSI — emit an empty array instead
+    # (explode then drops the row, same as the oracle's i+1 join)
     bi = ts.select(
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(ts) - 1, 0)),"
-                " i -> concat(ts[i-1], ' ', ts[i]))"
-            )
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> concat(ts[i-1], ' ', ts[i]))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
         ).alias("surface")
     )
     surfaces = uni.union(bi).distinct()
@@ -3367,8 +3373,10 @@ def q_jaccard_pairs_exact(spark, sf_dir):
     from xlink_spark.operators.setsim import jaccard_join_exact
 
     corpus = _doc_pairs_corpus(spark, sf_dir)
-    sh = shingles(corpus, n=3)
-    return jaccard_join_exact(sh, threshold_ppm=500_000).orderBy("doc_a", "doc_b")
+    sh = shingles(corpus, n=3)  # already one row per (doc, shingle)
+    return jaccard_join_exact(
+        sh, threshold_ppm=500_000, assume_distinct=True
+    ).orderBy("doc_a", "doc_b")
 
 
 SQL_JACCARD_PAIRS_EXACT = f"""

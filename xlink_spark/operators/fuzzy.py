@@ -83,8 +83,13 @@ def fuzzy_surface_candidates(
         .select("_q", "_d")
         .distinct()
     )
-    return pairs.where(F.levenshtein("_q", "_d") <= 1).select(
-        F.col("_q").alias(query_col),
-        F.col("_d").alias(dict_col),
-        F.levenshtein("_q", "_d").alias("dist"),
+    # compute the distance once, then filter on the alias — Filter and
+    # Project don't share subexpressions across operator boundaries
+    return (
+        pairs.select(
+            F.col("_q").alias(query_col),
+            F.col("_d").alias(dict_col),
+            F.levenshtein("_q", "_d").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
     )

@@ -69,7 +69,10 @@ def prefix_candidates(
 
 
 def jaccard_join_exact(
-    doc_shingles: DataFrame, threshold_ppm: int = 500_000, id_col: str = "doc_id"
+    doc_shingles: DataFrame,
+    threshold_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """All unordered doc pairs with exact set-Jaccard >= threshold_ppm/1e6.
 
@@ -77,7 +80,15 @@ def jaccard_join_exact(
     jac_ppm = floor(inter * 1e6 / uni). The threshold test is the
     cross-multiplication ``inter * 1e6 >= t_ppm * uni`` so a pair exactly at
     the threshold is decided identically on every engine.
+
+    Correctness REQUIRES one row per (doc, shingle): duplicate rows inflate
+    the per-doc counts while the intersection stays set-valued, silently
+    undercounting Jaccard and dropping true pairs. Deduped here by default;
+    pass ``assume_distinct=True`` to skip the extra exchange when the input
+    is already distinct (e.g. ``dedup.shingles`` output).
     """
+    if not assume_distinct:
+        doc_shingles = doc_shingles.select(id_col, "shingle").distinct()
     cands = prefix_candidates(doc_shingles, threshold_ppm, id_col)
     sets = doc_shingles.groupBy(F.col(id_col).alias("_id")).agg(
         F.collect_set("shingle").alias("_set"),

@@ -83,9 +83,18 @@ def write_bucketed_dictionary(
     can run join-path detection with ``assume_deduped=True`` — the dict
     side then reads straight from its buckets with no Exchange at all (the
     defensive per-batch ``.distinct()`` would otherwise re-shuffle the full
-    dictionary every batch).
+    dictionary every batch). The projection to (mention, parse_from) BEFORE
+    the distinct matters: that is the key the detection join assumes unique,
+    and any extra payload column would keep full-row duplicates alive.
     """
-    write_bucketed(dictionary.distinct(), table, "mention", num_buckets)
+    from pyspark.sql import functions as F
+
+    write_bucketed(
+        dictionary.select(F.col("mention"), F.col("parse_from")).distinct(),
+        table,
+        "mention",
+        num_buckets,
+    )
 
 
 def detect_with_bucketed_dictionary(
