@@ -3360,6 +3360,8 @@ select * from ranked where cand_rank <= 3
 """
 
 
+
+
 def q_jaccard_pairs_exact(spark, sf_dir):
     """Exact prefix-filtered set-similarity join (operators/setsim) — the
     zero-miss complement to lsh_jaccard_pairs on the SAME near-dup corpus
@@ -3372,6 +3374,11 @@ def q_jaccard_pairs_exact(spark, sf_dir):
     from xlink_spark.operators.dedup import shingles
     from xlink_spark.operators.setsim import jaccard_join_exact
 
+    # the (doc, shingle) rows feed three consumers inside the join; at this
+    # bench scale recomputing the scan-speed shingle explode measures FASTER
+    # than persisting 400k narrow rows (cache materialization + lost codegen
+    # fusion), so no persisted_out here — at 100 TB, where the upstream is
+    # an I/O-bound corpus scan, callers pass persisted_out to scan once
     corpus = _doc_pairs_corpus(spark, sf_dir)
     sh = shingles(corpus, n=3)  # already one row per (doc, shingle)
     return jaccard_join_exact(

@@ -58,11 +58,32 @@ def prefix_candidates(
         <= F.col("_n")
         - F.expr(f"({threshold_ppm}L * _n + {PPM - 1}) div {PPM}")
         + F.lit(1)
-    ).select("_id", "shingle")
+    ).select("_id", "shingle", "_rn", "_n")
+    x, y = prefix.alias("x"), prefix.alias("y")
+    # PPJoin filters on top of the prefix match — both exact-integer, both
+    # completeness-preserving (the first shared shingle in the global order
+    # always passes them for a true pair):
+    #   length: J >= t forces t*|x| <= |y| (symmetric)
+    #   positional: overlap <= 1 + min(remaining after this shingle), and a
+    #   true pair needs overlap >= ceil(t/(1+t)*(nx+ny))
+    alpha_req = F.expr(
+        f"({threshold_ppm}L * (x._n + y._n) + {PPM + threshold_ppm - 1})"
+        f" div {PPM + threshold_ppm}"
+    )
     return (
-        prefix.alias("x")
-        .join(prefix.alias("y"), "shingle")
-        .where(F.col("x._id") < F.col("y._id"))
+        x.join(y, "shingle")
+        .where(
+            (F.col("x._id") < F.col("y._id"))
+            & (F.col("y._n") * PPM >= F.lit(threshold_ppm) * F.col("x._n"))
+            & (F.col("x._n") * PPM >= F.lit(threshold_ppm) * F.col("y._n"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("x._n") - F.col("x._rn"), F.col("y._n") - F.col("y._rn")
+                )
+                >= alpha_req
+            )
+        )
         .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
         .distinct()
     )
@@ -73,6 +94,7 @@ def jaccard_join_exact(
     threshold_ppm: int = 500_000,
     id_col: str = "doc_id",
     assume_distinct: bool = False,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """All unordered doc pairs with exact set-Jaccard >= threshold_ppm/1e6.
 
@@ -86,9 +108,19 @@ def jaccard_join_exact(
     undercounting Jaccard and dropping true pairs. Deduped here by default;
     pass ``assume_distinct=True`` to skip the extra exchange when the input
     is already distinct (e.g. ``dedup.shingles`` output).
+
+    ``doc_shingles`` feeds THREE consumers (the shingle-frequency table,
+    the ranked prefixes, and the verify sets) — without a persist Spark
+    recomputes its whole upstream (the shingle explode over the corpus)
+    once per consumer. Pass ``persisted_out`` (a list) to persist the
+    narrow (id, shingle) rows and receive the handle for unpersisting —
+    the same contract as ``dedup.minhash_dedup``.
     """
     if not assume_distinct:
         doc_shingles = doc_shingles.select(id_col, "shingle").distinct()
+    if persisted_out is not None:
+        doc_shingles = doc_shingles.persist()
+        persisted_out.append(doc_shingles)
     cands = prefix_candidates(doc_shingles, threshold_ppm, id_col)
     sets = doc_shingles.groupBy(F.col(id_col).alias("_id")).agg(
         F.collect_set("shingle").alias("_set"),
