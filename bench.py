@@ -43,6 +43,7 @@ HEADLINE = [
     "curation_plan",      # the composed end-to-end curation chain
     "linking_pipeline_ascii",  # the fully-oracled flagship variant
     "lm_scores",          # bigram-LM fluency filter (broadcast model joins)
+    "jaccard_pairs_exact",  # exact PPJoin set-similarity (zero-miss near-dup)
 ]
 
 
