@@ -116,3 +116,42 @@ def test_cluster_size_histogram_and_largest(spark):
     assert [r["size"] for r in top] == [4, 2]
     # tie at size 2 broken by smallest component id: {10,11} beats {20,21}
     assert top[1]["component"] == 10
+
+
+def test_reconcile_cluster_ids_merge_split_new_deleted(spark):
+    """Stable-id semantics across a snapshot boundary: merge takes the
+    bigger previous id's label, a split's larger part carries the id while
+    the smaller part goes fresh, untouched clusters keep ids, brand-new
+    clusters are origin='new', and deleted nodes don't block carrying."""
+    from xlink_spark.operators.cluster import reconcile_cluster_ids
+
+    # previous snapshot: P1={1,2,3}, P2={10,11}, P3={20,21,22,23}, P4={40,41}
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+         (20, 20), (21, 20), (22, 20), (23, 20), (40, 40), (41, 40)],
+        "node long, component long",
+    )
+    # current run:
+    #  C1={1,2,3,10,11}  (P1 merged with P2: overlap 3 vs 2 -> carries 1)
+    #  C20={20,21} and C22={22,23}: P3 split evenly -> tie on overlap 2,
+    #       smaller current id (20) carries 20, the other goes 'new'
+    #  C40={41}          (node 40 deleted; still carries 40)
+    #  C90={90,91}       (brand new)
+    cur = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 1), (11, 1),
+         (20, 20), (21, 20), (22, 22), (23, 22),
+         (41, 41), (90, 90), (91, 90)],
+        "node long, component long",
+    )
+    out = {
+        r["component"]: (r["stable_id"], r["overlap"], r["origin"])
+        for r in reconcile_cluster_ids(prev, cur).collect()
+    }
+    assert out[1] == (1, 3, "carried")       # merge: P1 overlap 3 beats P2's 2
+    assert out[20] == (20, 2, "carried")     # split: tie -> smaller cur id wins
+    assert out[22] == (22, 0, "new")         # split loser goes fresh
+    assert out[41] == (40, 1, "carried")     # survives node deletion
+    assert out[90] == (90, 0, "new")
+    # carried stable ids stay unique
+    carried = [v[0] for v in out.values() if v[2] == "carried"]
+    assert len(carried) == len(set(carried))

@@ -3406,6 +3406,90 @@ order by doc_a, doc_b
 """
 
 
+def q_cluster_stable_ids(spark, sf_dir):
+    """Stable cluster ids across snapshot runs
+    (operators/cluster.reconcile_cluster_ids): CC labels components by
+    minimum node id, so a delta batch that adds/removes a component's
+    minimum node RELABELS it — this maps the current run's components onto
+    the previous snapshot's ids by max node overlap (greedy deterministic
+    bipartite match, carried ids unique).
+
+    Previous snapshot: the supplier–nation graph without suppliers whose
+    key % 10 == 0 and without nations whose key % 7 == 0 (so some current
+    components relabel, and the %7 nations' components come back 'new').
+    """
+    from xlink_spark.operators.cluster import connected_components, reconcile_cluster_ids
+
+    sup = spark.read.parquet(_T(sf_dir, "supplier"))
+    edges_cur = sup.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + 100000).alias("dst"),
+    )
+    edges_prev = sup.where(
+        (F.col("s_suppkey") % 10 != 0) & (F.col("s_nationkey") % 7 != 0)
+    ).select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + 100000).alias("dst"),
+    )
+    out = reconcile_cluster_ids(
+        connected_components(edges_prev), connected_components(edges_cur)
+    )
+    return out.orderBy("component")
+
+
+SQL_CLUSTER_STABLE_IDS = """
+with recursive
+e_cur as (
+  select s_suppkey::bigint as src, s_nationkey::bigint + 100000 as dst from supplier
+),
+e_prev as (
+  select s_suppkey::bigint as src, s_nationkey::bigint + 100000 as dst from supplier
+  where s_suppkey % 10 <> 0 and s_nationkey % 7 <> 0
+),
+u_cur as (select src, dst from e_cur union select dst, src from e_cur),
+u_prev as (select src, dst from e_prev union select dst, src from e_prev),
+w_cur (node, comp) as (
+  select src as node, least(src, min(dst)) as comp from u_cur group by src
+  union
+  select w.node, least(w.comp, w2.comp) as comp
+  from w_cur w join u_cur u on u.src = w.node join w_cur w2 on w2.node = u.dst
+  where least(w.comp, w2.comp) < w.comp
+),
+w_prev (node, comp) as (
+  select src as node, least(src, min(dst)) as comp from u_prev group by src
+  union
+  select w.node, least(w.comp, w2.comp) as comp
+  from w_prev w join u_prev u on u.src = w.node join w_prev w2 on w2.node = u.dst
+  where least(w.comp, w2.comp) < w.comp
+),
+cc_cur as (select node, min(comp) as component from w_cur group by node),
+cc_prev as (select node, min(comp) as component from w_prev group by node),
+ov as (
+  select c.component as cur, p.component as prev, count(*)::bigint as overlap
+  from cc_cur c join cc_prev p using (node) group by 1, 2
+),
+r1 as (
+  select *, row_number() over (partition by cur order by overlap desc, prev) as k1
+  from ov
+),
+r2 as (
+  select *, row_number() over (partition by prev order by overlap desc, cur) as k2
+  from r1 where k1 = 1
+),
+carried as (
+  select cur as component, prev as stable_id, overlap, 'carried' as origin
+  from r2 where k2 = 1
+),
+allc as (select distinct component from cc_cur)
+select a.component,
+  coalesce(c.stable_id, a.component) as stable_id,
+  coalesce(c.overlap, 0)::bigint as overlap,
+  coalesce(c.origin, 'new') as origin
+from allc a left join carried c using (component)
+order by component
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3483,6 +3567,7 @@ QUERIES: dict[str, Query] = {
     "fuzzy_surface_match": q_fuzzy_surface_match,
     "fuzzy_candidate_priors": q_fuzzy_candidate_priors,
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
+    "cluster_stable_ids": q_cluster_stable_ids,
 }
 
 ORACLES: dict[str, str] = {
@@ -3567,4 +3652,5 @@ ORACLES: dict[str, str] = {
     "fuzzy_surface_match": SQL_FUZZY_SURFACE_MATCH,
     "fuzzy_candidate_priors": SQL_FUZZY_CANDIDATE_PRIORS,
     "jaccard_pairs_exact": SQL_JACCARD_PAIRS_EXACT,
+    "cluster_stable_ids": SQL_CLUSTER_STABLE_IDS,
 }

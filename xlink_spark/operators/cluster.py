@@ -186,3 +186,65 @@ def largest_clusters(assignments: DataFrame, k: int = 100) -> DataFrame:
     of k, never a global sort."""
     sizes = assignments.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
     return sizes.orderBy(F.col("size").desc(), F.col("component").asc()).limit(k)
+
+
+def reconcile_cluster_ids(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Stable cluster ids across snapshot runs (incremental ER id hygiene).
+
+    ``connected_components`` labels each component with its minimum node id,
+    so re-running after a delta batch can RELABEL a cluster whose minimum
+    node arrived or left — downstream consumers keyed on cluster id would
+    see every such entity "change identity". This maps the current run's
+    components onto the previous snapshot's ids by maximum node overlap:
+
+    * each current component claims the previous id it shares most nodes
+      with (ties: smaller previous id);
+    * when several current components claim the same previous id (a split),
+      the largest overlap wins (ties: smaller current id) — one round of
+      deterministic greedy bipartite matching, so carried ids stay UNIQUE;
+    * unmatched components keep their current label with origin='new'.
+
+    Inputs are (node, component) frames; output is one row per current
+    component: (component, stable_id, overlap, origin). At scale the only
+    node-sized operation is the inner join on ``node``; everything after
+    runs at cluster grain (two window functions over (cur, prev) overlap
+    counts).
+    """
+    from pyspark.sql import Window
+
+    ov = (
+        prev.select("node", F.col("component").alias("_prev"))
+        .join(cur.select("node", F.col("component").alias("_cur")), "node")
+        .groupBy("_cur", "_prev")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    claimed = ov.withColumn(
+        "_r1",
+        F.row_number().over(
+            Window.partitionBy("_cur").orderBy(F.col("overlap").desc(), "_prev")
+        ),
+    ).where(F.col("_r1") == 1)
+    won = claimed.withColumn(
+        "_r2",
+        F.row_number().over(
+            Window.partitionBy("_prev").orderBy(F.col("overlap").desc(), "_cur")
+        ),
+    ).where(F.col("_r2") == 1)
+    carried = won.select(
+        F.col("_cur").alias("component"),
+        F.col("_prev").alias("stable_id"),
+        "overlap",
+        F.lit("carried").alias("origin"),
+    )
+    fresh = (
+        cur.select("component")
+        .distinct()
+        .join(carried.select("component"), "component", "left_anti")
+        .select(
+            "component",
+            F.col("component").alias("stable_id"),
+            F.lit(0).cast("long").alias("overlap"),
+            F.lit("new").alias("origin"),
+        )
+    )
+    return carried.unionByName(fresh)
