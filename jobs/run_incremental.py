@@ -119,6 +119,43 @@ def run_incremental_job(spark, args) -> dict:
 
         fold_retractions(spark, store)
         folded = True
+
+    # --cluster: transitive entity clusters over the CURRENT link view, with
+    # ids reconciled against the last committed clusters snapshot — CC
+    # labels by minimum node, so without reconciliation a delta batch that
+    # moves a component's minimum would relabel the cluster for every
+    # downstream consumer. Because each commit stores the STABLE ids, the
+    # carried identity is transitive across arbitrarily many batches.
+    n_clusters = None
+    if getattr(args, "cluster", False):
+        from xlink_spark.operators.cluster import (
+            cluster_links,
+            reconcile_cluster_ids,
+        )
+        from xlink_spark.plans.incremental import current_links
+
+        cur = cluster_links(current_links(spark, store))
+        cur_nc = cur.select(
+            F.col("entity_id").alias("node"), F.col("cluster_id").alias("component")
+        )
+        done = store.iterations("clusters")
+        if done:
+            prev_nc = store.read_iteration(spark, "clusters", done[-1]).select(
+                F.col("entity_id").alias("node"),
+                F.col("cluster_id").alias("component"),
+            )
+            remap = reconcile_cluster_ids(prev_nc, cur_nc).select(
+                F.col("component").alias("cluster_id"),
+                "stable_id",
+            )
+            stable = cur.join(remap, "cluster_id").select(
+                "entity_id", F.col("stable_id").alias("cluster_id")
+            )
+        else:
+            stable = cur
+        store.commit("clusters", batch_id, stable)
+        n_clusters = store.manifest("clusters", batch_id)["rows"]
+
     return {
         "batch_id": batch_id,
         "resumed": False,
@@ -128,6 +165,7 @@ def run_incremental_job(spark, args) -> dict:
         "n_removed": counts.get("removed", 0),
         "n_linked_rows": n_linked,
         "n_retractions": counts.get("changed", 0) + counts.get("removed", 0),
+        "n_cluster_rows": n_clusters,
     }
 
 
@@ -142,6 +180,10 @@ def main() -> None:
     ap.add_argument("--fold-after", type=int, default=0,
                     help="fold retractions + squash the links trail once it "
                          "exceeds this many iterations (0 = never)")
+    ap.add_argument("--cluster", action="store_true",
+                    help="commit transitive entity clusters over the current "
+                         "link view, ids reconciled against the previous "
+                         "clusters snapshot (stable across batches)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 

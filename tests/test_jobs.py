@@ -186,3 +186,34 @@ def test_run_incremental_job_links_only_the_delta(spark, tmp_path, sdfs):
     # removed docs are gone from the current view; changed doc still linked
     assert cur_ids.isdisjoint(removed)
     assert changed in cur_ids
+
+    # --cluster: clusters commit per batch with ids reconciled against the
+    # previous snapshot — any batch-(N+1) cluster whose entity set is
+    # contained in a batch-N cluster must CARRY that cluster's id
+    a3 = _args(v2)
+    a3.cluster = True
+    m3 = run_incremental_job(spark, a3)
+    assert m3["n_cluster_rows"] and m3["n_cluster_rows"] > 0
+    b3 = m3["batch_id"]
+    first = {
+        r["entity_id"]: r["cluster_id"]
+        for r in store2.read_iteration(spark, "clusters", b3).collect()
+    }
+
+    a4 = _args(v2)
+    a4.cluster = True
+    m4 = run_incremental_job(spark, a4)
+    second = {
+        r["entity_id"]: r["cluster_id"]
+        for r in store2.read_iteration(spark, "clusters", m4["batch_id"]).collect()
+    }
+    by_cluster_first: dict = {}
+    for e, c in first.items():
+        by_cluster_first.setdefault(c, set()).add(e)
+    by_cluster_second: dict = {}
+    for e, c in second.items():
+        by_cluster_second.setdefault(c, set()).add(e)
+    for cid, ents in by_cluster_second.items():
+        containers = [c for c, es in by_cluster_first.items() if ents <= es]
+        if containers:
+            assert cid in containers, (cid, containers)
