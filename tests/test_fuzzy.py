@@ -90,6 +90,33 @@ def test_fuzzy_surface_match_query_survives_degenerate_docs(spark, tmp_path):
     assert any(s == "alpha beta" for _, s in rows)  # bigrams still emitted
 
 
+def test_detect_mentions_fuzzy_finds_typos_with_exact_offsets(spark):
+    """Typo'd mentions in text become spans with char-exact offsets and the
+    matched dictionary surface; exact hits report dist 0; a surface two
+    edits away stays undetected."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "we visited new yor city yesterday"),  # dropped k: dist 1
+            ("d2", "deep learning rules"),
+            ("d3", "new yrok is too far"),  # r/o transposition: dist 2
+        ],
+        "doc_id string, text string",
+    )
+    dct = spark.createDataFrame(
+        [("new york", "ma"), ("deep learning", "ma")],
+        "mention string, parse_from string",
+    )
+    rows = {
+        (r["doc_id"], r["start"], r["end"], r["surface"], r["matched_surface"], r["dist"])
+        for r in FZ.detect_mentions_fuzzy(docs, dct, max_words=2).collect()
+    }
+    assert ("d1", 11, 18, "new yor", "new york", 1) in rows
+    assert ("d2", 0, 13, "deep learning", "deep learning", 0) in rows
+    assert not any(d == "d3" for d, *_ in rows)
+    # offsets index the ORIGINAL text
+    assert "we visited new yor city yesterday"[11:18] == "new yor"
+
+
 def test_fuzzy_candidates_min_len_drops_short_surfaces(spark):
     q = spark.createDataFrame([("a",), ("ab",)], "mention string")
     d = spark.createDataFrame([("a",), ("ab",)], "surface string")

@@ -93,3 +93,53 @@ def fuzzy_surface_candidates(
         )
         .where(F.col("dist") <= 1)
     )
+
+
+def detect_mentions_fuzzy(
+    docs_plain: DataFrame,
+    dictionary: DataFrame,
+    max_words: int | None = None,
+    min_len: int = 4,
+) -> DataFrame:
+    """Join-path mention detection tolerant to one edit.
+
+    Composes ``operators.detect.ngram_spans`` (char-exact offsets, no
+    dictionary state on executors) with the deletion-neighborhood match:
+    every n-gram within edit distance 1 of a dictionary surface becomes a
+    mention span — "new yrok city" style typos that exact-match detection
+    (the reference's trie walk) drops on the floor.
+
+    The fuzzy match runs on DISTINCT n-gram surfaces, never on occurrences
+    — the per-occurrence fan-out happens only in the final equi-join back
+    to spans, so corpus size and surface-space size scale independently.
+    ``min_len`` is deliberately higher than the matcher's default: one edit
+    on a 2-3 char token is mostly noise, and the variant buckets of short
+    grams are the skew hotspot.
+
+    Output: (doc_id, start, end, surface, matched_surface, parse_from,
+    dist); exact matches report dist 0, so downstream conflict resolution
+    can prefer them.
+    """
+    from xlink_spark.operators.detect import ngram_spans
+
+    mw = {} if max_words is None else {"max_words": max_words}
+    grams = ngram_spans(docs_plain, **mw)
+    pairs = fuzzy_surface_candidates(
+        grams.select("surface"),
+        dictionary.select(F.col("mention"), "parse_from").distinct(),
+        query_col="surface",
+        dict_col="mention",
+        min_len=min_len,
+    )
+    d = dictionary.select(
+        F.col("mention"), "parse_from"
+    ).distinct()
+    matched = pairs.join(d, "mention").select(
+        "surface",
+        F.col("mention").alias("matched_surface"),
+        "parse_from",
+        "dist",
+    )
+    return grams.join(matched, "surface").select(
+        "doc_id", "start", "end", "surface", "matched_surface", "parse_from", "dist"
+    )
