@@ -292,3 +292,31 @@ def test_linking_seeded_ascii_python_is_one_arrow_scan(spark):
     for h in list(_SEEDED_HELD):
         h.unpersist()
     _SEEDED_HELD.clear()
+
+
+def test_round5_session2_queries_are_pure_jvm(spark):
+    """The fuzzy / exact-setsim / stable-id driver queries stay inside
+    whole-stage codegen end to end: no Python eval nodes, no cartesian."""
+    from xlink_spark.driver_queries import (
+        q_cluster_stable_ids,
+        q_fuzzy_candidate_priors,
+        q_fuzzy_surface_match,
+        q_jaccard_pairs_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (
+        q_fuzzy_surface_match,
+        q_fuzzy_candidate_priors,
+        q_jaccard_pairs_exact,
+        q_cluster_stable_ids,
+    ):
+        plan = _plan(q(spark, sf))
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ):
+            assert marker not in plan, (q.__name__, marker)
