@@ -138,3 +138,74 @@ def test_simhash_banded_recall_is_perfect_below_band_count(spark, data):
         for r in simhash_near_pairs(fp, k=3, bands=4, max_bucket=None).collect()
     }
     assert expected <= got  # pigeonhole: no planted twin is ever missed
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abcx", min_size=2, max_size=5), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.text(alphabet="abcx", min_size=2, max_size=5), min_size=1, max_size=25
+    ),
+)
+def test_fuzzy_matching_equals_brute_levenshtein_for_any_surfaces(spark, qs, ds):
+    """For ANY two surface sets over a collision-heavy alphabet, the
+    deletion-neighborhood join + verify returns exactly the brute-force
+    edit-distance<=1 pairs — completeness of the variant blocking AND
+    precision of the verify, for every draw."""
+    from xlink_spark.operators.fuzzy import fuzzy_surface_candidates
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    q = spark.createDataFrame([(s,) for s in set(qs)], "mention string")
+    d = spark.createDataFrame([(s,) for s in set(ds)], "surface string")
+    got = sorted(
+        (r["mention"], r["surface"], r["dist"])
+        for r in fuzzy_surface_candidates(q, d).collect()
+    )
+    want = sorted(
+        (a, b, lev(a, b)) for a in set(qs) for b in set(ds) if lev(a, b) <= 1
+    )
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.sets(st.integers(0, 30), min_size=1, max_size=15),
+        min_size=2,
+        max_size=15,
+    ),
+    st.integers(200_000, 900_000),
+)
+def test_exact_jaccard_join_complete_for_any_sets_and_threshold(spark, sets, t_ppm):
+    """For ANY document sets and ANY threshold, the prefix+length+positional
+    filtered join finds exactly the brute-force Jaccard>=t pairs — no filter
+    may lose a true pair at any threshold."""
+    from xlink_spark.operators.setsim import PPM, jaccard_join_exact
+
+    docs = {f"d{i:02d}": {f"s{v}" for v in ss} for i, ss in enumerate(sets)}
+    sh = spark.createDataFrame(
+        [(d, s) for d, ss in docs.items() for s in ss], "doc_id string, shingle string"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+        for r in jaccard_join_exact(sh, threshold_ppm=t_ppm).collect()
+    )
+    want = []
+    names = sorted(docs)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            inter = len(docs[a] & docs[b])
+            uni = len(docs[a] | docs[b])
+            if inter * PPM >= t_ppm * uni:
+                want.append((a, b, inter, uni))
+    assert got == sorted(want)
