@@ -300,6 +300,7 @@ def test_round5_session2_queries_are_pure_jvm(spark):
     from xlink_spark.driver_queries import (
         q_cluster_stable_ids,
         q_fuzzy_candidate_priors,
+        q_fuzzy_detected_mentions,
         q_fuzzy_surface_match,
         q_jaccard_pairs_exact,
     )
@@ -308,15 +309,20 @@ def test_round5_session2_queries_are_pure_jvm(spark):
     for q in (
         q_fuzzy_surface_match,
         q_fuzzy_candidate_priors,
+        q_fuzzy_detected_mentions,
         q_jaccard_pairs_exact,
         q_cluster_stable_ids,
     ):
         plan = _plan(q(spark, sf))
-        for marker in (
+        markers = [
             "BatchEvalPython",
             "ArrowEvalPython",
-            "MapInPandas",
             "CartesianProduct",
             "BroadcastNestedLoopJoin",
-        ):
+        ]
+        if q is not q_fuzzy_detected_mentions:
+            # the detection query's ONE sanctioned Python boundary is the
+            # Arrow-batched ngram_spans scan (same as detected_mentions)
+            markers.append("MapInPandas")
+        for marker in markers:
             assert marker not in plan, (q.__name__, marker)

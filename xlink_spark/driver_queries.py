@@ -3490,6 +3490,100 @@ order by component
 """
 
 
+def q_fuzzy_detected_mentions(spark, sf_dir):
+    """Typo-tolerant join-path detection end-to-end
+    (operators/fuzzy.detect_mentions_fuzzy): real text n-grams matched
+    against a dictionary of CORRUPTED aliases (each detection-base surface
+    with one md5-chosen char deleted — a deterministic misspelled-alias
+    table both engines derive identically), so every canonical surface in
+    the text hits its alias at distance 1 and the span offsets, matched
+    surface, and dist column are all hash-checked.
+    """
+    from xlink_spark.operators.fuzzy import detect_mentions_fuzzy
+
+    docs_norm, dct = _detection_base(spark, sf_dir)
+    p = "cast(pmod(conv(substring(md5(mention), 1, 15), 16, 10), length(mention)) as int)"
+    dirty = dct.select(
+        F.expr(
+            f"concat(substring(mention, 1, {p}), substring(mention, {p} + 2))"
+        ).alias("mention"),
+        "parse_from",
+    ).distinct()
+    out = detect_mentions_fuzzy(docs_norm, dirty, max_words=2, min_len=5)
+    return out.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "surface",
+        "matched_surface",
+        "parse_from",
+        "dist",
+    )
+
+
+SQL_FUZZY_DETECTED_MENTIONS = """
+with base as (
+  select doc_id::varchar as doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') as ts
+  from documents
+),
+pos as (
+  select doc_id, unnest(ts) as tok, generate_subscripts(ts, 1) as i from base
+),
+offs as (
+  select doc_id, tok, i,
+         coalesce(sum(length(tok) + 1) over (
+           partition by doc_id order by i
+           rows between unbounded preceding and 1 preceding), 0)::bigint as start
+  from pos
+),
+uni as (
+  select distinct tok as mention from pos where length(tok) >= 6
+),
+bi as (
+  select a.tok || ' ' || b.tok as mention
+  from pos a join pos b on a.doc_id = b.doc_id and b.i = a.i + 1
+  group by 1 having count(*) >= 40
+),
+dict as (
+  select mention, 'ma' as parse_from from uni
+  union all
+  select mention, 'tt' as parse_from from bi
+),
+dirty as (
+  select distinct
+    substr(mention, 1, q) || substr(mention, q + 2) as mention, parse_from
+  from (
+    select mention, parse_from,
+      (('0x' || substr(md5(mention), 1, 15))::bigint % length(mention))::int as q
+    from dict
+  )
+),
+grams as (
+  select doc_id, start, start + length(tok) as "end", tok as surface from offs
+  union all
+  select a.doc_id, a.start, (b.start + length(b.tok))::bigint as "end",
+         a.tok || ' ' || b.tok as surface
+  from offs a join offs b on a.doc_id = b.doc_id and b.i = a.i + 1
+),
+qsurf as (select distinct surface from grams where length(surface) >= 5),
+dsurf as (select distinct mention from dirty where length(mention) >= 5),
+pairs as (
+  select q.surface, d.mention, levenshtein(q.surface, d.mention)::int as dist
+  from qsurf q join dsurf d on levenshtein(q.surface, d.mention) <= 1
+),
+matched as (
+  select p.surface, p.mention as matched_surface, dd.parse_from, p.dist
+  from pairs p join (select distinct mention, parse_from from dirty
+                     where length(mention) >= 5) dd
+    on p.mention = dd.mention
+)
+select g.doc_id, g.start, g."end", g.surface,
+       m.matched_surface, m.parse_from, m.dist
+from grams g join matched m on g.surface = m.surface
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3568,6 +3662,7 @@ QUERIES: dict[str, Query] = {
     "fuzzy_candidate_priors": q_fuzzy_candidate_priors,
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
     "cluster_stable_ids": q_cluster_stable_ids,
+    "fuzzy_detected_mentions": q_fuzzy_detected_mentions,
 }
 
 ORACLES: dict[str, str] = {
@@ -3653,4 +3748,5 @@ ORACLES: dict[str, str] = {
     "fuzzy_candidate_priors": SQL_FUZZY_CANDIDATE_PRIORS,
     "jaccard_pairs_exact": SQL_JACCARD_PAIRS_EXACT,
     "cluster_stable_ids": SQL_CLUSTER_STABLE_IDS,
+    "fuzzy_detected_mentions": SQL_FUZZY_DETECTED_MENTIONS,
 }
