@@ -1407,3 +1407,41 @@ def test_paragraph_dedup_min_chars_floor(spark):
         for r in paragraph_dedup(docs, min_chars=5).collect()
     }
     assert out == {1: "hi\n\nlong shared paragraph", 2: "hi"}
+
+
+def test_histogram_drift_hand_values_and_invariants(spark):
+    """PSI drift on hand-checkable histograms: identical snapshots give
+    zero everywhere; a moved bucket yields the textbook (rc-rp)*ln(rc/rp)
+    contribution in floored micro-units; missing buckets clamp to the
+    integer epsilon instead of ln(0)."""
+    import math
+
+    from xlink_spark.operators.textstats import histogram_drift
+
+    mk = lambda buckets: spark.createDataFrame([(b,) for b in buckets], "bucket long")
+
+    # identical distributions -> psi_micro == 0 on every row
+    same = [1] * 60 + [2] * 40
+    out = histogram_drift(mk(same), mk(same)).collect()
+    assert all(r["psi_micro"] == 0 for r in out)
+
+    # 60/40 -> 50/50: per-bucket contribution floor((rc-rp)*ln(rc/rp))
+    prev, cur = mk([1] * 60 + [2] * 40), mk([1] * 50 + [2] * 50)
+    rows = {r["bucket"]: r for r in histogram_drift(prev, cur).collect()}
+    assert rows[1]["prev_ppm"] == 600000 and rows[1]["cur_ppm"] == 500000
+    exp1 = math.floor((500000 - 600000) * math.log(500000 / 600000))
+    assert rows[1]["psi_micro"] == exp1 and exp1 > 0
+    exp2 = math.floor((500000 - 400000) * math.log(500000 / 400000))
+    assert rows[2]["psi_micro"] == exp2
+    # total PSI for a 10-point two-bucket swing ~ 0.0405*1e6 of micro units
+    total = sum(r["psi_micro"] for r in rows.values()) / 1e6
+    assert 0.03 < total < 0.05
+
+    # bucket present only on one side: the other side clamps to floor_ppm,
+    # never ln(0)/division-by-zero
+    rows2 = {
+        r["bucket"]: r
+        for r in histogram_drift(mk([1] * 10), mk([1] * 9 + [9])).collect()
+    }
+    assert rows2[9]["prev_ppm"] == 100  # clamped epsilon
+    assert rows2[9]["psi_micro"] > 0

@@ -3584,6 +3584,50 @@ from grams g join matched m on g.surface = m.surface
 """
 
 
+def q_quality_drift(spark, sf_dir):
+    """Snapshot-to-snapshot distribution drift (PSI) of the quality score
+    (textstats.histogram_drift): previous snapshot = docs with
+    doc_id % 10 != 0, current = all docs; buckets are quality_u div 10000
+    (integer µ-unit division — no float re-quantization), rates in integer
+    ppm with the epsilon clamp, per-bucket psi_micro = floor((rc−rp)·
+    ln(rc/rp)) so the total is an order-independent bigint sum. The gauge a
+    pipeline checks before letting a new snapshot retrain gates.
+    """
+    from xlink_spark.operators.textstats import histogram_drift
+
+    qs = q_quality_scores(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("quality_u div 10000").alias("bucket"),
+    )
+    prev = qs.where(F.col("doc_id") % 10 != 0)
+    return histogram_drift(prev, qs).orderBy("bucket")
+
+
+SQL_QUALITY_DRIFT = f"""
+with qs as ({SQL_QUALITY_SCORES}),
+b as (select doc_id::bigint as doc_id, quality_u // 10000 as bucket from qs),
+hp as (select bucket, count(*)::bigint as prev_n from b
+       where doc_id % 10 <> 0 group by 1),
+hc as (select bucket, count(*)::bigint as cur_n from b group by 1),
+j as (
+  select coalesce(hp.bucket, hc.bucket) as bucket,
+         coalesce(prev_n, 0)::bigint as prev_n,
+         coalesce(cur_n, 0)::bigint as cur_n
+  from hp full outer join hc on hp.bucket = hc.bucket
+),
+r as (
+  select bucket, prev_n, cur_n,
+    greatest((prev_n * 1000000) // (sum(prev_n) over ()), 100)::bigint as prev_ppm,
+    greatest((cur_n * 1000000) // (sum(cur_n) over ()), 100)::bigint as cur_ppm
+  from j
+)
+select bucket, prev_n, cur_n, prev_ppm, cur_ppm,
+  floor((cur_ppm - prev_ppm) * ln(cur_ppm / prev_ppm))::bigint as psi_micro
+from r
+order by bucket
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3663,6 +3707,7 @@ QUERIES: dict[str, Query] = {
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
     "cluster_stable_ids": q_cluster_stable_ids,
     "fuzzy_detected_mentions": q_fuzzy_detected_mentions,
+    "quality_drift": q_quality_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -3749,4 +3794,5 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs_exact": SQL_JACCARD_PAIRS_EXACT,
     "cluster_stable_ids": SQL_CLUSTER_STABLE_IDS,
     "fuzzy_detected_mentions": SQL_FUZZY_DETECTED_MENTIONS,
+    "quality_drift": SQL_QUALITY_DRIFT,
 }
