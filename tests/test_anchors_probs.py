@@ -126,3 +126,51 @@ def test_corpus_stats(spark, sdfs):
     assert row["n_mentions"] == ma.select("mention").distinct().count()
     assert row["n_unambiguous"] + row["n_ambig_2_5"] + row["n_ambig_gt5"] == row["n_mentions"]
     assert row["total_links"] == ma.agg(F.sum("cnt")).collect()[0][0]
+
+
+def test_decayed_anchor_counts_exact_halvings(spark):
+    """Recency weighting: a batch of age a contributes cnt * 2^-(a div h);
+    the decayed P(e|m) flips to the recent entity while the lifetime count
+    still favors the old one — and everything is exact bigint (weights are
+    shifts, never float powers)."""
+    from xlink_spark.operators.anchors import decayed_anchor_counts
+
+    # mention m: e_old dominated batches 0-1 (60+40), e_new won batch 3 (30)
+    rows = [
+        ("m", "e_old", 60, 0), ("m", "e_old", 40, 1),
+        ("m", "e_new", 30, 3),
+        ("q", "e_q", 8, 3),
+    ]
+    df = spark.createDataFrame(rows, "mention string, entity_id string, cnt long, batch long")
+    out = {
+        (r["mention"], r["entity_id"]): r
+        for r in decayed_anchor_counts(df, current_batch=3).collect()
+    }
+    K = 40
+    # weights: age 3 -> 2^-3, age 2 -> 2^-2, age 0 -> 1 (units of 2^-K)
+    w_old = 60 * (1 << (K - 3)) + 40 * (1 << (K - 2))
+    w_new = 30 * (1 << K)
+    assert out[("m", "e_old")]["w_cnt"] == w_old
+    assert out[("m", "e_new")]["w_cnt"] == w_new
+    assert out[("m", "e_new")]["w_total"] == w_old + w_new
+    # lifetime counts favor e_old 100:30, decayed favors e_new
+    assert out[("m", "e_new")]["p"] > 0.5 > out[("m", "e_old")]["p"]
+    assert out[("q", "e_q")]["p"] == 1.0
+
+    # half_life=2: ages 0-1 undecayed, 2-3 halved once
+    out2 = {
+        (r["mention"], r["entity_id"]): r["w_cnt"]
+        for r in decayed_anchor_counts(df, current_batch=3, half_life_batches=2).collect()
+    }
+    assert out2[("m", "e_old")] == 60 * (1 << (K - 1)) + 40 * (1 << (K - 1))
+
+    # ancient batches (beyond max_halvings) contribute exactly zero
+    ancient = spark.createDataFrame(
+        [("m", "e_old", 1000, 0), ("m", "e_new", 1, 100)],
+        "mention string, entity_id string, cnt long, batch long",
+    )
+    out3 = {
+        (r["mention"], r["entity_id"]): r
+        for r in decayed_anchor_counts(ancient, current_batch=100).collect()
+    }
+    assert out3[("m", "e_old")]["w_cnt"] == 0 and out3[("m", "e_new")]["p"] == 1.0

@@ -3628,6 +3628,56 @@ order by bucket
 """
 
 
+def q_decayed_priors(spark, sf_dir):
+    """Recency-weighted P(e|m) (anchors.decayed_anchor_counts): per-batch
+    anchor counts (batch = doc_id % 4 as a deterministic 4-version trail,
+    current = 3) decayed by exact halvings — weight 2^-(age) computed as a
+    SHIFT in bigint 2^-40 units, never a float power, so partial
+    aggregation is order-independent and the decayed probability is the
+    same round(bigint/bigint, 6) shape as the undecayed tables.
+    """
+    from xlink_spark.operators.anchors import decayed_anchor_counts
+
+    batched = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .groupBy(
+            F.col("tok").alias("mention"),
+            F.col("source").alias("entity_id"),
+            (F.col("doc_id") % 4).alias("batch"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return decayed_anchor_counts(batched, current_batch=3).orderBy(
+        "mention", "entity_id"
+    )
+
+
+SQL_DECAYED_PRIORS = f"""
+with t as ({_TOKENS_SQL}),
+batched as (
+  select tok as mention, source as entity_id, doc_id % 4 as batch,
+         count(*)::bigint as cnt
+  from t where lang = 'en' group by 1, 2, 3
+),
+weighted as (
+  select mention, entity_id,
+    sum(case when (3 - batch) <= 40
+             then cnt * (1::bigint << (40 - (3 - batch)::int))
+             else 0 end)::bigint as w_cnt
+  from batched group by 1, 2
+),
+tot as (
+  select mention, entity_id, w_cnt,
+         sum(w_cnt) over (partition by mention)::bigint as w_total
+  from weighted
+)
+select mention, entity_id, w_cnt, w_total, round(w_cnt / w_total, 6) as p
+from tot where w_total > 0
+order by mention, entity_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3708,6 +3758,7 @@ QUERIES: dict[str, Query] = {
     "cluster_stable_ids": q_cluster_stable_ids,
     "fuzzy_detected_mentions": q_fuzzy_detected_mentions,
     "quality_drift": q_quality_drift,
+    "decayed_priors": q_decayed_priors,
 }
 
 ORACLES: dict[str, str] = {
@@ -3795,4 +3846,5 @@ ORACLES: dict[str, str] = {
     "cluster_stable_ids": SQL_CLUSTER_STABLE_IDS,
     "fuzzy_detected_mentions": SQL_FUZZY_DETECTED_MENTIONS,
     "quality_drift": SQL_QUALITY_DRIFT,
+    "decayed_priors": SQL_DECAYED_PRIORS,
 }

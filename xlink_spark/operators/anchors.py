@@ -249,3 +249,64 @@ def corpus_stats(mention_anchors: DataFrame) -> DataFrame:
         ),
         F.sum(F.when(F.col("n_cands") > 5, 1).otherwise(0)).alias("n_ambig_gt5"),
     )
+
+
+def decayed_anchor_counts(
+    batched_anchors: DataFrame,
+    current_batch: int,
+    half_life_batches: int = 1,
+    max_halvings: int = 40,
+) -> DataFrame:
+    """Recency-weighted anchor statistics over an incremental lake — the
+    drifting-alias answer to A1/A5: a mention's dominant entity five years
+    ago should not outvote last month's usage forever.
+
+    Input: (mention, entity_id, cnt, batch) — per-batch anchor counts, the
+    shape ``links_with_batch``-style trails commit. Weight is STEP
+    exponential decay: a batch of age ``a`` (= current_batch − batch)
+    contributes ``cnt · 2^(−a div half_life_batches)``. Restricting decay to
+    exact halvings is deliberate: the weighted count is computed as
+    ``cnt << (max_halvings − halvings)`` — pure bigint, NO float anywhere —
+    so partial aggregation is exact and order-independent (a float 0.5^age
+    sum rounds differently per partitioning), and the decayed P(e|m) is a
+    ratio of two bigints, the same cross-engine-exact shape as the
+    undecayed probability tables. Batches older than ``max_halvings``
+    halvings contribute zero (2^-40 of a count is noise by construction).
+
+    Returns (mention, entity_id, w_cnt, w_total, p) where w_cnt/w_total are
+    the weighted counts in units of 2^-max_halvings and p = round(w_cnt /
+    w_total, 6) is the decayed P(e|m).
+    """
+    from pyspark.sql import Window
+
+    # halvings = age div half_life, computed in INTEGER division (ages are
+    # non-negative), capped just past max_halvings
+    k = F.least(
+        F.expr(f"({current_batch}L - batch) div {half_life_batches}L"),
+        F.lit(max_halvings + 1).cast("long"),
+    )
+    # weight in 2^-max_halvings units; ages beyond max_halvings -> 0
+    w = F.when(
+        k <= max_halvings,
+        F.col("cnt").cast("long")
+        * F.expr(f"shiftleft(1L, cast({max_halvings} as int) - cast(_k as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    rows = (
+        batched_anchors.withColumn("_k", k)
+        .withColumn("_w", w)
+        .groupBy("mention", "entity_id")
+        .agg(F.sum("_w").alias("w_cnt"))
+    )
+    tot = Window.partitionBy("mention")
+    return rows.select(
+        "mention",
+        "entity_id",
+        "w_cnt",
+        F.sum("w_cnt").over(tot).alias("w_total"),
+    ).where(F.col("w_total") > 0).select(
+        "mention",
+        "entity_id",
+        "w_cnt",
+        "w_total",
+        F.round(F.col("w_cnt") / F.col("w_total"), 6).alias("p"),
+    )
