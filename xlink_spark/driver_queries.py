@@ -3200,6 +3200,14 @@ from k
 """
 
 
+def _md5_delete(col: str):
+    """Delete the char at position md5(col) % len — the deterministic,
+    engine-portable corruption both fuzzy oracles use (15 hex chars < 2^60
+    so conv() is exact; pmod == % because both operands are non-negative)."""
+    q = f"cast(pmod(conv(substring(md5({col}), 1, 15), 16, 10), length({col})) as int)"
+    return F.expr(f"concat(substring({col}, 1, {q}), substring({col}, {q} + 2))")
+
+
 def q_fuzzy_surface_match(spark, sf_dir):
     """SymSpell-style fuzzy surface matching
     (operators/fuzzy.fuzzy_surface_candidates): deletion-neighborhood
@@ -3235,14 +3243,7 @@ def q_fuzzy_surface_match(spark, sf_dir):
         ).alias("surface")
     )
     surfaces = uni.union(bi).distinct()
-    # delete the char at p = md5(surface) % len: 15 hex chars < 2^60 so the
-    # conv()-to-bigint is exact, and pmod == % because both are non-negative
-    p = "cast(pmod(conv(substring(md5(surface), 1, 15), 16, 10), length(surface)) as int)"
-    dirty = surfaces.select(
-        F.expr(
-            f"concat(substring(surface, 1, {p}), substring(surface, {p} + 2))"
-        ).alias("mention")
-    )
+    dirty = surfaces.select(_md5_delete("surface").alias("mention"))
     return fuzzy_surface_candidates(dirty, surfaces).orderBy("mention", "surface")
 
 
@@ -3300,12 +3301,7 @@ def q_fuzzy_candidate_priors(spark, sf_dir):
 
     ma = q_mention_anchors(spark, sf_dir)
     surfaces = ma.select(F.col("mention").alias("surface")).distinct()
-    p = "cast(pmod(conv(substring(md5(surface), 1, 15), 16, 10), length(surface)) as int)"
-    dirty = surfaces.select(
-        F.expr(
-            f"concat(substring(surface, 1, {p}), substring(surface, {p} + 2))"
-        ).alias("mention")
-    )
+    dirty = surfaces.select(_md5_delete("surface").alias("mention"))
     pairs = fuzzy_surface_candidates(dirty, surfaces)
     w = Window.partitionBy("mention")
     egm = ma.select(
@@ -3502,12 +3498,8 @@ def q_fuzzy_detected_mentions(spark, sf_dir):
     from xlink_spark.operators.fuzzy import detect_mentions_fuzzy
 
     docs_norm, dct = _detection_base(spark, sf_dir)
-    p = "cast(pmod(conv(substring(md5(mention), 1, 15), 16, 10), length(mention)) as int)"
     dirty = dct.select(
-        F.expr(
-            f"concat(substring(mention, 1, {p}), substring(mention, {p} + 2))"
-        ).alias("mention"),
-        "parse_from",
+        _md5_delete("mention").alias("mention"), "parse_from"
     ).distinct()
     out = detect_mentions_fuzzy(docs_norm, dirty, max_words=2, min_len=5)
     return out.select(

@@ -124,16 +124,14 @@ def detect_mentions_fuzzy(
 
     mw = {} if max_words is None else {"max_words": max_words}
     grams = ngram_spans(docs_plain, **mw)
+    d = dictionary.select(F.col("mention"), "parse_from").distinct()
     pairs = fuzzy_surface_candidates(
         grams.select("surface"),
-        dictionary.select(F.col("mention"), "parse_from").distinct(),
+        d,
         query_col="surface",
         dict_col="mention",
         min_len=min_len,
     )
-    d = dictionary.select(
-        F.col("mention"), "parse_from"
-    ).distinct()
     matched = pairs.join(d, "mention").select(
         "surface",
         F.col("mention").alias("matched_surface"),
