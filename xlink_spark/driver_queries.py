@@ -3670,6 +3670,88 @@ order by mention, entity_id
 """
 
 
+_BLOCKING_KEYS = {
+    # name -> (Spark expr over `tok`, DuckDB expr over `tok`)
+    "surface": ("tok", "tok"),
+    "prefix4": ("substring(tok, 1, 4)", "substr(tok, 1, 4)"),
+    "md5bucket64": (
+        "cast(pmod(conv(substring(md5(tok), 1, 15), 16, 10), 64) as string)",
+        "((('0x' || substr(md5(tok), 1, 15))::bigint % 64))::varchar",
+    ),
+}
+
+
+def q_blocking_compare(spark, sf_dir):
+    """Blocking-key selection (eval/blocking.blocking_quality per key): the
+    PC/RR frontier across three candidate keys — the exact surface (the
+    pipeline's key), a 4-char prefix (coarser: recall can only rise,
+    reduction falls), and a 64-way md5 bucket (the degenerate control:
+    near-total co-blocking, near-zero reduction). One row per key; the
+    choice a 10^12-record deployment makes from group-size arithmetic
+    alone, no pair ever materialized.
+    """
+    from xlink_spark.eval.blocking import blocking_quality
+
+    toks = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("tok", F.col("source").alias("entity_id"))
+    )
+    outs = []
+    for name, (spark_expr, _) in _BLOCKING_KEYS.items():
+        recs = toks.select(
+            F.expr(spark_expr).alias("block"), "entity_id"
+        )
+        outs.append(
+            blocking_quality(recs).select(F.lit(name).alias("key_name"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("key_name")
+
+
+def _sql_blocking_for_key(name: str, duck_expr: str) -> str:
+    return f"""
+select '{name}' as key_name, n_records, n_blocks, n_entities, cand_pairs,
+       true_pairs, co_blocked_pairs,
+  (case when true_pairs > 0
+        then co_blocked_pairs * 1000000 // true_pairs
+        else 1000000 end)::bigint as pc_micro,
+  (case when n_records > 1 and (n_records * (n_records - 1) // 2) > 0
+        then 1000000 - cand_pairs * 1000000 // (n_records * (n_records - 1) // 2)
+        else 1000000 end)::bigint as rr_micro
+from (
+  select
+    (select count(*)::bigint from r_{name}) as n_records,
+    (select count(distinct b)::bigint from r_{name}) as n_blocks,
+    (select count(distinct e)::bigint from r_{name}) as n_entities,
+    (select sum(n * (n - 1) // 2)::bigint from
+      (select b, count(*)::bigint as n from r_{name} group by 1)) as cand_pairs,
+    (select sum(n * (n - 1) // 2)::bigint from
+      (select e, count(*)::bigint as n from r_{name} group by 1)) as true_pairs,
+    (select sum(n * (n - 1) // 2)::bigint from
+      (select b, e, count(*)::bigint as n from r_{name} group by 1, 2))
+      as co_blocked_pairs
+)
+"""
+
+
+SQL_BLOCKING_COMPARE = (
+    "with t as (" + _TOKENS_SQL + "), "
+    + ", ".join(
+        f"r_{name} as (select {duck} as b, source as e from t where lang = 'en')"
+        for name, (_, duck) in _BLOCKING_KEYS.items()
+    )
+    + " "
+    + " union all ".join(
+        _sql_blocking_for_key(name, duck)
+        for name, (_, duck) in _BLOCKING_KEYS.items()
+    )
+    + " order by key_name"
+)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3751,6 +3833,7 @@ QUERIES: dict[str, Query] = {
     "fuzzy_detected_mentions": q_fuzzy_detected_mentions,
     "quality_drift": q_quality_drift,
     "decayed_priors": q_decayed_priors,
+    "blocking_compare": q_blocking_compare,
 }
 
 ORACLES: dict[str, str] = {
@@ -3839,4 +3922,5 @@ ORACLES: dict[str, str] = {
     "fuzzy_detected_mentions": SQL_FUZZY_DETECTED_MENTIONS,
     "quality_drift": SQL_QUALITY_DRIFT,
     "decayed_priors": SQL_DECAYED_PRIORS,
+    "blocking_compare": SQL_BLOCKING_COMPARE,
 }
