@@ -76,3 +76,25 @@ def test_bcubed_empty_input_is_vacuous(spark):
     assert r["bcubed_p_micro"] == MICRO
     assert r["bcubed_r_micro"] == MICRO
     assert r["bcubed_f_micro"] == MICRO
+
+
+def test_blocking_compare_frontier_direction(spark):
+    """COARSENING a key can only raise pair completeness and lower
+    reduction. Both prefix4 and md5bucket64 are coarsenings of `surface`
+    (same token ⇒ same prefix, same bucket), so each must dominate surface
+    on PC and fall at-or-below it on RR; prefix4 vs md5bucket64 are NOT
+    comparable in general (different partitions) and deliberately not
+    asserted against each other."""
+    from xlink_spark.driver_queries import q_blocking_compare
+
+    rows = {
+        r["key_name"]: r
+        for r in q_blocking_compare(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"surface", "prefix4", "md5bucket64"}
+    for coarse in ("prefix4", "md5bucket64"):
+        assert rows[coarse]["pc_micro"] >= rows["surface"]["pc_micro"], coarse
+        assert rows[coarse]["rr_micro"] <= rows["surface"]["rr_micro"], coarse
+    # every key blocks the same record set
+    ns = {r["n_records"] for r in rows.values()}
+    assert len(ns) == 1
