@@ -209,3 +209,43 @@ def test_exact_jaccard_join_complete_for_any_sets_and_threshold(spark, sets, t_p
             if inter * PPM >= t_ppm * uni:
                 want.append((a, b, inter, uni))
     assert got == sorted(want)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 5), min_size=1, max_size=30),
+    st.lists(st.integers(0, 5), min_size=1, max_size=30),
+)
+def test_reconcile_cluster_ids_invariants_for_any_assignments(spark, prev_cl, cur_cl):
+    """For ANY pair of clusterings over overlapping node sets: exactly one
+    output row per current component, carried stable_ids are previous
+    component ids and pairwise UNIQUE, new rows keep their own id, and
+    overlap counts are exact."""
+    from xlink_spark.operators.cluster import reconcile_cluster_ids
+
+    prev = spark.createDataFrame(
+        [(i, 100 + c) for i, c in enumerate(prev_cl)], "node long, component long"
+    )
+    cur = spark.createDataFrame(
+        [(i, 200 + c) for i, c in enumerate(cur_cl)], "node long, component long"
+    )
+    rows = reconcile_cluster_ids(prev, cur).collect()
+    comps = [r["component"] for r in rows]
+    assert sorted(comps) == sorted({200 + c for c in cur_cl})  # one row each
+    carried = [r for r in rows if r["origin"] == "carried"]
+    prev_ids = {100 + c for c in prev_cl}
+    assert all(r["stable_id"] in prev_ids for r in carried)
+    sids = [r["stable_id"] for r in carried]
+    assert len(sids) == len(set(sids))  # carried ids unique
+    for r in rows:
+        if r["origin"] == "new":
+            assert r["stable_id"] == r["component"] and r["overlap"] == 0
+        else:
+            want = sum(
+                1
+                for i, c in enumerate(cur_cl)
+                if 200 + c == r["component"]
+                and i < len(prev_cl)
+                and 100 + prev_cl[i] == r["stable_id"]
+            )
+            assert r["overlap"] == want
