@@ -1445,3 +1445,54 @@ def test_histogram_drift_hand_values_and_invariants(spark):
     }
     assert rows2[9]["prev_ppm"] == 100  # clamped epsilon
     assert rows2[9]["psi_micro"] > 0
+
+
+def test_image_info_header_sniffing_all_formats(spark):
+    """Header-only dimension extraction for JPEG/PNG/GIF/BMP from
+    hand-built minimal containers — JPEG requires walking past non-frame
+    markers to SOF0; truncated and foreign payloads become typed
+    decode_error DATA rows."""
+    import struct
+
+    from xlink_spark.operators.multimodal import image_info
+
+    def jpeg(w, h):
+        # SOI + APP0 + a DHT segment (must be SKIPPED) + SOF0 + EOI
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x00\x00"
+        sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+            ">HH", h, w
+        ) + b"\x03\x01\x11\x00"
+        return b"\xff\xd8" + app0 + dht + sof + b"\xff\xd9"
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x02\x00\x00\x00"
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+    def bmp(w, h):
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 8
+
+    rows = [
+        ("j", jpeg(640, 480)), ("p", png(320, 200)), ("g", gif(16, 8)),
+        ("b", bmp(32, 24)), ("bneg", bmp(10, -20)),  # top-down BMP: |h|
+        ("trunc", b"\x89PNG\r\n\x1a\n\x00\x00"), ("alien", b"RIFFxxxxWEBP"),
+        ("null", None),
+    ]
+    media = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {r["media_ref"]: r for r in image_info(media).collect()}
+    assert (out["j"]["format"], out["j"]["width"], out["j"]["height"]) == ("jpeg", 640, 480)
+    assert (out["p"]["format"], out["p"]["width"], out["p"]["height"]) == ("png", 320, 200)
+    assert (out["g"]["format"], out["g"]["width"], out["g"]["height"]) == ("gif", 16, 8)
+    assert (out["b"]["format"], out["b"]["width"], out["b"]["height"]) == ("bmp", 32, 24)
+    assert out["bneg"]["height"] == 20
+    for bad in ("trunc", "alien", "null"):
+        assert out[bad]["decode_error"] is not None and out[bad]["format"] is None
+    assert out["j"]["n_bytes"] == len(jpeg(640, 480))

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -460,3 +461,102 @@ def synthesize_assets(docs: DataFrame, with_payload: bool = True) -> DataFrame:
             F.lit("image/jpeg").alias("mime"),
         ).alias("meta"),
     )
+
+
+IMAGE_INFO_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def image_info(
+    media: DataFrame,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Header-only image metadata: format + dimensions WITHOUT decoding.
+
+    At 100 TB most per-image questions (resolution gates, aspect-ratio
+    filters, thumbnail planning) need only the header — decoding every
+    JPEG to learn its size would be the most expensive no-op in the
+    pipeline. This sniffs the container from magic bytes and reads the
+    dimension fields directly, all stdlib:
+
+    * JPEG — walk the marker stream to the first SOF0–SOF15 frame header
+      (skipping the non-frame markers DHT/DAC/DQT/DRI etc.); height/width
+      are big-endian u16 at offsets 3/5 of the frame segment.
+    * PNG — IHDR is mandated to be the first chunk: width/height are
+      big-endian u32 at bytes 16/20.
+    * GIF — logical screen width/height, little-endian u16 at bytes 6/8.
+    * BMP — BITMAPINFOHEADER width/height, little-endian i32 at 18/22.
+
+    Truncated or foreign payloads land on the typed ``decode_error`` path
+    (errors are DATA, never task failures), same contract as the decoders
+    above. Arrow-batched mapInPandas; output is one narrow row per ref.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def sniff(b: bytes):
+            if len(b) < 10:
+                raise ValueError("payload shorter than any image header")
+            if b[:3] == b"\xff\xd8\xff":
+                i = 2
+                while i + 9 <= len(b):
+                    if b[i] != 0xFF:
+                        raise ValueError("jpeg marker stream desynced")
+                    marker = b[i + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                        continue
+                    seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        if i + 4 + 5 > len(b):
+                            raise ValueError("jpeg SOF truncated")
+                        h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                        return "jpeg", w, h
+                    i += 2 + seglen
+                raise ValueError("jpeg has no SOF frame header")
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                if len(b) < 24 or b[12:16] != b"IHDR":
+                    raise ValueError("png IHDR missing or truncated")
+                w, h = struct.unpack(">II", b[16:24])
+                return "png", w, h
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                w, h = struct.unpack("<HH", b[6:10])
+                return "gif", w, h
+            if b[:2] == b"BM":
+                if len(b) < 26:
+                    raise ValueError("bmp header truncated")
+                w, h = struct.unpack("<ii", b[18:26])
+                return "bmp", w, abs(h)
+            raise ValueError("unknown image container")
+
+        def one(ref, payload):
+            if payload is None:
+                return (ref, None, None, None, None, "null payload")
+            try:
+                fmt, w, h = sniff(bytes(payload))
+                if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+                    raise ValueError("implausible dimensions")
+                return (ref, fmt, int(w), int(h), len(payload), None)
+            except Exception as e:  # errors are DATA
+                return (ref, None, None, None, len(payload), str(e))
+
+        for pdf in batches:
+            out = [
+                one(r, p) for r, p in zip(pdf[ref_col], pdf[payload_col])
+            ]
+            cols = ["media_ref", "format", "width", "height", "n_bytes", "decode_error"]
+            for k in range(0, len(out), batch_rows):
+                yield pd.DataFrame(out[k:k + batch_rows], columns=cols)
+
+    return media.select(ref_col, payload_col).mapInPandas(run, IMAGE_INFO_SCHEMA)
