@@ -116,3 +116,30 @@ def test_streaming_link_end_to_end(spark, tmp_path, sdfs):
     # the committed snapshot matches the streamed output (idempotent commit)
     snap = store.last_iteration("links")
     assert snap is not None and snap[1](spark).count() == got.count()
+
+
+def test_streaming_quality_histogram_matches_batch_buckets(spark, tmp_path, doc_stream_dir):
+    """The streaming per-window quality histogram quantizes EXACTLY like the
+    batch side (floor(quality*1e6) div width), so window rows are directly
+    comparable with a reference snapshot histogram in histogram_drift."""
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.textstats import quality_score_raw
+
+    s = ST.stream_documents(spark, doc_stream_dir)
+    hist = ST.streaming_quality_histogram(s, window="10 minutes")
+    q = ST.run_to_memory(hist, "q_hist", mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"]): r["n"] for r in spark.sql("select * from q_hist").collect()
+    }
+    # batch-side reference over the same three docs, same quantization
+    batch = (
+        spark.read.parquet(doc_stream_dir)
+        .withColumn("q", quality_score_raw("text"))
+        .select(F.expr("floor(q * 1000000) div 10000").cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .count()
+    )
+    want = {r["bucket"]: r["count"] for r in batch.collect()}
+    assert got == want and sum(got.values()) == 3

@@ -103,6 +103,38 @@ def streaming_mention_counts(
     )
 
 
+def streaming_quality_histogram(
+    stream_docs: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    bucket_width_u: int = 10_000,
+) -> DataFrame:
+    """Event-time windowed quality-score histogram — the streaming feed for
+    the PSI drift gate (operators/textstats.histogram_drift): each closed
+    window's (bucket, n) rows diff against the reference snapshot's
+    histogram downstream, so distribution shift in the INGEST stream is
+    caught before the batch pipeline retrains thresholds on it.
+
+    Buckets are the same integer µ-unit quantization as the batch side
+    (floor(quality·1e6) div bucket_width_u) — stream and batch histograms
+    are directly comparable by construction. Per-window per-bucket counts
+    are map-side-combinable; state is bounded by windows × buckets, never
+    by stream volume.
+    """
+    from xlink_spark.operators.textstats import quality_score_raw
+
+    bucket = F.expr(
+        f"floor(quality_raw * 1000000) div {bucket_width_u}"
+    ).cast("long").alias("bucket")
+    return (
+        stream_docs.withColumn("quality_raw", quality_score_raw("text"))
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("win.start", "win.end", "bucket", "n")
+    )
+
+
 _TOTALS_OUT = StructType(
     [
         StructField("mention", StringType(), False),
