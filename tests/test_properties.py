@@ -249,3 +249,21 @@ def test_reconcile_cluster_ids_invariants_for_any_assignments(spark, prev_cl, cu
                 and 100 + prev_cl[i] == r["stable_id"]
             )
             assert r["overlap"] == want
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 8), min_size=1, max_size=40),
+    st.lists(st.integers(0, 8), min_size=1, max_size=40),
+)
+def test_histogram_drift_psi_nonnegative_and_zero_on_identity(spark, prev_b, cur_b):
+    """For ANY two bucket multisets: every per-bucket psi_micro >= 0
+    ((rc-rp) and ln(rc/rp) always share sign), and drift(x, x) is zero on
+    every row — the invariants any drift gate silently relies on."""
+    from xlink_spark.operators.textstats import histogram_drift
+
+    mk = lambda bs: spark.createDataFrame([(b,) for b in bs], "bucket long")
+    rows = histogram_drift(mk(prev_b), mk(cur_b)).collect()
+    assert all(r["psi_micro"] >= 0 for r in rows)
+    same = histogram_drift(mk(prev_b), mk(prev_b)).collect()
+    assert all(r["psi_micro"] == 0 for r in same)
