@@ -41,6 +41,43 @@ import json
 import time
 
 
+def _commit_clusters(spark, store, batch_id: int) -> int:
+    """Cluster the current link view, reconcile ids against the previous
+    clusters snapshot (split-loser collisions get MINTED ids — adopting
+    their own CC label would fuse two clusters), commit, return row count.
+    Idempotent per iteration like every snapshot commit."""
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.cluster import (
+        cluster_links,
+        mint_stable_ids,
+        reconcile_cluster_ids,
+    )
+    from xlink_spark.plans.incremental import current_links
+
+    cur = cluster_links(current_links(spark, store))
+    done = store.iterations("clusters")
+    if done:
+        prev = store.read_iteration(spark, "clusters", done[-1])
+        prev_nc = prev.select(
+            F.col("entity_id").alias("node"), F.col("cluster_id").alias("component")
+        )
+        cur_nc = cur.select(
+            F.col("entity_id").alias("node"), F.col("cluster_id").alias("component")
+        )
+        remap = mint_stable_ids(
+            reconcile_cluster_ids(prev_nc, cur_nc),
+            prev.select("cluster_id").distinct(),
+        ).select(F.col("component").alias("cluster_id"), "stable_id")
+        stable = cur.join(remap, "cluster_id").select(
+            "entity_id", F.col("stable_id").alias("cluster_id")
+        )
+    else:
+        stable = cur
+    store.commit("clusters", batch_id, stable)
+    return store.manifest("clusters", batch_id)["rows"]
+
+
 def run_incremental_job(spark, args) -> dict:
     """The job body, importable for in-session testing."""
     from pyspark.sql import functions as F
@@ -68,11 +105,19 @@ def run_incremental_job(spark, args) -> dict:
                 return store.manifest(stage, batch_id)["rows"]
             return None
 
+        # --cluster on a resumed batch still commits the clusters snapshot
+        # if this batch never got one (e.g. the original run didn't pass
+        # the flag) — _commit_clusters is itself idempotent per iteration
+        if getattr(args, "cluster", False) and batch_id not in store.iterations(
+            "clusters"
+        ):
+            _commit_clusters(spark, store, batch_id)
         return {
             "batch_id": batch_id,
             "resumed": True,
             "n_linked_rows": _rows("links"),
             "n_retractions": _rows("retractions"),
+            "n_cluster_rows": _rows("clusters"),
         }
 
     # diff on the span-sequence fingerprint: any change to the interleaved
@@ -128,33 +173,7 @@ def run_incremental_job(spark, args) -> dict:
     # carried identity is transitive across arbitrarily many batches.
     n_clusters = None
     if getattr(args, "cluster", False):
-        from xlink_spark.operators.cluster import (
-            cluster_links,
-            reconcile_cluster_ids,
-        )
-        from xlink_spark.plans.incremental import current_links
-
-        cur = cluster_links(current_links(spark, store))
-        cur_nc = cur.select(
-            F.col("entity_id").alias("node"), F.col("cluster_id").alias("component")
-        )
-        done = store.iterations("clusters")
-        if done:
-            prev_nc = store.read_iteration(spark, "clusters", done[-1]).select(
-                F.col("entity_id").alias("node"),
-                F.col("cluster_id").alias("component"),
-            )
-            remap = reconcile_cluster_ids(prev_nc, cur_nc).select(
-                F.col("component").alias("cluster_id"),
-                "stable_id",
-            )
-            stable = cur.join(remap, "cluster_id").select(
-                "entity_id", F.col("stable_id").alias("cluster_id")
-            )
-        else:
-            stable = cur
-        store.commit("clusters", batch_id, stable)
-        n_clusters = store.manifest("clusters", batch_id)["rows"]
+        n_clusters = _commit_clusters(spark, store, batch_id)
 
     return {
         "batch_id": batch_id,

@@ -174,3 +174,17 @@ def test_decayed_anchor_counts_exact_halvings(spark):
         for r in decayed_anchor_counts(ancient, current_batch=100).collect()
     }
     assert out3[("m", "e_old")]["w_cnt"] == 0 and out3[("m", "e_new")]["p"] == 1.0
+
+    # a batch stamped AFTER current_batch (clock skew / concurrent writer)
+    # weighs like the current batch — negative ages must NOT push the shift
+    # count past 40 (the JVM masks shifts to 6 bits: 2x overweight at
+    # age -1, 2^-40 underweight at age -24)
+    skew = spark.createDataFrame(
+        [("m", "e_now", 10, 3), ("m", "e_future", 10, 4), ("m", "e_far", 10, 27)],
+        "mention string, entity_id string, cnt long, batch long",
+    )
+    out4 = {
+        (r["mention"], r["entity_id"]): r["w_cnt"]
+        for r in decayed_anchor_counts(skew, current_batch=3).collect()
+    }
+    assert out4[("m", "e_now")] == out4[("m", "e_future")] == out4[("m", "e_far")]

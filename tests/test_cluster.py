@@ -155,3 +155,36 @@ def test_reconcile_cluster_ids_merge_split_new_deleted(spark):
     # carried stable ids stay unique
     carried = [v[0] for v in out.values() if v[2] == "carried"]
     assert len(carried) == len(set(carried))
+
+
+def test_reconcile_split_loser_collision_needs_mint(spark):
+    """The split-loser trap: B keeps the previous minimum node, so B's own
+    CC label IS the id the winner carried — adopting it would fuse two
+    clusters. reconcile must flag it needs_mint (NULL id) and
+    mint_stable_ids must assign a fresh id above everything reserved."""
+    from xlink_spark.operators.cluster import mint_stable_ids, reconcile_cluster_ids
+
+    prev = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3, 4, 5)], "node long, component long"
+    )
+    # split: A={2,3,4} (labeled 2, overlap 3 -> carries 1), B={1,5}
+    # (labeled 1 because it kept node 1, overlap 2 -> loses)
+    cur = spark.createDataFrame(
+        [(2, 2), (3, 2), (4, 2), (1, 1), (5, 1)], "node long, component long"
+    )
+    rec = {r["component"]: r for r in reconcile_cluster_ids(prev, cur).collect()}
+    assert rec[2]["stable_id"] == 1 and rec[2]["origin"] == "carried"
+    assert rec[1]["stable_id"] is None and rec[1]["origin"] == "needs_mint"
+
+    reserved = prev.select("component").distinct()
+    minted = {
+        r["component"]: r
+        for r in mint_stable_ids(
+            reconcile_cluster_ids(prev, cur), reserved
+        ).collect()
+    }
+    assert minted[2]["stable_id"] == 1
+    assert minted[1]["origin"] == "minted"
+    assert minted[1]["stable_id"] > 1  # above every reserved/carried id
+    ids = [r["stable_id"] for r in minted.values()]
+    assert len(ids) == len(set(ids))  # injective after minting

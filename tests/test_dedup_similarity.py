@@ -1478,11 +1478,35 @@ def test_image_info_header_sniffing_all_formats(spark):
         return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
 
     def bmp(w, h):
-        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 8
+        # "BM" + 12 header bytes + DIB size 40 (BITMAPINFOHEADER) + i32 dims
+        return (
+            b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h) + b"\x00" * 8
+        )
+
+    def bmp_core(w, h):
+        # BITMAPCOREHEADER: DIB size 12 at offset 14, u16 dims at 18/20,
+        # then u16 planes=1 / u16 bpp=8 — the bytes that would misparse as
+        # garbage i32 dims if the DIB size were not dispatched on
+        return (
+            b"BM" + b"\x00" * 12
+            + struct.pack("<I", 12)
+            + struct.pack("<HHHH", w, h, 1, 8)
+        )
+
+    def jpeg_fill(w, h):
+        # spec-valid: 0xFF fill byte padding before the SOF marker
+        sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+            ">HH", h, w
+        ) + b"\x03\x01\x11\x00"
+        return b"\xff\xd8" + b"\xff" + sof + b"\xff\xd9"
 
     rows = [
         ("j", jpeg(640, 480)), ("p", png(320, 200)), ("g", gif(16, 8)),
         ("b", bmp(32, 24)), ("bneg", bmp(10, -20)),  # top-down BMP: |h|
+        ("bcore", bmp_core(100, 10)),                # OS/2 core header
+        ("jfill", jpeg_fill(12, 34)),                # 0xFF fill padding
+        ("bdib16", b"BM" + b"\x00" * 12 + struct.pack("<I", 16) + b"\x00" * 10),
         ("trunc", b"\x89PNG\r\n\x1a\n\x00\x00"), ("alien", b"RIFFxxxxWEBP"),
         ("null", None),
     ]
@@ -1493,6 +1517,9 @@ def test_image_info_header_sniffing_all_formats(spark):
     assert (out["g"]["format"], out["g"]["width"], out["g"]["height"]) == ("gif", 16, 8)
     assert (out["b"]["format"], out["b"]["width"], out["b"]["height"]) == ("bmp", 32, 24)
     assert out["bneg"]["height"] == 20
+    assert (out["bcore"]["format"], out["bcore"]["width"], out["bcore"]["height"]) == ("bmp", 100, 10)
+    assert (out["jfill"]["format"], out["jfill"]["width"], out["jfill"]["height"]) == ("jpeg", 12, 34)
+    assert out["bdib16"]["decode_error"] is not None  # unsupported DIB size
     for bad in ("trunc", "alien", "null"):
         assert out[bad]["decode_error"] is not None and out[bad]["format"] is None
     assert out["j"]["n_bytes"] == len(jpeg(640, 480))

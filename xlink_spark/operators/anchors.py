@@ -279,10 +279,17 @@ def decayed_anchor_counts(
     """
     from pyspark.sql import Window
 
-    # halvings = age div half_life, computed in INTEGER division (ages are
-    # non-negative), capped just past max_halvings
+    # halvings = age div half_life in INTEGER division, clamped to
+    # [0, max_halvings + 1]. The floor at 0 matters: a batch stamped AFTER
+    # current_batch (clock skew, concurrent writer) must weigh like the
+    # current batch — a negative k would push the shift count past 40 and
+    # the JVM masks shift counts to 6 bits, silently over- or UNDER-
+    # weighting future rows by up to 2^24 either way.
     k = F.least(
-        F.expr(f"({current_batch}L - batch) div {half_life_batches}L"),
+        F.greatest(
+            F.expr(f"({current_batch}L - batch) div {half_life_batches}L"),
+            F.lit(0).cast("long"),
+        ),
         F.lit(max_halvings + 1).cast("long"),
     )
     # weight in 2^-max_halvings units; ages beyond max_halvings -> 0

@@ -202,7 +202,14 @@ def reconcile_cluster_ids(prev: DataFrame, cur: DataFrame) -> DataFrame:
     * when several current components claim the same previous id (a split),
       the largest overlap wins (ties: smaller current id) — one round of
       deterministic greedy bipartite matching, so carried ids stay UNIQUE;
-    * unmatched components keep their current label with origin='new'.
+    * unmatched components keep their current label with origin='new' —
+      UNLESS that label collides with an id some other component carried
+      (the split-loser case: the loser still contains the previous
+      minimum node, so its own CC label IS the id the winner took).
+      Adopting it would silently fuse two clusters downstream, so such
+      rows come back with stable_id NULL and origin='needs_mint'; the
+      caller mints a fresh id (``mint_stable_ids``) — stable_id is
+      injective over every non-null row by construction.
 
     Inputs are (node, component) frames; output is one row per current
     component: (component, stable_id, overlap, origin). At scale the only
@@ -236,15 +243,54 @@ def reconcile_cluster_ids(prev: DataFrame, cur: DataFrame) -> DataFrame:
         "overlap",
         F.lit("carried").alias("origin"),
     )
+    taken = carried.select(
+        F.col("stable_id").alias("component"), F.lit(True).alias("_taken")
+    )
     fresh = (
         cur.select("component")
         .distinct()
         .join(carried.select("component"), "component", "left_anti")
+        .join(taken, "component", "left")
         .select(
             "component",
-            F.col("component").alias("stable_id"),
+            F.when(F.col("_taken").isNull(), F.col("component"))
+            .otherwise(F.lit(None).cast(cur.schema["component"].dataType))
+            .alias("stable_id"),
             F.lit(0).cast("long").alias("overlap"),
-            F.lit("new").alias("origin"),
+            F.when(F.col("_taken").isNull(), F.lit("new"))
+            .otherwise(F.lit("needs_mint"))
+            .alias("origin"),
         )
     )
     return carried.unionByName(fresh)
+
+
+def mint_stable_ids(reconciled: DataFrame, reserved: DataFrame) -> DataFrame:
+    """Fill ``needs_mint`` rows with fresh ids above every reserved id.
+
+    ``reserved``: one column of ids that must never be reused (the previous
+    snapshot's labels; carried ids are a subset and are reserved
+    automatically). Minted id = max(reserved ∪ assigned) + row_number over
+    the colliding components, so the result is deterministic, injective,
+    and disjoint from everything already in circulation. Everything runs
+    at cluster grain; the minted rows are the rare split-loser cases.
+    """
+    from pyspark.sql import Window
+
+    need = reconciled.where(F.col("stable_id").isNull())
+    ok = reconciled.where(F.col("stable_id").isNotNull())
+    ceiling = (
+        ok.select(F.col("stable_id").alias("_id"))
+        .unionByName(reserved.toDF("_id"))
+        .agg(F.coalesce(F.max("_id"), F.lit(0)).alias("_max"))
+    )
+    minted = need.crossJoin(F.broadcast(ceiling)).select(
+        "component",
+        (
+            F.col("_max")
+            + F.row_number().over(Window.orderBy("component")).cast("long")
+        ).alias("stable_id"),
+        "overlap",
+        F.lit("minted").alias("origin"),
+    )
+    return ok.unionByName(minted)

@@ -513,6 +513,11 @@ def image_info(
                 while i + 9 <= len(b):
                     if b[i] != 0xFF:
                         raise ValueError("jpeg marker stream desynced")
+                    # spec B.1.1.2: markers may be preceded by any number
+                    # of 0xFF fill bytes — consume them or a valid file
+                    # misparses the fill byte as a marker
+                    while i + 9 <= len(b) and b[i + 1] == 0xFF:
+                        i += 1
                     marker = b[i + 1]
                     if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                         i += 2
@@ -536,8 +541,17 @@ def image_info(
             if b[:2] == b"BM":
                 if len(b) < 26:
                     raise ValueError("bmp header truncated")
-                w, h = struct.unpack("<ii", b[18:26])
-                return "bmp", w, abs(h)
+                # dispatch on the DIB header size: BITMAPCOREHEADER (12)
+                # stores u16 dims at 18/20 — reading i32 there would return
+                # plausible-but-garbage dimensions, not an error
+                dib = struct.unpack("<I", b[14:18])[0]
+                if dib == 12:
+                    w, h = struct.unpack("<HH", b[18:22])
+                    return "bmp", w, h
+                if dib >= 40:
+                    w, h = struct.unpack("<ii", b[18:26])
+                    return "bmp", w, abs(h)
+                raise ValueError(f"unsupported BMP DIB header size {dib}")
             raise ValueError("unknown image container")
 
         def one(ref, payload):
