@@ -188,3 +188,102 @@ def test_reconcile_split_loser_collision_needs_mint(spark):
     assert minted[1]["stable_id"] > 1  # above every reserved/carried id
     ids = [r["stable_id"] for r in minted.values()]
     assert len(ids) == len(set(ids))  # injective after minting
+
+
+# ------------------------------------------------------- incremental CC
+def _full_vs_incremental(spark, old_edges, new_edges):
+    from xlink_spark.operators.cluster import incremental_components
+
+    old = spark.createDataFrame(old_edges, "src long, dst long")
+    new = spark.createDataFrame(new_edges, "src long, dst long")
+    prev = connected_components(old)
+    inc = incremental_components(prev, new).collect()
+    full = connected_components(old.unionByName(new)).collect()
+    return sorted(map(tuple, inc)), sorted(map(tuple, full))
+
+
+def test_incremental_cc_equals_full_exact_labels(spark):
+    # one batch exercising every delta shape at once: a merge of two prev
+    # components (3-10), a new node attaching to an old component (11->2),
+    # a brand-new component (20,21), and a no-op internal edge (1-2)
+    old = [(1, 2), (2, 3), (10, 11), (12, 11)]
+    new = [(3, 10), (11, 2), (20, 21), (1, 2)]
+    inc, full = _full_vs_incremental(spark, old, new)
+    assert inc == full  # row-identical, labels included
+
+
+def test_incremental_cc_transitive_merge_chain(spark):
+    # new edges forming a path that merges THREE prev components at once;
+    # the merged label must be the global minimum (here 0)
+    old = [(0, 1), (10, 11), (20, 21)]
+    new = [(1, 10), (11, 20)]
+    inc, full = _full_vs_incremental(spark, old, new)
+    assert inc == full
+    comps = {c for _, c in inc}
+    assert comps == {0}
+
+
+def test_incremental_cc_randomized_equivalence(spark):
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        edges = [
+            (rng.randrange(16), rng.randrange(16)) for _ in range(24)
+        ]
+        cut = rng.randrange(1, 23)
+        inc, full = _full_vs_incremental(spark, edges[:cut], edges[cut:])
+        assert inc == full
+
+
+# ------------------------------------------------------------- pagerank
+def _py_pagerank(edges, iterations=3, num=17, den=20):
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    tele = (den - num) * 1_000_000 // den
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // out[u]
+        r = {n: tele + num * s[n] // den for n in nodes}
+    return r
+
+
+def test_pagerank_integer_matches_reference_arithmetic(spark):
+    from xlink_spark.operators.cluster import pagerank_integer
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_integer(df).collect()}
+    assert got == _py_pagerank(edges)
+    # the sink-heavy node outranks the source-only node
+    assert got[3] > got[4]
+
+
+def test_pagerank_partitioning_invariance(spark):
+    from xlink_spark.operators.cluster import pagerank_integer
+
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank_integer(df).collect()))
+    b = sorted(map(tuple, pagerank_integer(df.repartition(7)).collect()))
+    assert a == b  # bigint arithmetic: layout cannot move a single micro-unit
+
+
+def test_pagerank_string_nodes(spark):
+    from xlink_spark.operators.cluster import pagerank_integer
+
+    df = spark.createDataFrame(
+        [("m:paris", "e:Paris"), ("e:Paris", "m:paris"), ("m:paris", "e:Paris_TX")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["rank_micro"] for r in pagerank_integer(df).collect()}
+    assert set(got) == {"m:paris", "e:Paris", "e:Paris_TX"}
+    assert got["e:Paris"] >= got["e:Paris_TX"]

@@ -188,6 +188,121 @@ def largest_clusters(assignments: DataFrame, k: int = 100) -> DataFrame:
     return sizes.orderBy(F.col("size").desc(), F.col("component").asc()).limit(k)
 
 
+def incremental_components(prev: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Fold a batch of NEW edges into an existing component assignment
+    without re-clustering the world (additive incremental CC).
+
+    ``prev`` is a committed (node, component) assignment —
+    ``connected_components`` output over all edges seen so far; ``new_edges``
+    is this batch's (src, dst) additions. Valid ONLY for edge ADDITIONS:
+    components can merge or appear, never split (deletions require a full
+    recompute — the caller guards that, see jobs/run_incremental.py).
+
+    Exactness: when ``prev`` labels components by their minimum member id
+    (what ``connected_components`` produces), the result is ROW-IDENTICAL to
+    ``connected_components(old_edges ∪ new_edges)``: contracting each prev
+    component to its label keeps the label (= min node) as a graph node, so
+    the delta CC's min-label merge equals the global min over the merged
+    component. With any other injective labeling the PARTITION is still
+    exact; only label values differ. Pinned by tests against full recompute.
+
+    Scale shape — the whole point: the inner ``connected_components`` runs
+    on the CONTRACTED delta graph (≤ |new_edges| label-grain edges), not the
+    10^12-node history. The only node-grain operations are (a) two
+    hash joins mapping the batch's endpoints through ``prev`` and (b) one
+    label-grain hash join relabeling prev rows whose component merged —
+    every O(log n) CC iteration touches batch-sized data only. This is the
+    standard contracted-union-find formulation of incremental CC (e.g.
+    Kiveris et al. SoCC'14 §5 discussion of incremental maintenance).
+    """
+    lab = prev.select("node", "component")
+    contracted = (
+        new_edges.select("src", "dst")
+        .join(
+            lab.select(F.col("node").alias("src"), F.col("component").alias("_ls")),
+            "src",
+            "left",
+        )
+        .join(
+            lab.select(F.col("node").alias("dst"), F.col("component").alias("_ld")),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("_ls", F.col("src")).alias("src"),
+            F.coalesce("_ld", F.col("dst")).alias("dst"),
+        )
+    )
+    delta = connected_components(contracted)
+    # prev labels whose component merged into a (smaller) label this batch
+    moved = delta.select(
+        F.col("node").alias("component"), F.col("component").alias("_new")
+    )
+    prev_up = prev.join(moved, "component", "left").select(
+        "node", F.coalesce("_new", F.col("component")).alias("component")
+    )
+    # nodes first seen this batch (prev labels are themselves prev nodes,
+    # so the anti-join keeps exactly the genuinely-new ids)
+    new_nodes = delta.join(prev.select("node"), "node", "left_anti")
+    return prev_up.unionByName(new_nodes.select("node", "component"))
+
+
+def pagerank_integer(
+    edges: DataFrame, iterations: int = 3, damping: tuple[int, int] = (17, 20)
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units — the graph
+    popularity prior (entity salience over the mention↔entity graph, the
+    structural analogue of XLink's count-based entity_prior,
+    generate_prob_files.py:88-118).
+
+    Every quantity is a bigint: ranks start at 1e6 µ per node, each node
+    sends ``rank div outdeg`` along its out-edges (integer division), and
+    the update is ``rank' = (1-d)·1e6 + (num·Σin) div den`` with d =
+    num/den (default 17/20 = 0.85). Bigint sums are order-independent, so
+    the result is bit-identical across engines and partitionings — no
+    float ever enters (the decayed_anchor_counts / lm_scores convention).
+    Dangling-node mass is dropped, the standard simplification; ranks are
+    a salience ORDERING, not a normalized distribution.
+
+    Overflow headroom: Σ rank_micro ≤ nodes·1e6 + iterations·teleport, so
+    ``num·Σin`` stays under 2^63 while total micro-mass < ~5.4e17 — about
+    5·10^11 nodes at the default damping; beyond that, coarsen the grain
+    (milli-units) or partition the graph. Iterations are unrolled (default
+    3): the prior needs a head/tail separation, not convergence.
+
+    Scale shape: per iteration one (src-keyed) join of the narrow rank
+    table against the edge list and one dst-keyed partial-aggregated sum —
+    both shuffles carry (id, bigint) rows only. Works for any node id type
+    (string or long); output (node, rank_micro).
+    """
+    teleport_micro = ((damping[1] - damping[0]) * 1_000_000) // damping[1]
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank_micro", F.lit(1_000_000).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div outdeg").alias("inc"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("inc").alias("s"))
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport_micro)
+                + F.expr(f"({damping[0]} * coalesce(s, 0L)) div {damping[1]}")
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks
+
+
 def reconcile_cluster_ids(prev: DataFrame, cur: DataFrame) -> DataFrame:
     """Stable cluster ids across snapshot runs (incremental ER id hygiene).
 
