@@ -326,3 +326,26 @@ def test_round5_session2_queries_are_pure_jvm(spark):
             markers.append("MapInPandas")
         for marker in markers:
             assert marker not in plan, (q.__name__, marker)
+
+
+def test_bm25_driver_query_plan_no_explode_no_python(spark):
+    """BM25 search: term frequencies are HOF projections — the plan has NO
+    Generate (explode) node, no Python eval, and the only top-level sort is
+    the TakeOrderedAndProject heap."""
+    from xlink_spark.driver_queries import q_bm25_topk
+
+    plan = _plan(q_bm25_topk(spark, "/root/testdata/sf0.001"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Generate"):
+        assert marker not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_entity_pagerank_plan_is_pure_jvm(spark):
+    """Integer PageRank: three unrolled join+agg rounds, no Python eval, no
+    cartesian blowup."""
+    from xlink_spark.driver_queries import q_entity_pagerank
+
+    plan = _plan(q_entity_pagerank(spark, "/root/testdata/sf0.001"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan

@@ -3752,6 +3752,147 @@ SQL_BLOCKING_COMPARE = (
 )
 
 
+# ------------------------------------------------- incremental CC / pagerank
+def q_cc_incremental(spark, sf_dir):
+    """Additive incremental CC (operators/cluster.incremental_components):
+    the supplier–nation graph arrives in two batches (suppkey % 5 splits
+    them); batch 1 is clustered in full, batch 2 is folded in through the
+    contracted delta graph. The oracle is a FULL recursive-CTE CC over the
+    union — green means the incremental path is row-identical to a
+    from-scratch recompute on an independent engine."""
+    from xlink_spark.operators.cluster import incremental_components
+
+    sup = spark.read.parquet(_T(sf_dir, "supplier"))
+    edges = sup.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + 100000).alias("dst"),
+    )
+    old = edges.filter(F.col("src") % 5 != 0)
+    new = edges.filter(F.col("src") % 5 == 0)
+    from xlink_spark.operators.cluster import connected_components as _cc
+
+    return incremental_components(_cc(old), new)
+
+
+SQL_CC_INCREMENTAL = SQL_CONNECTED_COMPONENTS
+
+
+def _sql_pagerank(edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled integer-PageRank CTE chain mirroring pagerank_integer:
+    bigint micro-units, `//` integer division, 17/20 damping — every
+    arithmetic step is exact, so the hash must match bit-for-bit."""
+    parts = [
+        f"edges as ({edges_sql})",
+        "nodes as (select src as node from edges union select dst as node from edges)",
+        "outdeg as (select src, count(*)::bigint as outdeg from edges group by 1)",
+        "r0 as (select node, 1000000::bigint as r from nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"s{i + 1} as (select e.dst as node, sum(r.r // o.outdeg)::bigint as s "
+            f"from edges e join outdeg o on o.src = e.src "
+            f"join r{i} r on r.node = e.src group by 1)"
+        )
+        parts.append(
+            f"r{i + 1} as (select n.node, "
+            f"(150000 + (17 * coalesce(s.s, 0)) // 20)::bigint as r "
+            f"from nodes n left join s{i + 1} s on s.node = n.node)"
+        )
+    return (
+        "with "
+        + ", ".join(parts)
+        + f" select node, r as rank_micro from r{iterations}"
+    )
+
+
+def q_entity_pagerank(spark, sf_dir):
+    """Entity salience by random walk on the mention↔entity anchor graph
+    (cluster.pagerank_integer, 3 iterations): the graph-structural
+    analogue of the count-based entity_prior (the reference's popularity
+    prior, generate_prob_files.py:88-118) — an entity referenced by many
+    ambiguous surfaces accumulates rank through both edge directions.
+    Exact bigint arithmetic end to end; oracled by an unrolled CTE chain."""
+    from xlink_spark.operators.cluster import pagerank_integer
+
+    ma = q_mention_anchors(spark, sf_dir)
+    pairs = ma.select(
+        F.concat(F.lit("m:"), F.col("mention")).alias("m"),
+        F.concat(F.lit("e:"), F.col("entity_id")).alias("e"),
+    ).distinct()
+    edges = pairs.select(F.col("m").alias("src"), F.col("e").alias("dst")).unionByName(
+        pairs.select(F.col("e").alias("src"), F.col("m").alias("dst"))
+    )
+    return pagerank_integer(edges, iterations=3)
+
+
+SQL_ENTITY_PAGERANK = _sql_pagerank(
+    f"with ma as ({_MA_SQL}), p as (select distinct 'm:' || mention as m, "
+    f"'e:' || entity_id as e from ma) "
+    f"select m as src, e as dst from p union all select e as src, m as dst from p",
+    iterations=3,
+)
+
+
+# ------------------------------------------------------------------- search
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword search over documents (operators/search.bm25_topk):
+    integer micro-unit scoring, query ['dup', 'vector'] — 'dup' is the
+    one minority term in the synthetic vocabulary (df=25 of 500) and
+    'vector' exercises the majority-term idf clamp (df > N/2 ⇒ idf 0).
+    The single float step, floor(ln(ratio)·1e6), was margin-measured:
+    0.43 µ from the nearest boundary at both scale factors (the
+    oracle-robustness protocol)."""
+    from xlink_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(_T(sf_dir, "documents"))
+    return bm25_topk(docs, ["dup", "vector"], k=20)
+
+
+def _sql_bm25(terms: list[str], k: int = 20) -> str:
+    terms = sorted({t.lower() for t in terms})
+    tf_cols = ", ".join(
+        f"least(len(list_filter(ts, x -> x = '{t}')), 1000)::bigint as tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(case when tf_{i} > 0 then 1 else 0 end)::bigint as df_{i}"
+        for i in range(len(terms))
+    )
+    idf_cols = ", ".join(
+        f"greatest(floor(ln((2 * n - 2 * df_{i} + 1)::double / "
+        f"(2 * df_{i} + 1)::double) * 1000000)::bigint, 0) as idf_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(case when b.tf_{i} > 0 and s.df_{i} > 0 then "
+        f"(s.idf_{i} * 22 * b.tf_{i} * 1000000) // "
+        f"(10 * b.tf_{i} * 1000000 + 3000000 + 9 * b.rho_u) else 0 end)"
+        for i in range(len(terms))
+    )
+    return f"""
+with tok as (
+  select doc_id::varchar as doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') as ts
+  from documents
+),
+base0 as (select doc_id, len(ts)::bigint as dl, {tf_cols} from tok),
+stats0 as (select count(*)::bigint as n, sum(dl)::bigint as L, {df_cols} from base0),
+stats as (select *, {idf_cols},
+          ((L // n) * 1000000 + ((L % n) * 1000000) // n) as avgdl_u from stats0),
+base as (select b.*, (b.dl * 1000000 * 1000000) // s.avgdl_u as rho_u
+         from base0 b cross join stats s),
+scored as (select b.doc_id, ({score})::bigint as score_micro
+           from base b cross join stats s)
+select doc_id, score_micro,
+       row_number() over (order by score_micro desc, doc_id asc) as rank
+from scored where score_micro > 0
+order by score_micro desc, doc_id asc limit {k}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25(["dup", "vector"], k=20)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3834,6 +3975,9 @@ QUERIES: dict[str, Query] = {
     "quality_drift": q_quality_drift,
     "decayed_priors": q_decayed_priors,
     "blocking_compare": q_blocking_compare,
+    "cc_incremental": q_cc_incremental,
+    "entity_pagerank": q_entity_pagerank,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3923,4 +4067,7 @@ ORACLES: dict[str, str] = {
     "quality_drift": SQL_QUALITY_DRIFT,
     "decayed_priors": SQL_DECAYED_PRIORS,
     "blocking_compare": SQL_BLOCKING_COMPARE,
+    "cc_incremental": SQL_CC_INCREMENTAL,
+    "entity_pagerank": SQL_ENTITY_PAGERANK,
+    "bm25_topk": SQL_BM25_TOPK,
 }
