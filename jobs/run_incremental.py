@@ -41,21 +41,83 @@ import json
 import time
 
 
+def _additive_window(store, last_cc: int, batch_id: int) -> list[int] | None:
+    """Link batches in (last_cc, batch_id] IF the window is provably
+    additive: every delta batch has its own committed retractions iteration
+    with ZERO rows. A fold_retractions squash inside the window collapses
+    the per-batch trail, so the shape check fails and the caller falls back
+    to a full recompute — deletions can SPLIT components, which the
+    contracted delta graph cannot express, so conservatism is correctness
+    here, not tuning."""
+    delta = [k for k in store.iterations("links") if last_cc < k <= batch_id]
+    if not delta:
+        return None
+    for k in delta:
+        if k not in store.iterations("retractions"):
+            return None
+        if store.manifest("retractions", k)["rows"] > 0:
+            return None
+    return delta
+
+
 def _commit_clusters(spark, store, batch_id: int) -> int:
     """Cluster the current link view, reconcile ids against the previous
     clusters snapshot (split-loser collisions get MINTED ids — adopting
     their own CC label would fuse two clusters), commit, return row count.
-    Idempotent per iteration like every snapshot commit."""
+    Idempotent per iteration like every snapshot commit.
+
+    Incremental fast path: when a ``cc_state`` snapshot exists and every
+    link batch since it is provably additive (its retractions iteration is
+    committed and empty), the new batches' edges are folded into the saved
+    (node, component) state through ``incremental_components`` — the CC
+    iterations run over the CONTRACTED delta graph, never the full history.
+    Any deletion, fold, or missing trail shape falls back to the full
+    recompute; both paths commit the node-grain state for the next batch."""
     from pyspark.sql import functions as F
 
     from xlink_spark.operators.cluster import (
-        cluster_links,
+        connected_components,
+        entity_clusters,
+        incremental_components,
+        link_edges,
         mint_stable_ids,
         reconcile_cluster_ids,
     )
     from xlink_spark.plans.incremental import current_links
 
-    cur = cluster_links(current_links(spark, store))
+    done_cc = store.iterations("cc_state")
+    # fast path only when the cc_state and clusters trails ENDED together:
+    # a crash between the two commits leaves cc_state one batch ahead, and
+    # the entity union below would then miss entities from the gap — one
+    # full recompute heals the store
+    aligned = (
+        bool(done_cc)
+        and store.iterations("clusters")
+        and store.iterations("clusters")[-1] == done_cc[-1]
+    )
+    window = (
+        _additive_window(store, done_cc[-1], batch_id) if aligned else None
+    )
+    if window is not None:
+        prev_state = store.read_iteration(spark, "cc_state", done_cc[-1])
+        delta_links = store.read_iteration(spark, "links", window[0])
+        for k in window[1:]:
+            delta_links = delta_links.unionByName(
+                store.read_iteration(spark, "links", k)
+            )
+        comp = incremental_components(prev_state, link_edges(delta_links))
+        prev_ents = store.read_iteration(
+            spark, "clusters", store.iterations("clusters")[-1]
+        ).select("entity_id")
+        ent_ids = delta_links.select("entity_id").unionByName(prev_ents)
+    else:
+        links = current_links(spark, store)
+        comp = connected_components(link_edges(links))
+        ent_ids = links.select("entity_id")
+    if batch_id not in store.iterations("cc_state"):
+        store.commit("cc_state", batch_id, comp)
+    comp = store.read_iteration(spark, "cc_state", batch_id)
+    cur = entity_clusters(ent_ids, comp)
     done = store.iterations("clusters")
     if done:
         prev = store.read_iteration(spark, "clusters", done[-1])

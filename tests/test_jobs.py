@@ -217,3 +217,83 @@ def test_run_incremental_job_links_only_the_delta(spark, tmp_path, sdfs):
         containers = [c for c, es in by_cluster_first.items() if ents <= es]
         if containers:
             assert cid in containers, (cid, containers)
+
+
+def test_run_incremental_cluster_additive_fast_path(spark, tmp_path, sdfs, monkeypatch):
+    """--cluster takes the contracted-delta fast path on a provably additive
+    batch (incremental_components called) and falls back to the full
+    recompute when the batch carries retractions — and BOTH paths produce
+    the exact partition a from-scratch cluster_links would."""
+    sys.path.insert(0, _JOBS_DIR)
+    import run_incremental as RI
+
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators import cluster as CL
+    from xlink_spark.plans.incremental import current_links
+    from xlink_spark.plans.pipeline import build_dictionary
+    from xlink_spark.plans.snapshots import SnapshotStore
+
+    docs, kb, wemb, eemb, gold = sdfs
+    snap = str(tmp_path / "snap")
+    store = SnapshotStore(snap)
+    build_dictionary(docs, kb, eemb, store=store)
+    wpath, epath = str(tmp_path / "wemb"), str(tmp_path / "eemb")
+    wemb.write.parquet(wpath)
+    eemb.write.parquet(epath)
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    held_out = set(ids[-2:])
+
+    def _write(df, name):
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        return p
+
+    def _args(documents):
+        a = argparse.Namespace(
+            documents=documents, snapshots=snap, word_emb=wpath,
+            entity_emb=epath, batch_id=None, master=None,
+        )
+        a.cluster = True
+        return a
+
+    calls = {"inc": 0}
+    real_inc = CL.incremental_components
+
+    def spy(prev, new_edges):
+        calls["inc"] += 1
+        return real_inc(prev, new_edges)
+
+    monkeypatch.setattr(CL, "incremental_components", spy)
+
+    def _partition(batch):
+        groups: dict = {}
+        for r in store.read_iteration(spark, "clusters", batch).collect():
+            groups.setdefault(r["cluster_id"], set()).add(r["entity_id"])
+        return {frozenset(s) for s in groups.values()}
+
+    def _full_truth():
+        groups: dict = {}
+        for r in CL.cluster_links(current_links(spark, store)).collect():
+            groups.setdefault(r["cluster_id"], set()).add(r["entity_id"])
+        return {frozenset(s) for s in groups.values()}
+
+    # batch 0: bootstrap (no cc_state yet) -> full path
+    v1 = _write(docs.filter(~F.col("doc_id").isin(*held_out)), "v1")
+    m0 = RI.run_incremental_job(spark, _args(v1))
+    assert calls["inc"] == 0 and m0["n_cluster_rows"] > 0
+    assert store.iterations("cc_state") == [0]
+
+    # batch 1: purely additive -> contracted-delta fast path
+    v2 = _write(docs, "v2")
+    m1 = RI.run_incremental_job(spark, _args(v2))
+    assert calls["inc"] == 1, "additive batch must use incremental_components"
+    assert store.iterations("cc_state") == [0, 1]
+    assert _partition(m1["batch_id"]) == _full_truth()
+
+    # batch 2: one doc removed -> retraction rows > 0 -> full recompute
+    v3 = _write(docs.filter(F.col("doc_id") != ids[0]), "v3")
+    m2 = RI.run_incremental_job(spark, _args(v3))
+    assert calls["inc"] == 1, "a batch with retractions must NOT go incremental"
+    assert _partition(m2["batch_id"]) == _full_truth()

@@ -119,6 +119,27 @@ def connected_components(
     return comp.unionByName(roots)
 
 
+def link_edges(links: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """Mention-node ↔ entity-node edges for every link with believe ≥
+    threshold — the one hashing convention every clustering path (full,
+    incremental, resumed) must share so node ids line up across batches."""
+    return links.filter(F.col("believe") >= F.lit(threshold)).select(
+        # hash columns SEPARATELY (multi-arg xxhash64 is type/length aware) -
+        # any string concatenation risks ("a1",23) vs ("a12",3) ambiguity
+        F.xxhash64("doc_id", F.col("start"), F.col("end")).alias("src"),
+        F.xxhash64("entity_id").alias("dst"),
+    )
+
+
+def entity_clusters(entity_ids: DataFrame, comp: DataFrame) -> DataFrame:
+    """Project a (node, component) assignment to (entity_id, cluster_id)
+    for the given one-column entity_id frame (the entity-grain view)."""
+    ents = entity_ids.distinct().withColumn("node", F.xxhash64("entity_id"))
+    return ents.join(comp, "node", "inner").select(
+        "entity_id", F.col("component").alias("cluster_id")
+    )
+
+
 def cluster_links(links: DataFrame, threshold: float = 0.0) -> DataFrame:
     """Entity clusters from linked mentions (the pipeline's final step).
 
@@ -127,19 +148,8 @@ def cluster_links(links: DataFrame, threshold: float = 0.0) -> DataFrame:
     mentions/docs transitively. Returns (entity_id, cluster_id) where
     cluster_id is the minimum entity node id in the component (stable).
     """
-    e = links.filter(F.col("believe") >= F.lit(threshold)).select(
-        # hash columns SEPARATELY (multi-arg xxhash64 is type/length aware) -
-        # any string concatenation risks ("a1",23) vs ("a12",3) ambiguity
-        F.xxhash64("doc_id", F.col("start"), F.col("end")).alias("src"),
-        F.xxhash64("entity_id").alias("dst"),
-    )
-    comp = connected_components(e)
-    ents = links.select("entity_id").distinct().withColumn(
-        "node", F.xxhash64("entity_id")
-    )
-    return ents.join(comp, "node", "inner").select(
-        "entity_id", F.col("component").alias("cluster_id")
-    )
+    comp = connected_components(link_edges(links, threshold))
+    return entity_clusters(links.select("entity_id"), comp)
 
 
 def cluster_memberships(links: DataFrame, threshold: float = 0.0) -> DataFrame:
