@@ -349,3 +349,30 @@ def test_entity_pagerank_plan_is_pure_jvm(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_coherence_rerank_query_plan_shape(spark):
+    """The collective-rerank driver query: the candidate table is persisted
+    once and every fan-out consumer (pool, paired, the relatedness build's
+    self-join sides and counts) reads the cache — the detection scan's
+    MapInPandas appears in the printed plan only under InMemoryRelation
+    provenance, so count cache scans, not Python markers. The anchor
+    dictionary rides a broadcast; the only joins are equi-joins."""
+    from xlink_spark.driver_queries import q_coherence_rerank
+
+    plan = _plan(q_coherence_rerank(spark, "/root/testdata/sf0.001"))
+    assert plan.count("InMemoryTableScan") >= 4  # pool/paired/rel fan-out
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_entity_relatedness_query_plan_shape(spark):
+    """Relatedness over resolved in-links: pair generation is a doc_id
+    equi-join (never cartesian), the one-row doc-universe aggregate rides a
+    broadcast, and detection's span scan is the only Python boundary."""
+    from xlink_spark.driver_queries import q_entity_relatedness
+
+    plan = _plan(q_entity_relatedness(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan

@@ -3893,6 +3893,172 @@ order by score_micro desc, doc_id asc limit {k}
 SQL_BM25_TOPK = _sql_bm25(["dup", "vector"], k=20)
 
 
+# --------------------------------------------- relatedness / collective link
+_RES_SQL = SQL_RESOLVED_MENTIONS_TEMPLATE.format(detected=SQL_DETECTED_MENTIONS)
+
+# Milne-Witten core over a `ln (doc_id, entity_id)` CTE (already distinct).
+# The one float step is ln(); floor-to-micro boundary margins were measured
+# in DuckDB before shipping (oracle-robustness protocol): surface links
+# ≥4.9e-4 µ from the nearest floor boundary and ≥5.6e-5 from the negative
+# clamp, top-3 candidate links ≥8.4e-3 µ / ≥4.1e-3 — engine ln() noise is
+# ~1e-9 µ, so both oracles sit ≥4 orders of magnitude clear.
+_SQL_REL_CORE = """
+cntt as (select entity_id, count(*)::bigint as n_in from ln group by 1),
+nd as (select count(distinct doc_id)::bigint as n_docs from ln),
+prs as (
+  select a.entity_id as entity_a, b.entity_id as entity_b,
+         count(*)::bigint as n_ab
+  from ln a join ln b on a.doc_id = b.doc_id and a.entity_id < b.entity_id
+  group by 1, 2 having count(*) >= {min_cooccur}
+),
+rel as (
+  select p.entity_a, p.entity_b, ca.n_in as n_a, cb.n_in as n_b, p.n_ab,
+    (case when (select n_docs from nd) = least(ca.n_in, cb.n_in)
+          then (case when p.n_ab = greatest(ca.n_in, cb.n_in)
+                     then 1000000 else 0 end)
+          else floor(1000000 * greatest(
+            1.0 - (ln(greatest(ca.n_in, cb.n_in)::double) - ln(p.n_ab::double))
+                / (ln((select n_docs from nd)::double)
+                   - ln(least(ca.n_in, cb.n_in)::double)),
+            0.0)) end)::bigint as rel_micro
+  from prs p join cntt ca on ca.entity_id = p.entity_a
+             join cntt cb on cb.entity_id = p.entity_b
+)
+"""
+
+
+def q_entity_relatedness(spark, sf_dir):
+    """Milne-Witten Wikipedia-Link-based relatedness (operators/relatedness)
+    over the in-link table that detection+resolution itself produces
+    (doc → resolved surface) — the pairwise upgrade of XLink's in-link
+    lookup (get_in_links.py:5-19): sr(a,b) from the entities' in-link doc
+    sets, emitted as floor-to-micro bigints with a measured-margin ln()."""
+    from xlink_spark.operators.relatedness import entity_relatedness
+
+    res = q_resolved_mentions(spark, sf_dir)
+    links = res.select("doc_id", F.col("surface").alias("entity_id"))
+    return entity_relatedness(links, min_cooccur=2)
+
+
+SQL_ENTITY_RELATEDNESS = (
+    f"with res as ({_RES_SQL}), "
+    f"ln as (select distinct doc_id, surface as entity_id from res), "
+    + _SQL_REL_CORE.format(min_cooccur=2)
+    + " select entity_a, entity_b, n_a, n_b, n_ab, rel_micro from rel"
+)
+
+
+_RERANK_HELD: list = []
+
+
+def q_coherence_rerank(spark, sf_dir):
+    """Collective linking: one coherence iteration over the local prior
+    scores (operators/relatedness.coherence_rerank). Candidates = resolved
+    'ma' spans × their anchor entities with EXACT bigint local scores
+    ((cnt·10⁶) div tot — integer-division prior, no float ordering);
+    relatedness = Milne-Witten over each span's top-3 candidate entities
+    (doc → entity links); pool capped at 5 mentions/doc. The fused ranking
+    key believe·max(pool_n,1) + Σrel is all-bigint, so the winner is
+    bit-stable across engines and partitionings; only rel_micro's ln()
+    floors are float, margin-measured ≥8.4e-3 µ at both sf.
+
+    The candidate table fans out 8 ways (pool, paired, and the relatedness
+    build's two self-join sides + counts); persist the narrow rows once so
+    the detection scan runs once (the flagship fan-out pattern)."""
+    from xlink_spark.operators.relatedness import (
+        coherence_rerank,
+        entity_relatedness,
+    )
+
+    while _RERANK_HELD:
+        try:
+            _RERANK_HELD.pop().unpersist()
+        except Exception:
+            pass
+    res = q_resolved_mentions(spark, sf_dir).filter(F.col("parse_from") == "ma")
+    ma = q_mention_anchors(spark, sf_dir)
+    maw = ma.withColumn(
+        "tot", F.sum("cnt").over(Window.partitionBy("mention"))
+    )
+    cand = (
+        res.join(F.broadcast(maw), res["surface"] == maw["mention"])
+        .select(
+            "doc_id",
+            "start",
+            "end",
+            "entity_id",
+            F.expr("(cnt * 1000000) div tot").cast("long").alias(
+                "believe_micro"
+            ),
+        )
+        .persist()
+    )
+    cand.count()
+    _RERANK_HELD.append(cand)
+    rnw = Window.partitionBy("doc_id", "start", "end").orderBy(
+        F.col("believe_micro").desc(), F.col("entity_id").asc()
+    )
+    links = (
+        cand.withColumn("_rn", F.row_number().over(rnw))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "entity_id")
+    )
+    rel = entity_relatedness(links, min_cooccur=2)
+    return coherence_rerank(cand, rel, max_pool=5)
+
+
+SQL_COHERENCE_RERANK = (
+    f"with res0 as ({_RES_SQL}), "
+    "res as (select * from res0 where parse_from = 'ma'), "
+    f"ma as ({_MA_SQL}), "
+    "tot as (select mention, sum(cnt)::bigint as tot from ma group by 1), "
+    "cand as ("
+    "  select r.doc_id, r.start, r.\"end\", m.entity_id,"
+    "         (m.cnt * 1000000) // t.tot as believe_micro"
+    "  from res r join ma m on m.mention = r.surface"
+    "             join tot t on t.mention = r.surface), "
+    "ln as ("
+    "  select distinct doc_id, entity_id from ("
+    "    select doc_id, entity_id, row_number() over ("
+    "      partition by doc_id, start, \"end\""
+    "      order by believe_micro desc, entity_id asc) as rn"
+    "    from cand) where rn <= 3), "
+    + _SQL_REL_CORE.format(min_cooccur=2).strip().lstrip()
+    + ", "
+    "pool1 as ("
+    "  select doc_id, start as p_start, \"end\" as p_end,"
+    "         entity_id as p_entity, believe_micro from ("
+    "    select *, row_number() over ("
+    "      partition by doc_id, start, \"end\""
+    "      order by believe_micro desc, entity_id asc) as rn"
+    "    from cand) where rn = 1), "
+    "pool as ("
+    "  select doc_id, p_start, p_end, p_entity from ("
+    "    select *, row_number() over (partition by doc_id"
+    "      order by believe_micro desc, p_start asc, p_end asc) as dr"
+    "    from pool1) where dr <= 5), "
+    "paired as ("
+    "  select c.doc_id, c.start, c.\"end\", c.entity_id, c.believe_micro,"
+    "         p.p_entity, r.rel_micro"
+    "  from cand c"
+    "  left join pool p on p.doc_id = c.doc_id"
+    "       and (p.p_start <> c.start or p.p_end <> c.\"end\")"
+    "  left join rel r on r.entity_a = least(c.entity_id, p.p_entity)"
+    "       and r.entity_b = greatest(c.entity_id, p.p_entity)), "
+    "scored as ("
+    "  select doc_id, start, \"end\", entity_id, believe_micro,"
+    "         count(p_entity)::bigint as pool_n,"
+    "         coalesce(sum(rel_micro), 0)::bigint as coherence_sum"
+    "  from paired group by 1, 2, 3, 4, 5), "
+    "fin as (select *, (believe_micro * greatest(pool_n, 1)"
+    "         + coherence_sum)::bigint as score from scored) "
+    "select doc_id, start, \"end\", entity_id, believe_micro, pool_n,"
+    "       coherence_sum, score from ("
+    "  select *, row_number() over (partition by doc_id, start, \"end\""
+    "    order by score desc, entity_id asc) as rn from fin) where rn = 1"
+)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -3977,6 +4143,8 @@ QUERIES: dict[str, Query] = {
     "blocking_compare": q_blocking_compare,
     "cc_incremental": q_cc_incremental,
     "entity_pagerank": q_entity_pagerank,
+    "entity_relatedness": q_entity_relatedness,
+    "coherence_rerank": q_coherence_rerank,
     "bm25_topk": q_bm25_topk,
 }
 
@@ -4069,5 +4237,7 @@ ORACLES: dict[str, str] = {
     "blocking_compare": SQL_BLOCKING_COMPARE,
     "cc_incremental": SQL_CC_INCREMENTAL,
     "entity_pagerank": SQL_ENTITY_PAGERANK,
+    "entity_relatedness": SQL_ENTITY_RELATEDNESS,
+    "coherence_rerank": SQL_COHERENCE_RERANK,
     "bm25_topk": SQL_BM25_TOPK,
 }
