@@ -1,0 +1,171 @@
+"""Sorted-neighborhood blocking + Fellegi-Sunter weights/scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from xlink_spark.operators.linkage import (
+    MICRO,
+    fs_score,
+    global_sort_ranks,
+    match_weights,
+    sorted_neighborhood_pairs,
+)
+
+# (id, key, name) — keys repeat (the SNM bounded-cardinality assumption)
+RECS = [
+    (1, "k1", "alice"),
+    (2, "k1", "alicia"),
+    (3, "k1", "bob"),
+    (4, "k2", "carol"),
+    (5, "k2", "carole"),
+    (6, "k3", "dave"),
+    (7, "k3", "dave"),  # duplicate sort value -> id tiebreak
+]
+SCHEMA = "id long, key string, name string"
+
+
+def _py_ranks(recs):
+    order = sorted(recs, key=lambda r: (r[1], r[2], r[0]))
+    return {r[0]: i + 1 for i, r in enumerate(order)}
+
+
+def _py_pairs(recs, window):
+    ranks = _py_ranks(recs)
+    inv = {v: k for k, v in ranks.items()}
+    out = set()
+    for ra in ranks.values():
+        for rb in range(ra + 1, min(ra + window, len(ranks) + 1)):
+            out.add((inv[ra], inv[rb], ra, rb, rb - ra))
+    return out
+
+
+def test_global_sort_ranks_exact_and_total(spark):
+    df = spark.createDataFrame(RECS, SCHEMA)
+    got = {
+        r["id"]: r["rank"]
+        for r in global_sort_ranks(df, "key", ["name"], "id").collect()
+    }
+    assert got == _py_ranks(RECS)
+
+
+def test_snm_pairs_match_python_replica(spark):
+    df = spark.createDataFrame(RECS, SCHEMA)
+    for window in (2, 3, 5, 10):
+        got = {
+            (r["id_a"], r["id_b"], r["rank_a"], r["rank_b"], r["dist"])
+            for r in sorted_neighborhood_pairs(
+                df, "key", ["name"], "id", window=window
+            ).collect()
+        }
+        assert got == _py_pairs(RECS, window), window
+
+
+def test_snm_pairs_emitted_exactly_once(spark):
+    df = spark.createDataFrame(RECS, SCHEMA)
+    rows = sorted_neighborhood_pairs(df, "key", ["name"], "id", window=4).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_snm_window_lower_bound(spark):
+    df = spark.createDataFrame(RECS, SCHEMA)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "key", ["name"], "id", window=1)
+
+
+VECS = [
+    # (id_a, id_b, agree_name, agree_phone, is_match)
+    (1, 2, True, True, True),
+    (3, 4, True, False, True),
+    (5, 6, False, True, True),
+    (7, 8, True, False, False),
+    (9, 10, False, False, False),
+    (11, 12, False, False, False),
+    (13, 14, False, True, False),
+]
+VSCHEMA = (
+    "id_a long, id_b long, agree_name boolean, agree_phone boolean, "
+    "is_match boolean"
+)
+
+
+def _py_weights(vecs, fields, s=1):
+    matches = [v for v in vecs if v[4]]
+    nons = [v for v in vecs if not v[4]]
+    out = {}
+    for i, f in enumerate(fields):
+        ma = sum(1 for v in matches if v[2 + i]) + s
+        md = len(matches) + 2 * s
+        ua = sum(1 for v in nons if v[2 + i]) + s
+        ud = len(nons) + 2 * s
+        wa = math.floor(MICRO * math.log((ma * ud) / (ua * md)))
+        wd = math.floor(MICRO * math.log(((md - ma) * ud) / ((ud - ua) * md)))
+        out[f] = (ma, md, ua, ud, wa, wd)
+    return out
+
+
+def test_match_weights_exact_counts_and_floors(spark):
+    df = spark.createDataFrame(VECS, VSCHEMA)
+    got = {
+        r["field"]: (
+            r["m_num"], r["m_den"], r["u_num"], r["u_den"],
+            r["w_agree_micro"], r["w_disagree_micro"],
+        )
+        for r in match_weights(
+            df, ["agree_name", "agree_phone"], "is_match"
+        ).collect()
+    }
+    assert got == _py_weights(VECS, ["agree_name", "agree_phone"])
+    # a field that agrees more on matches than non-matches must reward
+    # agreement and punish disagreement
+    wa, wd = got["agree_name"][4], got["agree_name"][5]
+    assert wa > 0 > wd
+
+
+def test_match_weights_all_match_labels_stay_finite(spark):
+    rows = [(1, 2, True, True, True), (3, 4, False, True, True)]
+    df = spark.createDataFrame(rows, VSCHEMA)
+    got = match_weights(df, ["agree_name"], "is_match").collect()
+    assert len(got) == 1 and got[0]["u_den"] == 2  # 0 non-matches + 2s
+    assert got[0]["w_agree_micro"] is not None
+
+
+def test_match_weights_smoothing_validation(spark):
+    df = spark.createDataFrame(VECS, VSCHEMA)
+    with pytest.raises(ValueError):
+        match_weights(df, ["agree_name"], "is_match", smoothing=0)
+
+
+def test_fs_score_sums_per_field_weights(spark):
+    vec = spark.createDataFrame(VECS, VSCHEMA)
+    w = match_weights(vec, ["agree_name", "agree_phone"], "is_match")
+    pw = _py_weights(VECS, ["agree_name", "agree_phone"])
+    got = {
+        (r["id_a"], r["id_b"]): r["score_micro"]
+        for r in fs_score(
+            vec, w, ["agree_name", "agree_phone"], ["id_a", "id_b"]
+        ).collect()
+    }
+    for v in VECS:
+        exp = (pw["agree_name"][4] if v[2] else pw["agree_name"][5]) + (
+            pw["agree_phone"][4] if v[3] else pw["agree_phone"][5]
+        )
+        assert got[(v[0], v[1])] == exp
+    # full-agreement pair outranks full-disagreement pair
+    assert got[(1, 2)] > got[(9, 10)]
+
+
+def test_linkage_plans_are_pure_jvm(spark):
+    recs = spark.createDataFrame(RECS, SCHEMA)
+    vec = spark.createDataFrame(VECS, VSCHEMA)
+    pairs = sorted_neighborhood_pairs(recs, "key", ["name"], "id", window=3)
+    w = match_weights(vec, ["agree_name", "agree_phone"], "is_match")
+    sc = fs_score(vec, w, ["agree_name", "agree_phone"], ["id_a", "id_b"])
+    for df in (pairs, w, sc):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        assert "CartesianProduct" not in plan
