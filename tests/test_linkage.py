@@ -169,3 +169,84 @@ def test_linkage_plans_are_pure_jvm(spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_fs_em_weights_python_duckdb_bit_parity(spark):
+    """The EM trajectory must be BIT-identical between the Python evaluator
+    and the DuckDB oracle: both evaluate the same generated expression
+    texts, so every micro-floor (including the ln-free m/u/pi floors)
+    matches exactly."""
+    import duckdb
+
+    from xlink_spark.operators.linkage import em_oracle_sql, fs_em_weights
+
+    rows = [
+        (i, i + 1, i % 3 == 0, i % 4 < 2, (i * 7) % 5 < 2)
+        for i in range(0, 400, 2)
+    ]
+    schema = "id_a long, id_b long, f0 boolean, f1 boolean, f2 boolean"
+    vec = spark.createDataFrame(rows, schema)
+    got = {
+        r["field"]: (
+            r["m_micro"], r["u_micro"], r["w_agree_micro"],
+            r["w_disagree_micro"], r["pi_micro"],
+        )
+        for r in fs_em_weights(vec, ["f0", "f1", "f2"], iterations=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create table vec as select * from (values "
+        + ", ".join(
+            f"({a}, {b}, {str(f0).lower()}, {str(f1).lower()}, {str(f2).lower()})"
+            for a, b, f0, f1, f2 in rows
+        )
+        + ") t(id_a, id_b, f0, f1, f2)"
+    )
+    sql = "with " + em_oracle_sql("vec", ["f0", "f1", "f2"], iterations=4)
+    exp = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == exp
+
+
+def test_fs_em_separates_planted_classes(spark):
+    """Two latent classes: matches agree on f0 90% of the time, non-matches
+    10% — EM (never shown the labels) must recover m >> u and a positive
+    agreement weight."""
+    from xlink_spark.operators.linkage import fs_em_weights
+
+    rows = []
+    for i in range(100):  # matches
+        rows.append((i, i, i % 10 != 0))
+    for i in range(300):  # non-matches
+        rows.append((1000 + i, 1000 + i, i % 10 == 0))
+    vec = spark.createDataFrame(rows, "id_a long, id_b long, f0 boolean")
+    [r] = fs_em_weights(vec, ["f0"], iterations=10).collect()
+    assert r["m_micro"] > 700_000 and r["u_micro"] < 300_000
+    assert r["w_agree_micro"] > 0 > r["w_disagree_micro"]
+    assert 100_000 < r["pi_micro"] < 500_000  # ~25% prevalence
+
+
+def test_fs_em_empty_and_bad_args(spark):
+    from xlink_spark.operators.linkage import fs_em_weights
+
+    empty = spark.createDataFrame([], "id_a long, f0 boolean")
+    with pytest.raises(ValueError):
+        fs_em_weights(empty, ["f0"])
+    some = spark.createDataFrame([(1, True)], "id_a long, f0 boolean")
+    with pytest.raises(ValueError):
+        fs_em_weights(some, [])
+
+
+def test_fs_em_constant_field_clamped_to_zero_weight(spark):
+    """A field that always agrees carries no signal: the clamp keeps EM
+    finite and its weights land at exactly 0 (m = u after clamping)."""
+    from xlink_spark.operators.linkage import fs_em_weights
+
+    rows = [(i, i + 1, True, i % 3 == 0) for i in range(60)]
+    vec = spark.createDataFrame(rows, "id_a long, id_b long, f0 boolean, f1 boolean")
+    got = {r["field"]: r for r in fs_em_weights(vec, ["f0", "f1"], iterations=5).collect()}
+    assert got["f0"]["w_agree_micro"] == 0
+    assert got["f0"]["w_disagree_micro"] == 0
+    assert got["f1"]["m_micro"] is not None

@@ -4265,6 +4265,38 @@ SQL_FS_PAIR_SCORES = (
 )
 
 
+def q_fs_em_weights(spark, sf_dir):
+    """UNSUPERVISED Fellegi-Sunter estimation (linkage.fs_em_weights,
+    Winkler's EM over agreement patterns) on the SAME comparison vectors as
+    fs_match_weights but with the labels withheld: the distributed step is
+    one map-combinable count of the 2^3 agreement patterns; EM then runs
+    on those 8 numbers driver-side (the Lloyd-quantizer division of
+    labor), every float op evaluating the canonical expression text that
+    the DuckDB oracle executes verbatim — the trajectory is bit-identical
+    by construction (pinned by a parity test), so m/u/pi micro-floors are
+    exact and only the final ln() weight floors carry float risk
+    (margins measured ≥0.0088 µ across sf). EM recovers the planted
+    structure blind: π̂ ≈ 0.06, the anti-predictive name field, and the
+    seg/nation signal — the estimator a 10¹²-pair deployment runs when no
+    labeled pairs exist."""
+    from xlink_spark.operators.linkage import fs_em_weights
+
+    vec = _linkage_vectors(spark, sf_dir).drop("is_match")
+    return fs_em_weights(vec, _LINKAGE_FIELDS, iterations=5)
+
+
+def _sql_fs_em() -> str:
+    from xlink_spark.operators.linkage import em_oracle_sql
+
+    return (
+        f"with {_SQL_LINKAGE_VEC}, "
+        + em_oracle_sql("vec", _LINKAGE_FIELDS, iterations=5)
+    )
+
+
+SQL_FS_EM_WEIGHTS = _sql_fs_em()
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -4354,6 +4386,7 @@ QUERIES: dict[str, Query] = {
     "snm_candidate_pairs": q_snm_candidate_pairs,
     "fs_match_weights": q_fs_match_weights,
     "fs_pair_scores": q_fs_pair_scores,
+    "fs_em_weights": q_fs_em_weights,
     "bm25_topk": q_bm25_topk,
 }
 
@@ -4451,5 +4484,6 @@ ORACLES: dict[str, str] = {
     "snm_candidate_pairs": SQL_SNM_CANDIDATE_PAIRS,
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "fs_pair_scores": SQL_FS_PAIR_SCORES,
+    "fs_em_weights": SQL_FS_EM_WEIGHTS,
     "bm25_topk": SQL_BM25_TOPK,
 }

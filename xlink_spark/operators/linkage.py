@@ -221,3 +221,219 @@ def fs_score(
             .alias("score_micro")
         )
     )
+
+
+# --------------------------------------------------------------- EM (Winkler)
+def _fold(terms: list[str], op: str) -> str:
+    """Left-associative fold with explicit parens — the canonical
+    evaluation order shared by the Python evaluator and the SQL oracle."""
+    t = terms[0]
+    for x in terms[1:]:
+        t = f"({t} {op} {x})"
+    return t
+
+
+def em_expression_texts(n_fields: int) -> dict:
+    """The EM update formulas as arithmetic TEXT, valid verbatim in Python
+    ``eval`` and in SQL (names, parens, + - * /, e-notation literals only —
+    e-notation so DuckDB parses doubles, never DECIMAL). One generator
+    feeds both engines, so every intermediate double is bit-identical by
+    construction; only the final ln() weight floors can diverge and those
+    are margin-measured per dataset.
+
+    Returns {"g": {pattern: text}, "pi": text, "m": [text]*k, "u":
+    [text]*k} where pattern bit j set ⇔ field j agrees; g texts reference
+    pi/m_j/u_j/n_p, update texts reference n_p and g_p."""
+    k = n_fields
+    pats = list(range(2**k))
+
+    def bit(p: int, j: int) -> bool:
+        return bool((p >> j) & 1)
+
+    g = {}
+    for p in pats:
+        prodm = _fold(
+            [f"m_{j}" if bit(p, j) else f"(1e0 - m_{j})" for j in range(k)], "*"
+        )
+        produ = _fold(
+            [f"u_{j}" if bit(p, j) else f"(1e0 - u_{j})" for j in range(k)], "*"
+        )
+        a = f"(pi * {prodm})"
+        b = f"((1e0 - pi) * {produ})"
+        g[p] = f"({a} / ({a} + {b}))"
+    n_total = _fold([f"n_{p}" for p in pats], "+")
+    den_m = _fold([f"(n_{p} * g_{p})" for p in pats], "+")
+    den_u = _fold([f"(n_{p} * (1e0 - g_{p}))" for p in pats], "+")
+    out = {
+        "g": g,
+        "pi": f"({den_m} / {n_total})",
+        "m": [],
+        "u": [],
+    }
+    for j in range(k):
+        on = [p for p in pats if bit(p, j)]
+        num_m = _fold([f"(n_{p} * g_{p})" for p in on], "+")
+        num_u = _fold([f"(n_{p} * (1e0 - g_{p}))" for p in on], "+")
+        out["m"].append(f"({num_m} / {den_m})")
+        out["u"].append(f"({num_u} / {den_u})")
+    return out
+
+
+EM_INIT = {"pi": 0.1, "m": 0.9, "u": 0.1}
+EM_INIT_SQL = {"pi": "1e-1", "m": "9e-1", "u": "1e-1"}
+
+# Parameter clamp: a constant field drives its m/u to EXACTLY 0 or 1 in one
+# M-step, making every unobserved pattern's responsibility 0/0 (Python
+# raises, SQL yields NaN that poisons the sums). The standard EM guard is
+# clamping parameters strictly inside (0,1); min/max are EXACT (no
+# rounding), so applying the same clamp in both engines preserves
+# bit-identity. A clamped constant field ends at m = u -> weight exactly 0.
+EM_EPS = 1e-9
+
+
+def fs_em_weights(
+    vectors: DataFrame,
+    field_cols: list[str],
+    *,
+    iterations: int = 5,
+) -> DataFrame:
+    """Unsupervised Fellegi-Sunter parameter estimation (Winkler's EM over
+    agreement patterns) — no labels needed.
+
+    The DISTRIBUTED step is one map-combinable aggregation: counts of the
+    2^k boolean agreement patterns (k = len(field_cols), bit j of the
+    pattern ⇔ field j agrees). EM then runs on those 2^k numbers on the
+    driver — the same division of labor as the coarse-quantizer Lloyd pass
+    (similarity.py): iterative scalar math over an aggregate whose size is
+    independent of the corpus. Every float op evaluates the canonical
+    expression text from ``em_expression_texts`` (shared verbatim with the
+    SQL oracle), so the trajectory is engine-exact; weights are
+    floor(1e6·ln(m/u)) / floor(1e6·ln((1−m)/(1−u))) — margin-measure them
+    on your data before relying on cross-engine floor equality.
+
+    Returns one row per field: (field, m_micro, u_micro, w_agree_micro,
+    w_disagree_micro, pi_micro), all bigint micro-floors of the final
+    parameters. Raises on empty input (EM needs at least one pair)."""
+    import math
+
+    k = len(field_cols)
+    if k == 0:
+        raise ValueError("field_cols must be non-empty")
+    if k > 12:
+        raise ValueError("2^k pattern table would exceed driver scale")
+    pats = list(range(2**k))
+    aggs = []
+    for p in pats:
+        cond = None
+        for j, f in enumerate(field_cols):
+            c = F.col(f).cast("boolean")
+            c = c if (p >> j) & 1 else ~c
+            cond = c if cond is None else (cond & c)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{p}")
+        )
+    [row] = vectors.agg(*aggs).collect()
+    counts = [row[f"n_{p}"] for p in pats]
+    if counts[0] is None:
+        raise ValueError("fs_em_weights needs a non-empty vectors frame")
+    env = {f"n_{p}": float(counts[p]) for p in pats}
+    env["pi"] = EM_INIT["pi"]
+    for j in range(k):
+        env[f"m_{j}"] = EM_INIT["m"]
+        env[f"u_{j}"] = EM_INIT["u"]
+    texts = em_expression_texts(k)
+    no_builtins = {"__builtins__": {}}
+    hi = 1.0 - EM_EPS
+    for _ in range(int(iterations)):
+        for p in pats:
+            env[f"g_{p}"] = eval(texts["g"][p], no_builtins, env)  # noqa: S307
+        new = {"pi": eval(texts["pi"], no_builtins, env)}  # noqa: S307
+        for j in range(k):
+            new[f"m_{j}"] = eval(texts["m"][j], no_builtins, env)  # noqa: S307
+            new[f"u_{j}"] = eval(texts["u"][j], no_builtins, env)  # noqa: S307
+        env.update({a: min(max(v, EM_EPS), hi) for a, v in new.items()})
+    out = []
+    for j, f in enumerate(field_cols):
+        m, u = env[f"m_{j}"], env[f"u_{j}"]
+        out.append(
+            (
+                f,
+                math.floor(MICRO * m),
+                math.floor(MICRO * u),
+                math.floor(MICRO * math.log(m / u)),
+                math.floor(MICRO * math.log((1.0 - m) / (1.0 - u))),
+                math.floor(MICRO * env["pi"]),
+            )
+        )
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        out,
+        "field string, m_micro long, u_micro long, w_agree_micro long,"
+        " w_disagree_micro long, pi_micro long",
+    )
+
+
+def em_oracle_sql(
+    vec_cte: str,
+    field_cols: list[str],
+    *,
+    iterations: int = 5,
+) -> str:
+    """The DuckDB twin of ``fs_em_weights``: materialized one-row CTE per
+    EM half-step evaluating the SAME expression texts. ``vec_cte`` must be
+    the name of an in-scope CTE with boolean ``field_cols``."""
+    k = len(field_cols)
+    pats = list(range(2**k))
+    texts = em_expression_texts(k)
+    conds = []
+    for p in pats:
+        cond = " and ".join(
+            f if (p >> j) & 1 else f"not {f}" for j, f in enumerate(field_cols)
+        )
+        conds.append(
+            f"sum(case when {cond} then 1 else 0 end)::double as n_{p}"
+        )
+    ncols = ", ".join(f"n_{p}" for p in pats)
+    init = ", ".join(
+        [f"{EM_INIT_SQL['pi']} as pi"]
+        + [f"{EM_INIT_SQL['m']} as m_{j}" for j in range(k)]
+        + [f"{EM_INIT_SQL['u']} as u_{j}" for j in range(k)]
+    )
+    parts = [
+        f"emc as materialized (select {', '.join(conds)} from {vec_cte})",
+        f"em0 as materialized (select {ncols}, {init} from emc)",
+    ]
+    prev = "em0"
+    carry = ", ".join(
+        ["pi"]
+        + [f"m_{j}" for j in range(k)]
+        + [f"u_{j}" for j in range(k)]
+    )
+    for t in range(1, int(iterations) + 1):
+        gcols = ", ".join(f"{texts['g'][p]} as g_{p}" for p in pats)
+        parts.append(
+            f"gs{t} as materialized (select {ncols}, {carry}, {gcols} from {prev})"
+        )
+        def _clamp(expr: str) -> str:
+            return f"least(greatest({expr}, 1e-9), (1e0 - 1e-9))"
+
+        ucols = ", ".join(
+            [f"{_clamp(texts['pi'])} as pi"]
+            + [f"{_clamp(texts['m'][j])} as m_{j}" for j in range(k)]
+            + [f"{_clamp(texts['u'][j])} as u_{j}" for j in range(k)]
+        )
+        parts.append(
+            f"em{t} as materialized (select {ncols}, {ucols} from gs{t})"
+        )
+        prev = f"em{t}"
+    finals = " union all ".join(
+        f"select '{f}' as field,"
+        f" floor(1e6 * m_{j})::bigint as m_micro,"
+        f" floor(1e6 * u_{j})::bigint as u_micro,"
+        f" floor(1e6 * ln(m_{j} / u_{j}))::bigint as w_agree_micro,"
+        f" floor(1e6 * ln((1e0 - m_{j}) / (1e0 - u_{j})))::bigint"
+        f" as w_disagree_micro,"
+        f" floor(1e6 * pi)::bigint as pi_micro from {prev}"
+        for j, f in enumerate(field_cols)
+    )
+    return ", ".join(parts) + " " + finals
