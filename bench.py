@@ -44,6 +44,8 @@ HEADLINE = [
     "linking_pipeline_ascii",  # the fully-oracled flagship variant
     "lm_scores",          # bigram-LM fluency filter (broadcast model joins)
     "jaccard_pairs_exact",  # exact PPJoin set-similarity (zero-miss near-dup)
+    "coherence_rerank",   # collective linking: detect → priors → WLM rerank
+    "fs_pair_scores",     # SNM blocking → Fellegi-Sunter pairwise scores
 ]
 
 

@@ -250,3 +250,51 @@ def test_fs_em_constant_field_clamped_to_zero_weight(spark):
     assert got["f0"]["w_agree_micro"] == 0
     assert got["f0"]["w_disagree_micro"] == 0
     assert got["f1"]["m_micro"] is not None
+
+
+def test_global_sort_ranks_range_strategy_identical(spark):
+    """The range-partitioned rank path (the 10^12-record shape, no key-
+    cardinality assumption) must produce EXACTLY the ranks of the key-
+    offset path — on repeated keys, near-unique keys, and tiny inputs
+    smaller than the partition count."""
+    from xlink_spark.operators.linkage import global_sort_ranks
+
+    df = spark.createDataFrame(RECS, SCHEMA)
+    base = {r["id"]: r["rank"] for r in global_sort_ranks(df, "key", ["name"], "id").collect()}
+    for np in (1, 2, 8, 64):
+        got = {
+            r["id"]: r["rank"]
+            for r in global_sort_ranks(
+                df, "key", ["name"], "id", strategy="range", num_partitions=np
+            ).collect()
+        }
+        assert got == base, np
+    # near-unique keys (every record its own key): the keys strategy's
+    # assumption breaks down gracefully, range doesn't care — both exact
+    uniq = [(i, f"k{i:04d}", f"n{i%7}") for i in range(200)]
+    u = spark.createDataFrame(uniq, SCHEMA)
+    a = {r["id"]: r["rank"] for r in global_sort_ranks(u, "key", ["name"], "id").collect()}
+    b = {
+        r["id"]: r["rank"]
+        for r in global_sort_ranks(u, "key", ["name"], "id", strategy="range", num_partitions=16).collect()
+    }
+    assert a == b and sorted(a.values()) == list(range(1, 201))
+    with pytest.raises(ValueError):
+        global_sort_ranks(u, "key", ["name"], "id", strategy="bogus")
+
+
+def test_snm_pairs_range_strategy_identical(spark):
+    from xlink_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(RECS, SCHEMA)
+    a = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in sorted_neighborhood_pairs(df, "key", ["name"], "id", window=3).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in sorted_neighborhood_pairs(
+            df, "key", ["name"], "id", window=3, strategy="range"
+        ).collect()
+    }
+    assert a == b

@@ -3929,20 +3929,29 @@ rel as (
 
 def q_entity_relatedness(spark, sf_dir):
     """Milne-Witten Wikipedia-Link-based relatedness (operators/relatedness)
-    over the in-link table that detection+resolution itself produces
-    (doc → resolved surface) — the pairwise upgrade of XLink's in-link
-    lookup (get_in_links.py:5-19): sr(a,b) from the entities' in-link doc
-    sets, emitted as floor-to-micro bigints with a measured-margin ln()."""
+    over the in-link table detection itself produces (doc → detected
+    anchor surface, the 'ma' dictionary) — the pairwise upgrade of XLink's
+    in-link lookup (get_in_links.py:5-19): sr(a,b) from the entities'
+    in-link doc sets, emitted as floor-to-micro bigints. Links come from
+    DETECTED spans, not resolved winners: the resolved layer degenerates
+    to one span/doc at sf0.1 (the absolute bigram threshold fuses overlap
+    chains), and a large pair table would push the min ln() floor margin
+    under engine noise — measured here: ≥0.0066 µ at every sf including
+    sf0.1 (det-all links measured 3e-10 µ at sf0.1 and were REJECTED by
+    the oracle-robustness protocol)."""
     from xlink_spark.operators.relatedness import entity_relatedness
 
-    res = q_resolved_mentions(spark, sf_dir)
-    links = res.select("doc_id", F.col("surface").alias("entity_id"))
+    det = q_detected_mentions(spark, sf_dir).filter(
+        F.col("parse_from") == "ma"
+    )
+    links = det.select("doc_id", F.col("surface").alias("entity_id"))
     return entity_relatedness(links, min_cooccur=2)
 
 
 SQL_ENTITY_RELATEDNESS = (
-    f"with res as ({_RES_SQL}), "
-    f"ln as (select distinct doc_id, surface as entity_id from res), "
+    f"with det as ({SQL_DETECTED_MENTIONS}), "
+    f"ln as (select distinct doc_id, surface as entity_id from det"
+    f"       where parse_from = 'ma'), "
     + _SQL_REL_CORE.format(min_cooccur=2)
     + " select entity_a, entity_b, n_a, n_b, n_ab, rel_micro from rel"
 )
@@ -3960,11 +3969,13 @@ def q_coherence_rerank(spark, sf_dir):
     (doc → entity links); pool capped at 5 mentions/doc. The fused ranking
     key believe·max(pool_n,1) + Σrel is all-bigint, so the winner is
     bit-stable across engines and partitionings; only rel_micro's ln()
-    floors are float, margin-measured ≥8.4e-3 µ at both sf.
+    floors are float, margin-measured ≥5.2e-3 µ at every sf incl. sf0.1.
 
-    The candidate table fans out 8 ways (pool, paired, and the relatedness
-    build's two self-join sides + counts); persist the narrow rows once so
-    the detection scan runs once (the flagship fan-out pattern)."""
+    Mentions are the DETECTED 'ma' spans (resolution degenerates at sf0.1,
+    see q_entity_relatedness). The candidate table fans out 8 ways (pool,
+    paired, and the relatedness build's two self-join sides + counts);
+    persist the narrow rows once so the detection scan runs once (the
+    flagship fan-out pattern)."""
     from xlink_spark.operators.relatedness import (
         coherence_rerank,
         entity_relatedness,
@@ -3975,7 +3986,7 @@ def q_coherence_rerank(spark, sf_dir):
             _RERANK_HELD.pop().unpersist()
         except Exception:
             pass
-    res = q_resolved_mentions(spark, sf_dir).filter(F.col("parse_from") == "ma")
+    res = q_detected_mentions(spark, sf_dir).filter(F.col("parse_from") == "ma")
     ma = q_mention_anchors(spark, sf_dir)
     maw = ma.withColumn(
         "tot", F.sum("cnt").over(Window.partitionBy("mention"))
@@ -4008,8 +4019,9 @@ def q_coherence_rerank(spark, sf_dir):
 
 
 SQL_COHERENCE_RERANK = (
-    f"with res0 as ({_RES_SQL}), "
-    "res as (select * from res0 where parse_from = 'ma'), "
+    f"with det as ({SQL_DETECTED_MENTIONS}), "
+    "res as (select doc_id, start, \"end\", surface from det"
+    " where parse_from = 'ma'), "
     f"ma as ({_MA_SQL}), "
     "tot as (select mention, sum(cnt)::bigint as tot from ma group by 1), "
     "cand as ("

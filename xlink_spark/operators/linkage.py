@@ -30,11 +30,13 @@ components the reference never had:
   weight table, and sum — order-independent, bit-stable across engines
   and partitionings.
 
-Scale shape (10^12 records): the SNM key table is the only single-
-partition window and it is KEY-grain; the banded self-join fans out at
-most ``window`` rows per record; FS weights are a constant-size broadcast
-and the melt is n_fields× of a narrow id+bool row. Text never rides any
-of these shuffles.
+Scale shape (10^12 records): ranking offers two exact-identical paths —
+KEY-grain offsets (bounded-cardinality keys) or range-partitioned
+per-partition offsets (no cardinality assumption, balanced regardless of
+key skew); the banded self-join fans out at most ``window`` rows per
+record; FS weights are a constant-size broadcast and the melt is
+n_fields× of a narrow id+bool row. Text never rides any of these
+shuffles.
 """
 
 from __future__ import annotations
@@ -51,26 +53,72 @@ def global_sort_ranks(
     key_col: str,
     order_cols: list[str],
     id_col: str,
+    *,
+    strategy: str = "keys",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """1-based global rank over (key, *order_cols, id) without a global
-    window: cumulative per-key offsets (KEY-grain single-partition window
-    over the small distinct-key table) + within-key row_number. The id
-    column must be unique so the order is total and the rank exact."""
-    cnt = records.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-    kw = (
-        Window.orderBy(key_col)
+    window. The id column must be unique so the order is total and the
+    rank exact — both strategies produce IDENTICAL ranks (pinned by test);
+    they differ only in how the work distributes:
+
+    * ``keys`` — cumulative per-key offsets (KEY-grain single-partition
+      window over the small distinct-key table, broadcast back) +
+      within-key row_number. Right when the sort key has bounded
+      cardinality AND each key group fits one task (normalized
+      name/zip/prefix blocking keys).
+
+    * ``range`` — ``repartitionByRange`` on the full sort order (balanced
+      by sampling regardless of key skew), per-PARTITION counts →
+      cumulative offsets at partition grain → per-partition row_number.
+      No cardinality assumption: near-unique keys and head-heavy keys
+      both split across tasks, so this is the 10¹²-record shape. The
+      range exchange feeds both the count pass and the rank pass —
+      persist the (narrow) input projection if the upstream is expensive.
+    """
+    order = [F.col(key_col).asc()] + [F.col(c).asc() for c in order_cols] + [
+        F.col(id_col).asc()
+    ]
+    if strategy == "keys":
+        cnt = records.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+        kw = (
+            Window.orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = cnt.select(
+            key_col, F.coalesce(F.sum("_n").over(kw), F.lit(0)).alias("_off")
+        )
+        iw = Window.partitionBy(key_col).orderBy(*order[1:])
+        return (
+            records.join(F.broadcast(offs), key_col)
+            .withColumn(
+                "rank", (F.col("_off") + F.row_number().over(iw)).cast("long")
+            )
+            .drop("_off")
+        )
+    if strategy != "range":
+        raise ValueError(f"unknown strategy {strategy!r} (use 'keys' or 'range')")
+    n_parts = num_partitions or records.sparkSession.sparkContext.defaultParallelism
+    # Range boundaries come from seeded sampling (deterministic for the
+    # same input), so the two consumers below see the same partitioning.
+    part = records.repartitionByRange(n_parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pcnt = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    pw = (
+        Window.orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = cnt.select(
-        key_col, F.coalesce(F.sum("_n").over(kw), F.lit(0)).alias("_off")
+    offs = pcnt.select(
+        "_pid", F.coalesce(F.sum("_n").over(pw), F.lit(0)).alias("_off")
     )
-    iw = Window.partitionBy(key_col).orderBy(
-        *[F.col(c).asc() for c in order_cols], F.col(id_col).asc()
-    )
+    iw = Window.partitionBy("_pid").orderBy(*order)
     return (
-        records.join(F.broadcast(offs), key_col)
-        .withColumn("rank", (F.col("_off") + F.row_number().over(iw)).cast("long"))
-        .drop("_off")
+        part.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            "rank", (F.col("_off") + F.row_number().over(iw)).cast("long")
+        )
+        .drop("_off", "_pid")
     )
 
 
@@ -81,6 +129,8 @@ def sorted_neighborhood_pairs(
     id_col: str,
     *,
     window: int = 5,
+    strategy: str = "keys",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate pairs within ``window`` positions of the global sort order
     (max rank distance = window - 1). Returns (id_a, id_b, rank_a, rank_b,
@@ -90,9 +140,14 @@ def sorted_neighborhood_pairs(
     if window < 2:
         raise ValueError("window must be >= 2 (a window of 1 yields no pairs)")
     w = int(window) - 1
-    ranked = global_sort_ranks(records, key_col, order_cols, id_col).select(
-        F.col(id_col).alias("_id"), "rank"
-    )
+    ranked = global_sort_ranks(
+        records,
+        key_col,
+        order_cols,
+        id_col,
+        strategy=strategy,
+        num_partitions=num_partitions,
+    ).select(F.col(id_col).alias("_id"), "rank")
     band = F.expr(f"rank div {w}")  # integer div: exact at any rank
     left = ranked.select(
         F.col("_id").alias("id_a"),
