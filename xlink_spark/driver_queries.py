@@ -4240,6 +4240,9 @@ SQL_FS_MATCH_WEIGHTS = (
 )
 
 
+_FS_HELD: list = []
+
+
 def q_fs_pair_scores(spark, sf_dir):
     """FS pairwise linkage scores (operators/linkage.fs_score): per-pair
     Σ of agreement/disagreement weights in exact bigint micro-units over
@@ -4248,7 +4251,16 @@ def q_fs_pair_scores(spark, sf_dir):
     flip cross-engine). Labels ride along for eval composition."""
     from xlink_spark.operators.linkage import fs_score, match_weights
 
-    vec = _linkage_vectors(spark, sf_dir)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    # vec fans out three ways (weight estimation, scoring melt, label
+    # join-back); persist the narrow boolean rows once.
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
     return scores.join(
