@@ -298,3 +298,66 @@ def test_snm_pairs_range_strategy_identical(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_golden_records_rules_and_singletons(spark):
+    from xlink_spark.operators.linkage import golden_records
+
+    recs = spark.createDataFrame(
+        [
+            (1, "ann", "gold", 5),
+            (2, "annabel", "gold", 3),
+            (3, "ann", "silver", 9),
+            (4, "solo", "bronze", 7),   # singleton: not in assignments
+            (5, "zz", "gold", 1),
+            (6, "zz", "gold", 2),
+        ],
+        "id long, name string, seg string, nation long",
+    )
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "node long, component long"
+    )
+    got = {
+        r["cluster"]: (r["n_records"], r["name"], r["seg"], r["nation"])
+        for r in golden_records(
+            recs, asg, "id",
+            {"name": "longest", "seg": "mode", "nation": "min"},
+        ).collect()
+    }
+    # cluster 1: longest name annabel; seg mode gold (2 vs 1); min nation 3
+    assert got[1] == (3, "annabel", "gold", 3)
+    # singleton keeps its own id as cluster and its own values
+    assert got[4] == (1, "solo", "bronze", 7)
+    assert got[5] == (2, "zz", "gold", 1)
+    assert len(got) == 3
+
+
+def test_golden_records_mode_tie_breaks_to_smallest(spark):
+    from xlink_spark.operators.linkage import golden_records
+
+    recs = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b"), (4, "a")], "id long, seg string"
+    )
+    asg = spark.createDataFrame([(1, 1), (2, 1), (3, 1), (4, 1)], "node long, component long")
+    [r] = golden_records(recs, asg, "id", {"seg": "mode"}).collect()
+    assert r["seg"] == "a" and r["n_records"] == 4
+
+
+def test_golden_records_longest_tie_breaks_to_smallest(spark):
+    from xlink_spark.operators.linkage import golden_records
+
+    recs = spark.createDataFrame(
+        [(1, "bb"), (2, "aa"), (3, "c")], "id long, name string"
+    )
+    asg = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "node long, component long")
+    [r] = golden_records(recs, asg, "id", {"name": "longest"}).collect()
+    assert r["name"] == "aa"
+
+
+def test_golden_records_bad_rule(spark):
+    from xlink_spark.operators.linkage import golden_records
+
+    recs = spark.createDataFrame([(1, "x")], "id long, name string")
+    asg = spark.createDataFrame([], "node long, component long")
+    with pytest.raises(ValueError):
+        golden_records(recs, asg, "id", {"name": "newest"})

@@ -715,16 +715,21 @@ undirected as (
   union
   select doc_b, doc_a from pairs
 ),
-walk (node, comp) as (
-  select src as node, least(src, min(dst)) as comp from undirected group by src
+walk (node, reach) as (
+  -- full reachability closure: the min-label walk CTE can under-merge on
+  -- general graphs (see SQL_ER_GOLDEN_RECORDS — 972 vs union-find's 669
+  -- components on the FS match graph); closure is provably complete and
+  -- near-dup components are small, so the row count stays bounded
+  select src as node, dst as reach from undirected
   union
-  select w.node, least(w.comp, w2.comp) as comp
-  from walk w
-  join undirected u on u.src = w.node
-  join walk w2 on w2.node = u.dst
-  where least(w.comp, w2.comp) < w.comp
+  select w.node, u.dst as reach
+  from walk w join undirected u on u.src = w.reach
+  where u.dst <> w.node
 ),
-assigned as (select node as doc_id, min(comp) as cluster_id from walk group by node)
+assigned as (
+  select node as doc_id, least(node, min(reach)) as cluster_id
+  from walk group by node
+)
 select doc_id, cluster_id, doc_id = cluster_id as keep from assigned
 """
 
@@ -4321,6 +4326,94 @@ def _sql_fs_em() -> str:
 SQL_FS_EM_WEIGHTS = _sql_fs_em()
 
 
+def q_er_golden_records(spark, sf_dir):
+    """The COMPLETE record-side ER pipeline in one DAG — the north-star
+    shape (blocking → pairwise scoring → transitive clustering) applied to
+    records instead of mentions, plus the survivorship step a master-data
+    deployment runs last: SNM blocking → Fellegi-Sunter pairwise scores →
+    match edges at threshold 0 → iterative large/small-star connected
+    components → one golden record per cluster (longest name, modal
+    segment, min nation — each a deterministic total order). Over-merges
+    from the anti-predictive name field survive into clusters exactly as
+    FS decided — the oracle recomputes the whole causal chain (recursive-
+    CTE closure included), so blocking, weighting, thresholding,
+    clustering, and survivorship are all hash-checked together."""
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        golden_records,
+        match_weights,
+    )
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).drop("key")
+    return golden_records(
+        recs,
+        comp,
+        "id",
+        {"name": "longest", "seg": "mode", "nation": "min"},
+    )
+
+
+SQL_ER_GOLDEN_RECORDS = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip().removeprefix("")
+    + ", "
+    "long as (select id_a, id_b,"
+    "  unnest(['agree_name', 'agree_seg', 'agree_nation']) as field,"
+    "  unnest([agree_name, agree_seg, agree_nation]) as agree from vec), "
+    "sc as (select l.id_a, l.id_b,"
+    "  sum(case when l.agree then w.w_agree_micro"
+    "      else w.w_disagree_micro end)::bigint as score_micro"
+    "  from long l join w using (field) group by 1, 2), "
+    "eg as (select id_a as src, id_b as dst from sc where score_micro >= 0), "
+    "undirected as (select src, dst from eg union select dst, src from eg), "
+    # Full reachability closure, NOT the min-label walk CTE: the label-walk
+    # pattern under-merges on this graph (972 components where union-find
+    # says 669 — the twice-referenced recursive table loses propagation
+    # paths). Closure is O(sum of component size squared) rows — fine for
+    # ER-sized components — and provably complete.
+    "walk (node, reach) as ("
+    "  select src as node, dst as reach from undirected"
+    "  union"
+    "  select wk.node, u.dst as reach"
+    "  from walk wk join undirected u on u.src = wk.reach"
+    "  where u.dst <> wk.node), "
+    "comp as (select node, least(node, min(reach)) as component"
+    "  from walk group by node), "
+    "asg as (select r.id, coalesce(c.component, r.id) as cluster"
+    "  from recs r left join comp c on c.node = r.id), "
+    "jj as (select a.cluster, r.name, r.seg, r.nation"
+    "  from recs r join asg a on a.id = r.id), "
+    "cnt as (select cluster, count(*)::bigint as n_records from jj group by 1), "
+    "np as (select cluster, name from ("
+    "  select cluster, name, row_number() over (partition by cluster"
+    "    order by length(name) desc, name asc) as rn from jj) where rn = 1), "
+    "sp as (select cluster, seg from ("
+    "  select cluster, seg, row_number() over (partition by cluster"
+    "    order by c desc, seg asc) as rn from ("
+    "    select cluster, seg, count(*)::bigint as c from jj group by 1, 2))"
+    "  where rn = 1), "
+    "tp as (select cluster, min(nation) as nation from jj group by 1) "
+    "select c.cluster, c.n_records, np.name, sp.seg, tp.nation "
+    "from cnt c join np using (cluster) join sp using (cluster)"
+    " join tp using (cluster)"
+)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -4411,6 +4504,7 @@ QUERIES: dict[str, Query] = {
     "fs_match_weights": q_fs_match_weights,
     "fs_pair_scores": q_fs_pair_scores,
     "fs_em_weights": q_fs_em_weights,
+    "er_golden_records": q_er_golden_records,
     "bm25_topk": q_bm25_topk,
 }
 
@@ -4509,5 +4603,6 @@ ORACLES: dict[str, str] = {
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "fs_pair_scores": SQL_FS_PAIR_SCORES,
     "fs_em_weights": SQL_FS_EM_WEIGHTS,
+    "er_golden_records": SQL_ER_GOLDEN_RECORDS,
     "bm25_topk": SQL_BM25_TOPK,
 }

@@ -492,3 +492,77 @@ def em_oracle_sql(
         for j, f in enumerate(field_cols)
     )
     return ", ".join(parts) + " " + finals
+
+
+# ------------------------------------------------------------- survivorship
+GOLDEN_RULES = ("mode", "longest", "min", "max")
+
+
+def golden_records(
+    records: DataFrame,
+    assignments: DataFrame,
+    id_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Survivorship: one canonical (golden) record per entity cluster —
+    the step a master-data deployment runs after transitive clustering.
+
+    ``records``: one row per source record with ``id_col`` and the rule
+    columns. ``assignments``: (node, component) cluster labels (CC
+    output); records absent from it are singletons and keep their own id
+    as the cluster. ``rules`` maps column → survivorship rule:
+
+    * ``mode``    — most frequent value, ties to the smallest value
+    * ``longest`` — longest string, ties to the smallest value
+    * ``min`` / ``max`` — plain extremes
+
+    Every rule is a deterministic total order (nulls rank last), so the
+    golden record is bit-stable across engines and partitionings.
+    Returns (cluster, n_records, *rule columns). Scale shape: one
+    cluster-keyed aggregation per rule column over narrow (cluster,
+    value) projections — text/values never fan out, and each pick table
+    re-joins at CLUSTER grain."""
+    for col, rule in rules.items():
+        if rule not in GOLDEN_RULES:
+            raise ValueError(f"unknown rule {rule!r} for {col!r}")
+    asg = assignments.select(
+        F.col("node").alias(id_col), F.col("component").alias("_cl")
+    )
+    base = (
+        records.join(asg, id_col, "left")
+        .withColumn("cluster", F.coalesce(F.col("_cl"), F.col(id_col)))
+        .drop("_cl")
+    )
+    out = base.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    for col, rule in rules.items():
+        nv = base.select("cluster", col)
+        if rule == "min":
+            pick = nv.groupBy("cluster").agg(F.min(col).alias(col))
+        elif rule == "max":
+            pick = nv.groupBy("cluster").agg(F.max(col).alias(col))
+        else:
+            if rule == "mode":
+                grp = nv.groupBy("cluster", col).agg(
+                    F.count(F.lit(1)).alias("_c")
+                )
+                order = [
+                    F.col("_c").desc(),
+                    F.col(col).asc_nulls_last(),
+                ]
+                ranked = grp
+            else:  # longest
+                order = [
+                    F.length(F.col(col)).desc_nulls_last(),
+                    F.col(col).asc_nulls_last(),
+                ]
+                ranked = nv
+            win = Window.partitionBy("cluster").orderBy(*order)
+            pick = (
+                ranked.withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") == 1)
+                .select("cluster", col)
+            )
+        out = out.join(pick, "cluster")
+    return out
