@@ -203,3 +203,48 @@ def test_relatedness_and_rerank_plans_are_pure_jvm(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "MapInPandas" not in plan
+
+
+def test_coherence_iterate_round2_cascade_flip(spark):
+    """A flip in round 1 (M2: b1→b2, pulled by M3's c) must propagate in
+    round 2 (M1: a1→a2, pulled by the NEW winner b2) — the cascade only an
+    iterated pool can produce."""
+    from xlink_spark.operators.relatedness import (
+        coherence_iterate,
+        coherence_rerank,
+    )
+
+    cands = [
+        ("D", 0, 2, "a1", 600_000),
+        ("D", 0, 2, "a2", 500_000),
+        ("D", 10, 12, "b1", 600_000),
+        ("D", 10, 12, "b2", 500_000),
+        ("D", 20, 22, "c", 900_000),
+    ]
+    rel = [("b2", "c", 800_000), ("a2", "b2", 900_000)]
+    cdf = spark.createDataFrame(cands, CAND_SCHEMA)
+    rdf = spark.createDataFrame(rel, REL_SCHEMA)
+    r1 = {
+        (r["start"]): r["entity_id"]
+        for r in coherence_rerank(cdf, rdf).collect()
+    }
+    assert r1 == {0: "a1", 10: "b2", 20: "c"}
+    r2 = {
+        (r["start"]): r["entity_id"]
+        for r in coherence_iterate(cdf, rdf, rounds=2).collect()
+    }
+    assert r2 == {0: "a2", 10: "b2", 20: "c"}
+    # rounds=1 must equal the single rerank exactly
+    one = {
+        (r["start"], r["entity_id"], r["score"])
+        for r in coherence_iterate(cdf, rdf, rounds=1).collect()
+    }
+    base = {
+        (r["start"], r["entity_id"], r["score"])
+        for r in coherence_rerank(cdf, rdf).collect()
+    }
+    assert one == base
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        coherence_iterate(cdf, rdf, rounds=0)

@@ -4294,6 +4294,117 @@ SQL_FS_PAIR_SCORES = (
 )
 
 
+def q_coherence_iterate2(spark, sf_dir):
+    """TWO rounds of collective linking (relatedness.coherence_iterate):
+    round 2 rebuilds the pool from round 1's winners and rescores every
+    candidate — the iterated-conditional-modes refinement, where a flip
+    can CASCADE (pinned by unit test). Same all-bigint ranking key per
+    round, so the fixed round count is engine-exact; the oracle unrolls
+    both rounds as generated CTE chains over the same cand/rel tables."""
+    from xlink_spark.operators.relatedness import (
+        coherence_iterate,
+        entity_relatedness,
+    )
+
+    while _RERANK_HELD:
+        try:
+            _RERANK_HELD.pop().unpersist()
+        except Exception:
+            pass
+    res = q_detected_mentions(spark, sf_dir).filter(F.col("parse_from") == "ma")
+    ma = q_mention_anchors(spark, sf_dir)
+    maw = ma.withColumn("tot", F.sum("cnt").over(Window.partitionBy("mention")))
+    cand = (
+        res.join(F.broadcast(maw), res["surface"] == maw["mention"])
+        .select(
+            "doc_id",
+            "start",
+            "end",
+            "entity_id",
+            F.expr("(cnt * 1000000) div tot").cast("long").alias(
+                "believe_micro"
+            ),
+        )
+        .persist()
+    )
+    cand.count()
+    _RERANK_HELD.append(cand)
+    rnw = Window.partitionBy("doc_id", "start", "end").orderBy(
+        F.col("believe_micro").desc(), F.col("entity_id").asc()
+    )
+    links = (
+        cand.withColumn("_rn", F.row_number().over(rnw))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "entity_id")
+    )
+    rel = entity_relatedness(links, min_cooccur=2)
+    return coherence_iterate(cand, rel, rounds=2, max_pool=5)
+
+
+def _sql_rerank_round(t: int, pool_src: str) -> str:
+    """One rerank round as CTE text: pool{t} capped at 5 from ``pool_src``
+    (cols doc_id, p_start, p_end, p_entity, believe_micro), then
+    paired{t}/scored{t}/win{t} over the shared cand/rel CTEs."""
+    return (
+        f"pool{t} as (select doc_id, p_start, p_end, p_entity from ("
+        f"  select *, row_number() over (partition by doc_id"
+        f"    order by believe_micro desc, p_start asc, p_end asc) as dr"
+        f"  from {pool_src}) where dr <= 5), "
+        f"paired{t} as (select c.doc_id, c.start, c.\"end\", c.entity_id,"
+        f"  c.believe_micro, p.p_entity, r.rel_micro"
+        f"  from cand c"
+        f"  left join pool{t} p on p.doc_id = c.doc_id"
+        f"    and (p.p_start <> c.start or p.p_end <> c.\"end\")"
+        f"  left join rel r on r.entity_a = least(c.entity_id, p.p_entity)"
+        f"    and r.entity_b = greatest(c.entity_id, p.p_entity)), "
+        f"scored{t} as (select doc_id, start, \"end\", entity_id,"
+        f"  believe_micro, count(p_entity)::bigint as pool_n,"
+        f"  coalesce(sum(rel_micro), 0)::bigint as coherence_sum"
+        f"  from paired{t} group by 1, 2, 3, 4, 5), "
+        f"win{t} as (select doc_id, start, \"end\", entity_id,"
+        f"  believe_micro, pool_n, coherence_sum, score from ("
+        f"  select *, row_number() over (partition by doc_id, start, \"end\""
+        f"    order by score desc, entity_id asc) as rn from ("
+        f"    select *, (believe_micro * greatest(pool_n, 1)"
+        f"      + coherence_sum)::bigint as score from scored{t}))"
+        f"  where rn = 1)"
+    )
+
+
+SQL_COHERENCE_ITERATE2 = (
+    f"with det as ({SQL_DETECTED_MENTIONS}), "
+    "res as (select doc_id, start, \"end\", surface from det"
+    " where parse_from = 'ma'), "
+    f"ma as ({_MA_SQL}), "
+    "tot as (select mention, sum(cnt)::bigint as tot from ma group by 1), "
+    "cand as ("
+    "  select r.doc_id, r.start, r.\"end\", m.entity_id,"
+    "         (m.cnt * 1000000) // t.tot as believe_micro"
+    "  from res r join ma m on m.mention = r.surface"
+    "             join tot t on t.mention = r.surface), "
+    "ln as ("
+    "  select distinct doc_id, entity_id from ("
+    "    select doc_id, entity_id, row_number() over ("
+    "      partition by doc_id, start, \"end\""
+    "      order by believe_micro desc, entity_id asc) as rn"
+    "    from cand) where rn <= 3), "
+    + _SQL_REL_CORE.format(min_cooccur=2).strip()
+    + ", "
+    "p1 as (select doc_id, start as p_start, \"end\" as p_end,"
+    "  entity_id as p_entity, believe_micro from ("
+    "  select *, row_number() over (partition by doc_id, start, \"end\""
+    "    order by believe_micro desc, entity_id asc) as rn from cand)"
+    "  where rn = 1), "
+    + _sql_rerank_round(1, "p1")
+    + ", "
+    "p2 as (select doc_id, start as p_start, \"end\" as p_end,"
+    "  entity_id as p_entity, believe_micro from win1), "
+    + _sql_rerank_round(2, "p2")
+    + " select doc_id, start, \"end\", entity_id, believe_micro, pool_n,"
+    "  coherence_sum, score from win2"
+)
+
+
 def q_fs_em_weights(spark, sf_dir):
     """UNSUPERVISED Fellegi-Sunter estimation (linkage.fs_em_weights,
     Winkler's EM over agreement patterns) on the SAME comparison vectors as
@@ -4505,6 +4616,7 @@ QUERIES: dict[str, Query] = {
     "fs_pair_scores": q_fs_pair_scores,
     "fs_em_weights": q_fs_em_weights,
     "er_golden_records": q_er_golden_records,
+    "coherence_iterate2": q_coherence_iterate2,
     "bm25_topk": q_bm25_topk,
 }
 
@@ -4604,5 +4716,6 @@ ORACLES: dict[str, str] = {
     "fs_pair_scores": SQL_FS_PAIR_SCORES,
     "fs_em_weights": SQL_FS_EM_WEIGHTS,
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
+    "coherence_iterate2": SQL_COHERENCE_ITERATE2,
     "bm25_topk": SQL_BM25_TOPK,
 }

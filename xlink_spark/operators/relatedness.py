@@ -139,16 +139,28 @@ def coherence_rerank(
     m_win = Window.partitionBy("doc_id", "start", "end").orderBy(
         F.col("believe_micro").desc(), F.col("entity_id").asc()
     )
-    pool = (
-        cand.withColumn("_rn", F.row_number().over(m_win))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "doc_id",
-            F.col("start").alias("p_start"),
-            F.col("end").alias("p_end"),
-            F.col("entity_id").alias("p_entity"),
-            "believe_micro",
-        )
+    winners = cand.withColumn("_rn", F.row_number().over(m_win)).filter(
+        F.col("_rn") == 1
+    )
+    return _rerank_against_pool(cand, winners, relatedness, max_pool)
+
+
+def _rerank_against_pool(
+    cand: DataFrame,
+    winners: DataFrame,
+    relatedness: DataFrame,
+    max_pool: int | None,
+) -> DataFrame:
+    """Score every candidate against a pool built from ``winners`` (one row
+    per mention: doc_id, start, end, entity_id, believe_micro) and pick the
+    per-mention argmax. Shared by the single-round rerank (winners = local
+    top-1) and the fixed-round iteration (winners = previous round)."""
+    pool = winners.select(
+        "doc_id",
+        F.col("start").alias("p_start"),
+        F.col("end").alias("p_end"),
+        F.col("entity_id").alias("p_entity"),
+        "believe_micro",
     )
     if max_pool is not None:
         d_win = Window.partitionBy("doc_id").orderBy(
@@ -205,3 +217,32 @@ def coherence_rerank(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def coherence_iterate(
+    candidates: DataFrame,
+    relatedness: DataFrame,
+    *,
+    rounds: int = 2,
+    max_pool: int | None = None,
+) -> DataFrame:
+    """Fixed-round collective linking: round 1 is ``coherence_rerank``
+    (pool = local top-1), every later round rebuilds the pool from the
+    PREVIOUS round's winners and rescores all candidates against it — the
+    classic iterated-conditional-modes refinement over the document's
+    entity assignment. Each round is the same all-bigint ranking, so any
+    fixed round count is bit-stable across engines and partitionings
+    (no convergence test — a float-free, engine-exact stopping rule).
+    Returns the final round's winners with pool_n/coherence_sum/score."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    cand = candidates.select(
+        "doc_id", "start", "end", "entity_id", "believe_micro"
+    )
+    won = coherence_rerank(cand, relatedness, max_pool=max_pool)
+    for _ in range(int(rounds) - 1):
+        winners = won.select(
+            "doc_id", "start", "end", "entity_id", "believe_micro"
+        )
+        won = _rerank_against_pool(cand, winners, relatedness, max_pool)
+    return won
