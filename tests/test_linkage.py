@@ -361,3 +361,30 @@ def test_golden_records_bad_rule(spark):
     asg = spark.createDataFrame([], "node long, component long")
     with pytest.raises(ValueError):
         golden_records(recs, asg, "id", {"name": "newest"})
+
+
+def test_global_sort_ranks_null_keys_survive_both_strategies(spark):
+    """A NULL blocking key must rank (nulls first, like the range sort),
+    not vanish through the offsets equi-join."""
+    from xlink_spark.operators.linkage import global_sort_ranks
+
+    rows = [(1, None, "b"), (2, "k", "a"), (3, None, "a"), (4, "k", "b")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    a = {r["id"]: r["rank"] for r in global_sort_ranks(df, "key", ["name"], "id").collect()}
+    b = {
+        r["id"]: r["rank"]
+        for r in global_sort_ranks(df, "key", ["name"], "id", strategy="range", num_partitions=3).collect()
+    }
+    assert a == b == {3: 1, 1: 2, 2: 3, 4: 4}
+
+
+def test_match_weights_empty_input_and_empty_fields(spark):
+    from xlink_spark.operators.linkage import match_weights
+
+    empty = spark.createDataFrame([], VSCHEMA)
+    got = match_weights(empty, ["agree_name"], "is_match").collect()
+    # zero counts -> smoothed m = u = 1/2 -> weights exactly 0, never NULL
+    assert len(got) == 1
+    assert got[0]["w_agree_micro"] == 0 and got[0]["w_disagree_micro"] == 0
+    with pytest.raises(ValueError):
+        match_weights(empty, [], "is_match")

@@ -4040,7 +4040,7 @@ SQL_COHERENCE_RERANK = (
     "      partition by doc_id, start, \"end\""
     "      order by believe_micro desc, entity_id asc) as rn"
     "    from cand) where rn <= 3), "
-    + _SQL_REL_CORE.format(min_cooccur=2).strip().lstrip()
+    + _SQL_REL_CORE.format(min_cooccur=2).strip()
     + ", "
     "pool1 as ("
     "  select doc_id, start as p_start, \"end\" as p_end,"
@@ -4279,15 +4279,19 @@ def q_fs_pair_scores(spark, sf_dir):
     )
 
 
-SQL_FS_PAIR_SCORES = (
-    f"with {_SQL_LINKAGE_VEC}, "
+_SQL_FS_SCORE_CORE = (
     "long as (select id_a, id_b,"
     "  unnest(['agree_name', 'agree_seg', 'agree_nation']) as field,"
     "  unnest([agree_name, agree_seg, agree_nation]) as agree from vec), "
     "sc as (select l.id_a, l.id_b,"
     "  sum(case when l.agree then w.w_agree_micro"
     "      else w.w_disagree_micro end)::bigint as score_micro"
-    "  from long l join w using (field) group by 1, 2) "
+    "  from long l join w using (field) group by 1, 2)"
+)
+
+
+SQL_FS_PAIR_SCORES = (
+    f"with {_SQL_LINKAGE_VEC}, {_SQL_FS_SCORE_CORE} "
     "select s.id_a, s.id_b, s.score_micro, v.is_match,"
     " (s.score_micro >= 0) as decision "
     "from sc s join vec v using (id_a, id_b)"
@@ -4481,15 +4485,10 @@ def q_er_golden_records(spark, sf_dir):
 
 SQL_ER_GOLDEN_RECORDS = (
     "with recursive "
-    + _SQL_LINKAGE_VEC.strip().removeprefix("")
+    + _SQL_LINKAGE_VEC.strip()
     + ", "
-    "long as (select id_a, id_b,"
-    "  unnest(['agree_name', 'agree_seg', 'agree_nation']) as field,"
-    "  unnest([agree_name, agree_seg, agree_nation]) as agree from vec), "
-    "sc as (select l.id_a, l.id_b,"
-    "  sum(case when l.agree then w.w_agree_micro"
-    "      else w.w_disagree_micro end)::bigint as score_micro"
-    "  from long l join w using (field) group by 1, 2), "
+    + _SQL_FS_SCORE_CORE
+    + ", "
     "eg as (select id_a as src, id_b as dst from sc where score_micro >= 0), "
     "undirected as (select src, dst from eg union select dst, src from eg), "
     # Full reachability closure, NOT the min-label walk CTE: the label-walk

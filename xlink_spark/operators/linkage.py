@@ -89,20 +89,34 @@ def global_sort_ranks(
             key_col, F.coalesce(F.sum("_n").over(kw), F.lit(0)).alias("_off")
         )
         iw = Window.partitionBy(key_col).orderBy(*order[1:])
+        offs = offs.withColumnRenamed(key_col, "_offkey")
         return (
-            records.join(F.broadcast(offs), key_col)
+            # null-safe equality: a NULL blocking key must rank (nulls
+            # first, matching the range strategy's NULLS FIRST sort), not
+            # silently vanish through an inner equi-join.
+            records.join(
+                F.broadcast(offs),
+                F.col(key_col).eqNullSafe(F.col("_offkey")),
+            )
             .withColumn(
                 "rank", (F.col("_off") + F.row_number().over(iw)).cast("long")
             )
-            .drop("_off")
+            .drop("_off", "_offkey")
         )
     if strategy != "range":
         raise ValueError(f"unknown strategy {strategy!r} (use 'keys' or 'range')")
     n_parts = num_partitions or records.sparkSession.sparkContext.defaultParallelism
-    # Range boundaries come from seeded sampling (deterministic for the
-    # same input), so the two consumers below see the same partitioning.
-    part = records.repartitionByRange(n_parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # The count pass and the rank pass below both consume the range
+    # exchange, and Spark instantiates the two subtrees SEPARATELY (no
+    # ReusedExchange here — verified in the plan), so each would re-sample
+    # RangePartitioner boundaries independently and the _pid-keyed offsets
+    # could misalign with the rank pass's partitions. localCheckpoint
+    # materializes the partitioning once (an eager job at construction —
+    # the price of boundary consistency) and both consumers read it.
+    part = (
+        records.repartitionByRange(n_parts, *order)
+        .localCheckpoint()
+        .withColumn("_pid", F.spark_partition_id())
     )
     pcnt = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     pw = (
@@ -200,20 +214,27 @@ def match_weights(
     ever zero and both logs stay finite."""
     if smoothing < 1:
         raise ValueError("smoothing must be >= 1 (keeps m/u strictly inside (0,1))")
+    if not field_cols:
+        raise ValueError("field_cols must be non-empty")
     s = int(smoothing)
     lbl = F.col(label_col).cast("boolean")
+
+    def _cnt(cond):
+        # coalesce: an EMPTY vectors frame yields zero counts, so the
+        # smoothed m = u = 1/2 and every weight is exactly 0 — finite and
+        # sane instead of all-NULL weights poisoning downstream sums
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
     aggs = [
-        F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("_n_match"),
-        F.sum(F.when(~lbl, 1).otherwise(0)).cast("long").alias("_n_non"),
+        _cnt(lbl).alias("_n_match"),
+        _cnt(~lbl).alias("_n_non"),
     ]
     for f in field_cols:
         ag = F.col(f).cast("boolean")
-        aggs.append(
-            F.sum(F.when(lbl & ag, 1).otherwise(0)).cast("long").alias(f"_ma_{f}")
-        )
-        aggs.append(
-            F.sum(F.when((~lbl) & ag, 1).otherwise(0)).cast("long").alias(f"_ua_{f}")
-        )
+        aggs.append(_cnt(lbl & ag).alias(f"_ma_{f}"))
+        aggs.append(_cnt((~lbl) & ag).alias(f"_ua_{f}"))
     one = vectors.agg(*aggs)
     stack_args = ", ".join(
         f"'{f}', _ma_{f}, _ua_{f}" for f in field_cols
@@ -229,7 +250,13 @@ def match_weights(
     u_den = F.col("_n_non") + F.lit(2 * s)
 
     def _w(num_l, num_r, den_l, den_r):
-        ratio = (num_l * num_r).cast("double") / (den_l * den_r).cast("double")
+        # cast each factor to double BEFORE multiplying: bigint products
+        # overflow int64 near ~3e9 labeled pairs (ANSI Spark throws, the
+        # oracle throws, non-ANSI silently wraps); double products round
+        # identically on every engine and are exact below 2^53
+        ratio = (num_l.cast("double") * num_r.cast("double")) / (
+            den_l.cast("double") * den_r.cast("double")
+        )
         return F.floor(F.lit(float(MICRO)) * F.log(ratio)).cast("long")
 
     return long.select(
@@ -343,7 +370,10 @@ EM_INIT_SQL = {"pi": "1e-1", "m": "9e-1", "u": "1e-1"}
 # clamping parameters strictly inside (0,1); min/max are EXACT (no
 # rounding), so applying the same clamp in both engines preserves
 # bit-identity. A clamped constant field ends at m = u -> weight exactly 0.
-EM_EPS = 1e-9
+# EM_EPS_SQL is the canonical literal; EM_EPS parses it so the Python clamp
+# and every generated oracle use the SAME value by construction.
+EM_EPS_SQL = "1e-9"
+EM_EPS = float(EM_EPS_SQL)
 
 
 def fs_em_weights(
@@ -454,6 +484,12 @@ def em_oracle_sql(
         + [f"{EM_INIT_SQL['m']} as m_{j}" for j in range(k)]
         + [f"{EM_INIT_SQL['u']} as u_{j}" for j in range(k)]
     )
+    def _clamp(expr: str) -> str:
+        return (
+            f"least(greatest({expr}, {EM_EPS_SQL}),"
+            f" (1e0 - {EM_EPS_SQL}))"
+        )
+
     parts = [
         f"emc as materialized (select {', '.join(conds)} from {vec_cte})",
         f"em0 as materialized (select {ncols}, {init} from emc)",
@@ -469,9 +505,6 @@ def em_oracle_sql(
         parts.append(
             f"gs{t} as materialized (select {ncols}, {carry}, {gcols} from {prev})"
         )
-        def _clamp(expr: str) -> str:
-            return f"least(greatest({expr}, 1e-9), (1e0 - 1e-9))"
-
         ucols = ", ".join(
             [f"{_clamp(texts['pi'])} as pi"]
             + [f"{_clamp(texts['m'][j])} as m_{j}" for j in range(k)]
