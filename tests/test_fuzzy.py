@@ -124,3 +124,70 @@ def test_fuzzy_candidates_min_len_drops_short_surfaces(spark):
     assert got == {("ab", "ab")}  # len-1 surfaces gated on BOTH sides
     got3 = FZ.fuzzy_surface_candidates(q, d, min_len=1).count()
     assert got3 == 4  # a~a, a~ab, ab~a, ab~ab all within distance 1
+
+
+def test_jaro_winkler_micro_classic_values_and_nulls(spark):
+    from xlink_spark.operators.fuzzy import jaro_winkler_micro
+
+    rows = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("", ""),
+        ("abc", "abc"),
+        (None, "abc"),
+        ("sream", "sbellyfish"),  # jaro <= 0.7: NO prefix boost
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = [
+        r["jw"]
+        for r in df.select(
+            jaro_winkler_micro(df["a"], df["b"]).alias("jw")
+        ).collect()
+    ]
+    assert got == [961111, 813333, 896296, 0, 1000000, None, 533333]
+
+
+def test_jaro_winkler_micro_bit_parity_with_duckdb(spark):
+    """The comparator's convention (boost threshold, prefix cap, empty
+    rule) must match DuckDB's jaro_winkler_similarity bit-for-bit so the
+    micro-floor never straddles an engine boundary."""
+    import math
+    import random
+
+    import duckdb
+
+    from xlink_spark.operators.fuzzy import jaro_winkler_micro
+
+    random.seed(11)
+    words = ["customer", "custmoer", "martha", "jellyfish", "stream",
+             "filter", "column", "vector", "window"]
+    pool = ["", "a", "ab"]
+    for _ in range(150):
+        w = list(random.choice(words))
+        op, p = random.randrange(4), random.randrange(len(w))
+        if op == 0:
+            del w[p]
+        elif op == 1:
+            w.insert(p, random.choice("abcxyz"))
+        elif op == 2:
+            w[p] = random.choice("abcxyz")
+        elif p + 1 < len(w):
+            w[p], w[p + 1] = w[p + 1], w[p]
+        pool.append("".join(w))
+    pairs = [(random.choice(pool), random.choice(pool)) for _ in range(3000)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["jw"]
+        for r in df.select(
+            jaro_winkler_micro(df["a"], df["b"]).alias("jw")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    exp = [
+        math.floor(1e6 * con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0])
+        for a, b in pairs
+    ]
+    assert got == exp

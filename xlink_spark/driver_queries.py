@@ -4409,6 +4409,47 @@ SQL_COHERENCE_ITERATE2 = (
 )
 
 
+def q_jw_pair_scores(spark, sf_dir):
+    """Jaro-Winkler comparator over the SNM candidate pairs
+    (fuzzy.jaro_winkler_micro): the canonical ER string metric, scored on
+    BLOCKED pairs only (the comparator is the sanctioned Arrow boundary —
+    one vectorized batch pass, never a cross product). The UDF replicates
+    DuckDB's jaro_winkler_similarity bit-for-bit (boost threshold 0.7,
+    prefix ≤ 4, p = 0.1, empty ⇒ 0 — fuzz-pinned over 30k pairs), so the
+    micro-floor and the 0.88 near-match threshold land identically on
+    both engines with no margin to measure."""
+    from xlink_spark.operators.fuzzy import jaro_winkler_micro
+    from xlink_spark.operators.linkage import sorted_neighborhood_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(recs, "key", ["name"], "id", window=4)
+    na = recs.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    nb = recs.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaro_winkler_micro(F.col("name_a"), F.col("name_b")).alias(
+                "jw_micro"
+            ),
+        )
+        .withColumn("near", F.col("jw_micro") >= F.lit(880_000))
+    )
+
+
+SQL_JW_PAIR_SCORES = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "nm as (select p.id_a, p.id_b,"
+    "  floor(1e6 * jaro_winkler_similarity(ra.name, rb.name))::bigint"
+    "  as jw_micro"
+    "  from pairs p join ranked ra on ra.id = p.id_a"
+    "               join ranked rb on rb.id = p.id_b) "
+    "select id_a, id_b, jw_micro, (jw_micro >= 880000) as near from nm"
+)
+
+
 def q_fs_em_weights(spark, sf_dir):
     """UNSUPERVISED Fellegi-Sunter estimation (linkage.fs_em_weights,
     Winkler's EM over agreement patterns) on the SAME comparison vectors as
@@ -4614,6 +4655,7 @@ QUERIES: dict[str, Query] = {
     "fs_match_weights": q_fs_match_weights,
     "fs_pair_scores": q_fs_pair_scores,
     "fs_em_weights": q_fs_em_weights,
+    "jw_pair_scores": q_jw_pair_scores,
     "er_golden_records": q_er_golden_records,
     "coherence_iterate2": q_coherence_iterate2,
     "bm25_topk": q_bm25_topk,
@@ -4714,6 +4756,7 @@ ORACLES: dict[str, str] = {
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "fs_pair_scores": SQL_FS_PAIR_SCORES,
     "fs_em_weights": SQL_FS_EM_WEIGHTS,
+    "jw_pair_scores": SQL_JW_PAIR_SCORES,
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
     "coherence_iterate2": SQL_COHERENCE_ITERATE2,
     "bm25_topk": SQL_BM25_TOPK,

@@ -141,3 +141,79 @@ def detect_mentions_fuzzy(
     return grams.join(matched, "surface").select(
         "doc_id", "start", "end", "surface", "matched_surface", "parse_from", "dist"
     )
+
+
+def jaro_winkler_micro(left: Column, right: Column) -> Column:
+    """floor(1e6 · JaroWinkler(s1, s2)) as a vectorized Arrow UDF — the
+    canonical ER string comparator the built-in function set lacks
+    (levenshtein is the only built-in edit metric).
+
+    Convention matches DuckDB's ``jaro_winkler_similarity`` BIT-FOR-BIT
+    (pinned by a 30k-pair fuzz test): scaling p = 0.1 over a common prefix
+    of ≤ 4 chars, the Winkler boost applied only when jaro > 0.7, either
+    side empty ⇒ 0.0, NULL in ⇒ NULL out. Because the doubles are
+    bit-identical, the micro-floor needs no margin measurement — the
+    boundary lands identically on both engines.
+
+    This is the sanctioned Python boundary for the comparator: it runs on
+    BLOCKED candidate pairs only (SNM / deletion-neighborhood output),
+    never a cross product, and each Arrow batch is scored in one pass."""
+
+    def _batch(a, b):
+        import math
+
+        import pandas as pd
+
+        def jaro(s1: str, s2: str) -> float:
+            l1, l2 = len(s1), len(s2)
+            if l1 == 0 or l2 == 0:
+                return 0.0
+            if s1 == s2:
+                return 1.0
+            window = max(l1, l2) // 2 - 1
+            if window < 0:
+                window = 0
+            m1 = [False] * l1
+            m2 = [False] * l2
+            m = 0
+            for i in range(l1):
+                lo = i - window if i > window else 0
+                hi = min(l2, i + window + 1)
+                for j in range(lo, hi):
+                    if not m2[j] and s1[i] == s2[j]:
+                        m1[i] = m2[j] = True
+                        m += 1
+                        break
+            if m == 0:
+                return 0.0
+            t = 0
+            k = 0
+            for i in range(l1):
+                if m1[i]:
+                    while not m2[k]:
+                        k += 1
+                    if s1[i] != s2[k]:
+                        t += 1
+                    k += 1
+            t //= 2
+            return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+        def jw_micro(s1, s2):
+            if s1 is None or s2 is None:
+                return None
+            j = jaro(s1, s2)
+            if j > 0.7:  # Winkler boost threshold (DuckDB convention)
+                length = 0
+                for x, y in zip(s1[:4], s2[:4]):
+                    if x == y:
+                        length += 1
+                    else:
+                        break
+                j = j + length * 0.1 * (1.0 - j)
+            return math.floor(1e6 * j)
+
+        return pd.Series(
+            [jw_micro(x, y) for x, y in zip(a, b)], dtype="object"
+        )
+
+    return F.pandas_udf(_batch, "long")(left, right)
