@@ -388,3 +388,29 @@ def test_match_weights_empty_input_and_empty_fields(spark):
     assert got[0]["w_agree_micro"] == 0 and got[0]["w_disagree_micro"] == 0
     with pytest.raises(ValueError):
         match_weights(empty, [], "is_match")
+
+
+def test_threshold_sweep_exact_counts(spark):
+    from xlink_spark.operators.linkage import threshold_sweep
+
+    rows = [
+        (10, True), (10, False), (5, True), (5, True), (0, False),
+        (0, False), (-3, True),
+    ]
+    df = spark.createDataFrame(rows, "score long, is_match boolean")
+    got = {
+        r["score"]: (
+            r["tp"], r["fp"], r["precision_micro"], r["recall_micro"],
+            r["f1_micro"],
+        )
+        for r in threshold_sweep(df, "score", "is_match").collect()
+    }
+    # threshold 10: tp=1 fp=1; total pos=4
+    assert got[10] == (1, 1, 500_000, 250_000, 333_333)
+    # threshold 5: tp=3 fp=1
+    assert got[5] == (3, 1, 750_000, 750_000, 750_000)
+    # threshold 0: tp=3 fp=3
+    assert got[0] == (3, 3, 500_000, 750_000, 600_000)
+    # threshold -3: everything linked
+    assert got[-3] == (4, 3, 571_428, 1_000_000, 727_272)
+    assert len(got) == 4

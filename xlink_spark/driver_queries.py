@@ -4409,6 +4409,49 @@ SQL_COHERENCE_ITERATE2 = (
 )
 
 
+def q_fs_threshold_sweep(spark, sf_dir):
+    """Precision/recall/F1 at every distinct FS score
+    (linkage.threshold_sweep over the labeled fs_pair_scores output) —
+    the exact-integer curve that picks the decision threshold. FS scores
+    take at most 2^k distinct values (one per agreement pattern), so the
+    cumulative window runs at SCORE grain (≤ 8 rows), never over pairs."""
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_weights,
+        threshold_sweep,
+    )
+
+    vec = _linkage_vectors(spark, sf_dir)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"]).join(
+        vec.select("id_a", "id_b", "is_match"), ["id_a", "id_b"]
+    )
+    return threshold_sweep(scores, "score_micro", "is_match")
+
+
+SQL_FS_THRESHOLD_SWEEP = (
+    f"with {_SQL_LINKAGE_VEC}, {_SQL_FS_SCORE_CORE}, "
+    "lab as (select s.score_micro as score, v.is_match"
+    "  from sc s join vec v using (id_a, id_b)), "
+    "grain as (select score, count(*)::bigint as n_pairs,"
+    "  sum(case when is_match then 1 else 0 end)::bigint as n_match"
+    "  from lab group by 1), "
+    "cum as (select score,"
+    "  sum(n_match) over (order by score desc"
+    "    rows between unbounded preceding and current row)::bigint as tp,"
+    "  (sum(n_pairs) over (order by score desc"
+    "    rows between unbounded preceding and current row)"
+    "   - sum(n_match) over (order by score desc"
+    "    rows between unbounded preceding and current row))::bigint as fp,"
+    "  (select sum(n_match) from grain)::bigint as pos from grain) "
+    "select score, tp, fp,"
+    "  ((tp * 1000000) // (tp + fp))::bigint as precision_micro,"
+    "  ((tp * 1000000) // pos)::bigint as recall_micro,"
+    "  ((2 * tp * 1000000) // (2 * tp + fp + (pos - tp)))::bigint as f1_micro "
+    "from cum"
+)
+
+
 def q_jw_pair_scores(spark, sf_dir):
     """Jaro-Winkler comparator over the SNM candidate pairs
     (fuzzy.jaro_winkler_micro): the canonical ER string metric, scored on
@@ -4656,6 +4699,7 @@ QUERIES: dict[str, Query] = {
     "fs_pair_scores": q_fs_pair_scores,
     "fs_em_weights": q_fs_em_weights,
     "jw_pair_scores": q_jw_pair_scores,
+    "fs_threshold_sweep": q_fs_threshold_sweep,
     "er_golden_records": q_er_golden_records,
     "coherence_iterate2": q_coherence_iterate2,
     "bm25_topk": q_bm25_topk,
@@ -4757,6 +4801,7 @@ ORACLES: dict[str, str] = {
     "fs_pair_scores": SQL_FS_PAIR_SCORES,
     "fs_em_weights": SQL_FS_EM_WEIGHTS,
     "jw_pair_scores": SQL_JW_PAIR_SCORES,
+    "fs_threshold_sweep": SQL_FS_THRESHOLD_SWEEP,
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
     "coherence_iterate2": SQL_COHERENCE_ITERATE2,
     "bm25_topk": SQL_BM25_TOPK,

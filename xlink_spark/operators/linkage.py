@@ -599,3 +599,56 @@ def golden_records(
             )
         out = out.join(pick, "cluster")
     return out
+
+
+def threshold_sweep(
+    scores: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Precision/recall at every distinct score threshold — the curve a
+    deployment reads to pick the FS decision cut.
+
+    One row per distinct score value s: counts and exact integer-ppm
+    metrics for the rule "link iff score ≥ s". Aggregates to SCORE grain
+    first (FS scores take at most 2^k distinct values — one per agreement
+    pattern — so the cumulative window runs over a constant-size frame,
+    never over pairs), then cumulative sums ordered by score descending.
+    precision/recall/f1 are bigint micro-unit floors of exact count
+    ratios — engine-portable with no float anywhere."""
+    lbl = F.col(label_col).cast("boolean")
+    grain = (
+        scores.groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(F.sum(F.when(lbl, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_match"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = grain.select(
+        "score",
+        F.sum("n_match").over(w).alias("tp"),
+        (F.sum("n_pairs").over(w) - F.sum("n_match").over(w)).alias("fp"),
+        F.sum("n_match").over(total).alias("pos"),
+    )
+    prec = F.expr("(tp * 1000000) div (tp + fp)")
+    rec = F.expr("(tp * 1000000) div pos")
+    return out.select(
+        "score",
+        F.col("tp").cast("long"),
+        F.col("fp").cast("long"),
+        prec.cast("long").alias("precision_micro"),
+        rec.cast("long").alias("recall_micro"),
+        F.expr(
+            "(2 * tp * 1000000) div (2 * tp + fp + (pos - tp))"
+        )
+        .cast("long")
+        .alias("f1_micro"),
+    )
