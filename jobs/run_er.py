@@ -1,0 +1,184 @@
+"""spark-submit entrypoint: end-to-end record entity resolution.
+
+Usage (cluster or local):
+
+    zip -r xlink_spark.zip xlink_spark
+    spark-submit --py-files xlink_spark.zip jobs/run_er.py \\
+        --records /lake/customers --id-col id \\
+        --key-expr "substring(name, 1, 4)" --order-cols name \\
+        --fields name,segment,nation --output /lake/er \\
+        [--label-expr "id_a % 1000000 = id_b % 1000000"] \\
+        [--window 5] [--threshold-micro 0] \\
+        [--rules "name:longest,segment:mode,nation:min"] \\
+        [--rank-strategy keys|range] [--snapshots /lake/snap]
+
+The pipeline is the north-star shape on records: sorted-neighborhood
+blocking (linkage.sorted_neighborhood_pairs) → per-field comparison
+vectors (null-safe equality) → Fellegi-Sunter weights — supervised from
+--label-expr when given, otherwise UNSUPERVISED via Winkler's pattern EM
+(linkage.fs_em_weights) → pairwise scores → match edges at
+--threshold-micro → iterative large/small-star connected components →
+survivorship golden records (--rules). Outputs under --output:
+clusters/ (id, cluster), golden/ (one canonical row per cluster),
+weights/ (the estimated per-field weight table), scores/ (pair scores).
+With --snapshots, clusters and golden commit through the SnapshotStore
+(manifest-last, crash-safe). One JSON metrics line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import functions as F
+
+
+def run_er_job(spark, args) -> dict:
+    """The job body, importable for in-session testing."""
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import (
+        fs_em_weights,
+        fs_score,
+        golden_records,
+        match_weights,
+        sorted_neighborhood_pairs,
+    )
+
+    fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+    order_cols = [c.strip() for c in args.order_cols.split(",") if c.strip()]
+    rules = {}
+    for part in (args.rules or "").split(","):
+        if ":" in part:
+            col, rule = part.split(":", 1)
+            rules[col.strip()] = rule.strip()
+    if not rules:
+        rules = {f: "mode" for f in fields}
+
+    recs = spark.read.parquet(args.records).withColumn(
+        "_key", F.expr(args.key_expr)
+    )
+    idc = args.id_col
+    pairs = sorted_neighborhood_pairs(
+        recs,
+        "_key",
+        order_cols,
+        idc,
+        window=args.window,
+        strategy=args.rank_strategy,
+    )
+    ra = recs.select(
+        F.col(idc).alias("id_a"), *[F.col(f).alias(f"_a_{f}") for f in fields]
+    )
+    rb = recs.select(
+        F.col(idc).alias("id_b"), *[F.col(f).alias(f"_b_{f}") for f in fields]
+    )
+    agree_cols = [f"agree_{f}" for f in fields]
+    vec = pairs.join(ra, "id_a").join(rb, "id_b").select(
+        "id_a",
+        "id_b",
+        *[
+            F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}")).alias(f"agree_{f}")
+            for f in fields
+        ],
+    )
+    if args.label_expr:
+        vec = vec.withColumn("_is_match", F.expr(args.label_expr))
+    # vec fans out (weights + scoring); persist the narrow boolean rows
+    vec = vec.persist()
+    try:
+        if args.label_expr:
+            weights = match_weights(vec, agree_cols, "_is_match")
+            mode = "supervised"
+        else:
+            weights = fs_em_weights(vec, agree_cols, iterations=args.em_iterations)
+            mode = "em"
+        scores = fs_score(vec, weights, agree_cols, ["id_a", "id_b"])
+        edges = scores.filter(
+            F.col("score_micro") >= F.lit(int(args.threshold_micro))
+        ).select(
+            F.col("id_a").cast("long").alias("src"),
+            F.col("id_b").cast("long").alias("dst"),
+        )
+        comp = connected_components(edges)
+        golden = golden_records(recs.drop("_key"), comp, idc, rules)
+
+        weights.write.mode("overwrite").parquet(f"{args.output}/weights")
+        scores.write.mode("overwrite").parquet(f"{args.output}/scores")
+        asg = (
+            recs.select(F.col(idc).cast("long").alias("id"))
+            .join(
+                comp.select(
+                    F.col("node").alias("id"), F.col("component")
+                ),
+                "id",
+                "left",
+            )
+            .select(
+                "id", F.coalesce("component", F.col("id")).alias("cluster")
+            )
+        )
+        if args.snapshots:
+            from xlink_spark.plans.snapshots import SnapshotStore
+
+            store = SnapshotStore(args.snapshots)
+            m_cl = store.commit_table("er_clusters", asg)
+            m_go = store.commit_table("er_golden", golden)
+            n_records, n_golden = m_cl["rows"], m_go["rows"]
+        else:
+            asg.write.mode("overwrite").parquet(f"{args.output}/clusters")
+            golden.write.mode("overwrite").parquet(f"{args.output}/golden")
+            n_records = spark.read.parquet(f"{args.output}/clusters").count()
+            n_golden = spark.read.parquet(f"{args.output}/golden").count()
+        n_pairs = vec.count()
+        n_edges = edges.count()
+        w_rows = {
+            r["field"]: (r["w_agree_micro"], r["w_disagree_micro"])
+            for r in weights.collect()
+        }
+    finally:
+        vec.unpersist()
+    return {
+        "mode": mode,
+        "n_records": n_records,
+        "n_candidate_pairs": n_pairs,
+        "n_match_edges": n_edges,
+        "n_clusters": n_golden,
+        "weights_micro": w_rows,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--records", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", required=True, help="unique numeric record id")
+    ap.add_argument("--key-expr", required=True, help="SQL expr: the SNM blocking/sort key")
+    ap.add_argument("--order-cols", required=True, help="csv: within-key sort columns")
+    ap.add_argument("--fields", required=True, help="csv: comparison columns (null-safe equality)")
+    ap.add_argument("--label-expr", help="SQL boolean over id_a/id_b: true-match label; omit for unsupervised EM")
+    ap.add_argument("--window", type=int, default=5)
+    ap.add_argument("--threshold-micro", type=int, default=0)
+    ap.add_argument("--em-iterations", type=int, default=5)
+    ap.add_argument("--rules", help="csv col:rule survivorship rules (mode|longest|min|max)")
+    ap.add_argument("--rank-strategy", choices=["keys", "range"], default="keys")
+    ap.add_argument("--snapshots", help="commit clusters/golden via the SnapshotStore")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from xlink_spark.session import get_spark
+
+    spark = get_spark(app_name="xlink_er", master=args.master)
+    t0 = time.time()
+    metrics = run_er_job(spark, args)
+    wall = time.time() - t0
+    metrics["wall_sec"] = round(wall, 2)
+    metrics["records_per_sec"] = (
+        round(metrics["n_records"] / wall, 2) if wall else None
+    )
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

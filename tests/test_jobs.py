@@ -297,3 +297,59 @@ def test_run_incremental_cluster_additive_fast_path(spark, tmp_path, sdfs, monke
     m2 = RI.run_incremental_job(spark, _args(v3))
     assert calls["inc"] == 1, "a batch with retractions must NOT go incremental"
     assert _partition(m2["batch_id"]) == _full_truth()
+
+
+def test_run_er_job_em_and_supervised(spark, tmp_path):
+    """The record-ER entrypoint end to end, both estimator modes: planted
+    near-duplicate customers must cluster with their twins and produce one
+    golden record per cluster; the unsupervised EM run must agree with the
+    supervised run on the planted structure."""
+    import argparse
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 41):
+        name = f"Rec#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        # dirty twin: last char bumped, same segment/nation
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5))
+    recs = spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    )
+    src = str(tmp_path / "records")
+    recs.write.parquet(src)
+
+    def run(label_expr, outdir):
+        args = argparse.Namespace(
+            records=src, output=str(tmp_path / outdir), id_col="id",
+            key_expr="substring(name, 1, 6)", order_cols="name",
+            fields="name,segment,nation", label_expr=label_expr,
+            window=4, threshold_micro=0, em_iterations=5,
+            rules="name:longest,segment:mode,nation:min",
+            rank_strategy="keys", snapshots=None,
+        )
+        return run_er_job(spark, args), args
+
+    m_sup, a_sup = run("pmod(id_a, 1000) = pmod(id_b, 1000)", "sup")
+    m_em, a_em = run(None, "em")
+    assert m_sup["mode"] == "supervised" and m_em["mode"] == "em"
+    assert m_sup["n_records"] == m_em["n_records"] == 80
+    # every twin pair must land in one cluster in both modes
+    for m, a in ((m_sup, a_sup), (m_em, a_em)):
+        asg = {
+            r["id"]: r["cluster"]
+            for r in spark.read.parquet(f"{a.output}/clusters").collect()
+        }
+        paired = sum(1 for i in range(1, 41) if asg[i] == asg[i + 1000])
+        assert paired == 40, (m["mode"], paired)
+        golden = spark.read.parquet(f"{a.output}/golden")
+        assert golden.count() == m["n_clusters"] <= 40
+        g = golden.filter(F.col("cluster") == asg[1]).collect()[0]
+        # longest-name rule keeps the 9-char clean name or equal-length twin
+        assert g["name"].startswith("Rec#000")
+        assert g["n_records"] >= 2

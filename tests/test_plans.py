@@ -376,3 +376,36 @@ def test_entity_relatedness_query_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_fs_pair_scores_query_plan_shape(spark):
+    """The FS chain is pure JVM: no Python eval nodes anywhere, the weight
+    table rides a broadcast, and no join degenerates to a cartesian."""
+    from xlink_spark.driver_queries import q_fs_pair_scores
+
+    plan = _plan(q_fs_pair_scores(spark, "/root/testdata/sf0.001"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_jw_pair_scores_query_plan_shape(spark):
+    """Jaro-Winkler is the ONE sanctioned Arrow boundary in this query —
+    exactly one vectorized Python eval over the blocked pairs, everything
+    else JVM."""
+    from xlink_spark.driver_queries import q_jw_pair_scores
+
+    plan = _plan(q_jw_pair_scores(spark, "/root/testdata/sf0.001"))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fs_threshold_sweep_query_plan_shape(spark):
+    from xlink_spark.driver_queries import q_fs_threshold_sweep
+
+    plan = _plan(q_fs_threshold_sweep(spark, "/root/testdata/sf0.001"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
