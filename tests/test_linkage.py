@@ -414,3 +414,20 @@ def test_threshold_sweep_exact_counts(spark):
     # threshold -3: everything linked
     assert got[-3] == (4, 3, 571_428, 1_000_000, 727_272)
     assert len(got) == 4
+
+
+def test_u_from_frequencies_exact(spark):
+    from xlink_spark.operators.linkage import u_from_frequencies
+
+    rows = [(1, "a", None), (2, "a", None), (3, "b", "x"), (4, "a", "x")]
+    df = spark.createDataFrame(rows, "id long, f1 string, f2 string")
+    got = {
+        r["field"]: (r["u_num"], r["u_den"], r["u_ppm"])
+        for r in u_from_frequencies(df, ["f1", "f2"]).collect()
+    }
+    # f1: a×3 -> 3·2=6, b×1 -> 0; den = 4·3 = 12
+    assert got["f1"] == (6, 12, 500_000)
+    # f2: NULL×2 agree with each other (null-safe convention), x×2 -> 2+2
+    assert got["f2"] == (4, 12, 333_333)
+    with pytest.raises(ValueError):
+        u_from_frequencies(df, [])

@@ -4452,6 +4452,34 @@ SQL_FS_THRESHOLD_SWEEP = (
 )
 
 
+def q_fs_u_frequencies(spark, sf_dir):
+    """Label-free u-probabilities from value frequencies
+    (linkage.u_from_frequencies): P(field agrees on a RANDOM pair) =
+    Σ n_v(n_v−1)/(N(N−1)) — the estimate FS deployments pair with EM when
+    candidate pairs are too biased to estimate u from. Exact bigint
+    numerators/denominators + integer-ppm division over the clean∪dirty
+    linkage records; one VALUE-grain count per field."""
+    from xlink_spark.operators.linkage import u_from_frequencies
+
+    recs = _linkage_records(spark, sf_dir).drop("key")
+    return u_from_frequencies(recs, ["name", "seg", "nation"])
+
+
+SQL_FS_U_FREQUENCIES = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "nn as (select count(*)::bigint as n from recs) "
+    + " union all ".join(
+        f"select '{f}' as field,"
+        f"  coalesce(sum(c * (c - 1)), 0)::bigint as u_num,"
+        f"  (select n * (n - 1) from nn)::bigint as u_den,"
+        f"  ((coalesce(sum(c * (c - 1)), 0) * 1000000)"
+        f"   // (select n * (n - 1) from nn))::bigint as u_ppm"
+        f" from (select {f} as v, count(*)::bigint as c from recs group by 1)"
+        for f in ["name", "seg", "nation"]
+    )
+)
+
+
 def q_jw_pair_scores(spark, sf_dir):
     """Jaro-Winkler comparator over the SNM candidate pairs
     (fuzzy.jaro_winkler_micro): the canonical ER string metric, scored on
@@ -4699,6 +4727,7 @@ QUERIES: dict[str, Query] = {
     "fs_pair_scores": q_fs_pair_scores,
     "fs_em_weights": q_fs_em_weights,
     "jw_pair_scores": q_jw_pair_scores,
+    "fs_u_frequencies": q_fs_u_frequencies,
     "fs_threshold_sweep": q_fs_threshold_sweep,
     "er_golden_records": q_er_golden_records,
     "coherence_iterate2": q_coherence_iterate2,
@@ -4801,6 +4830,7 @@ ORACLES: dict[str, str] = {
     "fs_pair_scores": SQL_FS_PAIR_SCORES,
     "fs_em_weights": SQL_FS_EM_WEIGHTS,
     "jw_pair_scores": SQL_JW_PAIR_SCORES,
+    "fs_u_frequencies": SQL_FS_U_FREQUENCIES,
     "fs_threshold_sweep": SQL_FS_THRESHOLD_SWEEP,
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
     "coherence_iterate2": SQL_COHERENCE_ITERATE2,

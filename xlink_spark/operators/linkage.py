@@ -652,3 +652,45 @@ def threshold_sweep(
         .cast("long")
         .alias("f1_micro"),
     )
+
+
+def u_from_frequencies(
+    records: DataFrame,
+    field_cols: list[str],
+) -> DataFrame:
+    """u-probabilities from value frequencies — the classic label-free
+    estimate: for a RANDOM record pair, P(field agrees) is the value
+    collision probability Σ_v n_v·(n_v−1) / (N·(N−1)). Fellegi-Sunter
+    deployments pair this with EM-estimated (or assumed) m when no labeled
+    pairs exist and the candidate pairs are too biased to estimate u from.
+
+    Exact bigint arithmetic: returns one row per field with u_num =
+    Σ n_v(n_v−1), u_den = N(N−1), and u_ppm = (u_num·10⁶) div u_den.
+    NULL values form their own frequency class (two NULLs "agree", the
+    null-safe-equality convention of the comparison vectors). One
+    map-combinable count per field at VALUE grain; nothing else."""
+    if not field_cols:
+        raise ValueError("field_cols must be non-empty")
+    n = records.count()
+    den = n * (n - 1)
+    out = None
+    for f in field_cols:
+        per = (
+            records.groupBy(F.col(f).alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum(F.col("_c") * (F.col("_c") - 1)), F.lit(0))
+                .cast("long")
+                .alias("u_num")
+            )
+            .select(
+                F.lit(f).alias("field"),
+                "u_num",
+                F.lit(den).cast("long").alias("u_den"),
+                F.expr(f"(u_num * 1000000) div {den}")
+                .cast("long")
+                .alias("u_ppm"),
+            )
+        )
+        out = per if out is None else out.unionByName(per)
+    return out
