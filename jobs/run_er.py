@@ -49,9 +49,15 @@ def run_er_job(spark, args) -> dict:
     order_cols = [c.strip() for c in args.order_cols.split(",") if c.strip()]
     rules = {}
     for part in (args.rules or "").split(","):
-        if ":" in part:
-            col, rule = part.split(":", 1)
-            rules[col.strip()] = rule.strip()
+        part = part.strip()
+        if not part:
+            continue
+        if ":" not in part:
+            raise ValueError(
+                f"--rules entry {part!r} is not col:rule (mode|longest|min|max)"
+            )
+        col, rule = part.split(":", 1)
+        rules[col.strip()] = rule.strip()
     if not rules:
         rules = {f: "mode" for f in fields}
 

@@ -137,6 +137,7 @@ def test_jaro_winkler_micro_classic_values_and_nulls(spark):
         ("abc", "abc"),
         (None, "abc"),
         ("sream", "sbellyfish"),  # jaro <= 0.7: NO prefix boost
+        ("héllo", "hello"),  # UTF-8 BYTES, not code points (duck = 0.84)
     ]
     df = spark.createDataFrame(rows, "a string, b string")
     got = [
@@ -145,7 +146,7 @@ def test_jaro_winkler_micro_classic_values_and_nulls(spark):
             jaro_winkler_micro(df["a"], df["b"]).alias("jw")
         ).collect()
     ]
-    assert got == [961111, 813333, 896296, 0, 1000000, None, 533333]
+    assert got == [961111, 813333, 896296, 0, 1000000, None, 533333, 840000]
 
 
 def test_jaro_winkler_micro_bit_parity_with_duckdb(spark):
@@ -175,7 +176,8 @@ def test_jaro_winkler_micro_bit_parity_with_duckdb(spark):
         elif p + 1 < len(w):
             w[p], w[p + 1] = w[p + 1], w[p]
         pool.append("".join(w))
-    pairs = [(random.choice(pool), random.choice(pool)) for _ in range(3000)]
+    pool += ["héllo", "hello", "müller", "muller", "José", "Jose"]
+    pairs = [(random.choice(pool), random.choice(pool)) for _ in range(30000)]
     df = spark.createDataFrame(pairs, "a string, b string")
     got = [
         r["jw"]
@@ -184,10 +186,15 @@ def test_jaro_winkler_micro_bit_parity_with_duckdb(spark):
         ).collect()
     ]
     con = duckdb.connect()
+    con.execute("create table p(i bigint, a varchar, b varchar)")
+    con.executemany(
+        "insert into p values (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+    )
     exp = [
-        math.floor(1e6 * con.execute(
-            "select jaro_winkler_similarity(?, ?)", [a, b]
-        ).fetchone()[0])
-        for a, b in pairs
+        math.floor(1e6 * v)
+        for (v,) in con.execute(
+            "select jaro_winkler_similarity(a, b) from p order by i"
+        ).fetchall()
     ]
     assert got == exp

@@ -431,3 +431,19 @@ def test_u_from_frequencies_exact(spark):
     assert got["f2"] == (4, 12, 333_333)
     with pytest.raises(ValueError):
         u_from_frequencies(df, [])
+
+
+def test_threshold_sweep_zero_positives_yields_null_metrics(spark):
+    """No positive labels -> recall/f1 denominators are 0 and both columns
+    are NULL on every row (the errors-are-DATA contract, identical on both
+    engines); precision stays defined."""
+    from xlink_spark.operators.linkage import threshold_sweep
+
+    rows = [(10, False), (5, False)]
+    df = spark.createDataFrame(rows, "score long, is_match boolean")
+    got = threshold_sweep(df, "score", "is_match").collect()
+    # recall is undefined (NULL); f1 = 0/(fp) = 0 — defined and zero on
+    # both engines; precision 0
+    assert all(r["recall_micro"] is None for r in got)
+    assert {r["f1_micro"] for r in got} == {0}
+    assert {r["precision_micro"] for r in got} == {0}

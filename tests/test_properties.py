@@ -127,8 +127,10 @@ def test_simhash_banded_recall_is_perfect_below_band_count(spark, data):
         twin = b
         for f in flips:
             twin ^= 1 << f
-        if twin >= 2**63:
-            twin -= 2**64
+        # normalize to signed 64-bit: Python's arbitrary-precision XOR can
+        # leave the value above 2^63-1 (positive base, bit 63 set) OR below
+        # -2^63 (negative base XOR 1<<63 underflows in two's complement)
+        twin = ((twin + 2**63) % 2**64) - 2**63
         rows.append((f"b{i}", twin))
         if bin((b ^ twin) & (2**64 - 1)).count("1") <= 3:
             expected.add((f"a{i}", f"b{i}"))

@@ -4421,7 +4421,16 @@ def q_fs_threshold_sweep(spark, sf_dir):
         threshold_sweep,
     )
 
-    vec = _linkage_vectors(spark, sf_dir)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    # vec fans out three ways (weights, scoring melt, label join-back) —
+    # the same fan-out q_fs_pair_scores persists for
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"]).join(
         vec.select("id_a", "id_b", "is_match"), ["id_a", "id_b"]

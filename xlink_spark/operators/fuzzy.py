@@ -149,11 +149,13 @@ def jaro_winkler_micro(left: Column, right: Column) -> Column:
     (levenshtein is the only built-in edit metric).
 
     Convention matches DuckDB's ``jaro_winkler_similarity`` BIT-FOR-BIT
-    (pinned by a 30k-pair fuzz test): scaling p = 0.1 over a common prefix
-    of ≤ 4 chars, the Winkler boost applied only when jaro > 0.7, either
-    side empty ⇒ 0.0, NULL in ⇒ NULL out. Because the doubles are
-    bit-identical, the micro-floor needs no margin measurement — the
-    boundary lands identically on both engines.
+    (pinned by a 30k-pair fuzz test): the comparison runs over UTF-8
+    BYTES, not code points (DuckDB scores byte sequences — 'héllo' vs
+    'hello' is 0.84, not the code-point 0.88), scaling p = 0.1 over a
+    common prefix of ≤ 4 bytes, the Winkler boost applied only when
+    jaro > 0.7, either side empty ⇒ 0.0, NULL in ⇒ NULL out. Because the
+    doubles are bit-identical, the micro-floor needs no margin
+    measurement — the boundary lands identically on both engines.
 
     This is the sanctioned Python boundary for the comparator: it runs on
     BLOCKED candidate pairs only (SNM / deletion-neighborhood output),
@@ -198,9 +200,12 @@ def jaro_winkler_micro(left: Column, right: Column) -> Column:
             t //= 2
             return (m / l1 + m / l2 + (m - t) / m) / 3.0
 
-        def jw_micro(s1, s2):
-            if s1 is None or s2 is None:
+        def jw_micro(t1, t2):
+            if t1 is None or t2 is None:
                 return None
+            # UTF-8 bytes, not code points: DuckDB's comparator walks the
+            # raw string bytes, so multibyte characters count per byte
+            s1, s2 = t1.encode("utf-8"), t2.encode("utf-8")
             j = jaro(s1, s2)
             if j > 0.7:  # Winkler boost threshold (DuckDB convention)
                 length = 0

@@ -615,7 +615,11 @@ def threshold_sweep(
     pattern — so the cumulative window runs over a constant-size frame,
     never over pairs), then cumulative sums ordered by score descending.
     precision/recall/f1 are bigint micro-unit floors of exact count
-    ratios — engine-portable with no float anywhere."""
+    ratios — engine-portable with no float anywhere. With ZERO positive
+    labels the recall/f1 divisions are explicitly guarded to NULL (ANSI
+    Spark would otherwise throw where DuckDB yields NULL) — the
+    errors-are-DATA contract, identical on both engines and pinned by
+    test."""
     lbl = F.col(label_col).cast("boolean")
     grain = (
         scores.groupBy(F.col(score_col).alias("score"))
@@ -638,19 +642,22 @@ def threshold_sweep(
         (F.sum("n_pairs").over(w) - F.sum("n_match").over(w)).alias("fp"),
         F.sum("n_match").over(total).alias("pos"),
     )
+    # guard the positive-count divisors explicitly: ANSI Spark throws on
+    # div-by-zero while DuckDB's // yields NULL — the when() makes both
+    # engines emit NULL when there are no positive labels
     prec = F.expr("(tp * 1000000) div (tp + fp)")
-    rec = F.expr("(tp * 1000000) div pos")
+    rec = F.when(F.col("pos") > 0, F.expr("(tp * 1000000) div pos"))
+    f1 = F.when(
+        F.expr("2 * tp + fp + (pos - tp)") > 0,
+        F.expr("(2 * tp * 1000000) div (2 * tp + fp + (pos - tp))"),
+    )
     return out.select(
         "score",
         F.col("tp").cast("long"),
         F.col("fp").cast("long"),
         prec.cast("long").alias("precision_micro"),
         rec.cast("long").alias("recall_micro"),
-        F.expr(
-            "(2 * tp * 1000000) div (2 * tp + fp + (pos - tp))"
-        )
-        .cast("long")
-        .alias("f1_micro"),
+        f1.cast("long").alias("f1_micro"),
     )
 
 
@@ -672,6 +679,11 @@ def u_from_frequencies(
     if not field_cols:
         raise ValueError("field_cols must be non-empty")
     n = records.count()
+    if n < 2:
+        raise ValueError(
+            f"u_from_frequencies needs >= 2 records (got {n}): "
+            "the random-pair denominator N(N-1) would be zero"
+        )
     den = n * (n - 1)
     out = None
     for f in field_cols:
