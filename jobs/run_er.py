@@ -7,6 +7,7 @@ Usage (cluster or local):
         --records /lake/customers --id-col id \\
         --key-expr "substring(name, 1, 4)" --order-cols name \\
         --fields name,segment,nation --output /lake/er \\
+        [--jw-fields "name:880000"] \\
         [--label-expr "id_a % 1000000 = id_b % 1000000"] \\
         [--window 5] [--threshold-micro 0] \\
         [--rules "name:longest,segment:mode,nation:min"] \\
@@ -14,7 +15,9 @@ Usage (cluster or local):
 
 The pipeline is the north-star shape on records: sorted-neighborhood
 blocking (linkage.sorted_neighborhood_pairs) → per-field comparison
-vectors (null-safe equality) → Fellegi-Sunter weights — supervised from
+vectors (null-safe equality; fields named in --jw-fields instead compare
+by Jaro-Winkler ≥ threshold_micro — the fuzzy comparator production FS
+deployments use for names) → Fellegi-Sunter weights — supervised from
 --label-expr when given, otherwise UNSUPERVISED via Winkler's pattern EM
 (linkage.fs_em_weights) → pairwise scores → match edges at
 --threshold-micro → iterative large/small-star connected components →
@@ -46,6 +49,20 @@ def run_er_job(spark, args) -> dict:
     )
 
     fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+    jw_fields = {}
+    for part in (getattr(args, "jw_fields", None) or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ":" not in part:
+            raise ValueError(
+                f"--jw-fields entry {part!r} is not col:threshold_micro"
+            )
+        col, th = part.split(":", 1)
+        jw_fields[col.strip()] = int(th)
+    unknown = set(jw_fields) - set(fields)
+    if unknown:
+        raise ValueError(f"--jw-fields columns not in --fields: {sorted(unknown)}")
     order_cols = [c.strip() for c in args.order_cols.split(",") if c.strip()]
     rules = {}
     for part in (args.rules or "").split(","):
@@ -80,13 +97,26 @@ def run_er_job(spark, args) -> dict:
         F.col(idc).alias("id_b"), *[F.col(f).alias(f"_b_{f}") for f in fields]
     )
     agree_cols = [f"agree_{f}" for f in fields]
+
+    def _agree(f):
+        a, b = F.col(f"_a_{f}"), F.col(f"_b_{f}")
+        if f not in jw_fields:
+            return a.eqNullSafe(b).alias(f"agree_{f}")
+        from xlink_spark.operators.fuzzy import jaro_winkler_micro
+
+        # fuzzy comparator: agree iff JW >= threshold; NULL semantics match
+        # the null-safe-equality convention (both null agree, one null no)
+        return (
+            F.when(a.isNull() & b.isNull(), F.lit(True))
+            .when(a.isNull() | b.isNull(), F.lit(False))
+            .otherwise(
+                jaro_winkler_micro(a, b) >= F.lit(int(jw_fields[f]))
+            )
+            .alias(f"agree_{f}")
+        )
+
     vec = pairs.join(ra, "id_a").join(rb, "id_b").select(
-        "id_a",
-        "id_b",
-        *[
-            F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}")).alias(f"agree_{f}")
-            for f in fields
-        ],
+        "id_a", "id_b", *[_agree(f) for f in fields]
     )
     if args.label_expr:
         vec = vec.withColumn("_is_match", F.expr(args.label_expr))
@@ -162,6 +192,7 @@ def main() -> None:
     ap.add_argument("--key-expr", required=True, help="SQL expr: the SNM blocking/sort key")
     ap.add_argument("--order-cols", required=True, help="csv: within-key sort columns")
     ap.add_argument("--fields", required=True, help="csv: comparison columns (null-safe equality)")
+    ap.add_argument("--jw-fields", help="csv col:threshold_micro — compare these fields by Jaro-Winkler >= threshold instead of equality")
     ap.add_argument("--label-expr", help="SQL boolean over id_a/id_b: true-match label; omit for unsupervised EM")
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument("--threshold-micro", type=int, default=0)

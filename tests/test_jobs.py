@@ -324,11 +324,12 @@ def test_run_er_job_em_and_supervised(spark, tmp_path):
     src = str(tmp_path / "records")
     recs.write.parquet(src)
 
-    def run(label_expr, outdir):
+    def run(label_expr, outdir, jw_fields=None):
         args = argparse.Namespace(
             records=src, output=str(tmp_path / outdir), id_col="id",
             key_expr="substring(name, 1, 6)", order_cols="name",
-            fields="name,segment,nation", label_expr=label_expr,
+            fields="name,segment,nation", jw_fields=jw_fields,
+            label_expr=label_expr,
             window=4, threshold_micro=0, em_iterations=5,
             rules="name:longest,segment:mode,nation:min",
             rank_strategy="keys", snapshots=None,
@@ -353,3 +354,55 @@ def test_run_er_job_em_and_supervised(spark, tmp_path):
         # longest-name rule keeps the 9-char clean name or equal-length twin
         assert g["name"].startswith("Rec#000")
         assert g["n_records"] >= 2
+
+
+def test_run_er_job_jw_comparator_makes_name_predictive(spark, tmp_path):
+    """With --jw-fields the name field compares by Jaro-Winkler instead of
+    exact equality: bumped-typo twins now AGREE on name, so the supervised
+    weights flip the name field from anti-predictive to predictive — and
+    every twin still clusters."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    # names must be DISSIMILAR across records (random hex) so that only
+    # the planted twins clear the JW threshold — with sequential names
+    # every window neighbor agrees and the field carries no signal (that
+    # degenerate case is exactly what the e2e above shows with equality)
+    import hashlib
+
+    rows = []
+    for i in range(1, 31):
+        name = hashlib.md5(str(i).encode()).hexdigest()[:12]
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5))
+    recs = spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    )
+    src2 = str(tmp_path / "records_jw")
+    recs.write.parquet(src2)
+    args = argparse.Namespace(
+        records=src2, output=str(tmp_path / "jw"), id_col="id",
+        key_expr="substring(name, 1, 2)", order_cols="name",
+        fields="name,segment,nation", jw_fields="name:880000",
+        label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+        window=4, threshold_micro=0, em_iterations=5,
+        rules="name:longest,segment:mode,nation:min",
+        rank_strategy="keys", snapshots=None,
+    )
+    m = run_er_job(spark, args)
+    wa, wd = m["weights_micro"]["agree_name"]
+    assert wa > 0 > wd  # JW agreement on twins makes the name predictive
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{args.output}/clusters").collect()
+    }
+    paired = sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000])
+    assert paired == 30
+    import pytest as _pt
+
+    bad = argparse.Namespace(**{**vars(args), "jw_fields": "name=880000"})
+    with _pt.raises(ValueError):
+        run_er_job(spark, bad)
