@@ -447,3 +447,112 @@ def test_threshold_sweep_zero_positives_yields_null_metrics(spark):
     assert all(r["recall_micro"] is None for r in got)
     assert {r["f1_micro"] for r in got} == {0}
     assert {r["precision_micro"] for r in got} == {0}
+
+
+def test_multipass_pairs_merges_and_canonicalizes(spark):
+    """The same unordered pair surfaces with OPPOSITE orientation in two
+    passes (the sort orders reverse ids 3 and 5); without least/greatest
+    canonicalization before the merge it would double-count as two rows.
+    Pass-2-only pairs pin the recovery property multi-pass SNM exists for."""
+    from xlink_spark.operators.linkage import multipass_pairs
+
+    recs = spark.createDataFrame(
+        [(5, "a", "b", "x"), (3, "b", "a", "x"), (9, "c", "c", "x")],
+        "id long, key string, key2 string, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_passes"], r["min_dist"])
+        for r in multipass_pairs(
+            recs, [("key", ["name"]), ("key2", ["name"])], "id", window=2
+        ).collect()
+    }
+    # pass1 order (key): 5,3,9 -> (5,3),(3,9); pass2 (key2): 3,5,9 ->
+    # (3,5),(5,9). Canonical merge:
+    assert got == {(3, 5): (2, 1), (3, 9): (1, 1), (5, 9): (1, 1)}
+
+
+def test_multipass_pairs_empty_passes_raises(spark):
+    from xlink_spark.operators.linkage import multipass_pairs
+
+    recs = spark.createDataFrame([(1, "a", "x")], "id long, key string, name string")
+    with pytest.raises(ValueError):
+        multipass_pairs(recs, [], "id")
+
+
+def test_fs_decide_band_boundaries_and_null(spark):
+    """score >= upper -> match (inclusive), < lower -> non_match
+    (exclusive), between -> possible; NULL scores land in possible (review,
+    never auto-decide)."""
+    from xlink_spark.operators.linkage import fs_decide
+
+    rows = [
+        (1, 2_000_000),
+        (2, 1_500_000),
+        (3, 1_499_999),
+        (4, 0),
+        (5, -1),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, score_micro long")
+    got = {
+        r["id"]: r["decision"]
+        for r in fs_decide(df, upper_micro=1_500_000, lower_micro=0).collect()
+    }
+    assert got == {
+        1: "match",
+        2: "match",
+        3: "possible",
+        4: "possible",
+        5: "non_match",
+        6: "possible",
+    }
+
+
+def test_fs_decide_threshold_order_validated(spark):
+    from xlink_spark.operators.linkage import fs_decide
+
+    df = spark.createDataFrame([(1, 0)], "id long, score_micro long")
+    with pytest.raises(ValueError):
+        fs_decide(df, upper_micro=0, lower_micro=1)
+
+
+def test_pairwise_f1_exact_counts_and_singletons(spark):
+    """Hand-counted tp/fp/fn including a record ABSENT from assignments
+    (id 4 -> its own singleton via coalesce); metrics are exact integer
+    floors."""
+    from xlink_spark.operators.linkage import pairwise_f1
+
+    asg = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 300), (5, 100)], "id long, cluster long"
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, True),   # same cluster, match    -> tp
+            (1, 3, True),   # diff cluster, match    -> fn
+            (1, 4, True),   # 4 is singleton, match  -> fn
+            (1, 5, False),  # same cluster, nonmatch -> fp
+            (2, 3, False),  # diff cluster, nonmatch -> tn (uncounted)
+        ],
+        "id_a long, id_b long, is_match boolean",
+    )
+    [r] = pairwise_f1(asg, pairs).collect()
+    assert (r["n_pairs"], r["tp"], r["fp"], r["fn"]) == (5, 1, 1, 2)
+    assert r["precision_micro"] == 1_000_000 // 2
+    assert r["recall_micro"] == 1_000_000 // 3
+    assert r["f1_micro"] == 2_000_000 // 5
+
+
+def test_pairwise_f1_zero_denominators_yield_null(spark):
+    """tp+fp == 0 etc. -> NULL metrics, not a div-by-zero throw (ANSI Spark
+    throws where DuckDB yields NULL; the guard makes both agree)."""
+    from xlink_spark.operators.linkage import pairwise_f1
+
+    asg = spark.createDataFrame([], "id long, cluster long")
+    pairs = spark.createDataFrame(
+        [(1, 2, False)], "id_a long, id_b long, is_match boolean"
+    )
+    [r] = pairwise_f1(asg, pairs).collect()
+    assert (r["n_pairs"], r["tp"], r["fp"], r["fn"]) == (1, 0, 0, 0)
+    assert r["precision_micro"] is None
+    assert r["recall_micro"] is None
+    assert r["f1_micro"] is None

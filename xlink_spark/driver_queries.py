@@ -4604,19 +4604,17 @@ def q_er_golden_records(spark, sf_dir):
     )
 
 
-SQL_ER_GOLDEN_RECORDS = (
-    "with recursive "
-    + _SQL_LINKAGE_VEC.strip()
-    + ", "
-    + _SQL_FS_SCORE_CORE
-    + ", "
+# The FS-edges → connected-components prefix shared by every query that
+# replays the ER chain's clustering (golden records, pairwise F1). Full
+# reachability closure, NOT the min-label walk CTE: the label-walk
+# pattern under-merges on this graph (972 components where union-find
+# says 669 — the twice-referenced recursive table loses propagation
+# paths). Closure is O(sum of component size squared) rows — fine for
+# ER-sized components — and provably complete. Must sit under an outer
+# "with recursive".
+_SQL_ER_CC_CORE = (
     "eg as (select id_a as src, id_b as dst from sc where score_micro >= 0), "
     "undirected as (select src, dst from eg union select dst, src from eg), "
-    # Full reachability closure, NOT the min-label walk CTE: the label-walk
-    # pattern under-merges on this graph (972 components where union-find
-    # says 669 — the twice-referenced recursive table loses propagation
-    # paths). Closure is O(sum of component size squared) rows — fine for
-    # ER-sized components — and provably complete.
     "walk (node, reach) as ("
     "  select src as node, dst as reach from undirected"
     "  union"
@@ -4624,7 +4622,18 @@ SQL_ER_GOLDEN_RECORDS = (
     "  from walk wk join undirected u on u.src = wk.reach"
     "  where u.dst <> wk.node), "
     "comp as (select node, least(node, min(reach)) as component"
-    "  from walk group by node), "
+    "  from walk group by node)"
+)
+
+
+SQL_ER_GOLDEN_RECORDS = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
     "asg as (select r.id, coalesce(c.component, r.id) as cluster"
     "  from recs r left join comp c on c.node = r.id), "
     "jj as (select a.cluster, r.name, r.seg, r.nation"
@@ -4642,6 +4651,146 @@ SQL_ER_GOLDEN_RECORDS = (
     "select c.cluster, c.n_records, np.name, sp.seg, tp.nation "
     "from cnt c join np using (cluster) join sp using (cluster)"
     " join tp using (cluster)"
+)
+
+
+def q_snm_multipass_pairs(spark, sf_dir):
+    """Multi-pass sorted-neighborhood blocking (linkage.multipass_pairs) —
+    Hernandez & Stolfo's full method: pass 1 sorts on the name-digit key,
+    pass 2 on (segment | nation), candidate sets canonicalized to
+    unordered pairs and merged with per-pair pass counts + min rank
+    distance. Pass 2 recovers twin pairs whose name corruption would
+    teleport them across pass 1's sort order (and vice versa); the merge
+    is one pair-keyed aggregation over narrow rows."""
+    from xlink_spark.operators.linkage import multipass_pairs
+
+    recs = _linkage_records(spark, sf_dir).withColumn(
+        "key2", F.expr("concat(seg, '|', cast(nation as string))")
+    )
+    return multipass_pairs(
+        recs, [("key", ["name"]), ("key2", ["name"])], "id", window=4
+    )
+
+
+SQL_SNM_MULTIPASS_PAIRS = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "ranked2 as (select *, row_number() over ("
+    "  order by seg || '|' || nation::varchar, name, id)::bigint as rank"
+    "  from recs), "
+    "pairs2 as (select a.id as id_a, b.id as id_b,"
+    "  (b.rank - a.rank)::bigint as dist"
+    "  from ranked2 a join ranked2 b"
+    "  on b.rank > a.rank and b.rank - a.rank <= 3), "
+    "allp as ("
+    "  select least(id_a, id_b) as id_a, greatest(id_a, id_b) as id_b, dist"
+    "  from pairs"
+    "  union all"
+    "  select least(id_a, id_b) as id_a, greatest(id_a, id_b) as id_b, dist"
+    "  from pairs2) "
+    "select id_a, id_b, count(*)::bigint as n_passes,"
+    " min(dist)::bigint as min_dist "
+    "from allp group by 1, 2"
+)
+
+
+def q_fs_review_bands(spark, sf_dir):
+    """The Fellegi-Sunter TWO-threshold decision rule (linkage.fs_decide)
+    over the labeled FS pair scores: score ≥ 1.5e6 µ ⇒ match, < 0 ⇒
+    non_match, between ⇒ possible — the clerical-review queue the 1969
+    framework actually specifies. Scores and thresholds are exact bigint
+    micro-units (band boundaries can never flip cross-engine); all three
+    bands are non-empty at every sf (measured)."""
+    from xlink_spark.operators.linkage import fs_decide, fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"]).join(
+        vec.select("id_a", "id_b", "is_match"), ["id_a", "id_b"]
+    )
+    return fs_decide(scores, upper_micro=1_500_000, lower_micro=0)
+
+
+SQL_FS_REVIEW_BANDS = (
+    f"with {_SQL_LINKAGE_VEC}, {_SQL_FS_SCORE_CORE} "
+    "select s.id_a, s.id_b, s.score_micro, v.is_match,"
+    " case when s.score_micro >= 1500000 then 'match'"
+    "      when s.score_micro < 0 then 'non_match'"
+    "      else 'possible' end as decision "
+    "from sc s join vec v using (id_a, id_b)"
+)
+
+
+def q_er_pairwise_f1(spark, sf_dir):
+    """THE acceptance metric of the whole ER arc (linkage.pairwise_f1):
+    pairwise precision/recall/F1 of the transitive clusters against the
+    labeled pairs at the same blocking key — SNM blocking → FS scores →
+    match edges → large/small-star connected components → did the
+    clustering link the labeled pairs (and only them)? tp/fp/fn are exact
+    bigint counts and every metric an exact integer floor, float-free end
+    to end; the oracle replays the entire causal chain including the
+    recursive reachability-closure CC, so this one row hash-checks
+    blocking, weighting, thresholding, AND clustering together."""
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_weights,
+        pairwise_f1,
+    )
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    asg = comp.select(
+        F.col("node").alias("id"), F.col("component").alias("cluster")
+    )
+    return pairwise_f1(asg, vec)
+
+
+SQL_ER_PAIRWISE_F1 = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "met as (select v.is_match,"
+    "  (coalesce(ca.component, v.id_a) = coalesce(cb.component, v.id_b))"
+    "    as same"
+    "  from vec v left join comp ca on ca.node = v.id_a"
+    "             left join comp cb on cb.node = v.id_b), "
+    "agg as (select count(*)::bigint as n_pairs,"
+    "  sum(case when same and is_match then 1 else 0 end)::bigint as tp,"
+    "  sum(case when same and not is_match then 1 else 0 end)::bigint as fp,"
+    "  sum(case when (not same) and is_match then 1 else 0 end)::bigint as fn"
+    "  from met) "
+    "select n_pairs, tp, fp, fn,"
+    " (case when tp + fp > 0 then (tp * 1000000) // (tp + fp) end)::bigint"
+    "   as precision_micro,"
+    " (case when tp + fn > 0 then (tp * 1000000) // (tp + fn) end)::bigint"
+    "   as recall_micro,"
+    " (case when 2 * tp + fp + fn > 0"
+    "   then (2 * tp * 1000000) // (2 * tp + fp + fn) end)::bigint"
+    "   as f1_micro "
+    "from agg"
 )
 
 
@@ -4741,6 +4890,9 @@ QUERIES: dict[str, Query] = {
     "er_golden_records": q_er_golden_records,
     "coherence_iterate2": q_coherence_iterate2,
     "bm25_topk": q_bm25_topk,
+    "snm_multipass_pairs": q_snm_multipass_pairs,
+    "fs_review_bands": q_fs_review_bands,
+    "er_pairwise_f1": q_er_pairwise_f1,
 }
 
 ORACLES: dict[str, str] = {
@@ -4844,4 +4996,7 @@ ORACLES: dict[str, str] = {
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
     "coherence_iterate2": SQL_COHERENCE_ITERATE2,
     "bm25_topk": SQL_BM25_TOPK,
+    "snm_multipass_pairs": SQL_SNM_MULTIPASS_PAIRS,
+    "fs_review_bands": SQL_FS_REVIEW_BANDS,
+    "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
 }

@@ -706,3 +706,178 @@ def u_from_frequencies(
         )
         out = per if out is None else out.unionByName(per)
     return out
+
+def multipass_pairs(
+    records: DataFrame,
+    passes: list[tuple[str, list[str]]],
+    id_col: str,
+    *,
+    window: int = 5,
+    strategy: str = "keys",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking — Hernandez & Stolfo's FULL
+    method: one SNM pass per independent sort key, candidate sets unioned.
+    A single pass misses every true pair whose corruption hits the sort
+    key itself (a typo in the name prefix teleports the record across the
+    sort order); additional passes keyed on other fields recover them,
+    which is why the original paper ships the multi-pass variant as the
+    real algorithm.
+
+    ``passes``: list of ``(key_col, order_cols)``. Each pass runs
+    :func:`sorted_neighborhood_pairs` with the same ``window`` /
+    ``strategy``. Because rank order differs per pass, the same unordered
+    pair can surface as (x, y) in one pass and (y, x) in another — pairs
+    are canonicalized to ``id_a = least, id_b = greatest`` BEFORE the
+    merge (pinned by test; skipping this double-counts swapped pairs).
+
+    Returns one row per distinct unordered pair: (id_a, id_b,
+    n_passes, min_dist) where n_passes counts the passes that proposed
+    the pair and min_dist is the smallest rank distance across passes —
+    both exact bigints, useful as cheap match-prior features.
+
+    Scale shape: each pass is an independent SNM (narrow (id, rank) rows
+    only); the merge is ONE pair-keyed aggregation over at most
+    Σ_passes (window−1)·N rows. Text never rides any shuffle.
+    """
+    if not passes:
+        raise ValueError("passes must be non-empty")
+    merged = None
+    for key_col, order_cols in passes:
+        p = sorted_neighborhood_pairs(
+            records,
+            key_col,
+            order_cols,
+            id_col,
+            window=window,
+            strategy=strategy,
+            num_partitions=num_partitions,
+        ).select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+            "dist",
+        )
+        merged = p if merged is None else merged.unionByName(p)
+    return merged.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passes"),
+        F.min("dist").cast("long").alias("min_dist"),
+    )
+
+
+def fs_decide(
+    scores: DataFrame,
+    *,
+    upper_micro: int,
+    lower_micro: int,
+    score_col: str = "score_micro",
+    decision_col: str = "decision",
+) -> DataFrame:
+    """The Fellegi-Sunter TWO-threshold decision rule — the part of the
+    1969 paper single-threshold demos skip: score ≥ upper ⇒ ``match``,
+    score < lower ⇒ ``non_match``, and the band in between ⇒ ``possible``
+    (the clerical-review queue). The two thresholds are chosen to bound
+    the false-match rate (upper) and the false-non-match rate (lower);
+    the ``possible`` band is exactly the mass a deployment routes to
+    human review.
+
+    Thresholds and scores are exact bigint micro-units, so the band
+    boundaries can never flip cross-engine — no margins to measure.
+    A NULL score lands in ``possible`` (review, never auto-decide) — the
+    errors-are-DATA convention. Pure scan-speed CASE: no shuffle.
+    """
+    if lower_micro > upper_micro:
+        raise ValueError(
+            f"lower_micro ({lower_micro}) must be <= upper_micro ({upper_micro})"
+        )
+    s = F.col(score_col)
+    return scores.withColumn(
+        decision_col,
+        F.when(s >= F.lit(int(upper_micro)), F.lit("match"))
+        .when(s < F.lit(int(lower_micro)), F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )
+
+
+def pairwise_f1(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Pairwise cluster precision/recall/F1 over labeled pairs — the
+    ER acceptance metric: "does the clustering link the labeled pairs
+    (and only them)?" evaluated on pairs that share a blocking key, since
+    those are the only pairs any blocking-based pipeline can ever link.
+
+    ``assignments``: (id, cluster). ``pairs``: labeled candidate pairs
+    (id_a, id_b, is_match). A pair is PREDICTED linked iff both sides land
+    in the same cluster; records absent from ``assignments`` count as
+    their own singleton (``coalesce(cluster, id)`` — the same convention
+    ``golden_records`` uses, so cluster ids and record ids must share a
+    comparable type). tp/fp/fn are exact bigint counts and every metric is
+    an exact integer floor of a count ratio — float-free end to end, so
+    the result is bit-identical on any engine/partitioning:
+
+        precision_micro = (tp·10⁶) div (tp+fp)
+        recall_micro    = (tp·10⁶) div (tp+fn)
+        f1_micro        = (2·tp·10⁶) div (2·tp+fp+fn)
+
+    Zero denominators yield NULL explicitly (ANSI Spark throws on
+    div-by-zero where DuckDB yields NULL — the guard makes both engines
+    agree). A NULL label contributes to n_pairs only. Scale shape: two
+    narrow id-keyed joins (assignment rows are (id, cluster) only) + one
+    map-combinable global aggregate; no text, no pair blow-up beyond the
+    input candidate set.
+    """
+    asg = assignments.select(F.col(id_col).alias("_pfid"), F.col(cluster_col).alias("_pfc"))
+    a = asg.select(F.col("_pfid").alias(id_a), F.col("_pfc").alias("_ca"))
+    b = asg.select(F.col("_pfid").alias(id_b), F.col("_pfc").alias("_cb"))
+    lbl = F.col(label_col).cast("boolean")
+    j = (
+        pairs.select(id_a, id_b, lbl.alias("_m"))
+        .join(a, id_a, "left")
+        .join(b, id_b, "left")
+        .select(
+            "_m",
+            (
+                F.coalesce(F.col("_ca"), F.col(id_a))
+                == F.coalesce(F.col("_cb"), F.col(id_b))
+            ).alias("_same"),
+        )
+    )
+
+    def _cnt(cond):
+        return (
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+        )
+
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        _cnt(F.col("_same") & F.col("_m")).alias("tp"),
+        _cnt(F.col("_same") & ~F.col("_m")).alias("fp"),
+        _cnt(~F.col("_same") & F.col("_m")).alias("fn"),
+    )
+    prec = F.when(
+        F.expr("tp + fp") > 0, F.expr("(tp * 1000000) div (tp + fp)")
+    )
+    rec = F.when(
+        F.expr("tp + fn") > 0, F.expr("(tp * 1000000) div (tp + fn)")
+    )
+    f1 = F.when(
+        F.expr("2 * tp + fp + fn") > 0,
+        F.expr("(2 * tp * 1000000) div (2 * tp + fp + fn)"),
+    )
+    return agg.select(
+        "n_pairs",
+        "tp",
+        "fp",
+        "fn",
+        prec.cast("long").alias("precision_micro"),
+        rec.cast("long").alias("recall_micro"),
+        f1.cast("long").alias("f1_micro"),
+    )
