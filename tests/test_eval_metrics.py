@@ -98,3 +98,64 @@ def test_blocking_compare_frontier_direction(spark):
     # every key blocks the same record set
     ns = {r["n_records"] for r in rows.values()}
     assert len(ns) == 1
+
+
+def test_adjusted_rand_identity_and_brute(spark):
+    """ARI pins: identical clusterings ⇒ exactly 1.0; random labelings ==
+    the brute pair-counting formula; the bigint rational matches the
+    emitted double exactly (one correctly-rounded division)."""
+    import itertools
+    import random
+
+    from xlink_spark.eval.bcubed import adjusted_rand
+
+    # identity: ARI = 1 exactly
+    rows = [(i, f"c{i % 3}", f"g{i % 3}") for i in range(12)]
+    r = _row(
+        adjusted_rand(
+            spark.createDataFrame(rows, "id long, pred string, gold string")
+        )
+    )
+    assert r["ari"] == 1.0 and r["ari_num"] == r["ari_den"] != 0
+
+    rng = random.Random(4)
+    items = [(i, f"p{rng.randint(0, 4)}", f"g{rng.randint(0, 3)}") for i in range(60)]
+    r = _row(
+        adjusted_rand(
+            spark.createDataFrame(items, "id long, pred string, gold string")
+        )
+    )
+    a = c = d = 0
+    for (_i, p1, g1), (_j, p2, g2) in [
+        (items[i], items[j]) for i, j in itertools.combinations(range(len(items)), 2)
+    ]:
+        if p1 == p2 and g1 == g2:
+            a += 1
+        elif p1 == p2:
+            c += 1
+        elif g1 == g2:
+            d += 1
+    n = len(items)
+    c2 = n * (n - 1) // 2
+    sum_ij, sum_a, sum_b = a, a + c, a + d
+    num = 2 * (c2 * sum_ij - sum_a * sum_b)
+    den = c2 * (sum_a + sum_b) - 2 * sum_a * sum_b
+    assert (r["n"], r["sum_ij"], r["sum_a"], r["sum_b"], r["c2"]) == (
+        n, sum_ij, sum_a, sum_b, c2,
+    )
+    assert (r["ari_num"], r["ari_den"]) == (num, den)
+    assert r["ari"] == num / den
+
+
+def test_adjusted_rand_degenerate_is_null(spark):
+    """All-singletons on both sides: ARI undefined ⇒ NULL (den = 0), never
+    a div-by-zero — the errors-are-DATA convention."""
+    from xlink_spark.eval.bcubed import adjusted_rand
+
+    rows = [(i, f"p{i}", f"g{i}") for i in range(5)]
+    r = _row(
+        adjusted_rand(
+            spark.createDataFrame(rows, "id long, pred string, gold string")
+        )
+    )
+    assert r["ari_den"] == 0 and r["ari"] is None

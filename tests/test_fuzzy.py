@@ -198,3 +198,132 @@ def test_jaro_winkler_micro_bit_parity_with_duckdb(spark):
         ).fetchall()
     ]
     assert got == exp
+
+
+def test_edit_similarity_micro_known_and_nulls(spark):
+    """floor(1e6·(1−d/max_len)): known distances, both-empty ⇒ 1e6,
+    NULL ⇒ NULL — and the double-division floor equals exact integer
+    division (the bit-identity the oracle relies on)."""
+    rows = spark.createDataFrame(
+        [("kitten", "sitting"), ("abc", "abc"), ("", ""), ("a", None), ("ab", "")],
+        "a string, b string",
+    ).select(FZ.edit_similarity_micro("a", "b").alias("s")).collect()
+    # kitten/sitting: d=3, max=7 -> (4*1e6) // 7
+    assert [r["s"] for r in rows] == [
+        4_000_000 // 7, 1_000_000, 1_000_000, None, 0
+    ]
+
+
+def test_edit_similarity_micro_matches_duckdb_ascii_and_diverges_multibyte(spark):
+    """Fuzzed ASCII parity with DuckDB's levenshtein (the oracle's engine)
+    — and the DOCUMENTED divergence on multibyte input: Spark counts code
+    points, DuckDB bytes (why multibyte comparisons belong to
+    jaro_winkler_micro, which pins byte semantics)."""
+    import duckdb
+
+    rng = random.Random(20260818)
+    vocab = "abcdeF#012"
+    pairs = [
+        (
+            "".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))),
+            "".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))),
+        )
+        for _ in range(300)
+    ]
+    got = spark.createDataFrame(pairs, "a string, b string").select(
+        FZ.edit_similarity_micro("a", "b").alias("s")
+    ).collect()
+    con = duckdb.connect()
+    for (a, b), r in zip(pairs, got):
+        [(exp,)] = con.execute(
+            "select case when greatest(length(?), length(?)) = 0 then 1000000"
+            " else floor(((greatest(length(?), length(?)) - levenshtein(?, ?))"
+            " * 1000000.0) / greatest(length(?), length(?)))::bigint end",
+            [a, b, a, b, a, b, a, b],
+        ).fetchall()
+        assert r["s"] == exp, (a, b)
+    # multibyte divergence pinned: 'héllo' vs 'hello'
+    [r] = spark.createDataFrame([("héllo", "hello")], "a string, b string").select(
+        FZ.edit_similarity_micro("a", "b").alias("s")
+    ).collect()
+    assert r["s"] == 800_000  # code points: d=1, max=5
+    [(dd,)] = con.execute(
+        "select floor(((greatest(length(a), length(b)) - levenshtein(a, b))"
+        " * 1000000.0) / greatest(length(a), length(b)))::bigint"
+        " from (select 'héllo' as a, 'hello' as b)"
+    ).fetchall()
+    assert dd != 800_000  # DuckDB walks bytes: d=2
+
+
+def _jw_micro_py(a: str, b: str) -> int:
+    import math
+
+    s1, s2 = a.encode(), b.encode()
+
+    def jaro(x, y):
+        l1, l2 = len(x), len(y)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        if x == y:
+            return 1.0
+        w = max(max(l1, l2) // 2 - 1, 0)
+        m1, m2, m = [False] * l1, [False] * l2, 0
+        for i in range(l1):
+            for j in range(max(0, i - w), min(l2, i + w + 1)):
+                if not m2[j] and x[i] == y[j]:
+                    m1[i] = m2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if x[i] != y[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+    j = jaro(s1, s2)
+    if j > 0.7:
+        ln = 0
+        for x, y in zip(s1[:4], s2[:4]):
+            if x != y:
+                break
+            ln += 1
+        j += ln * 0.1 * (1.0 - j)
+    return math.floor(1e6 * j)
+
+
+def test_monge_elkan_matches_brute_force(spark):
+    """ME over random token arrays (duplicates included) == the brute
+    instance-level mean-of-max in exact integers; empty side ⇒ NULL for
+    the starved directions (errors-are-DATA)."""
+    rng = random.Random(7)
+    words = ["customer", "custmer", "smith", "smyth", "001", "002", "0021", ""]
+    pairs = []
+    for i in range(40):
+        ta = [rng.choice(words) for _ in range(rng.randint(0, 4))]
+        tb = [rng.choice(words) for _ in range(rng.randint(0, 4))]
+        pairs.append((i, i + 1000, ta, tb))
+    pdf = spark.createDataFrame(
+        pairs, "id_a long, id_b long, ta array<string>, tb array<string>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["me_ab_micro"], r["me_ba_micro"], r["me_sym_micro"])
+        for r in FZ.monge_elkan_scores(pdf, "ta", "tb", ["id_a", "id_b"]).collect()
+    }
+    assert len(got) == len(pairs)
+
+    def me(A, B):
+        if not A or not B:
+            return None
+        return sum(max(_jw_micro_py(t, s) for s in B) for t in A) // len(A)
+
+    for ia, ib, ta, tb in pairs:
+        eab, eba = me(ta, tb), me(tb, ta)
+        esym = (eab + eba) // 2 if eab is not None and eba is not None else None
+        assert got[(ia, ib)] == (eab, eba, esym), (ta, tb)

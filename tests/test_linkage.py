@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import math
+import random
 
 import pytest
 
@@ -556,3 +557,59 @@ def test_pairwise_f1_zero_denominators_yield_null(spark):
     assert r["precision_micro"] is None
     assert r["recall_micro"] is None
     assert r["f1_micro"] is None
+
+
+def test_meta_blocking_matches_brute_force(spark):
+    """Purge → within-block pairs → CBS → WEP strict-mean pruning == the
+    brute recomputation, exact integers end to end."""
+    import itertools
+    from collections import Counter
+
+    from xlink_spark.operators.linkage import meta_blocking_pairs
+
+    rng = random.Random(13)
+    mem = list({(rng.randint(1, 40), f"b{rng.randint(1, 12)}") for _ in range(160)})
+    mem += [(i, "huge") for i in range(1, 30)]  # purged at cap 8
+    mdf = spark.createDataFrame(mem, "id long, block string")
+
+    blocks: dict[str, list[int]] = {}
+    for i, b in mem:
+        blocks.setdefault(b, []).append(i)
+    w: Counter = Counter()
+    for b, ids in blocks.items():
+        if len(ids) > 8:
+            continue
+        for x, y in itertools.combinations(sorted(set(ids)), 2):
+            w[(x, y)] += 1
+    ne, sw = len(w), sum(w.values())
+    exp_wep = sorted((x, y, c) for (x, y), c in w.items() if c * ne > sw)
+    exp_all = sorted((x, y, c) for (x, y), c in w.items())
+
+    got_wep = sorted(
+        (r["id_a"], r["id_b"], r["cbs"])
+        for r in meta_blocking_pairs(mdf, max_block_size=8).collect()
+    )
+    got_all = sorted(
+        (r["id_a"], r["id_b"], r["cbs"])
+        for r in meta_blocking_pairs(mdf, max_block_size=8, prune="none").collect()
+    )
+    assert got_wep == exp_wep
+    assert got_all == exp_all
+    assert len(got_wep) < len(got_all)  # WEP actually pruned something
+
+
+def test_meta_blocking_validation_and_purity(spark):
+    import pytest as _pytest
+
+    from xlink_spark.operators.linkage import meta_blocking_pairs
+
+    mdf = spark.createDataFrame([(1, "a"), (2, "a")], "id long, block string")
+    with _pytest.raises(ValueError):
+        meta_blocking_pairs(mdf, prune="bogus")
+    with _pytest.raises(ValueError):
+        meta_blocking_pairs(mdf, max_block_size=1)
+    out = meta_blocking_pairs(mdf, max_block_size=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan  # the mean gate is a broadcast join

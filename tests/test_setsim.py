@@ -127,3 +127,115 @@ def test_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _tfidf_brute(docs: dict[int, set[str]], milli=1000, max_df_ppm=None):
+    import math
+
+    n = len(docs)
+    dfc: dict[str, int] = {}
+    for s in docs.values():
+        for t in s:
+            dfc[t] = dfc.get(t, 0) + 1
+    idf = {
+        t: math.floor(milli * math.log(n / c))
+        for t, c in dfc.items()
+        if max_df_ppm is None or c * 1_000_000 <= max_df_ppm * n
+    }
+
+    def n2(s):
+        return sum(idf[t] ** 2 for t in s if t in idf)
+
+    out = []
+    for a, b in itertools.combinations(sorted(docs), 2):
+        shared = [t for t in docs[a] & docs[b] if t in idf]
+        if not shared:
+            continue
+        dot = sum(idf[t] ** 2 for t in shared)
+        na, nb = n2(docs[a]), n2(docs[b])
+        if na == 0 or nb == 0:
+            continue
+        cm = math.floor(1e6 * (float(dot) / math.sqrt(float(na) * float(nb))))
+        out.append((a, b, dot, cm))
+    return out
+
+
+def test_tfidf_cosine_matches_brute_force(spark):
+    """IDF-weighted trigram cosine == the brute bigint-weights + one
+    double sqrt/div recomputation, including the relative df purge."""
+    rng = random.Random(99)
+    vocab = [f"t{i}" for i in range(30)] + ["head"]
+    docs = {
+        i: {rng.choice(vocab) for _ in range(rng.randint(2, 8))} | {"head"}
+        for i in range(40)
+    }
+    rows = [(d, t) for d, ts in docs.items() for t in ts]
+    tdf = spark.createDataFrame(rows, "doc_id long, token string")
+    for ppm in (None, 500_000):
+        exp = sorted(
+            e for e in _tfidf_brute(docs, max_df_ppm=ppm) if e[3] >= 100_000
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["dot"], r["cos_micro"])
+            for r in SS.tfidf_cosine_pairs(
+                tdf, threshold_micro=100_000, max_df_ppm=ppm
+            ).collect()
+        )
+        assert got == exp, ppm
+    # the relative cap purged the universal token: with it, 'head'-only
+    # pairs vanish
+    assert ("head" in {t for s in docs.values() for t in s})
+
+
+def test_idf_weights_caps_and_purity(spark):
+    rows = [(1, "a"), (2, "a"), (3, "a"), (1, "b"), (2, "c")]
+    tdf = spark.createDataFrame(rows, "doc_id long, token string")
+    w_all = {r["token"]: r for r in SS.idf_weights(tdf).collect()}
+    assert set(w_all) == {"a", "b", "c"}
+    assert w_all["a"]["idf_milli"] == 0  # df == N -> ln(1) -> 0
+    w_abs = {r["token"] for r in SS.idf_weights(tdf, max_df=2).collect()}
+    assert w_abs == {"b", "c"}
+    # relative: df*1e6 <= ppm*N with N=3 -> ppm=400000 keeps df=1 only
+    w_rel = {r["token"] for r in SS.idf_weights(tdf, max_df_ppm=400_000).collect()}
+    assert w_rel == {"b", "c"}
+    out = SS.tfidf_cosine_pairs(tdf, threshold_micro=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_idf_floor_margins_at_oracle_sfs():
+    """The oracle-robustness protocol for the ONE float boundary in the
+    TF-IDF path: at both oracle scale factors, every surviving trigram's
+    1000·ln(N/df) sits far from its floor boundary (measured 0.073 / 0.26
+    milli-units — ~10¹⁰ × the ulp-level ln() divergence between engines)."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf, floor_margin in [("sf0.001", 0.2), ("sf0.01", 0.05)]:
+        con.sql(
+            f"create or replace view customer as select * from"
+            f" read_parquet('/root/testdata/{sf}/customer.parquet')"
+        )
+        rows = con.sql(
+            """
+            with cust as (select c_custkey::bigint as id, c_name as name from customer),
+            dirty as (select id + 10000000 as id,
+              substr(name, 1, length(name) - 1)
+                || chr(ascii(substr(name, length(name), 1)) + 1) as name from cust),
+            recs as (select id, name from cust union all select id, name from dirty),
+            grams as (select distinct id, substr(name, g, 3) as token
+                      from recs, unnest(generate_series(1, length(name) - 2)) as t(g)),
+            nn as (select count(distinct id)::bigint as n from grams),
+            dfc as (select token, count(*)::bigint as df from grams group by 1)
+            select distinct df, (select n from nn) as n from dfc, nn
+            where df * 1000000 <= 100000 * n
+            """
+        ).fetchall()
+        assert rows
+        for df, n in rows:
+            v = 1000 * math.log(n / df)
+            assert v - math.floor(v) > floor_margin, (sf, df, n, v)

@@ -4794,6 +4794,298 @@ SQL_ER_PAIRWISE_F1 = (
 )
 
 
+
+# ----------------------------------------- comparator / cluster-metric arc
+
+
+def q_edit_pair_scores(spark, sf_dir):
+    """Normalized Levenshtein similarity (fuzzy.edit_similarity_micro) over
+    the SNM candidate pairs — the scan-speed JVM edit comparator next to
+    the Arrow JW one: floor(1e6·(1 − d/max_len)) where distance and
+    lengths are exact ints and the one double division is correctly
+    rounded, so the floor is bit-identical cross-engine (the oracle
+    mirrors the expression verbatim; ASCII fixture — Spark counts code
+    points, DuckDB bytes, identical here and pinned divergent by test)."""
+    from xlink_spark.operators.fuzzy import edit_similarity_micro
+    from xlink_spark.operators.linkage import sorted_neighborhood_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(recs, "key", ["name"], "id", window=4)
+    na = recs.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    nb = recs.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            edit_similarity_micro("name_a", "name_b").alias("edit_micro"),
+        )
+        .withColumn("near", F.col("edit_micro") >= F.lit(900_000))
+    )
+
+
+SQL_EDIT_PAIR_SCORES = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "nm as (select p.id_a, p.id_b,"
+    "  floor(((greatest(length(ra.name), length(rb.name))"
+    "          - levenshtein(ra.name, rb.name)) * 1000000.0)"
+    "        / greatest(length(ra.name), length(rb.name)))::bigint"
+    "  as edit_micro"
+    "  from pairs p join ranked ra on ra.id = p.id_a"
+    "               join ranked rb on rb.id = p.id_b) "
+    "select id_a, id_b, edit_micro, (edit_micro >= 900000) as near from nm"
+)
+
+
+_ME_TOKENIZE = (
+    "list_filter(string_split_regex("
+    "regexp_replace(name, '(\\d{3})', '\\1 ', 'g'), '[# ]'), x -> x <> '')"
+)
+
+
+def _me_sql_direction(src: str, dst: str, out: str) -> str:
+    return (
+        f"tk{src} as (select id_a, id_b, tok, count(*)::bigint as cnt"
+        f"  from (select id_a, id_b, unnest(t{src}) as tok from prs)"
+        f"  group by 1, 2, 3), "
+        f"fl{src} as (select id_a, id_b, unnest(t{dst}) as tok from prs), "
+        f"best{src} as (select a.id_a, a.id_b, a.tok, a.cnt,"
+        f"  max(floor(1e6 * jaro_winkler_similarity(a.tok, b.tok))::bigint)"
+        f"    as best"
+        f"  from tk{src} a join fl{src} b using (id_a, id_b)"
+        f"  group by 1, 2, 3, 4), "
+        f"me{src} as (select id_a, id_b,"
+        f"  (sum(cnt * best) // sum(cnt))::bigint as {out}"
+        f"  from best{src} group by 1, 2)"
+    )
+
+
+def q_monge_elkan_scores(spark, sf_dir):
+    """Monge-Elkan hybrid comparator (fuzzy.monge_elkan_scores) over the
+    SNM candidate pairs: names tokenized into the word + 3-digit groups
+    (regexp_replace + split + filter — pure JVM), then per-token-instance
+    best Jaro-Winkler, multiplicity-weighted and integer-averaged — exact
+    bigint end to end on top of the bit-exact JW micro-floors, so no
+    margin to measure. The canonical multi-word-field comparator (names,
+    addresses) that single-string JW under-scores on token reorderings."""
+    from xlink_spark.operators.fuzzy import monge_elkan_scores
+    from xlink_spark.operators.linkage import sorted_neighborhood_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    toked = recs.select(
+        "id",
+        F.filter(
+            F.split(
+                F.regexp_replace(F.col("name"), r"(\d{3})", "$1 "), "[# ]"
+            ),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    pairs = sorted_neighborhood_pairs(recs, "key", ["name"], "id", window=4)
+    ta = toked.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = toked.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    prs = pairs.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+    return monge_elkan_scores(prs, "ta", "tb", ["id_a", "id_b"])
+
+
+SQL_MONGE_ELKAN_SCORES = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    f"tk as (select id, {_ME_TOKENIZE} as toks from ranked), "
+    "prs as (select p.id_a, p.id_b, a.toks as ta, b.toks as tb"
+    "  from pairs p join tk a on a.id = p.id_a"
+    "               join tk b on b.id = p.id_b), "
+    + _me_sql_direction("a", "b", "me_ab_micro")
+    + ", "
+    + _me_sql_direction("b", "a", "me_ba_micro")
+    + " "
+    "select p.id_a, p.id_b, a.me_ab_micro, b.me_ba_micro,"
+    " case when a.me_ab_micro is not null and b.me_ba_micro is not null"
+    "   then ((a.me_ab_micro + b.me_ba_micro) // 2)::bigint end"
+    "   as me_sym_micro "
+    "from (select distinct id_a, id_b from prs) p"
+    " left join mea a using (id_a, id_b)"
+    " left join meb b using (id_a, id_b)"
+)
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """IDF-weighted cosine self-join over character-trigram sets of the
+    linkage names (setsim.tfidf_cosine_pairs) — the string-grouper near-dup
+    scorer: rare trigrams dominate, head trigrams are purged by the
+    RELATIVE df cap (df·10⁶ ≤ 10⁵·N — one exact bigint
+    cross-multiplication, the scale-portable knob). Weights are bigint
+    ln-floors (boundary margins measured 0.073 / 0.26 milli-units at the
+    two oracle sfs — ~10¹⁰ × ulp noise; pinned by test); dot and norms are exact bigint sums; the final cosine is
+    one cast-mult-sqrt-div double chain — correctly rounded IEEE ops on
+    identical bigints, bit-identical cross-engine."""
+    from xlink_spark.operators.setsim import tfidf_cosine_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    grams = recs.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(name) - 2),"
+                " g -> substring(name, g, 3))"
+            )
+        ).alias("token"),
+    ).distinct()
+    return tfidf_cosine_pairs(
+        grams, threshold_micro=350_000, id_col="id", max_df_ppm=100_000
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "grams as (select distinct id, substr(name, g, 3) as token"
+    "  from recs, unnest(generate_series(1, length(name) - 2)) as t(g)), "
+    "nn as (select count(distinct id)::bigint as n from grams), "
+    "dfc as (select token, count(*)::bigint as df from grams group by 1), "
+    "idf as (select token,"
+    "  floor(1000 * ln(n::double / df::double))::bigint as w"
+    "  from dfc, nn where df * 1000000 <= 100000 * n), "
+    "wt as (select g.id, g.token, i.w from grams g join idf i using (token)), "
+    "nrm as (select id, sum(w * w)::bigint as n2 from wt group by 1), "
+    "dt as (select a.id as doc_a, b.id as doc_b, sum(a.w * a.w)::bigint as dot"
+    "  from wt a join wt b on a.token = b.token and a.id < b.id"
+    "  group by 1, 2) "
+    "select d.doc_a, d.doc_b, d.dot,"
+    "  floor(1e6 * (d.dot::double / sqrt(na.n2::double * nb.n2::double)))"
+    "    ::bigint as cos_micro "
+    "from dt d join nrm na on na.id = d.doc_a join nrm nb on nb.id = d.doc_b "
+    "where na.n2 > 0 and nb.n2 > 0 "
+    "and floor(1e6 * (d.dot::double / sqrt(na.n2::double * nb.n2::double)))"
+    "    >= 350000"
+)
+
+
+def q_meta_blocking_pairs(spark, sf_dir):
+    """Meta-blocking (linkage.meta_blocking_pairs, Papadakis et al.) over
+    THREE redundant blocking schemes on the linkage records — mid-digit
+    key (twin-preserving), segment|nation, and tail-digit key (bump-
+    sensitive): blocks purged above 100 members, within-block pairs
+    weighted by common-block count, WEP keeps edges strictly above the
+    mean weight via one bigint cross-multiplication against the broadcast
+    edge total. Exact integers end to end — no margins."""
+    from xlink_spark.operators.linkage import meta_blocking_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    mem = (
+        recs.select(
+            "id",
+            F.concat(F.lit("a:"), F.expr("substring(name, 13, 5)")).alias(
+                "block"
+            ),
+        )
+        .unionByName(
+            recs.select(
+                "id",
+                F.concat_ws(
+                    "|", F.lit("b:"), F.col("seg"), F.col("nation")
+                ).alias("block"),
+            )
+        )
+        .unionByName(
+            recs.select(
+                "id",
+                F.concat(F.lit("c:"), F.expr("substring(name, 15, 4)")).alias(
+                    "block"
+                ),
+            )
+        )
+    )
+    return meta_blocking_pairs(mem, max_block_size=100, prune="wep")
+
+
+SQL_META_BLOCKING_PAIRS = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "mem as ("
+    "  select id, 'a:' || substr(name, 13, 5) as block from recs"
+    "  union all"
+    "  select id, 'b:' || '|' || seg || '|' || nation::varchar from recs"
+    "  union all"
+    "  select id, 'c:' || substr(name, 15, 4) from recs), "
+    "kept as (select block from mem group by block"
+    "  having count(*) <= 100), "
+    "km as (select m.id, m.block from mem m join kept k using (block)), "
+    "cbs as (select a.id as id_a, b.id as id_b, count(*)::bigint as cbs"
+    "  from km a join km b on a.block = b.block and a.id < b.id"
+    "  group by 1, 2), "
+    "tot as (select count(*)::bigint as ne,"
+    "  coalesce(sum(cbs), 0)::bigint as sw from cbs) "
+    "select id_a, id_b, cbs from cbs, tot where cbs * ne > sw"
+)
+
+
+def q_clustering_ari(spark, sf_dir):
+    """Adjusted Rand Index (eval/bcubed.adjusted_rand) of the full ER
+    chain's transitive clusters against the planted-twin gold partition —
+    the chance-corrected ALL-pairs cluster gauge completing pairwise F1
+    (labeled pairs only) and B³ (item-averaged). The oracle replays
+    blocking → FS weights → scores → recursive-CTE connected components →
+    the contingency moments, so this one row hash-checks the whole causal
+    chain plus the metric. Exact bigint rational (ari_num/ari_den) plus
+    ONE double division of exact bigints — bit-identical cross-engine."""
+    from xlink_spark.eval.bcubed import adjusted_rand
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).select("id")
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("id")).alias("pred"),
+        F.pmod(F.col("id"), F.lit(10000000)).alias("gold"),
+    )
+    return adjusted_rand(asg)
+
+
+SQL_CLUSTERING_ARI = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "asg as (select coalesce(c.component, r.id) as pred,"
+    "  r.id % 10000000 as gold"
+    "  from recs r left join comp c on c.node = r.id), "
+    "cells as (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint"
+    "    as sum_ij, sum(n_)::bigint as n"
+    "  from (select count(*)::bigint as n_ from asg group by pred, gold)), "
+    "ra as (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint as sum_a"
+    "  from (select count(*)::bigint as n_ from asg group by pred)), "
+    "rb as (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint as sum_b"
+    "  from (select count(*)::bigint as n_ from asg group by gold)), "
+    "base as (select n, sum_ij, sum_a, sum_b,"
+    "  ((n * (n - 1)) // 2)::bigint as c2 from cells, ra, rb) "
+    "select n, sum_ij, sum_a, sum_b, c2,"
+    " (2 * (c2 * sum_ij - sum_a * sum_b))::bigint as ari_num,"
+    " (c2 * (sum_a + sum_b) - 2 * sum_a * sum_b)::bigint as ari_den,"
+    " case when (c2 * (sum_a + sum_b) - 2 * sum_a * sum_b) <> 0"
+    "   then (2 * (c2 * sum_ij - sum_a * sum_b))::double"
+    "        / (c2 * (sum_a + sum_b) - 2 * sum_a * sum_b)::double"
+    " end as ari "
+    "from base"
+)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -4893,6 +5185,11 @@ QUERIES: dict[str, Query] = {
     "snm_multipass_pairs": q_snm_multipass_pairs,
     "fs_review_bands": q_fs_review_bands,
     "er_pairwise_f1": q_er_pairwise_f1,
+    "edit_pair_scores": q_edit_pair_scores,
+    "monge_elkan_scores": q_monge_elkan_scores,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "meta_blocking_pairs": q_meta_blocking_pairs,
+    "clustering_ari": q_clustering_ari,
 }
 
 ORACLES: dict[str, str] = {
@@ -4999,4 +5296,9 @@ ORACLES: dict[str, str] = {
     "snm_multipass_pairs": SQL_SNM_MULTIPASS_PAIRS,
     "fs_review_bands": SQL_FS_REVIEW_BANDS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
+    "edit_pair_scores": SQL_EDIT_PAIR_SCORES,
+    "monge_elkan_scores": SQL_MONGE_ELKAN_SCORES,
+    "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "meta_blocking_pairs": SQL_META_BLOCKING_PAIRS,
+    "clustering_ari": SQL_CLUSTERING_ARI,
 }

@@ -99,3 +99,89 @@ def bcubed(
         .cast("long")
         .alias("bcubed_f_micro"),
     )
+
+
+def adjusted_rand(
+    assignments: DataFrame,
+    *,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Adjusted Rand Index between two clusterings of the same items —
+    the chance-corrected pair-counting metric completing the cluster-gauge
+    trio next to B³ (this module) and pairwise F1 (operators/linkage):
+    pairwise F1 scores only LABELED candidate pairs, B³ is item-averaged;
+    ARI scores ALL C(n,2) implicit pairs with agreement-by-chance removed.
+
+    ``assignments``: one row per item with ``pred_col`` / ``gold_col``
+    labels (caller resolves singleton conventions first). Returns ONE row:
+    n, sum_ij = Σ_cells C(n_ij,2), sum_a / sum_b (same over pred / gold
+    marginals), c2 = C(n,2), and the exact-bigint rational
+
+        ari_num = 2 · (c2·sum_ij − sum_a·sum_b)
+        ari_den = c2·(sum_a + sum_b) − 2·sum_a·sum_b
+
+    plus ``ari`` = ari_num / ari_den as ONE double division of two exact
+    bigints — correctly rounded, hence bit-identical cross-engine (NULL
+    when ari_den = 0, i.e. both clusterings are all-singletons or one
+    cluster covers everything on both sides — ARI is undefined there).
+
+    Scale shape: three map-combinable group counts (cell, pred marginal,
+    gold marginal) over (pred, gold) label rows — no pair is ever
+    materialized, so the job is linear in items. Bigint bound: c2·sum_ij
+    < 2⁶³ holds through n ≈ 3·10⁹ items; past that, run over a
+    deterministic hash-sample (the metric is a ratio of pair-count
+    moments, sample-stable) — the B³ precedent."""
+    lab = assignments.select(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    )
+
+    def _c2(cnt):
+        return F.coalesce(
+            F.sum(F.expr(f"({cnt} * ({cnt} - 1)) div 2")), F.lit(0)
+        ).cast("long")
+
+    cells = (
+        lab.groupBy("_p", "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(_c2("_n").alias("sum_ij"), F.sum("_n").cast("long").alias("n"))
+    )
+    rows_ = (
+        lab.groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(_c2("_n").alias("sum_a"))
+    )
+    cols_ = (
+        lab.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(_c2("_n").alias("sum_b"))
+    )
+    one = cells.crossJoin(F.broadcast(rows_)).crossJoin(F.broadcast(cols_))
+    return one.select(
+        "n",
+        "sum_ij",
+        "sum_a",
+        "sum_b",
+        F.expr("(n * (n - 1)) div 2").cast("long").alias("c2"),
+    ).select(
+        "n",
+        "sum_ij",
+        "sum_a",
+        "sum_b",
+        "c2",
+        (F.lit(2) * (F.col("c2") * F.col("sum_ij") - F.col("sum_a") * F.col("sum_b")))
+        .cast("long")
+        .alias("ari_num"),
+        (
+            F.col("c2") * (F.col("sum_a") + F.col("sum_b"))
+            - F.lit(2) * F.col("sum_a") * F.col("sum_b")
+        )
+        .cast("long")
+        .alias("ari_den"),
+    ).withColumn(
+        "ari",
+        F.when(
+            F.col("ari_den") != 0,
+            F.col("ari_num").cast("double") / F.col("ari_den").cast("double"),
+        ),
+    )

@@ -222,3 +222,106 @@ def jaro_winkler_micro(left: Column, right: Column) -> Column:
         )
 
     return F.pandas_udf(_batch, "long")(left, right)
+
+
+def edit_similarity_micro(left: Column | str, right: Column | str) -> Column:
+    """Normalized Levenshtein similarity floor(1e6 · (1 − d / max_len)) as a
+    pure JVM expression — the scan-speed edit comparator next to the
+    Arrow-batched ``jaro_winkler_micro`` (built-in ``levenshtein`` is the
+    one edit metric Spark ships; the reference has no inexact comparator at
+    all — its probes are exact dict hits, MentionParser.py:53-68).
+
+    Exactness contract: distance and lengths are exact ints; the single
+    division is IEEE-754 double (correctly rounded), so for max_len < 2^20
+    the quotient is > 1 ulp away from every integer boundary unless exact —
+    floor() is bit-identical on any engine evaluating the same expression
+    (the DuckDB oracle mirrors it verbatim). Semantics note: Spark's
+    levenshtein/length count CODE POINTS while DuckDB's levenshtein counts
+    UTF-8 BYTES — identical on ASCII, divergent on multibyte (pinned by
+    test); use jaro_winkler_micro (byte semantics) when multibyte parity
+    matters. Both sides empty ⇒ 1e6 (identical); NULL in ⇒ NULL out."""
+    lc = F.col(left) if isinstance(left, str) else left
+    rc = F.col(right) if isinstance(right, str) else right
+    d = F.levenshtein(lc, rc)
+    mx = F.greatest(F.length(lc), F.length(rc))
+    return (
+        F.when(lc.isNull() | rc.isNull(), F.lit(None))
+        .when(mx == 0, F.lit(1_000_000))
+        .otherwise(F.floor((mx - d) * F.lit(1_000_000.0) / mx))
+        .cast("long")
+    )
+
+
+def monge_elkan_scores(
+    pairs: DataFrame,
+    tokens_a: str,
+    tokens_b: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Monge-Elkan hybrid comparator over blocked pairs: the token-level
+    generalization of Jaro-Winkler for multi-word fields (names, addresses),
+    ME(A→B) = mean over tokens t of A of max over tokens s of B of JW(t,s).
+
+    ``pairs`` must be one row per candidate pair (unique on ``id_cols``)
+    with array<string> columns ``tokens_a`` / ``tokens_b``. Returns
+    (id_cols..., me_ab_micro, me_ba_micro, me_sym_micro).
+
+    Exact bigint end to end: each token-pair JW is the bit-exact
+    ``jaro_winkler_micro`` (DuckDB-identical doubles, so the micro-floor
+    needs no margin), per-A-token maxima and the multiplicity-weighted sum
+    are bigint ops, and the mean is one integer division — no float ever
+    crosses an engine boundary. Duplicate tokens are handled by COUNT
+    rather than ordinality (ME sums over token INSTANCES): grouping A's
+    tokens to (value, multiplicity) keeps the formula exact and avoids
+    posexplode entirely. An empty/NULL token array on either side yields
+    NULL for the directions it starves (errors-are-DATA; the pair row
+    itself survives via the left-joined spine).
+
+    Scale shape: the token-pair fanout is |A|·|B| per BLOCKED pair — the
+    comparator never sees a cross product; only narrow (ids, token) rows
+    ride the two aggregations, and the Arrow batch scores each token pair
+    once."""
+    spine = pairs.select(*id_cols)
+    ab = _me_direction(pairs, tokens_a, tokens_b, id_cols, "me_ab_micro")
+    ba = _me_direction(pairs, tokens_b, tokens_a, id_cols, "me_ba_micro")
+    return (
+        spine.join(ab, id_cols, "left")
+        .join(ba, id_cols, "left")
+        .withColumn(
+            "me_sym_micro",
+            F.when(
+                F.col("me_ab_micro").isNotNull()
+                & F.col("me_ba_micro").isNotNull(),
+                F.expr("(me_ab_micro + me_ba_micro) div 2"),
+            ).cast("long"),
+        )
+    )
+
+
+def _me_direction(
+    pairs: DataFrame,
+    tok_from: str,
+    tok_to: str,
+    id_cols: list[str],
+    out: str,
+) -> DataFrame:
+    """One Monge-Elkan direction: Σ_t cnt_t · max_s jw_micro(t, s) div Σ cnt."""
+    src = pairs.select(*id_cols, F.explode(tok_from).alias("_t")).groupBy(
+        *id_cols, "_t"
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    dst = pairs.select(*id_cols, F.explode(tok_to).alias("_s"))
+    best = (
+        src.join(dst, id_cols)
+        .withColumn("_jw", jaro_winkler_micro(F.col("_t"), F.col("_s")))
+        .groupBy(*id_cols, "_t", "_cnt")
+        .agg(F.max("_jw").alias("_best"))
+    )
+    return (
+        best.groupBy(*id_cols)
+        .agg(
+            F.sum(F.col("_cnt") * F.col("_best")).cast("long").alias("_sp"),
+            F.sum("_cnt").cast("long").alias("_n"),
+        )
+        .withColumn(out, F.expr("_sp div _n").cast("long"))
+        .select(*id_cols, out)
+    )

@@ -881,3 +881,69 @@ def pairwise_f1(
         rec.cast("long").alias("recall_micro"),
         f1.cast("long").alias("f1_micro"),
     )
+
+
+def meta_blocking_pairs(
+    memberships: DataFrame,
+    *,
+    id_col: str = "id",
+    block_col: str = "block",
+    max_block_size: int | None = None,
+    prune: str = "wep",
+) -> DataFrame:
+    """Meta-blocking (Papadakis et al.): turn a redundant multi-scheme
+    blocking collection into a pruned candidate-pair graph. Records that
+    co-occur in MANY blocks are likelier matches than records sharing one
+    giant block — the pair weight here is CBS (common-blocks count), and
+    WEP (weight-edge pruning) keeps only edges strictly heavier than the
+    mean edge weight.
+
+    ``memberships``: one row per (record, block) assignment — the union of
+    every blocking scheme's keys, with block ids disjoint across schemes
+    (prefix them). Steps, all exact integers end to end:
+
+    1. block purging: drop blocks with more than ``max_block_size`` members
+       (the classic guard — a head block like segment='AUTOMOBILE' carries
+       ~zero signal and quadratic cost);
+    2. pair generation: within-block self-join on id_a < id_b over narrow
+       (block, id) rows;
+    3. CBS weighting: one pair-keyed count;
+    4. WEP pruning (``prune='wep'``): keep cbs · n_edges > Σ cbs — the
+       strict-mean test as one bigint cross-multiplication against a
+       broadcast one-row aggregate (``prune='none'`` keeps all edges).
+
+    Returns (id_a, id_b, cbs). Scale shape: after purging, every block
+    fans out at most C(max_block_size, 2) pairs; the weight and the mean
+    are map-combinable aggregations; no record payload ever rides the
+    shuffles — ids only."""
+    if prune not in ("wep", "none"):
+        raise ValueError(f"unknown prune {prune!r} (use 'wep' or 'none')")
+    mem = memberships.select(
+        F.col(block_col).alias("_b"), F.col(id_col).alias("_id")
+    )
+    if max_block_size is not None:
+        if max_block_size < 2:
+            raise ValueError("max_block_size must be >= 2 (blocks of 1 pair nothing)")
+        sizes = mem.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
+        mem = mem.join(
+            sizes.filter(F.col("_sz") <= max_block_size).select("_b"), "_b"
+        )
+    a = mem.select("_b", F.col("_id").alias("id_a"))
+    b = mem.select("_b", F.col("_id").alias("id_b"))
+    cbs = (
+        a.join(b, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cbs"))
+    )
+    if prune == "none":
+        return cbs
+    tot = cbs.agg(
+        F.count(F.lit(1)).cast("long").alias("_ne"),
+        F.coalesce(F.sum("cbs"), F.lit(0)).cast("long").alias("_sw"),
+    )
+    return (
+        cbs.crossJoin(F.broadcast(tot))
+        .filter(F.col("cbs") * F.col("_ne") > F.col("_sw"))
+        .select("id_a", "id_b", "cbs")
+    )
