@@ -613,3 +613,120 @@ def test_meta_blocking_validation_and_purity(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "CartesianProduct" not in plan  # the mean gate is a broadcast join
+
+
+def test_soundex_key_classic_vectors(spark):
+    """The published classic-Soundex vectors, incl. the H/W rule and the
+    first-letter-code adjacency cases, on BOTH engines (the oracle renders
+    the same pipeline via soundex_sql)."""
+    import duckdb
+
+    from xlink_spark.operators.fuzzy import soundex_key, soundex_sql
+
+    vectors = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",   # H/W rule: s-h-c codes as one 2
+        "Ashcroft": "A261",
+        "Tymczak": "T522",    # adjacent equal codes collapse
+        "Pfister": "P236",    # first-letter code adjacency: F drops
+        "Honeyman": "H555",
+        "Jackson": "J250",
+        "Washington": "W252",
+        "Wu": "W000",         # padding
+        "a1b": "A100",        # non-alpha stripped
+        "": "000",            # degenerate input stays deterministic
+    }
+    df = spark.createDataFrame([(n,) for n in vectors], ["n"])
+    got = {
+        r["n"]: r["k"]
+        for r in df.select("n", soundex_key("n").alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for name, want in vectors.items():
+        assert got[name] == want, name
+        sql = con.execute(
+            "select " + soundex_sql(f"'{name}'")
+        ).fetchone()[0]
+        assert sql == want, name
+
+
+def test_phonetic_candidate_pairs_blocks_and_purge(spark):
+    from xlink_spark.operators.linkage import phonetic_candidate_pairs
+
+    rows = [
+        (1, "Ashcraft", "x"),
+        (2, "Ashcroft", "x"),   # same key as 1 → pair
+        (3, "Robert", "x"),
+        (4, "Rupert", "x"),     # same key as 3 → pair
+        (5, "Robert", "y"),     # same first name, other second → NO pair
+    ] + [(100 + i, "Smith", "x") for i in range(6)]  # purged block (cap 5)
+    df = spark.createDataFrame(rows, "id long, first string, last string")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in phonetic_candidate_pairs(
+            df, ["first", "last"], "id", max_block_size=5
+        ).collect()
+    )
+    assert got == [(1, 2), (3, 4)]
+    # single-column key, no purge: the Smith block pairs all 6
+    single = phonetic_candidate_pairs(df, "first", "id").collect()
+    smiths = [r for r in single if r["id_a"] >= 100]
+    assert len(smiths) == 15
+    # Robert/Rupert share R163 regardless of the second field now
+    assert (3, 5) in {(r["id_a"], r["id_b"]) for r in single}
+
+
+def test_mutual_best_matches_one_to_one(spark):
+    from xlink_spark.operators.linkage import mutual_best_matches
+
+    scores = spark.createDataFrame(
+        [
+            # a1's best is b1 (9) and b1's best is a1 → kept
+            (1, 10, 9),
+            (1, 11, 7),
+            (2, 10, 8),   # b=10's best is a1, so (2,10) dies even though
+            (2, 11, 6),   # it is a2's best... and (2,11) dies because 11
+            (3, 11, 8),   # prefers a3 → (3,11) kept
+            # tie on score: partner-id ascending breaks it deterministically
+            (4, 20, 5),
+            (4, 21, 5),   # a4's best is b20 (lower id); b20 agrees
+        ],
+        "id_a long, id_b long, s long",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in mutual_best_matches(scores, "id_a", "id_b", "s").collect()
+    )
+    assert got == [(1, 10), (3, 11), (4, 20)]
+    # one-to-one: no id repeats on either side
+    a = [x for x, _ in got]
+    b = [y for _, y in got]
+    assert len(set(a)) == len(a) and len(set(b)) == len(b)
+
+
+def test_constraint_audit_semantics(spark):
+    from xlink_spark.operators.linkage import constraint_audit
+
+    asg = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 300)], "id long, cluster long"
+    )
+    cons = spark.createDataFrame(
+        [
+            ("must", 1, 2),     # same cluster → satisfied
+            ("must", 1, 3),     # split → violated
+            ("cannot", 1, 3),   # split → satisfied
+            ("cannot", 1, 2),   # merged → violated
+            ("cannot", 1, 99),  # 99 unassigned → separate → satisfied
+        ],
+        "kind string, id_a long, id_b long",
+    )
+    got = {
+        (r["kind"], r["id_a"], r["id_b"]): r["satisfied"]
+        for r in constraint_audit(asg, cons).collect()
+    }
+    assert got[("must", 1, 2)] is True
+    assert got[("must", 1, 3)] is False
+    assert got[("cannot", 1, 3)] is True
+    assert got[("cannot", 1, 2)] is False
+    assert got[("cannot", 1, 99)] is True

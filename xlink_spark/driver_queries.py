@@ -5086,6 +5086,231 @@ SQL_CLUSTERING_ARI = (
 )
 
 
+def q_phonetic_blocks(spark, sf_dir):
+    """Phonetic blocking (linkage.phonetic_candidate_pairs) with a compound
+    Soundex key over the first two words of part names, clean ∪ a
+    bumped-last-letter dirty copy: within-class bumps ('almond'→'almone',
+    D and nothing both vanish from the code) keep colliding while
+    class-crossing bumps split — the recall/precision trade the phonetic
+    family buys, pinned by the is_twin flag riding every pair. Blocks
+    above 32 members are purged pre-join (the meta-blocking purge). Pure
+    translate/regexp string ops end to end — no floats, no margins; the
+    Soundex pipeline itself is cross-engine-pinned by test against the
+    classic published vectors (Ashcraft→A261, Pfister→P236, Tymczak→T522).
+    """
+    from xlink_spark.operators.linkage import phonetic_candidate_pairs
+
+    part = spark.read.parquet(_T(sf_dir, "part"))
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
+        F.regexp_extract("p_name", "^[a-z]+ ([a-z]+)", 1).alias("w2"),
+    )
+    dirty = base.select(
+        (F.col("id") + 10000000).alias("id"),
+        F.expr(
+            "concat(substring(w1, 1, length(w1) - 1),"
+            " char(ascii(substring(w1, length(w1), 1)) + 1))"
+        ).alias("w1"),
+        F.col("w2"),
+    )
+    recs = base.unionByName(dirty)
+    pairs = phonetic_candidate_pairs(
+        recs, ["w1", "w2"], "id", max_block_size=32
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "pkey",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
+def _sql_phonetic_blocks() -> str:
+    from xlink_spark.operators.fuzzy import soundex_sql
+
+    return (
+        "with base as (select p_partkey::bigint as id,"
+        "  regexp_extract(p_name, '^[a-z]+', 0) as w1,"
+        "  regexp_extract(p_name, '^[a-z]+ ([a-z]+)', 1) as w2 from part), "
+        "dirty as (select id + 10000000 as id,"
+        "  substr(w1, 1, length(w1) - 1)"
+        "    || chr(ascii(substr(w1, length(w1), 1)) + 1) as w1, w2"
+        "  from base), "
+        "recs as (select * from base union all select * from dirty), "
+        f"keyed as (select id, {soundex_sql('w1')} || {soundex_sql('w2')}"
+        "  as pkey from recs), "
+        "kept as (select pkey from keyed group by pkey"
+        "  having count(*) <= 32), "
+        "km as (select k.id, k.pkey from keyed k join kept using (pkey)) "
+        "select a.id as id_a, b.id as id_b, a.pkey,"
+        "  (a.id % 10000000) = (b.id % 10000000) as is_twin "
+        "from km a join km b on a.pkey = b.pkey and a.id < b.id"
+    )
+
+
+SQL_PHONETIC_BLOCKS = _sql_phonetic_blocks()
+
+
+def q_mutual_best_pairs(spark, sf_dir):
+    """One-to-one clean-clean matching (linkage.mutual_best_matches): FS
+    pair scores restricted to cross-side (clean↔dirty) candidates, then a
+    pair survives iff it is BOTH its clean record's best dirty candidate
+    and its dirty record's best clean candidate — two row_number windows
+    over exact bigint scores with id-ascending tie-breaks, so the decision
+    is engine-reproducible without margins. The is_match label rides along
+    to pin the matcher's accuracy in the hash."""
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_weights,
+        mutual_best_matches,
+    )
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    side_a = F.col("id_a") < 10000000
+    side_b = F.col("id_b") < 10000000
+    canon = scores.filter(side_a != side_b).select(
+        F.when(side_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "clean_id"
+        ),
+        F.when(side_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "dirty_id"
+        ),
+        "score_micro",
+    )
+    return mutual_best_matches(
+        canon, "clean_id", "dirty_id", "score_micro"
+    ).select(
+        "clean_id",
+        "dirty_id",
+        "score_micro",
+        (
+            F.pmod(F.col("clean_id"), F.lit(10000000))
+            == F.pmod(F.col("dirty_id"), F.lit(10000000))
+        ).alias("is_match"),
+    )
+
+
+SQL_MUTUAL_BEST_PAIRS = (
+    f"with {_SQL_LINKAGE_VEC}, {_SQL_FS_SCORE_CORE}, "
+    "cross_ as (select"
+    "  case when id_a < 10000000 then id_a else id_b end as clean_id,"
+    "  case when id_a < 10000000 then id_b else id_a end as dirty_id,"
+    "  score_micro from sc"
+    "  where (id_a < 10000000) <> (id_b < 10000000)), "
+    "rk as (select *,"
+    "  row_number() over (partition by clean_id"
+    "    order by score_micro desc, dirty_id asc) as ra,"
+    "  row_number() over (partition by dirty_id"
+    "    order by score_micro desc, clean_id asc) as rb"
+    "  from cross_) "
+    "select clean_id, dirty_id, score_micro,"
+    "  (clean_id % 10000000) = (dirty_id % 10000000) as is_match "
+    "from rk where ra = 1 and rb = 1"
+)
+
+
+def q_link_constraints(spark, sf_dir):
+    """Must-link / cannot-link constraint audit (linkage.constraint_audit)
+    over the full ER chain's transitive clusters: must-link = every fourth
+    clean record against its planted dirty twin, cannot-link = every
+    id%4==1 record against the NEXT record's twin (a genuinely distinct
+    identity by construction). The oracle replays blocking → FS → CC →
+    the audit joins, so this hash checks the constraint semantics against
+    the same causal chain the ARI/B³ gauges use — violated cannot-links
+    are exactly the chain's false-positive merges."""
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import (
+        constraint_audit,
+        fs_score,
+        match_weights,
+    )
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).select("id")
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
+    )
+    clean = recs.filter(F.col("id") < 10000000)
+    mx = clean.agg(F.max("id").alias("_mx"))
+    must = clean.filter(F.pmod(F.col("id"), F.lit(4)) == 0).select(
+        F.lit("must").alias("kind"),
+        F.col("id").alias("id_a"),
+        (F.col("id") + 10000000).alias("id_b"),
+    )
+    cannot = (
+        clean.filter(F.pmod(F.col("id"), F.lit(4)) == 1)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.lit("cannot").alias("kind"),
+            F.col("id").alias("id_a"),
+            (
+                F.pmod(F.col("id"), F.col("_mx")) + 1 + 10000000
+            ).alias("id_b"),
+        )
+    )
+    return constraint_audit(asg, must.unionByName(cannot))
+
+
+SQL_LINK_CONSTRAINTS = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "asg as (select r.id, coalesce(c.component, r.id) as cluster"
+    "  from recs r left join comp c on c.node = r.id), "
+    "clean as (select id from recs where id < 10000000), "
+    "mx as (select max(id)::bigint as m from clean), "
+    "cons as ("
+    "  select 'must' as kind, id as id_a, id + 10000000 as id_b"
+    "  from clean where id % 4 = 0"
+    "  union all"
+    "  select 'cannot', id, ((id % m) + 1) + 10000000"
+    "  from clean, mx where id % 4 = 1), "
+    "aud as (select k.kind, k.id_a, k.id_b,"
+    "  a.cluster as cluster_a, b.cluster as cluster_b"
+    "  from cons k left join asg a on a.id = k.id_a"
+    "  left join asg b on b.id = k.id_b) "
+    "select kind, id_a, id_b, cluster_a, cluster_b,"
+    "  case when kind = 'must'"
+    "    then (cluster_a is not null and cluster_a = cluster_b)"
+    "    else not coalesce("
+    "      cluster_a is not null and cluster_a = cluster_b, false)"
+    "  end as satisfied "
+    "from aud"
+)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -5190,6 +5415,9 @@ QUERIES: dict[str, Query] = {
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "meta_blocking_pairs": q_meta_blocking_pairs,
     "clustering_ari": q_clustering_ari,
+    "phonetic_blocks": q_phonetic_blocks,
+    "mutual_best_pairs": q_mutual_best_pairs,
+    "link_constraints": q_link_constraints,
 }
 
 ORACLES: dict[str, str] = {
@@ -5301,4 +5529,7 @@ ORACLES: dict[str, str] = {
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "meta_blocking_pairs": SQL_META_BLOCKING_PAIRS,
     "clustering_ari": SQL_CLUSTERING_ARI,
+    "phonetic_blocks": SQL_PHONETIC_BLOCKS,
+    "mutual_best_pairs": SQL_MUTUAL_BEST_PAIRS,
+    "link_constraints": SQL_LINK_CONSTRAINTS,
 }

@@ -325,3 +325,49 @@ def _me_direction(
         .withColumn(out, F.expr("_sp div _n").cast("long"))
         .select(*id_cols, out)
     )
+
+
+# ------------------------------------------------------------ phonetic keys
+# American Soundex as ONE expression pipeline shared by both engines:
+# upper/strip → first letter kept → H/W removed from the body (the H/W
+# rule: consonants separated only by h/w code as one) → letters→digits via
+# translate → the first letter's own code is PREPENDED before the
+# adjacent-run collapse (so e.g. "Pfister" codes P236, not P123) → runs
+# collapse digit-by-digit (seven chained single-digit replaces — DuckDB's
+# RE2 has no pattern backreferences, so no '(\d)\1+') → the first code and
+# the vowel zeros drop → pad to 3 digits. Pure translate/substr/concat/
+# regexp_replace: whole-stage codegen on Spark, bit-identical text ops on
+# DuckDB — no float anywhere, so no margins.
+_SDX_FROM = "BFPVCGJKQSXZDTLMNRAEIOUY"
+_SDX_TO = "111122222222334556000000"
+
+
+def soundex_key(col: Column | str) -> Column:
+    """Classic American Soundex key (e.g. 'Ashcraft' → 'A261') as a pure
+    JVM expression chain. Empty/non-alpha input yields '000'."""
+    s = F.col(col) if isinstance(col, str) else col
+    u = F.upper(F.regexp_replace(s, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    body = F.substring(u, 2, 1 << 30)
+    codes = F.translate(F.translate(body, "HW", ""), _SDX_FROM, _SDX_TO)
+    fcode = F.translate(first, _SDX_FROM + "HW", _SDX_TO + "00")
+    seq = F.concat(fcode, codes)
+    for d in "0123456":
+        seq = F.regexp_replace(seq, d + "+", d)
+    tail = F.translate(F.substring(seq, 2, 1 << 30), "0", "")
+    return F.concat(first, F.substring(F.concat(tail, F.lit("000")), 1, 3))
+
+
+def soundex_sql(expr: str) -> str:
+    """The DuckDB rendering of the SAME pipeline, for oracle SQL. Keep in
+    lockstep with ``soundex_key`` (pinned by a cross-engine parity test)."""
+    u = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    first = f"substr({u}, 1, 1)"
+    body = f"substr({u}, 2)"
+    codes = f"translate(translate({body}, 'HW', ''), '{_SDX_FROM}', '{_SDX_TO}')"
+    fcode = f"translate({first}, '{_SDX_FROM}HW', '{_SDX_TO}00')"
+    seq = f"({fcode} || {codes})"
+    for d in "0123456":
+        seq = f"regexp_replace({seq}, '{d}+', '{d}', 'g')"
+    tail = f"translate(substr({seq}, 2), '0', '')"
+    return f"({first} || substr({tail} || '000', 1, 3))"

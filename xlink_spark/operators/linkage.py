@@ -947,3 +947,124 @@ def meta_blocking_pairs(
         .filter(F.col("cbs") * F.col("_ne") > F.col("_sw"))
         .select("id_a", "id_b", "cbs")
     )
+
+
+def phonetic_candidate_pairs(
+    records: DataFrame,
+    name_cols: str | list[str],
+    id_col: str,
+    *,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Phonetic blocking: candidate pairs sharing a Soundex key.
+
+    The classic complement to exact/SNM blocking — typos that change a
+    letter WITHIN its Soundex class ('Ashcraft'/'Ashcroft') still collide.
+    Passing several ``name_cols`` concatenates their per-column Soundex
+    codes into one compound key (the standard way to re-sharpen a
+    too-coarse single-field phonetic key). Shape at 10^12 records: a
+    single key is 4 chars (≤26·7³ distinct), so real name corpora are
+    head-heavy — ``max_block_size`` purges oversized blocks before the
+    self-join (the meta-blocking purge, Papadakis et al.), keeping the
+    within-block quadratic bounded; only narrow (id, key) rows ride the
+    equi-join shuffle.
+
+    Returns (id_a, id_b, pkey) with id_a < id_b.
+    """
+    from xlink_spark.operators.fuzzy import soundex_key
+
+    cols = [name_cols] if isinstance(name_cols, str) else list(name_cols)
+    if not cols:
+        raise ValueError("name_cols must be non-empty")
+    keyed = records.select(
+        F.col(id_col).alias("_id"),
+        F.concat(*[soundex_key(c) for c in cols]).alias("pkey"),
+    )
+    if max_block_size is not None:
+        kept = keyed.groupBy("pkey").agg(
+            F.count(F.lit(1)).alias("_n")
+        ).filter(F.col("_n") <= int(max_block_size)).select("pkey")
+        keyed = keyed.join(F.broadcast(kept), "pkey")
+    a = keyed.select(F.col("_id").alias("id_a"), "pkey")
+    b = keyed.select(F.col("_id").alias("id_b"), "pkey")
+    return a.join(b, "pkey").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pkey"
+    )
+
+
+def mutual_best_matches(
+    scores: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str,
+) -> DataFrame:
+    """One-to-one matching for clean-clean ER: keep a pair iff it is BOTH
+    its left record's best right candidate and its right record's best
+    left candidate (mutual best, a.k.a. symmetric best match) — the
+    standard greedy-optimal bipartite decision when each source is
+    internally duplicate-free.
+
+    Ties break deterministically on the partner id ascending, so with
+    exact bigint scores the output is engine-reproducible. Two windows on
+    the two pair-id keys = two shuffles of narrow pair rows; nothing wider
+    ever moves. Output inherits the input columns.
+    """
+    wa = Window.partitionBy(left_col).orderBy(
+        F.col(score_col).desc(), F.col(right_col).asc()
+    )
+    wb = Window.partitionBy(right_col).orderBy(
+        F.col(score_col).desc(), F.col(left_col).asc()
+    )
+    return (
+        scores.withColumn("_rn_a", F.row_number().over(wa))
+        .withColumn("_rn_b", F.row_number().over(wb))
+        .filter((F.col("_rn_a") == 1) & (F.col("_rn_b") == 1))
+        .drop("_rn_a", "_rn_b")
+    )
+
+
+def constraint_audit(
+    assignments: DataFrame,
+    constraints: DataFrame,
+    *,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Audit must-link / cannot-link constraints against a clustering.
+
+    ``assignments``: (id, cluster) — every record, one row each.
+    ``constraints``: (kind ∈ {'must','cannot'}, id_a, id_b).
+
+    A 'must' constraint is satisfied iff both ids landed in the SAME
+    cluster; a 'cannot' iff they landed in different ones. Ids absent from
+    ``assignments`` keep NULL clusters and count as separate (left joins —
+    a constraint never disappears through the audit). Two narrow
+    broadcast-friendly joins; the constraint table is usually tiny next to
+    the corpus, so Spark broadcasts it and the corpus-side assignment scan
+    stays shuffle-free.
+
+    Returns (kind, id_a, id_b, cluster_a, cluster_b, satisfied).
+    """
+    ca = assignments.select(
+        F.col(id_col).alias("id_a"), F.col(cluster_col).alias("cluster_a")
+    )
+    cb = assignments.select(
+        F.col(id_col).alias("id_b"), F.col(cluster_col).alias("cluster_b")
+    )
+    same = F.col("cluster_a").isNotNull() & (
+        F.col("cluster_a") == F.col("cluster_b")
+    )
+    return (
+        constraints.join(ca, "id_a", "left")
+        .join(cb, "id_b", "left")
+        .select(
+            "kind",
+            "id_a",
+            "id_b",
+            "cluster_a",
+            "cluster_b",
+            F.when(F.col("kind") == "must", same)
+            .otherwise(~F.coalesce(same, F.lit(False)))
+            .alias("satisfied"),
+        )
+    )
