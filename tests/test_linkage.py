@@ -730,3 +730,34 @@ def test_constraint_audit_semantics(spark):
     assert got[("cannot", 1, 3)] is True
     assert got[("cannot", 1, 2)] is False
     assert got[("cannot", 1, 99)] is True
+
+
+def test_suffix_blocking_pairs(spark):
+    from xlink_spark.operators.linkage import suffix_blocking_pairs
+
+    rows = [
+        (1, "abcdef"),
+        (2, "xbcdef"),   # shares suffixes bcdef, cdef (>= min_len 4) with 1
+        (3, "abcdxx"),   # no qualifying shared suffix with 1 or 2
+        (4, "abc"),      # shorter than min_len → never blocks
+        (5, "zzcdef"),   # shares cdef with 1 and 2
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in suffix_blocking_pairs(df, "k", "id", min_len=4).collect()
+    }
+    assert got == {(1, 2): 2, (1, 5): 1, (2, 5): 1}
+    # purge: cap 2 kills the 3-member 'cdef' block, keeps 'bcdef'
+    purged = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in suffix_blocking_pairs(
+            df, "k", "id", min_len=4, max_block_size=2
+        ).collect()
+    }
+    assert purged == {(1, 2): 1}
+    # min_len guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        suffix_blocking_pairs(df, "k", "id", min_len=0)

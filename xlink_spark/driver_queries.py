@@ -5311,6 +5311,52 @@ SQL_LINK_CONSTRAINTS = (
 )
 
 
+def q_suffix_blocks(spark, sf_dir):
+    """Suffix blocking (linkage.suffix_blocking_pairs, Aizawa-Oyama) over
+    the REVERSED linkage names — the reversal trick turns suffix blocking
+    into prefix blocking, exactly what the planted LAST-char typo needs:
+    every planted twin is caught (100% recall at every sf, measured)
+    through its decade-grain suffix block, the only block fine enough to
+    survive the purge (the coarser century/millennium suffix runs are the
+    head-heavy blocks, purged at 50 before the self-join). The top
+    n_shared weight goes to a fixture artifact worth pinning: bumping the
+    last digit of Customer#...X yields Customer#...X+1 VERBATIM, so
+    dirty(X)↔clean(X+1) pairs have byte-identical names and share every
+    kept suffix — exactly the confusable-neighbor collision that makes
+    exact-name agreement anti-predictive in the FS weights upstream.
+    Pure string/integer ops — no margins."""
+    from xlink_spark.operators.linkage import suffix_blocking_pairs
+
+    recs = _linkage_records(spark, sf_dir).select(
+        "id", F.reverse(F.col("name")).alias("rkey")
+    )
+    pairs = suffix_blocking_pairs(
+        recs, "rkey", "id", min_len=12, max_block_size=50
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
+SQL_SUFFIX_BLOCKS = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "sfx as (select id, substr(reverse(name), g) as sfx"
+    "  from recs, unnest(generate_series(1, length(name) - 11)) as t(g)), "
+    "kept as (select sfx from sfx group by 1 having count(*) <= 50), "
+    "km as (select s.id, s.sfx from sfx s join kept using (sfx)), "
+    "p as (select a.id as id_a, b.id as id_b, count(*)::bigint as n_shared"
+    "  from km a join km b on a.sfx = b.sfx and a.id < b.id group by 1, 2) "
+    "select id_a, id_b, n_shared,"
+    "  (id_a % 10000000) = (id_b % 10000000) as is_twin from p"
+)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -5418,6 +5464,7 @@ QUERIES: dict[str, Query] = {
     "phonetic_blocks": q_phonetic_blocks,
     "mutual_best_pairs": q_mutual_best_pairs,
     "link_constraints": q_link_constraints,
+    "suffix_blocks": q_suffix_blocks,
 }
 
 ORACLES: dict[str, str] = {
@@ -5532,4 +5579,5 @@ ORACLES: dict[str, str] = {
     "phonetic_blocks": SQL_PHONETIC_BLOCKS,
     "mutual_best_pairs": SQL_MUTUAL_BEST_PAIRS,
     "link_constraints": SQL_LINK_CONSTRAINTS,
+    "suffix_blocks": SQL_SUFFIX_BLOCKS,
 }

@@ -1068,3 +1068,58 @@ def constraint_audit(
             .alias("satisfied"),
         )
     )
+
+
+def suffix_blocking_pairs(
+    records: DataFrame,
+    key_col: str,
+    id_col: str,
+    *,
+    min_len: int = 4,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Suffix blocking (Aizawa & Oyama): candidate pairs sharing any
+    suffix of the blocking key of length ≥ ``min_len`` — robust to
+    corruption near the key's HEAD (for tail corruption, pass the key
+    reversed). Suffix rows are built with ``transform`` over ``sequence``
+    (whole-stage codegen, linear in total key characters — the
+    deletion-variant shape from operators/fuzzy); keys shorter than
+    ``min_len`` contribute no suffixes and silently don't block.
+    Short/common suffixes are the head-heavy ones, so ``max_block_size``
+    purges oversized suffix blocks before the self-join; only narrow
+    (id, suffix) rows ride the equi-join shuffle, and the pair-grain
+    count that follows is map-side combinable.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b — n_shared (how many
+    qualifying suffixes the pair shares, exact bigint) is the natural
+    match-prior weight, CBS-style.
+    """
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    s = F.col(key_col)
+    sufs = F.when(
+        F.length(s) >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(min_len) + 1),
+            lambda i: s.substr(i, F.length(s)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = records.select(
+        F.col(id_col).alias("_id"), F.explode(sufs).alias("sfx")
+    )
+    if max_block_size is not None:
+        kept = (
+            rows.groupBy("sfx")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= int(max_block_size))
+            .select("sfx")
+        )
+        rows = rows.join(F.broadcast(kept), "sfx")
+    a = rows.select(F.col("_id").alias("id_a"), "sfx")
+    b = rows.select(F.col("_id").alias("id_b"), "sfx")
+    return (
+        a.join(b, "sfx")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
