@@ -11,10 +11,14 @@ Usage (cluster or local):
         [--label-expr "id_a % 1000000 = id_b % 1000000"] \\
         [--window 5] [--threshold-micro 0] \\
         [--rules "name:longest,segment:mode,nation:min"] \\
-        [--rank-strategy keys|range] [--snapshots /lake/snap]
+        [--rank-strategy keys|range] [--snapshots /lake/snap] \\
+        [--blocking snm|phonetic|suffix] [--max-block-size N] \\
+        [--suffix-min-len 4]
 
-The pipeline is the north-star shape on records: sorted-neighborhood
-blocking (linkage.sorted_neighborhood_pairs) → per-field comparison
+The pipeline is the north-star shape on records: candidate blocking —
+sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex of
+--key-expr) / ``--blocking suffix`` (shared-suffix blocking of --key-expr,
+both with an oversize-block purge via --max-block-size) → per-field comparison
 vectors (null-safe equality; fields named in --jw-fields instead compare
 by Jaro-Winkler ≥ threshold_micro — the fuzzy comparator production FS
 deployments use for names) → Fellegi-Sunter weights — supervised from
@@ -82,14 +86,39 @@ def run_er_job(spark, args) -> dict:
         "_key", F.expr(args.key_expr)
     )
     idc = args.id_col
-    pairs = sorted_neighborhood_pairs(
-        recs,
-        "_key",
-        order_cols,
-        idc,
-        window=args.window,
-        strategy=args.rank_strategy,
-    )
+    blocking = getattr(args, "blocking", None) or "snm"
+    max_block = getattr(args, "max_block_size", None)
+    if blocking == "snm":
+        pairs = sorted_neighborhood_pairs(
+            recs,
+            "_key",
+            order_cols,
+            idc,
+            window=args.window,
+            strategy=args.rank_strategy,
+        )
+    elif blocking == "phonetic":
+        from xlink_spark.operators.linkage import phonetic_candidate_pairs
+
+        # Soundex of the --key-expr value; pass several exprs by
+        # concat-ing upstream or use SNM for positional blocking
+        pairs = phonetic_candidate_pairs(
+            recs, "_key", idc, max_block_size=max_block
+        )
+    elif blocking == "suffix":
+        from xlink_spark.operators.linkage import suffix_blocking_pairs
+
+        pairs = suffix_blocking_pairs(
+            recs,
+            "_key",
+            idc,
+            min_len=getattr(args, "suffix_min_len", None) or 4,
+            max_block_size=max_block,
+        )
+    else:
+        raise ValueError(
+            f"unknown --blocking {blocking!r} (use snm|phonetic|suffix)"
+        )
     ra = recs.select(
         F.col(idc).alias("id_a"), *[F.col(f).alias(f"_a_{f}") for f in fields]
     )
@@ -176,6 +205,7 @@ def run_er_job(spark, args) -> dict:
         vec.unpersist()
     return {
         "mode": mode,
+        "blocking": blocking,
         "n_records": n_records,
         "n_candidate_pairs": n_pairs,
         "n_match_edges": n_edges,
@@ -195,6 +225,24 @@ def main() -> None:
     ap.add_argument("--jw-fields", help="csv col:threshold_micro — compare these fields by Jaro-Winkler >= threshold instead of equality")
     ap.add_argument("--label-expr", help="SQL boolean over id_a/id_b: true-match label; omit for unsupervised EM")
     ap.add_argument("--window", type=int, default=5)
+    ap.add_argument(
+        "--blocking",
+        choices=["snm", "phonetic", "suffix"],
+        default="snm",
+        help="candidate generation: sorted-neighborhood (default), Soundex "
+        "of --key-expr, or suffix blocking of --key-expr",
+    )
+    ap.add_argument(
+        "--max-block-size",
+        type=int,
+        help="phonetic/suffix: purge blocks above this size before pairing",
+    )
+    ap.add_argument(
+        "--suffix-min-len",
+        type=int,
+        default=4,
+        help="suffix blocking: minimum qualifying suffix length",
+    )
     ap.add_argument("--threshold-micro", type=int, default=0)
     ap.add_argument("--em-iterations", type=int, default=5)
     ap.add_argument("--rules", help="csv col:rule survivorship rules (mode|longest|min|max)")

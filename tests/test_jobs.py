@@ -406,3 +406,61 @@ def test_run_er_job_jw_comparator_makes_name_predictive(spark, tmp_path):
     bad = argparse.Namespace(**{**vars(args), "jw_fields": "name=880000"})
     with _pt.raises(ValueError):
         run_er_job(spark, bad)
+
+
+def test_run_er_job_blocking_strategies(spark, tmp_path):
+    """--blocking phonetic|suffix swap candidate generation under the same
+    FS → CC → survivorship chain: suffix blocking over reverse(name)
+    catches every planted last-char-bump twin; phonetic blocking runs the
+    Soundex path end to end (plumbing — operator semantics are pinned in
+    test_linkage)."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 31):
+        name = f"Rec#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5))
+    src = str(tmp_path / "records_blk")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    ).write.parquet(src)
+
+    def run(blocking, key_expr, outdir, **kw):
+        args = argparse.Namespace(
+            records=src, output=str(tmp_path / outdir), id_col="id",
+            key_expr=key_expr, order_cols="name",
+            fields="name,segment,nation", jw_fields=None,
+            label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+            window=4, threshold_micro=0, em_iterations=5,
+            rules="name:longest", rank_strategy="keys", snapshots=None,
+            blocking=blocking, **kw,
+        )
+        return run_er_job(spark, args), args
+
+    m_sfx, a_sfx = run(
+        "suffix", "reverse(name)", "sfx", suffix_min_len=5, max_block_size=None
+    )
+    assert m_sfx["blocking"] == "suffix"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{a_sfx.output}/clusters").collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+
+    m_ph, a_ph = run("phonetic", "name", "ph", max_block_size=None)
+    assert m_ph["blocking"] == "phonetic"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{a_ph.output}/clusters").collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run("bogus", "name", "bad")
