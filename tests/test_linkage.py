@@ -761,3 +761,146 @@ def test_suffix_blocking_pairs(spark):
 
     with _pytest.raises(ValueError):
         suffix_blocking_pairs(df, "k", "id", min_len=0)
+
+
+def test_soundex_matches_independent_procedural_reference(spark):
+    """The expression-pipeline Soundex vs a procedurally-coded classic
+    Soundex (transparent H/W, vowel code-reset, first-letter adjacency) —
+    independent formulations converging pins the pipeline's semantics far
+    beyond the published vectors. 300 seeded random strings incl. H/W/Y
+    runs and degenerate shapes, checked on Spark AND DuckDB."""
+    import random
+
+    import duckdb
+
+    from xlink_spark.operators.fuzzy import soundex_key, soundex_sql
+
+    m = {}
+    for chars, d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                     ("L", "4"), ("MN", "5"), ("R", "6")):
+        for c in chars:
+            m[c] = d
+
+    def ref(name: str) -> str:
+        s = [c for c in name.upper() if c.isalpha()]
+        if not s:
+            return "000"
+        first = s[0]
+        out: list[str] = []
+        last = m.get(first)
+        for c in s[1:]:
+            if c in "HW":
+                continue  # transparent: the last code carries across
+            d = m.get(c)
+            if d is None:  # vowel (incl. Y): resets the last code
+                last = None
+                continue
+            if d != last:
+                out.append(d)
+            last = d
+        return first + ("".join(out) + "000")[:3]
+
+    rng = random.Random(20260818)
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    weighted = alpha + "HWY" * 4 + "AEIOU" * 2  # force the tricky runs
+    names = ["", "H", "W", "HW", "AAA", "PPPP", "WHW"]
+    names += [
+        "".join(rng.choice(weighted) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(n,) for n in set(names)], ["n"])
+    got = {
+        r["n"]: r["k"]
+        for r in df.select("n", soundex_key("n").alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for n in set(names):
+        want = ref(n)
+        assert got[n] == want, (n, got[n], want)
+        d = con.execute("select " + soundex_sql(f"'{n}'")).fetchone()[0]
+        assert d == want, (n, d, want)
+
+
+def test_suffix_blocking_brute_parity(spark):
+    """Seeded random corpus: operator output (no purge) must equal the
+    brute-force shared-suffix count over all pairs."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 8))))
+        for i in range(1, 61)
+    ]
+    min_len = 3
+
+    def sufs(s):
+        return {s[i:] for i in range(len(s) - min_len + 1)} if len(s) >= min_len else set()
+
+    want = {}
+    for (ia, ka), (ib, kb) in itertools.combinations(rows, 2):
+        n = len(sufs(ka) & sufs(kb))
+        if n:
+            want[(min(ia, ib), max(ia, ib))] = n
+
+    from xlink_spark.operators.linkage import suffix_blocking_pairs
+
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in suffix_blocking_pairs(df, "k", "id", min_len=min_len).collect()
+    }
+    assert got == want
+
+
+def test_mutual_best_brute_parity_with_ties(spark):
+    """Seeded random bipartite scores with deliberate ties: operator output
+    must equal the brute mutual-best under (score desc, partner id asc)."""
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randint(1, 15), rng.randint(100, 112)) for _ in range(80)})
+    scored = [(a, b, rng.randint(0, 5)) for a, b in pairs]  # few levels → ties
+
+    def best(items):  # (partner, score) list → chosen partner
+        return min(items, key=lambda t: (-t[1], t[0]))[0]
+
+    by_a: dict = {}
+    by_b: dict = {}
+    for a, b, s in scored:
+        by_a.setdefault(a, []).append((b, s))
+        by_b.setdefault(b, []).append((a, s))
+    want = {
+        (a, b)
+        for a, b, s in scored
+        if best(by_a[a]) == b and best(by_b[b]) == a
+    }
+
+    from xlink_spark.operators.linkage import mutual_best_matches
+
+    df = spark.createDataFrame(scored, "id_a long, id_b long, s long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_best_matches(df, "id_a", "id_b", "s").collect()
+    }
+    assert got == want
+
+
+def test_new_blocking_plans_are_scale_safe(spark):
+    """Plan shapes: phonetic/suffix purge joins broadcast the kept-key
+    list, pair generation is an equi-join (never a cartesian product)."""
+    from xlink_spark.operators.linkage import (
+        phonetic_candidate_pairs,
+        suffix_blocking_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", "x") for i in range(40)], "id long, a string, b string"
+    )
+    for out in (
+        phonetic_candidate_pairs(df, ["a", "b"], "id", max_block_size=10),
+        suffix_blocking_pairs(df, "a", "id", min_len=3, max_block_size=10),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
