@@ -904,3 +904,49 @@ def test_new_blocking_plans_are_scale_safe(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastHashJoin" in plan, plan
+
+
+def test_constrained_components_semantics(spark):
+    from xlink_spark.operators.linkage import (
+        constraint_audit,
+        constrained_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "a long, b long"
+    )
+
+    def comps(must=None, cannot=None):
+        out = constrained_components(edges, must=must, cannot=cannot)
+        return {r["node"]: r["component"] for r in out.collect()}
+
+    # must-link merges nodes no edge connects (orientation-free)
+    must = spark.createDataFrame([(11, 1)], "a long, b long")
+    c = comps(must=must)
+    assert c[10] == c[11] == c[1] == c[2] == c[3]
+
+    # cannot-link removes the direct edge → split
+    cannot = spark.createDataFrame([(21, 20)], "a long, b long")
+    c = comps(cannot=cannot)
+    assert 20 not in c and 21 not in c  # isolated: no edges left
+
+    # transitive violation SURVIVES direct-edge removal (1-3 via 2) —
+    # and constraint_audit surfaces it
+    cannot13 = spark.createDataFrame([(1, 3)], "a long, b long")
+    c = comps(cannot=cannot13)
+    assert c[1] == c[3]
+    asg = spark.createDataFrame(
+        [(int(n), int(x)) for n, x in c.items()], "id long, cluster long"
+    )
+    aud = constraint_audit(
+        asg,
+        spark.createDataFrame(
+            [("cannot", 1, 3)], "kind string, id_a long, id_b long"
+        ),
+    ).collect()
+    assert aud[0]["satisfied"] is False
+
+    # contradictory must+cannot on the same pair: cannot wins
+    both = spark.createDataFrame([(20, 21)], "a long, b long")
+    c = comps(must=both, cannot=both)
+    assert 20 not in c and 21 not in c

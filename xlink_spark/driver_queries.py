@@ -5258,7 +5258,16 @@ def q_link_constraints(spark, sf_dir):
     ).select(
         "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
     )
-    clean = recs.filter(F.col("id") < 10000000)
+    must, cannot = _linkage_constraint_frames(recs)
+    return constraint_audit(asg, must.unionByName(cannot))
+
+
+def _linkage_constraint_frames(recs):
+    """Deterministic constraint fixtures over the linkage records: must =
+    every id%4==0 clean record vs its planted twin; cannot = every
+    id%4==1 clean record vs the NEXT record's twin (a distinct identity
+    by construction — custkeys are 1..N, so (id % max)+1 ≠ id)."""
+    clean = recs.select("id").filter(F.col("id") < 10000000)
     mx = clean.agg(F.max("id").alias("_mx"))
     must = clean.filter(F.pmod(F.col("id"), F.lit(4)) == 0).select(
         F.lit("must").alias("kind"),
@@ -5276,7 +5285,7 @@ def q_link_constraints(spark, sf_dir):
             ).alias("id_b"),
         )
     )
-    return constraint_audit(asg, must.unionByName(cannot))
+    return must, cannot
 
 
 SQL_LINK_CONSTRAINTS = (
@@ -5354,6 +5363,100 @@ SQL_SUFFIX_BLOCKS = (
     "  from km a join km b on a.sfx = b.sfx and a.id < b.id group by 1, 2) "
     "select id_a, id_b, n_shared,"
     "  (id_a % 10000000) = (id_b % 10000000) as is_twin from p"
+)
+
+
+def q_constrained_links(spark, sf_dir):
+    """Constraint-enforced transitive clustering
+    (linkage.constrained_components): the ER chain's match edges with the
+    must-link pairs UNIONED in and the cannot-link pairs REMOVED before
+    connected components, then the SAME audit as link_constraints replays
+    the constraints against the constrained clusters. Every must row is
+    satisfied by construction (its edge exists); cannot rows expose the
+    honest residue — TRANSITIVE violations that survive removal of the
+    direct edge. Hash-diffing this against link_constraints shows exactly
+    what structural enforcement buys over post-hoc auditing."""
+    from xlink_spark.operators.linkage import (
+        constrained_components,
+        constraint_audit,
+        fs_score,
+        match_weights,
+    )
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select("id_a", "id_b")
+    recs = _linkage_records(spark, sf_dir).select("id")
+    must, cannot = _linkage_constraint_frames(recs)
+    comp = constrained_components(
+        edges,
+        must=must.select("id_a", "id_b"),
+        cannot=cannot.select("id_a", "id_b"),
+    )
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
+    )
+    return constraint_audit(asg, must.unionByName(cannot))
+
+
+SQL_CONSTRAINED_LINKS = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    "clean as (select id from recs where id < 10000000), "
+    "mx as (select max(id)::bigint as m from clean), "
+    "cons as ("
+    "  select 'must' as kind, id as id_a, id + 10000000 as id_b"
+    "  from clean where id % 4 = 0"
+    "  union all"
+    "  select 'cannot', id, ((id % m) + 1) + 10000000"
+    "  from clean, mx where id % 4 = 1), "
+    "eg0 as (select id_a as src, id_b as dst from sc"
+    "  where score_micro >= 0"
+    "  union all"
+    "  select id_a, id_b from cons where kind = 'must'), "
+    "canon as (select distinct least(src, dst) as lo,"
+    "  greatest(src, dst) as hi from eg0), "
+    "ccanon as (select least(id_a, id_b) as lo,"
+    "  greatest(id_a, id_b) as hi from cons where kind = 'cannot'), "
+    "filtered as (select c.lo, c.hi from canon c"
+    "  left join ccanon x on x.lo = c.lo and x.hi = c.hi"
+    "  where x.lo is null), "
+    "undirected as (select lo as src, hi as dst from filtered"
+    "  union select hi, lo from filtered), "
+    "walk (node, reach) as ("
+    "  select src as node, dst as reach from undirected"
+    "  union"
+    "  select wk.node, u.dst as reach"
+    "  from walk wk join undirected u on u.src = wk.reach"
+    "  where u.dst <> wk.node), "
+    "comp as (select node, least(node, min(reach)) as component"
+    "  from walk group by node), "
+    "asg as (select r.id, coalesce(c.component, r.id) as cluster"
+    "  from recs r left join comp c on c.node = r.id), "
+    "aud as (select k.kind, k.id_a, k.id_b,"
+    "  a.cluster as cluster_a, b.cluster as cluster_b"
+    "  from cons k left join asg a on a.id = k.id_a"
+    "  left join asg b on b.id = k.id_b) "
+    "select kind, id_a, id_b, cluster_a, cluster_b,"
+    "  case when kind = 'must'"
+    "    then (cluster_a is not null and cluster_a = cluster_b)"
+    "    else not coalesce("
+    "      cluster_a is not null and cluster_a = cluster_b, false)"
+    "  end as satisfied "
+    "from aud"
 )
 
 
@@ -5465,6 +5568,7 @@ QUERIES: dict[str, Query] = {
     "mutual_best_pairs": q_mutual_best_pairs,
     "link_constraints": q_link_constraints,
     "suffix_blocks": q_suffix_blocks,
+    "constrained_links": q_constrained_links,
 }
 
 ORACLES: dict[str, str] = {
@@ -5580,4 +5684,5 @@ ORACLES: dict[str, str] = {
     "mutual_best_pairs": SQL_MUTUAL_BEST_PAIRS,
     "link_constraints": SQL_LINK_CONSTRAINTS,
     "suffix_blocks": SQL_SUFFIX_BLOCKS,
+    "constrained_links": SQL_CONSTRAINED_LINKS,
 }

@@ -1123,3 +1123,42 @@ def suffix_blocking_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def constrained_components(
+    edges: DataFrame,
+    must: DataFrame | None = None,
+    cannot: DataFrame | None = None,
+) -> DataFrame:
+    """Semi-supervised transitive clustering: connected components over the
+    match graph with domain constraints enforced structurally — must-link
+    pairs UNION into the edge set (they cluster by construction), cannot-
+    link pairs are REMOVED from it (canonicalized to (least, greatest), so
+    orientation never matters). A cannot pair that is also a must pair is
+    contradictory; removal runs last, so cannot wins — the conservative
+    choice for an auto-merge pipeline.
+
+    Direct cannot violations are impossible afterwards; TRANSITIVE ones (a
+    path around the removed edge) can survive — run ``constraint_audit``
+    on the result to surface them rather than trusting silence.
+
+    ``edges``/``must``/``cannot`` all carry two node columns (first two
+    columns are used). Only narrow node-pair rows shuffle; the iterative
+    CC downstream is the usual large/small-star job.
+    """
+    from xlink_spark.operators.cluster import connected_components
+
+    def _canon(df: DataFrame) -> DataFrame:
+        a, b = (F.col(c) for c in df.columns[:2])
+        return df.select(
+            F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi")
+        )
+
+    eg = _canon(edges)
+    if must is not None:
+        eg = eg.unionByName(_canon(must))
+    if cannot is not None:
+        eg = eg.join(_canon(cannot), ["lo", "hi"], "left_anti")
+    return connected_components(
+        eg.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+    )
