@@ -159,3 +159,64 @@ def test_adjusted_rand_degenerate_is_null(spark):
         )
     )
     assert r["ari_den"] == 0 and r["ari"] is None
+
+
+def test_vmeasure_textbook_and_replica(spark):
+    """V-measure against an independent Python float replica of the
+    micro-floor formulas, plus the boundary identities: perfect match →
+    h=c=v=1; all-singleton pred → h=1, c<1; one-blob pred → c=1, h<1."""
+    import math
+
+    from xlink_spark.eval.bcubed import vmeasure
+
+    def replica(pairs):
+        n = len(pairs)
+        from collections import Counter
+
+        cells = Counter(pairs)
+        pk = Counter(p for p, _ in pairs)
+        gk = Counter(g for _, g in pairs)
+
+        def term(cnt, marg):
+            return math.floor((1000000.0 * cnt * math.log(marg / cnt)) / n)
+
+        hgp = sum(term(c, pk[p]) for (p, g), c in cells.items())
+        hpg = sum(term(c, gk[g]) for (p, g), c in cells.items())
+        hg = sum(term(c, n) for c in gk.values())
+        hp = sum(term(c, n) for c in pk.values())
+        h = 1.0 if hg == 0 else 1.0 - hgp / hg
+        c_ = 1.0 if hp == 0 else 1.0 - hpg / hp
+        v = 0.0 if h + c_ == 0 else 2.0 * h * c_ / (h + c_)
+        return hgp, hg, hpg, hp, h, c_, v
+
+    cases = [
+        [(0, 0), (0, 0), (1, 1), (1, 1)],              # perfect
+        [(0, 0), (1, 0), (2, 1), (3, 1)],              # singletons: h=1
+        [(0, 0), (0, 0), (0, 1), (0, 1)],              # one blob: c=1
+        [(0, 0), (0, 0), (1, 0), (1, 1), (2, 2), (2, 2), (2, 1)],  # mixed
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "pred long, gold long")
+        r = vmeasure(df).collect()[0]
+        hgp, hg, hpg, hp, h, c_, v = replica(pairs)
+        assert r["h_gold_given_pred_micro"] == hgp, pairs
+        assert r["h_gold_micro"] == hg, pairs
+        assert r["h_pred_given_gold_micro"] == hpg, pairs
+        assert r["h_pred_micro"] == hp, pairs
+        assert abs(r["homogeneity"] - h) < 1e-12
+        assert abs(r["completeness"] - c_) < 1e-12
+        assert abs(r["v_measure"] - v) < 1e-12
+    # boundary identities
+    perfect = vmeasure(
+        spark.createDataFrame(cases[0], "pred long, gold long")
+    ).collect()[0]
+    assert perfect["homogeneity"] == perfect["completeness"] == 1.0
+    assert perfect["v_measure"] == 1.0
+    singles = vmeasure(
+        spark.createDataFrame(cases[1], "pred long, gold long")
+    ).collect()[0]
+    assert singles["homogeneity"] == 1.0 and singles["completeness"] < 1.0
+    blob = vmeasure(
+        spark.createDataFrame(cases[2], "pred long, gold long")
+    ).collect()[0]
+    assert blob["completeness"] == 1.0 and blob["homogeneity"] < 1.0

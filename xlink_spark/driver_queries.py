@@ -5460,6 +5460,91 @@ SQL_CONSTRAINED_LINKS = (
 )
 
 
+def q_clustering_vmeasure(spark, sf_dir):
+    """V-measure (eval/bcubed.vmeasure, Rosenberg & Hirschberg) of the ER
+    chain's transitive clusters vs the planted-twin gold partition — the
+    entropy gauge completing pairwise F1 / B³ / ARI. Entropies are sums
+    of per-cell bigint micro-floors with the ln() expression shared
+    operation-for-operation with the oracle (margins measured before
+    shipping); h/c/v are single correctly-rounded double divisions of the
+    exact sums."""
+    from xlink_spark.eval.bcubed import vmeasure
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).select("id")
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("id")).alias("pred"),
+        F.pmod(F.col("id"), F.lit(10000000)).alias("gold"),
+    )
+    return vmeasure(asg)
+
+
+_SQL_VM_TERM = (
+    "floor((1000000e0 * {cnt} * ln({marg}::double / {cnt}::double))"
+    " / n::double)::bigint"
+)
+
+SQL_CLUSTERING_VMEASURE = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "asg as (select coalesce(c.component, r.id) as pred,"
+    "  r.id % 10000000 as gold"
+    "  from recs r left join comp c on c.node = r.id), "
+    "cells as (select pred, gold, count(*)::bigint as n_ck"
+    "  from asg group by 1, 2), "
+    "pk as (select pred, count(*)::bigint as n_k from asg group by 1), "
+    "gk as (select gold, count(*)::bigint as m_c from asg group by 1), "
+    "nt as (select count(*)::bigint as n from asg), "
+    "conds as (select"
+    f"  coalesce(sum({_SQL_VM_TERM.format(cnt='n_ck', marg='n_k')}), 0)"
+    "    ::bigint as h_gold_given_pred_micro,"
+    f"  coalesce(sum({_SQL_VM_TERM.format(cnt='n_ck', marg='m_c')}), 0)"
+    "    ::bigint as h_pred_given_gold_micro"
+    "  from cells join pk using (pred) join gk using (gold), nt), "
+    "hg as (select"
+    f"  coalesce(sum({_SQL_VM_TERM.format(cnt='m_c', marg='n')}), 0)"
+    "    ::bigint as h_gold_micro from gk, nt), "
+    "hp as (select"
+    f"  coalesce(sum({_SQL_VM_TERM.format(cnt='n_k', marg='n')}), 0)"
+    "    ::bigint as h_pred_micro from pk, nt), "
+    "base as (select n, h_gold_given_pred_micro, h_gold_micro,"
+    "  h_pred_given_gold_micro, h_pred_micro,"
+    "  case when h_gold_micro = 0 then 1e0"
+    "    else 1e0 - h_gold_given_pred_micro::double / h_gold_micro::double"
+    "  end as homogeneity,"
+    "  case when h_pred_micro = 0 then 1e0"
+    "    else 1e0 - h_pred_given_gold_micro::double / h_pred_micro::double"
+    "  end as completeness"
+    "  from nt, conds, hg, hp) "
+    "select *, case when homogeneity + completeness = 0 then 0e0"
+    "  else 2e0 * homogeneity * completeness"
+    "       / (homogeneity + completeness) end as v_measure "
+    "from base"
+)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -5569,6 +5654,7 @@ QUERIES: dict[str, Query] = {
     "link_constraints": q_link_constraints,
     "suffix_blocks": q_suffix_blocks,
     "constrained_links": q_constrained_links,
+    "clustering_vmeasure": q_clustering_vmeasure,
 }
 
 ORACLES: dict[str, str] = {
@@ -5685,4 +5771,5 @@ ORACLES: dict[str, str] = {
     "link_constraints": SQL_LINK_CONSTRAINTS,
     "suffix_blocks": SQL_SUFFIX_BLOCKS,
     "constrained_links": SQL_CONSTRAINED_LINKS,
+    "clustering_vmeasure": SQL_CLUSTERING_VMEASURE,
 }

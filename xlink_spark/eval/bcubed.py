@@ -185,3 +185,109 @@ def adjusted_rand(
             F.col("ari_num").cast("double") / F.col("ari_den").cast("double"),
         ),
     )
+
+
+def vmeasure(
+    assignments: DataFrame,
+    *,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """V-measure (Rosenberg & Hirschberg): the entropy-based cluster gauge
+    completing the family — pairwise F1 (labeled pairs), B³ (item-
+    averaged), ARI (all pairs, chance-corrected), V (information-
+    theoretic: homogeneity × completeness).
+
+    Every entropy is a sum of per-cell bigint micro-floors (the PSI
+    precedent): term = floor(1e6 · n_cell · ln(marginal / n_cell) / N),
+    written with IDENTICAL operation order in Spark and the SQL oracle —
+    each term is one ln + correctly-rounded double arithmetic, so the only
+    cross-engine risk is ln's ulp under the floor, margin-measured before
+    the oracle ships; the bigint SUM of floors is order-independent, so
+    partial aggregation never changes the result. Then
+
+        homogeneity  h = 1 − H(gold|pred)/H(gold)   (1 when H(gold) = 0)
+        completeness c = 1 − H(pred|gold)/H(pred)   (1 when H(pred) = 0)
+        v            = 2hc / (h + c)                (0 when h + c = 0)
+
+    from the exact bigint micro sums — single correctly-rounded double
+    divisions, bit-identical cross-engine. ONE output row carries the four
+    exact entropy sums plus the three derived doubles.
+
+    Scale shape: three map-combinable group counts (cell, pred marginal,
+    gold marginal) + two narrow marginal joins back onto the cell table —
+    no pair materialized, linear in items, the ARI shape exactly."""
+    lab = assignments.select(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    )
+    cells = lab.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("n_ck"))
+    pk = lab.groupBy("_p").agg(F.count(F.lit(1)).alias("n_k"))
+    gk = lab.groupBy("_g").agg(F.count(F.lit(1)).alias("m_c"))
+    n_total = lab.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def _term(cnt: str, marg: str) -> F.Column:
+        # floor((1e6 * cnt * ln(marg / cnt)) / n) — keep this exact
+        # operation order in lockstep with the SQL oracle
+        return F.floor(
+            (
+                F.lit(1000000.0)
+                * F.col(cnt).cast("double")
+                * F.log(F.col(marg).cast("double") / F.col(cnt).cast("double"))
+            )
+            / F.col("n").cast("double")
+        ).cast("long")
+
+    joined = (
+        cells.join(pk, "_p").join(gk, "_g").crossJoin(F.broadcast(n_total))
+    )
+    conds = joined.agg(
+        F.coalesce(F.sum(_term("n_ck", "n_k")), F.lit(0))
+        .cast("long")
+        .alias("h_gold_given_pred_micro"),
+        F.coalesce(F.sum(_term("n_ck", "m_c")), F.lit(0))
+        .cast("long")
+        .alias("h_pred_given_gold_micro"),
+    )
+    h_gold = (
+        gk.crossJoin(F.broadcast(n_total))
+        .agg(F.coalesce(F.sum(_term("m_c", "n")), F.lit(0)).cast("long"))
+        .toDF("h_gold_micro")
+    )
+    h_pred = (
+        pk.crossJoin(F.broadcast(n_total))
+        .agg(F.coalesce(F.sum(_term("n_k", "n")), F.lit(0)).cast("long"))
+        .toDF("h_pred_micro")
+    )
+    one = (
+        n_total.crossJoin(F.broadcast(conds))
+        .crossJoin(F.broadcast(h_gold))
+        .crossJoin(F.broadcast(h_pred))
+    )
+    h = F.when(F.col("h_gold_micro") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.col("h_gold_given_pred_micro").cast("double")
+        / F.col("h_gold_micro").cast("double")
+    )
+    c = F.when(F.col("h_pred_micro") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.col("h_pred_given_gold_micro").cast("double")
+        / F.col("h_pred_micro").cast("double")
+    )
+    one = one.select(
+        "n",
+        "h_gold_given_pred_micro",
+        "h_gold_micro",
+        "h_pred_given_gold_micro",
+        "h_pred_micro",
+        h.alias("homogeneity"),
+        c.alias("completeness"),
+    )
+    v = F.when(
+        F.col("homogeneity") + F.col("completeness") == 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(2.0)
+        * F.col("homogeneity")
+        * F.col("completeness")
+        / (F.col("homogeneity") + F.col("completeness"))
+    )
+    return one.select("*", v.alias("v_measure"))
