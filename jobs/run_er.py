@@ -67,7 +67,11 @@ def run_er_job(spark, args) -> dict:
     unknown = set(jw_fields) - set(fields)
     if unknown:
         raise ValueError(f"--jw-fields columns not in --fields: {sorted(unknown)}")
-    order_cols = [c.strip() for c in args.order_cols.split(",") if c.strip()]
+    order_cols = [
+        c.strip()
+        for c in (getattr(args, "order_cols", None) or "").split(",")
+        if c.strip()
+    ]
     rules = {}
     for part in (args.rules or "").split(","):
         part = part.strip()
@@ -89,6 +93,8 @@ def run_er_job(spark, args) -> dict:
     blocking = getattr(args, "blocking", None) or "snm"
     max_block = getattr(args, "max_block_size", None)
     if blocking == "snm":
+        if not order_cols:
+            raise ValueError("--order-cols is required for --blocking snm")
         pairs = sorted_neighborhood_pairs(
             recs,
             "_key",
@@ -108,11 +114,14 @@ def run_er_job(spark, args) -> dict:
     elif blocking == "suffix":
         from xlink_spark.operators.linkage import suffix_blocking_pairs
 
+        # explicit None check: `or 4` would silently rewrite an (invalid)
+        # 0 instead of letting the operator's min_len guard reject it
+        sml = getattr(args, "suffix_min_len", None)
         pairs = suffix_blocking_pairs(
             recs,
             "_key",
             idc,
-            min_len=getattr(args, "suffix_min_len", None) or 4,
+            min_len=4 if sml is None else int(sml),
             max_block_size=max_block,
         )
     else:
@@ -220,7 +229,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--id-col", required=True, help="unique numeric record id")
     ap.add_argument("--key-expr", required=True, help="SQL expr: the SNM blocking/sort key")
-    ap.add_argument("--order-cols", required=True, help="csv: within-key sort columns")
+    ap.add_argument("--order-cols", default="", help="csv: within-key sort columns (required for --blocking snm; unused by phonetic/suffix)")
     ap.add_argument("--fields", required=True, help="csv: comparison columns (null-safe equality)")
     ap.add_argument("--jw-fields", help="csv col:threshold_micro — compare these fields by Jaro-Winkler >= threshold instead of equality")
     ap.add_argument("--label-expr", help="SQL boolean over id_a/id_b: true-match label; omit for unsupervised EM")

@@ -950,3 +950,36 @@ def test_constrained_components_semantics(spark):
     both = spark.createDataFrame([(20, 21)], "a long, b long")
     c = comps(must=both, cannot=both)
     assert 20 not in c and 21 not in c
+
+
+def test_constraint_audit_unassigned_must_is_false_not_null(spark):
+    """A must-link with an UNASSIGNED id on either side must be a False
+    (violated) row, never NULL — NULL would slip through filter(~satisfied)
+    and silently vanish a violated constraint (review finding)."""
+    from xlink_spark.operators.linkage import constraint_audit
+
+    asg = spark.createDataFrame([(1, 100)], "id long, cluster long")
+    cons = spark.createDataFrame(
+        [("must", 1, 99), ("must", 99, 1), ("must", 98, 99)],
+        "kind string, id_a long, id_b long",
+    )
+    rows = constraint_audit(asg, cons).collect()
+    assert all(r["satisfied"] is False for r in rows), rows
+
+
+def test_mutual_best_is_deterministic_under_duplicate_rows(spark):
+    """Byte-identical duplicate candidate rows (a union of blocking
+    schemes) must not nondeterministically drop a mutual-best pair: the
+    operator aggregates to pair grain (max score) first (review finding)."""
+    from xlink_spark.operators.linkage import mutual_best_matches
+
+    dup = spark.createDataFrame(
+        [(1, 10, 9)] * 4 + [(1, 11, 7), (2, 10, 8), (1, 10, 5)],
+        "id_a long, id_b long, s long",
+    )
+    for _ in range(3):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["s"])
+            for r in mutual_best_matches(dup, "id_a", "id_b", "s").collect()
+        )
+        assert got == [(1, 10, 9)], got

@@ -5312,7 +5312,8 @@ SQL_LINK_CONSTRAINTS = (
     "  left join asg b on b.id = k.id_b) "
     "select kind, id_a, id_b, cluster_a, cluster_b,"
     "  case when kind = 'must'"
-    "    then (cluster_a is not null and cluster_a = cluster_b)"
+    "    then coalesce("
+    "      cluster_a is not null and cluster_a = cluster_b, false)"
     "    else not coalesce("
     "      cluster_a is not null and cluster_a = cluster_b, false)"
     "  end as satisfied "
@@ -5452,7 +5453,8 @@ SQL_CONSTRAINED_LINKS = (
     "  left join asg b on b.id = k.id_b) "
     "select kind, id_a, id_b, cluster_a, cluster_b,"
     "  case when kind = 'must'"
-    "    then (cluster_a is not null and cluster_a = cluster_b)"
+    "    then coalesce("
+    "      cluster_a is not null and cluster_a = cluster_b, false)"
     "    else not coalesce("
     "      cluster_a is not null and cluster_a = cluster_b, false)"
     "  end as satisfied "

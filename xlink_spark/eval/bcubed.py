@@ -210,6 +210,12 @@ def vmeasure(
         completeness c = 1 − H(pred|gold)/H(pred)   (1 when H(pred) = 0)
         v            = 2hc / (h + c)                (0 when h + c = 0)
 
+    Caveat: the H = 0 branch fires on the MICRO-FLOORED sum, so a
+    near-degenerate marginal whose every term floors to zero (e.g. one
+    gold class of n−1 plus a singleton at n ≈ 10⁸ — true entropy ≈ 2e-7)
+    saturates h (or c) to exactly 1. Cross-engine consistent (the oracle
+    floors identically); if sub-µ entropies matter, raise the µ scale.
+
     from the exact bigint micro sums — single correctly-rounded double
     divisions, bit-identical cross-engine. ONE output row carries the four
     exact entropy sums plus the three derived doubles.

@@ -981,10 +981,13 @@ def phonetic_candidate_pairs(
         F.concat(*[soundex_key(c) for c in cols]).alias("pkey"),
     )
     if max_block_size is not None:
-        kept = keyed.groupBy("pkey").agg(
+        # broadcast the OVERSIZED keys (the purged head — few by
+        # definition) and anti-join, never the kept list (≈ all distinct
+        # keys, which no driver can hold at corpus scale)
+        oversized = keyed.groupBy("pkey").agg(
             F.count(F.lit(1)).alias("_n")
-        ).filter(F.col("_n") <= int(max_block_size)).select("pkey")
-        keyed = keyed.join(F.broadcast(kept), "pkey")
+        ).filter(F.col("_n") > int(max_block_size)).select("pkey")
+        keyed = keyed.join(F.broadcast(oversized), "pkey", "left_anti")
     a = keyed.select(F.col("_id").alias("id_a"), "pkey")
     b = keyed.select(F.col("_id").alias("id_b"), "pkey")
     return a.join(b, "pkey").filter(F.col("id_a") < F.col("id_b")).select(
@@ -1004,11 +1007,19 @@ def mutual_best_matches(
     standard greedy-optimal bipartite decision when each source is
     internally duplicate-free.
 
-    Ties break deterministically on the partner id ascending, so with
-    exact bigint scores the output is engine-reproducible. Two windows on
-    the two pair-id keys = two shuffles of narrow pair rows; nothing wider
-    ever moves. Output inherits the input columns.
+    The input is first aggregated to PAIR grain (max score per (left,
+    right)) — duplicate candidate rows for the same pair (e.g. a union of
+    blocking schemes) would otherwise take arbitrary, window-inconsistent
+    row_numbers and could nondeterministically drop a genuinely-mutual
+    pair. Ties then break deterministically on the partner id ascending,
+    so with exact bigint scores the output is engine-reproducible.
+    Two windows on the two pair-id keys = two shuffles of narrow pair
+    rows; nothing wider ever moves. Output: (left_col, right_col,
+    score_col).
     """
+    pairs = scores.groupBy(left_col, right_col).agg(
+        F.max(score_col).alias(score_col)
+    )
     wa = Window.partitionBy(left_col).orderBy(
         F.col(score_col).desc(), F.col(right_col).asc()
     )
@@ -1016,7 +1027,7 @@ def mutual_best_matches(
         F.col(score_col).desc(), F.col(left_col).asc()
     )
     return (
-        scores.withColumn("_rn_a", F.row_number().over(wa))
+        pairs.withColumn("_rn_a", F.row_number().over(wa))
         .withColumn("_rn_b", F.row_number().over(wb))
         .filter((F.col("_rn_a") == 1) & (F.col("_rn_b") == 1))
         .drop("_rn_a", "_rn_b")
@@ -1063,7 +1074,11 @@ def constraint_audit(
             "id_b",
             "cluster_a",
             "cluster_b",
-            F.when(F.col("kind") == "must", same)
+            # coalesce BOTH branches: an unassigned id makes `same` NULL,
+            # and a NULL satisfied would let a violated must-link slip
+            # through filter(~satisfied) — unassigned counts as separate,
+            # so must → False, cannot → True, never NULL
+            F.when(F.col("kind") == "must", F.coalesce(same, F.lit(False)))
             .otherwise(~F.coalesce(same, F.lit(False)))
             .alias("satisfied"),
         )
@@ -1108,13 +1123,16 @@ def suffix_blocking_pairs(
         F.col(id_col).alias("_id"), F.explode(sufs).alias("sfx")
     )
     if max_block_size is not None:
-        kept = (
+        # anti-join the OVERSIZED suffixes (the purged head — few by
+        # definition), never broadcast the kept list, which is ≈ every
+        # distinct suffix (linear in corpus characters)
+        oversized = (
             rows.groupBy("sfx")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= int(max_block_size))
+            .filter(F.col("_n") > int(max_block_size))
             .select("sfx")
         )
-        rows = rows.join(F.broadcast(kept), "sfx")
+        rows = rows.join(F.broadcast(oversized), "sfx", "left_anti")
     a = rows.select(F.col("_id").alias("id_a"), "sfx")
     b = rows.select(F.col("_id").alias("id_b"), "sfx")
     return (
