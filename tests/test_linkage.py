@@ -983,3 +983,27 @@ def test_mutual_best_is_deterministic_under_duplicate_rows(spark):
             for r in mutual_best_matches(dup, "id_a", "id_b", "s").collect()
         )
         assert got == [(1, 10, 9)], got
+
+
+def test_er_blocking_compare_frontier(spark):
+    """The blocking-frontier gauge on real testdata: every scheme catches
+    100% of planted twins here, and the reduction-ratio ordering exposes
+    the degenerate blocker — Soundex on ID-like names collapses to one
+    block (rr exactly 0) while SNM and suffix stay >0.99."""
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r["scheme"]: r
+        for r in entrymod.queries()["er_blocking_compare"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"snm_w4", "phonetic_soundex", "suffix_rev12_cap50"}
+    for r in rows.values():
+        assert r["recall_ppm"] == 1000000
+        assert r["twins_covered"] == r["twins_total"] == 150
+    n = 300
+    assert rows["phonetic_soundex"]["comps"] == n * (n - 1) // 2
+    assert rows["phonetic_soundex"]["rr_ppm"] == 0
+    assert rows["snm_w4"]["rr_ppm"] > 950000
+    assert rows["suffix_rev12_cap50"]["rr_ppm"] > 900000

@@ -5547,6 +5547,178 @@ SQL_CLUSTERING_VMEASURE = (
 )
 
 
+def q_er_blocking_compare(spark, sf_dir):
+    """The blocking-scheme frontier across the three candidate-generation
+    families on the SAME records — the gauge a deployment runs before
+    committing a blocker. Per scheme: comparisons (Σ C(n_b,2) over blocks
+    for key schemes — no pair ever materialized, the blocking_metrics
+    trick; the actual pair count for SNM, whose window bounds it
+    linearly), planted-twin recall, and reduction ratio vs C(n,2) — all
+    exact integer ppm. The fixture makes the trade vivid: phonetic
+    Soundex on ID-like names is recall-perfect but reduction-free (digit
+    bumps never touch the letters — one giant block), suffix/SNM sit on
+    the efficient frontier."""
+    from xlink_spark.operators.fuzzy import soundex_key
+    from xlink_spark.operators.linkage import sorted_neighborhood_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    tot = recs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("id") < 10000000, 1).otherwise(0))
+        .cast("long")
+        .alias("twins_total"),
+    )
+
+    def _finish(scheme, one):
+        return (
+            one.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(scheme).alias("scheme"),
+                "comps",
+                "twins_covered",
+                "twins_total",
+                F.expr("(1000000 * twins_covered) div twins_total").alias(
+                    "recall_ppm"
+                ),
+                F.expr(
+                    "1000000 - ((1000000 * comps) div ((n * (n - 1)) div 2))"
+                ).alias("rr_ppm"),
+            )
+        )
+
+    # SNM: window-bounded, count the real pairs
+    snm = sorted_neighborhood_pairs(recs, "key", ["name"], "id", window=4)
+    snm_one = snm.agg(
+        F.count(F.lit(1)).cast("long").alias("comps"),
+        F.sum(
+            F.when(
+                F.pmod(F.col("id_a"), F.lit(10000000))
+                == F.pmod(F.col("id_b"), F.lit(10000000)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("twins_covered"),
+    )
+
+    # phonetic: block-size arithmetic + a twin-grain key join (linear)
+    pb = recs.select("id", soundex_key("name").alias("k"))
+    p_comp = (
+        pb.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("comps")
+        )
+    )
+    pa = pb.filter(F.col("id") < 10000000)
+    pd_ = pb.select((F.col("id") - 10000000).alias("id"), F.col("k").alias("_dk"))
+    p_tw = (
+        pa.join(pd_, "id")
+        .agg(
+            F.sum(F.when(F.col("k") == F.col("_dk"), 1).otherwise(0))
+            .cast("long")
+            .alias("twins_covered")
+        )
+    )
+    phon_one = p_comp.crossJoin(F.broadcast(p_tw))
+
+    # suffix (reversed, min 12, cap 50): kept-block arithmetic + a
+    # (base, suffix)-grain join for twin coverage
+    sfx = recs.select(
+        "id",
+        F.explode(
+            F.when(
+                F.length("name") >= 12,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name") - F.lit(11)),
+                    lambda i: F.reverse(F.col("name")).substr(
+                        i, F.length("name")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s"),
+    )
+    oversized = (
+        sfx.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 50)
+        .select("s")
+    )
+    km = sfx.join(F.broadcast(oversized), "s", "left_anti")
+    s_comp = (
+        km.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("comps")
+        )
+    )
+    ka = km.filter(F.col("id") < 10000000)
+    kd = km.select((F.col("id") - 10000000).alias("id"), "s")
+    s_tw = (
+        ka.join(kd, ["id", "s"])
+        .agg(F.count_distinct("id").cast("long").alias("twins_covered"))
+    )
+    suf_one = s_comp.crossJoin(F.broadcast(s_tw))
+
+    return (
+        _finish("snm_w4", snm_one)
+        .unionByName(_finish("phonetic_soundex", phon_one))
+        .unionByName(_finish("suffix_rev12_cap50", suf_one))
+    )
+
+
+def _sql_er_blocking_compare() -> str:
+    from xlink_spark.operators.fuzzy import soundex_sql
+
+    return (
+        f"with {_SQL_LINKAGE_BASE}, "
+        "tot as (select count(*)::bigint as n,"
+        "  sum(case when id < 10000000 then 1 else 0 end)::bigint"
+        "    as twins_total from recs), "
+        "snm1 as (select count(*)::bigint as comps,"
+        "  sum(case when id_a % 10000000 = id_b % 10000000 then 1 else 0"
+        "    end)::bigint as twins_covered from pairs), "
+        f"pb as (select id, {soundex_sql('name')} as k from recs), "
+        "pc as (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint"
+        "  as comps from (select count(*)::bigint as n_ from pb group by k)), "
+        "pt as (select sum(case when a.k = d.k then 1 else 0 end)::bigint"
+        "  as twins_covered from pb a join pb d on d.id = a.id + 10000000"
+        "  where a.id < 10000000), "
+        "sfx as (select id, substr(reverse(name), g) as s"
+        "  from recs, unnest(generate_series(1, length(name) - 11)) as t(g)), "
+        "big as (select s from sfx group by s having count(*) > 50), "
+        "km as (select x.id, x.s from sfx x left join big using (s)"
+        "  where big.s is null), "
+        "sc2 as (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint"
+        "  as comps from (select count(*)::bigint as n_ from km group by s)), "
+        "st as (select count(distinct a.id)::bigint as twins_covered"
+        "  from km a join km d on d.s = a.s and d.id = a.id + 10000000"
+        "  where a.id < 10000000) "
+        "select 'snm_w4' as scheme, comps, twins_covered, twins_total,"
+        "  (1000000 * twins_covered) // twins_total as recall_ppm,"
+        "  1000000 - ((1000000 * comps) // ((n * (n - 1)) // 2)) as rr_ppm"
+        "  from snm1, tot "
+        "union all "
+        "select 'phonetic_soundex', pc.comps, pt.twins_covered, twins_total,"
+        "  (1000000 * pt.twins_covered) // twins_total,"
+        "  1000000 - ((1000000 * pc.comps) // ((n * (n - 1)) // 2))"
+        "  from pc, pt, tot "
+        "union all "
+        "select 'suffix_rev12_cap50', sc2.comps, st.twins_covered,"
+        "  twins_total,"
+        "  (1000000 * st.twins_covered) // twins_total,"
+        "  1000000 - ((1000000 * sc2.comps) // ((n * (n - 1)) // 2))"
+        "  from sc2, st, tot"
+    )
+
+
+SQL_ER_BLOCKING_COMPARE = _sql_er_blocking_compare()
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -5657,6 +5829,7 @@ QUERIES: dict[str, Query] = {
     "suffix_blocks": q_suffix_blocks,
     "constrained_links": q_constrained_links,
     "clustering_vmeasure": q_clustering_vmeasure,
+    "er_blocking_compare": q_er_blocking_compare,
 }
 
 ORACLES: dict[str, str] = {
@@ -5774,4 +5947,5 @@ ORACLES: dict[str, str] = {
     "suffix_blocks": SQL_SUFFIX_BLOCKS,
     "constrained_links": SQL_CONSTRAINED_LINKS,
     "clustering_vmeasure": SQL_CLUSTERING_VMEASURE,
+    "er_blocking_compare": SQL_ER_BLOCKING_COMPARE,
 }
