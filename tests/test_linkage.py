@@ -1007,3 +1007,60 @@ def test_er_blocking_compare_frontier(spark):
     assert rows["phonetic_soundex"]["rr_ppm"] == 0
     assert rows["snm_w4"]["rr_ppm"] > 950000
     assert rows["suffix_rev12_cap50"]["rr_ppm"] > 900000
+
+
+def test_constrained_components_union_find_parity(spark):
+    """Seeded random graphs + random constraints: the constrained CC must
+    equal a Python union-find over the same (edges ∪ must) − cannot edge
+    set — pins the canonicalization, the union, and the anti-join against
+    an independent formulation."""
+    import random
+
+    from xlink_spark.operators.linkage import constrained_components
+
+    rng = random.Random(42)
+    for _ in range(4):
+        nodes = list(range(1, 41))
+        edges = list({
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(50)
+        })
+        must = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(6)})
+        cannot = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(8)})
+
+        kept = {e for e in {*edges, *must}} - set(cannot)
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in kept:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {
+            n: find(n)
+            for n in nodes
+            if any(n in e for e in kept)  # CC emits only edge-touched nodes
+        }
+        # min-label convention: relabel each class by its minimum member
+        classes: dict = {}
+        for n, r in want.items():
+            classes.setdefault(r, []).append(n)
+        want = {
+            n: min(members)
+            for members in classes.values()
+            for n in members
+        }
+
+        got = {
+            r["node"]: r["component"]
+            for r in constrained_components(
+                spark.createDataFrame(edges, "a long, b long"),
+                must=spark.createDataFrame(must, "a long, b long"),
+                cannot=spark.createDataFrame(cannot, "a long, b long"),
+            ).collect()
+        }
+        assert got == want
