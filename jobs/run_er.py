@@ -12,8 +12,9 @@ Usage (cluster or local):
         [--window 5] [--threshold-micro 0] \\
         [--rules "name:longest,segment:mode,nation:min"] \\
         [--rank-strategy keys|range] [--snapshots /lake/snap] \\
-        [--blocking snm|phonetic|suffix] [--max-block-size N] \\
-        [--suffix-min-len 4]
+        [--blocking snm|multipass|phonetic|suffix] [--max-block-size N] \\
+        [--suffix-min-len 4] \\
+        [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"]
 
 The pipeline is the north-star shape on records: candidate blocking —
 sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex of
@@ -124,9 +125,41 @@ def run_er_job(spark, args) -> dict:
             min_len=4 if sml is None else int(sml),
             max_block_size=max_block,
         )
+    elif blocking == "multipass":
+        from xlink_spark.operators.linkage import multipass_pairs
+
+        spec = getattr(args, "pass_exprs", None)
+        if not spec:
+            raise ValueError(
+                "--pass-exprs is required for --blocking multipass"
+            )
+        passes = []
+        pass_cols = []
+        for i, part in enumerate(
+            p.strip() for p in spec.split(";") if p.strip()
+        ):
+            if "|" not in part:
+                raise ValueError(
+                    f"--pass-exprs entry {part!r} is not key_expr|order_csv"
+                )
+            # rsplit: the key_expr may itself contain '|' (string
+            # literals); the order csv — bare column names — never does
+            kexpr, ocsv = part.rsplit("|", 1)
+            col = f"_mpkey{i}"
+            recs = recs.withColumn(col, F.expr(kexpr.strip()))
+            pass_cols.append(col)
+            passes.append(
+                (col, [c.strip() for c in ocsv.split(",") if c.strip()])
+            )
+        pairs = multipass_pairs(
+            recs, passes, idc, window=args.window,
+            strategy=args.rank_strategy,
+        )
+        recs = recs.drop(*pass_cols)
     else:
         raise ValueError(
-            f"unknown --blocking {blocking!r} (use snm|phonetic|suffix)"
+            f"unknown --blocking {blocking!r}"
+            " (use snm|multipass|phonetic|suffix)"
         )
     ra = recs.select(
         F.col(idc).alias("id_a"), *[F.col(f).alias(f"_a_{f}") for f in fields]
@@ -236,10 +269,16 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument(
         "--blocking",
-        choices=["snm", "phonetic", "suffix"],
+        choices=["snm", "multipass", "phonetic", "suffix"],
         default="snm",
-        help="candidate generation: sorted-neighborhood (default), Soundex "
-        "of --key-expr, or suffix blocking of --key-expr",
+        help="candidate generation: sorted-neighborhood (default), "
+        "multi-pass SNM (--pass-exprs), Soundex of --key-expr, or suffix "
+        "blocking of --key-expr",
+    )
+    ap.add_argument(
+        "--pass-exprs",
+        help="multipass: ';'-separated passes, each 'key_expr|order_csv' "
+        "(e.g. \"substring(name, 1, 6)|name;seg|name,nation\")",
     )
     ap.add_argument(
         "--max-block-size",

@@ -464,3 +464,48 @@ def test_run_er_job_blocking_strategies(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         run("bogus", "name", "bad")
+
+
+def test_run_er_job_multipass_blocking(spark, tmp_path):
+    """--blocking multipass recovers twins whose PRIMARY sort key is the
+    corrupted field: pass 1 keys on the (corrupted) name, pass 2 on
+    (segment, nation) — only the union catches both corruption planes."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 25):
+        name = f"Rec#{i:04d}"
+        # twin corrupts the name HEAD (teleports across the name sort)
+        rows.append((i, name, f"seg{i % 4}", i % 5))
+        rows.append((i + 1000, "zz" + name[2:], f"seg{i % 4}", i % 5))
+    src = str(tmp_path / "records_mp")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    ).write.parquet(src)
+
+    args = argparse.Namespace(
+        records=src, output=str(tmp_path / "mp_out"), id_col="id",
+        key_expr="name", order_cols="", fields="name,segment,nation",
+        jw_fields=None, label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+        window=4, threshold_micro=0, em_iterations=3, rules="name:min",
+        rank_strategy="keys", snapshots=None, blocking="multipass",
+        pass_exprs="substring(name, 1, 6)|name;"
+        "concat(segment, '|', nation)|name",
+    )
+    m = run_er_job(spark, args)
+    assert m["blocking"] == "multipass"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{args.output}/clusters").collect()
+    }
+    paired = sum(1 for i in range(1, 25) if asg.get(i) == asg.get(i + 1000))
+    assert paired == 24  # head-corrupted twins only reachable via pass 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pass-exprs"):
+        bad = argparse.Namespace(**{**vars(args), "pass_exprs": None})
+        run_er_job(spark, bad)
