@@ -14,7 +14,8 @@ Usage (cluster or local):
         [--rank-strategy keys|range] [--snapshots /lake/snap] \\
         [--blocking snm|multipass|phonetic|suffix] [--max-block-size N] \\
         [--suffix-min-len 4] \\
-        [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"]
+        [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
+        [--review-lower-micro -2000000]
 
 The pipeline is the north-star shape on records: candidate blocking —
 sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex of
@@ -201,6 +202,23 @@ def run_er_job(spark, args) -> dict:
             weights = fs_em_weights(vec, agree_cols, iterations=args.em_iterations)
             mode = "em"
         scores = fs_score(vec, weights, agree_cols, ["id_a", "id_b"])
+        review_lower = getattr(args, "review_lower_micro", None)
+        n_review = None
+        if review_lower is not None:
+            # FS two-threshold mode: [lower, upper) is the clerical-review
+            # band, written under output/review; only >= upper auto-links
+            from xlink_spark.operators.linkage import fs_decide
+
+            decided = fs_decide(
+                scores,
+                upper_micro=int(args.threshold_micro),
+                lower_micro=int(review_lower),
+            )
+            review = decided.filter(F.col("decision") == "possible")
+            review.write.mode("overwrite").parquet(f"{args.output}/review")
+            n_review = (
+                spark.read.parquet(f"{args.output}/review").count()
+            )
         edges = scores.filter(
             F.col("score_micro") >= F.lit(int(args.threshold_micro))
         ).select(
@@ -245,7 +263,7 @@ def run_er_job(spark, args) -> dict:
         }
     finally:
         vec.unpersist()
-    return {
+    out = {
         "mode": mode,
         "blocking": blocking,
         "n_records": n_records,
@@ -254,6 +272,9 @@ def run_er_job(spark, args) -> dict:
         "n_clusters": n_golden,
         "weights_micro": w_rows,
     }
+    if n_review is not None:
+        out["n_review_pairs"] = n_review
+    return out
 
 
 def main() -> None:
@@ -292,6 +313,13 @@ def main() -> None:
         help="suffix blocking: minimum qualifying suffix length",
     )
     ap.add_argument("--threshold-micro", type=int, default=0)
+    ap.add_argument(
+        "--review-lower-micro",
+        type=int,
+        help="FS two-threshold mode: scores in [this, --threshold-micro) "
+        "become the clerical-review queue (output/review); only scores "
+        ">= --threshold-micro auto-link",
+    )
     ap.add_argument("--em-iterations", type=int, default=5)
     ap.add_argument("--rules", help="csv col:rule survivorship rules (mode|longest|min|max)")
     ap.add_argument("--rank-strategy", choices=["keys", "range"], default="keys")

@@ -509,3 +509,56 @@ def test_run_er_job_multipass_blocking(spark, tmp_path):
     with _pytest.raises(ValueError, match="pass-exprs"):
         bad = argparse.Namespace(**{**vars(args), "pass_exprs": None})
         run_er_job(spark, bad)
+
+
+def test_run_er_job_review_queue(spark, tmp_path):
+    """--review-lower-micro activates the FS two-threshold decision: the
+    [lower, upper) band lands in output/review, only >= upper auto-links,
+    and the metrics line reports the queue size."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 21):
+        name = f"Rec#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5))
+    src = str(tmp_path / "records_rq")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    ).write.parquet(src)
+
+    def run(outdir, **kw):
+        base = dict(
+            records=src, output=str(tmp_path / outdir), id_col="id",
+            key_expr="substring(name, 1, 6)", order_cols="name",
+            fields="name,segment,nation", jw_fields=None,
+            label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+            window=4, threshold_micro=0, em_iterations=3,
+            rules="name:min", rank_strategy="keys", snapshots=None,
+            blocking="snm",
+        )
+        base.update(kw)
+        args = argparse.Namespace(**base)
+        return run_er_job(spark, args), args
+
+    # choose an upper threshold above the twin score so twins fall in the
+    # review band: first run plain to find the twin score level
+    m0, _ = run("rq0")
+    m, a = run("rq1", threshold_micro=10_000_000,
+               review_lower_micro=-10_000_000)
+    assert m["n_review_pairs"] > 0
+    review = spark.read.parquet(f"{a.output}/review")
+    assert review.filter("decision != 'possible'").count() == 0
+    # scores in the band really are in [lower, upper)
+    bad = review.filter(
+        "score_micro >= 10000000 or score_micro < -10000000"
+    ).count()
+    assert bad == 0
+    # with the huge upper threshold nothing auto-links
+    assert m["n_match_edges"] == 0 and m["n_clusters"] == 40
+    # metrics key absent when the flag is off
+    assert "n_review_pairs" not in m0
