@@ -12,8 +12,8 @@ Usage (cluster or local):
         [--window 5] [--threshold-micro 0] \\
         [--rules "name:longest,segment:mode,nation:min"] \\
         [--rank-strategy keys|range] [--snapshots /lake/snap] \\
-        [--blocking snm|multipass|phonetic|suffix] [--max-block-size N] \\
-        [--suffix-min-len 4] \\
+        [--blocking snm|multipass|phonetic|suffix|qgram] [--max-block-size N] \\
+        [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
         [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
         [--review-lower-micro -2000000]
 
@@ -126,6 +126,17 @@ def run_er_job(spark, args) -> dict:
             min_len=4 if sml is None else int(sml),
             max_block_size=max_block,
         )
+    elif blocking == "qgram":
+        from xlink_spark.operators.linkage import qgram_blocking_pairs
+
+        pairs = qgram_blocking_pairs(
+            recs,
+            "_key",
+            idc,
+            q=int(getattr(args, "qgram_q", None) or 4),
+            max_block_size=max_block,
+            threshold_ppt=getattr(args, "qgram_threshold_ppt", None),
+        )
     elif blocking == "multipass":
         from xlink_spark.operators.linkage import multipass_pairs
 
@@ -160,7 +171,7 @@ def run_er_job(spark, args) -> dict:
     else:
         raise ValueError(
             f"unknown --blocking {blocking!r}"
-            " (use snm|multipass|phonetic|suffix)"
+            " (use snm|multipass|phonetic|suffix|qgram)"
         )
     ra = recs.select(
         F.col(idc).alias("id_a"), *[F.col(f).alias(f"_a_{f}") for f in fields]
@@ -290,11 +301,11 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument(
         "--blocking",
-        choices=["snm", "multipass", "phonetic", "suffix"],
+        choices=["snm", "multipass", "phonetic", "suffix", "qgram"],
         default="snm",
         help="candidate generation: sorted-neighborhood (default), "
-        "multi-pass SNM (--pass-exprs), Soundex of --key-expr, or suffix "
-        "blocking of --key-expr",
+        "multi-pass SNM (--pass-exprs), Soundex of --key-expr, suffix "
+        "blocking of --key-expr, or q-gram blocking of --key-expr",
     )
     ap.add_argument(
         "--pass-exprs",
@@ -304,13 +315,25 @@ def main() -> None:
     ap.add_argument(
         "--max-block-size",
         type=int,
-        help="phonetic/suffix: purge blocks above this size before pairing",
+        help="phonetic/suffix/qgram: purge blocks above this size before pairing",
     )
     ap.add_argument(
         "--suffix-min-len",
         type=int,
         default=4,
         help="suffix blocking: minimum qualifying suffix length",
+    )
+    ap.add_argument(
+        "--qgram-q",
+        type=int,
+        default=4,
+        help="qgram blocking: gram width",
+    )
+    ap.add_argument(
+        "--qgram-threshold-ppt",
+        type=int,
+        help="qgram blocking: keep pairs with shared*1000 >= "
+        "this * greatest(n_a, n_b) over KEPT grams",
     )
     ap.add_argument("--threshold-micro", type=int, default=0)
     ap.add_argument(

@@ -460,6 +460,19 @@ def test_run_er_job_blocking_strategies(spark, tmp_path):
     }
     assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
 
+    # qgram: a last-char bump corrupts only the grams touching that char,
+    # so every twin shares >= 3 of its 5 four-grams and blocks together
+    m_qg, a_qg = run(
+        "qgram", "name", "qg",
+        qgram_q=4, qgram_threshold_ppt=600, max_block_size=None,
+    )
+    assert m_qg["blocking"] == "qgram"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{a_qg.output}/clusters").collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

@@ -5719,6 +5719,254 @@ def _sql_er_blocking_compare() -> str:
 SQL_ER_BLOCKING_COMPARE = _sql_er_blocking_compare()
 
 
+_LEVEL_FIELDS = {"lvl_name": 3, "lvl_seg": 2, "lvl_nation": 2}
+
+
+def _linkage_level_vectors(spark, sf_dir):
+    """Multi-level comparison vectors over the SNM candidate pairs:
+    lvl_name ∈ {2: exact, 1: levenshtein ≤ 2 (the typo band — classic
+    edit distance, exact integers on both engines), 0: different};
+    seg/nation stay binary {1, 0}."""
+    from xlink_spark.operators.linkage import sorted_neighborhood_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(recs, "key", ["name"], "id", window=4)
+    ra = recs.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("seg").alias("seg_a"),
+        F.col("nation").alias("nation_a"),
+    )
+    rb = recs.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("seg").alias("seg_b"),
+        F.col("nation").alias("nation_b"),
+    )
+    return pairs.join(ra, "id_a").join(rb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.when(F.col("name_a") == F.col("name_b"), 2)
+        .when(F.levenshtein("name_a", "name_b") <= 2, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("lvl_name"),
+        (F.col("seg_a") == F.col("seg_b")).cast("long").alias("lvl_seg"),
+        (F.col("nation_a") == F.col("nation_b")).cast("long").alias("lvl_nation"),
+        F.expr("pmod(id_a, 10000000) = pmod(id_b, 10000000)").alias("is_match"),
+    )
+
+
+def q_fs_level_weights(spark, sf_dir):
+    """Multi-level gamma FS weights (linkage.match_weights_levels —
+    Winkler's comparison-level generalization, the design production
+    linkers like Splink expose): per-(field, level) m/u as exact bigint
+    count ratios with per-cell Laplace smoothing; w_micro is the one
+    float step (floor(1e6·ln) of a ratio of bigint products — margins
+    measured ≥0.11 µ at both oracle sf). The fixture makes the payoff
+    vivid: the
+    name field's LEVEL 1 ("levenshtein ≤ 2 but not equal" — exactly the
+    planted adjacent-typo band) carries a POSITIVE weight while exact
+    equality (level 2 — the bump-collision artifact) is strongly
+    negative: the three-level gamma learns the structure that binary
+    agree/disagree inverts."""
+    from xlink_spark.operators.linkage import match_weights_levels
+
+    vec = _linkage_level_vectors(spark, sf_dir)
+    return match_weights_levels(vec, _LEVEL_FIELDS, "is_match")
+
+
+_SQL_LEVEL_VEC = (
+    _SQL_LINKAGE_BASE
+    + """,
+lvl as (select p.id_a, p.id_b,
+   (case when ra.name = rb.name then 2
+         when levenshtein(ra.name, rb.name) <= 2 then 1
+         else 0 end)::bigint as lvl_name,
+   (case when ra.seg = rb.seg then 1 else 0 end)::bigint as lvl_seg,
+   (case when ra.nation = rb.nation then 1 else 0 end)::bigint as lvl_nation,
+   ((p.id_a % 10000000) = (p.id_b % 10000000)) as is_match
+  from pairs p join ranked ra on ra.id = p.id_a
+               join ranked rb on rb.id = p.id_b),
+lone as (select
+  sum(case when is_match then 1 else 0 end)::bigint as nm,
+  sum(case when not is_match then 1 else 0 end)::bigint as nn,
+  sum(case when is_match and lvl_name = 0 then 1 else 0 end)::bigint as man0,
+  sum(case when is_match and lvl_name = 1 then 1 else 0 end)::bigint as man1,
+  sum(case when is_match and lvl_name = 2 then 1 else 0 end)::bigint as man2,
+  sum(case when is_match and lvl_seg = 0 then 1 else 0 end)::bigint as mas0,
+  sum(case when is_match and lvl_seg = 1 then 1 else 0 end)::bigint as mas1,
+  sum(case when is_match and lvl_nation = 0 then 1 else 0 end)::bigint as mat0,
+  sum(case when is_match and lvl_nation = 1 then 1 else 0 end)::bigint as mat1,
+  sum(case when not is_match and lvl_name = 0 then 1 else 0 end)::bigint as uan0,
+  sum(case when not is_match and lvl_name = 1 then 1 else 0 end)::bigint as uan1,
+  sum(case when not is_match and lvl_name = 2 then 1 else 0 end)::bigint as uan2,
+  sum(case when not is_match and lvl_seg = 0 then 1 else 0 end)::bigint as uas0,
+  sum(case when not is_match and lvl_seg = 1 then 1 else 0 end)::bigint as uas1,
+  sum(case when not is_match and lvl_nation = 0 then 1 else 0 end)::bigint as uat0,
+  sum(case when not is_match and lvl_nation = 1 then 1 else 0 end)::bigint as uat1
+ from lvl),
+lw as (select f.field, f.level,
+  (f.ma + 1)::bigint as m_num, (o.nm + f.nl)::bigint as m_den,
+  (f.ua + 1)::bigint as u_num, (o.nn + f.nl)::bigint as u_den,
+  floor(1e6 * ln(((f.ma + 1) * (o.nn + f.nl))::double
+                 / ((f.ua + 1) * (o.nm + f.nl))::double))::bigint as w_micro
+ from lone o, (select
+    unnest(['lvl_name', 'lvl_name', 'lvl_name', 'lvl_seg', 'lvl_seg',
+            'lvl_nation', 'lvl_nation']) as field,
+    unnest([0, 1, 2, 0, 1, 0, 1]::bigint[]) as level,
+    unnest([3, 3, 3, 2, 2, 2, 2]::bigint[]) as nl,
+    unnest([man0, man1, man2, mas0, mas1, mat0, mat1]) as ma,
+    unnest([uan0, uan1, uan2, uas0, uas1, uat0, uat1]) as ua from lone) f)
+"""
+)
+
+SQL_FS_LEVEL_WEIGHTS = (
+    f"with {_SQL_LEVEL_VEC} "
+    "select field, level, m_num, m_den, u_num, u_den, w_micro from lw"
+)
+
+
+def q_fs_level_scores(spark, sf_dir):
+    """Per-pair FS scores under the multi-level gammas
+    (linkage.fs_score_levels): Σ over fields of the weight at the
+    OBSERVED level, exact bigint micro-units via the melt + broadcast
+    weight-table join. On this fixture the level-1 typo band scores the
+    planted twins ABOVE the bump-collision exact-name pairs — the
+    separation binary FS cannot express."""
+    from xlink_spark.operators.linkage import (
+        fs_score_levels,
+        match_weights_levels,
+    )
+
+    vec = _linkage_level_vectors(spark, sf_dir)
+    w = match_weights_levels(vec, _LEVEL_FIELDS, "is_match")
+    sc = fs_score_levels(vec, w, list(_LEVEL_FIELDS), ["id_a", "id_b"])
+    return sc.join(
+        vec.select("id_a", "id_b", "is_match"), ["id_a", "id_b"]
+    ).select("id_a", "id_b", "score_micro", "is_match")
+
+
+SQL_FS_LEVEL_SCORES = (
+    f"with {_SQL_LEVEL_VEC}, "
+    "melted as (select id_a, id_b,"
+    "  unnest(['lvl_name', 'lvl_seg', 'lvl_nation']) as field,"
+    "  unnest([lvl_name, lvl_seg, lvl_nation]) as level from lvl), "
+    "lsc as (select m.id_a, m.id_b, sum(w.w_micro)::bigint as score_micro"
+    "  from melted m join lw w using (field, level) group by 1, 2) "
+    "select s.id_a, s.id_b, s.score_micro, l.is_match "
+    "from lsc s join lvl l using (id_a, id_b)"
+)
+
+
+def q_fs_tf_scores(spark, sf_dir):
+    """Term-frequency-adjusted FS scores (linkage.tf_value_weights +
+    tf_adjust_scores — Winkler's TF adjustment, Splink's
+    `tf_adjustment`): pairs agreeing on name swap the GLOBAL agreement
+    weight for the value-specific one, w_tf(v) = ln(m·n / (m_den·tf_v))
+    micro-floored — agreement on a doubleton bump-collision value is
+    worth far less than agreement on a unique name, which the global u
+    cannot see. All-bigint once the two floors exist (margins measured
+    ≥0.55 µ at both oracle sf); the value join is a narrow equi-join
+    (head-value skew = AQE's skew-split case)."""
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_weights,
+        tf_adjust_scores,
+        tf_value_weights,
+    )
+
+    recs = _linkage_records(spark, sf_dir)
+    vec = _linkage_vectors(spark, sf_dir)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    tfw = tf_value_weights(recs, "name", w, "agree_name")
+    agreeing = (
+        vec.filter("agree_name")
+        .join(
+            recs.select(
+                F.col("id").alias("id_a"), F.col("name").alias("value")
+            ),
+            "id_a",
+        )
+        .select("id_a", "id_b", "value")
+    )
+    return tf_adjust_scores(
+        scores, agreeing, tfw, w, "agree_name", ["id_a", "id_b"]
+    )
+
+
+SQL_FS_TF_SCORES = (
+    f"with {_SQL_LINKAGE_VEC}, {_SQL_FS_SCORE_CORE}, "
+    "tf as (select name as value, count(*)::bigint as tf_cnt"
+    "  from recs group by 1), "
+    "ntot as (select count(*)::bigint as n_total from recs), "
+    "wn as (select m_num, m_den, w_agree_micro from w"
+    "  where field = 'agree_name'), "
+    "tfw as (select value, tf_cnt,"
+    "  floor(1e6 * ln((m_num * n_total)::double"
+    "                 / (m_den * tf_cnt)::double))::bigint as w_tf_micro"
+    "  from tf, ntot, wn), "
+    "agr as (select v.id_a, v.id_b, ra.name as value from vec v"
+    "  join ranked ra on ra.id = v.id_a where v.agree_name), "
+    "delta as (select a.id_a, a.id_b, t.w_tf_micro,"
+    "  (t.w_tf_micro - wn.w_agree_micro)::bigint as d"
+    "  from agr a join tfw t using (value), wn) "
+    "select s.id_a, s.id_b, s.score_micro,"
+    "  (s.score_micro + coalesce(d.d, 0))::bigint as score_tf_micro,"
+    "  d.w_tf_micro "
+    "from sc s left join delta d using (id_a, id_b)"
+)
+
+
+def q_qgram_blocks(spark, sf_dir):
+    """Q-gram blocking (linkage.qgram_blocking_pairs — Baxter/Christen's
+    bigram-indexing family) over the linkage names with q=4 and a
+    stop-gram purge at 50: candidate pairs sharing any kept 4-gram, with
+    the exact shared/total gram counts as the pair weight. Pure
+    string/integer ops — no margins. The gauge is honest about the
+    method's frontier position on ID-like tail-corrupted names: the
+    informative grams cluster around the corrupted last character, so
+    twin recall is ~87% at sf0.001 rising with key width at larger sf
+    (measured) — between Soundex's recall-perfect/reduction-free corner
+    and suffix blocking's 100% on this fixture, which is exactly why a
+    deployment runs `er_blocking_compare` first."""
+    from xlink_spark.operators.linkage import qgram_blocking_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = qgram_blocking_pairs(
+        recs, "name", "id", q=4, max_block_size=50
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
+SQL_QGRAM_BLOCKS = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "grams as (select distinct id, substr(name, g, 4) as gram"
+    "  from recs, unnest(generate_series(1, length(name) - 3)) as t(g)), "
+    "gkept as (select gram from grams group by 1 having count(*) <= 50), "
+    "gkm as (select g.id, g.gram from grams g join gkept using (gram)), "
+    "gcnt as (select id, count(*)::bigint as n from gkm group by 1), "
+    "gp as (select a.id as id_a, b.id as id_b, count(*)::bigint as n_shared"
+    "  from gkm a join gkm b on a.gram = b.gram and a.id < b.id"
+    "  group by 1, 2) "
+    "select p.id_a, p.id_b, p.n_shared, ca.n as n_a, cb.n as n_b,"
+    "  (p.id_a % 10000000) = (p.id_b % 10000000) as is_twin "
+    "from gp p join gcnt ca on ca.id = p.id_a"
+    "  join gcnt cb on cb.id = p.id_b"
+)
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
@@ -5830,6 +6078,10 @@ QUERIES: dict[str, Query] = {
     "constrained_links": q_constrained_links,
     "clustering_vmeasure": q_clustering_vmeasure,
     "er_blocking_compare": q_er_blocking_compare,
+    "fs_level_weights": q_fs_level_weights,
+    "fs_level_scores": q_fs_level_scores,
+    "fs_tf_scores": q_fs_tf_scores,
+    "qgram_blocks": q_qgram_blocks,
 }
 
 ORACLES: dict[str, str] = {
@@ -5948,4 +6200,8 @@ ORACLES: dict[str, str] = {
     "constrained_links": SQL_CONSTRAINED_LINKS,
     "clustering_vmeasure": SQL_CLUSTERING_VMEASURE,
     "er_blocking_compare": SQL_ER_BLOCKING_COMPARE,
+    "fs_level_weights": SQL_FS_LEVEL_WEIGHTS,
+    "fs_level_scores": SQL_FS_LEVEL_SCORES,
+    "fs_tf_scores": SQL_FS_TF_SCORES,
+    "qgram_blocks": SQL_QGRAM_BLOCKS,
 }

@@ -1180,3 +1180,298 @@ def constrained_components(
     return connected_components(
         eg.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
     )
+
+
+# ------------------------------------------------- multi-level gammas (Winkler)
+def match_weights_levels(
+    vectors: DataFrame,
+    field_levels: dict[str, int],
+    label_col: str,
+    *,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Fellegi-Sunter weights for MULTI-LEVEL agreement patterns (Winkler's
+    gamma generalization; the comparison-level design production linkers
+    like Splink expose). Binary agree/disagree loses information on string
+    fields — "exact equal", "close but not equal" (edit distance / JW
+    band), and "different" have very different m/u likelihood ratios.
+
+    ``vectors``: one row per labeled pair with integer level columns (one
+    per key of ``field_levels``; values MUST lie in ``[0, L_f)`` — an
+    out-of-range level inflates the denominators but never a numerator,
+    so validate upstream) and boolean ``label_col``. For each (field,
+    level):
+
+        m_num = Σ(level = l ∧ match) + s,      m_den = Σ(match) + L_f·s
+        u_num = Σ(level = l ∧ ¬match) + s,     u_den = Σ(¬match) + L_f·s
+        w_micro = floor(1e6 · ln((m_num·u_den) / (u_num·m_den)))
+
+    — per-level Laplace smoothing (s ≥ 1 per CELL, so every level keeps
+    finite mass and both logs stay finite), exact bigint counts, and the
+    single float step is one double division of two exact bigint products
+    (the `match_weights` protocol; margins measurable per dataset).
+
+    Returns one row per (field, level). With ``L_f = 2`` for every field
+    this degrades EXACTLY to ``match_weights`` (level 1 ≡ agree, level 0
+    ≡ disagree; same denominators since L·s = 2s) — pinned by test.
+
+    Scale shape: one map-combinable aggregation over the labeled pairs
+    producing a constant-size (Σ L_f)-row table; nothing wide shuffles.
+    """
+    if smoothing < 1:
+        raise ValueError("smoothing must be >= 1 (keeps m/u strictly inside (0,1))")
+    if not field_levels:
+        raise ValueError("field_levels must be non-empty")
+    for f, nl in field_levels.items():
+        if nl < 2:
+            raise ValueError(f"field {f!r} needs >= 2 levels, got {nl}")
+    s = int(smoothing)
+    lbl = F.col(label_col).cast("boolean")
+
+    def _cnt(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    aggs = [_cnt(lbl).alias("_n_match"), _cnt(~lbl).alias("_n_non")]
+    for f, nl in field_levels.items():
+        lv = F.col(f).cast("long")
+        for l in range(nl):
+            aggs.append(_cnt(lbl & (lv == l)).alias(f"_ma_{f}_{l}"))
+            aggs.append(_cnt((~lbl) & (lv == l)).alias(f"_ua_{f}_{l}"))
+    one = vectors.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{f}', {l}L, {nl}L, _ma_{f}_{l}, _ua_{f}_{l}"
+        for f, nl in field_levels.items()
+        for l in range(nl)
+    )
+    n_rows = sum(field_levels.values())
+    long = one.selectExpr(
+        "_n_match",
+        "_n_non",
+        f"stack({n_rows}, {stack_args}) as (field, level, _nl, _ma, _ua)",
+    )
+    m_num = F.col("_ma") + F.lit(s)
+    m_den = F.col("_n_match") + F.col("_nl") * F.lit(s)
+    u_num = F.col("_ua") + F.lit(s)
+    u_den = F.col("_n_non") + F.col("_nl") * F.lit(s)
+    ratio = (m_num.cast("double") * u_den.cast("double")) / (
+        u_num.cast("double") * m_den.cast("double")
+    )
+    return long.select(
+        "field",
+        F.col("level").cast("long").alias("level"),
+        m_num.cast("long").alias("m_num"),
+        m_den.cast("long").alias("m_den"),
+        u_num.cast("long").alias("u_num"),
+        u_den.cast("long").alias("u_den"),
+        F.floor(F.lit(float(MICRO)) * F.log(ratio)).cast("long").alias("w_micro"),
+    )
+
+
+def fs_score_levels(
+    vectors: DataFrame,
+    weights: DataFrame,
+    field_cols: list[str],
+    id_cols: list[str],
+) -> DataFrame:
+    """Per-pair Fellegi-Sunter score under multi-level gammas: Σ over
+    fields of the weight AT THE OBSERVED LEVEL — exact bigint micro-units.
+    ``vectors`` carries the pair ids and integer level ``field_cols``;
+    ``weights`` is ``match_weights_levels`` output (broadcast — its size
+    is Σ L_f, a constant). A level absent from the weight table drops the
+    pair's term via the inner join — levels must be in-range upstream
+    (same contract as ``match_weights_levels``)."""
+    melt_args = ", ".join(f"'{f}', cast({f} as long)" for f in field_cols)
+    long = vectors.selectExpr(
+        *id_cols,
+        f"stack({len(field_cols)}, {melt_args}) as (field, level)",
+    )
+    w = weights.select("field", "level", "w_micro")
+    return (
+        long.join(F.broadcast(w), ["field", "level"])
+        .groupBy(*id_cols)
+        .agg(F.sum("w_micro").cast("long").alias("score_micro"))
+    )
+
+
+# ------------------------------------------- term-frequency adjustment (Winkler)
+def tf_value_weights(
+    records: DataFrame,
+    value_col: str,
+    weights: DataFrame,
+    field: str,
+) -> DataFrame:
+    """Per-VALUE agreement weight for ``field`` — Winkler's term-frequency
+    adjustment (the ``tf_adjustment`` production linkers expose). The
+    global u_k treats agreement on 'John Smith' and on a unique name as
+    equally predictive; the value-specific collision probability is the
+    value's term-frequency share, so the adjusted agreement weight is
+
+        w_tf(v) = ln(m_k / (tf_v / n)) → micro-floored as
+        floor(1e6 · ln((m_num · n) / (m_den · tf_v)))
+
+    — m from the fitted ``weights`` row for ``field`` (exact bigint
+    m_num/m_den), tf_v / n exact bigint counts over ``records``. Rare
+    values gain weight, head values (the 'John Smith' problem) lose it;
+    no clamp is applied — callers wanting Splink-style caps filter on
+    the returned exact components.
+
+    Returns (value, tf_cnt, n_total, w_tf_micro). Scale shape: one
+    map-combinable value count + a 1-row cross join; the output is as
+    wide as the distinct-value set and is meant for an equi-join on
+    value, NOT a broadcast."""
+    wrow = weights.filter(F.col("field") == field).select("m_num", "m_den")
+    counts = records.groupBy(F.col(value_col).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("tf_cnt")
+    )
+    total = records.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ratio = (F.col("m_num").cast("double") * F.col("n_total").cast("double")) / (
+        F.col("m_den").cast("double") * F.col("tf_cnt").cast("double")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(wrow))
+        .select(
+            "value",
+            "tf_cnt",
+            "n_total",
+            F.floor(F.lit(float(MICRO)) * F.log(ratio))
+            .cast("long")
+            .alias("w_tf_micro"),
+        )
+    )
+
+
+def tf_adjust_scores(
+    scores: DataFrame,
+    agreeing_values: DataFrame,
+    tf_weights: DataFrame,
+    weights: DataFrame,
+    field: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Swap the GLOBAL agreement weight for the VALUE-specific one on pairs
+    that agree on ``field``: score_tf = score − w_agree_k + w_tf(v).
+    ``scores`` is ``fs_score`` output; ``agreeing_values`` carries
+    (id_cols..., value) ONLY for pairs whose ``field`` agrees (the shared
+    value); ``tf_weights`` is ``tf_value_weights`` output. Non-agreeing
+    pairs keep their base score (the adjustment is defined on agreement
+    only — disagreement already used the field's disagreement weight).
+
+    All-bigint arithmetic once the two micro-floors exist, so the result
+    is engine-exact. Scale: the delta join is id-keyed, the value join is
+    an equi-join on value (skew = head values — exactly what AQE's skew
+    split handles), and the global-weight row is a broadcast constant."""
+    gw = weights.filter(F.col("field") == field).select(
+        F.col("w_agree_micro").alias("_w_agree")
+    )
+    delta = (
+        agreeing_values.join(tf_weights.select("value", "w_tf_micro"), "value")
+        .crossJoin(F.broadcast(gw))
+        .select(
+            *id_cols,
+            (F.col("w_tf_micro") - F.col("_w_agree")).alias("_delta"),
+            F.col("w_tf_micro"),
+        )
+    )
+    out = scores.join(delta, id_cols, "left")
+    return out.select(
+        *id_cols,
+        F.col("score_micro"),
+        (
+            F.col("score_micro") + F.coalesce(F.col("_delta"), F.lit(0))
+        ).cast("long").alias("score_tf_micro"),
+        F.col("w_tf_micro"),
+    )
+
+
+# ------------------------------------------------------------- q-gram blocking
+def qgram_blocking_pairs(
+    records: DataFrame,
+    key_col: str,
+    id_col: str,
+    *,
+    q: int = 2,
+    min_shared: int = 1,
+    threshold_ppt: int | None = None,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Q-gram blocking (Baxter, Christen & Churches): candidate pairs
+    sharing character q-grams of the blocking key — robust to a typo
+    ANYWHERE in the key (a single substitution corrupts at most q grams),
+    where exact/phonetic/suffix blocking each have a blind position.
+
+    Per record: the DISTINCT q-grams of ``key_col`` via ``transform`` over
+    ``sequence`` (whole-stage codegen, linear in key characters; keys
+    shorter than ``q`` contribute nothing and silently don't block).
+    ``max_block_size`` purges stop-grams — the handful of grams shared by
+    more than that many records — via an anti-join on the SMALL oversized
+    list (never broadcasting the kept set). Per-record gram counts are
+    taken over the KEPT grams, so the threshold measures overlap among
+    discriminative grams only. Pairs then come from the gram equi-join
+    with a map-combinable shared count, kept when
+
+        n_shared ≥ min_shared  and  (if threshold_ppt)
+        n_shared · 1000 ≥ threshold_ppt · greatest(n_a, n_b)
+
+    — all-integer arithmetic (ppt = parts per thousand), engine-exact.
+
+    Returns (id_a, id_b, n_shared, n_a, n_b) with id_a < id_b. Scale
+    shape: only narrow (id, gram) rows ride the self-join shuffle, the
+    purge bounds every block, and the containment filter runs after a
+    map-side-combinable count — the same candidate-generation discipline
+    as suffix blocking."""
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if threshold_ppt is not None and not (0 < threshold_ppt <= 1000):
+        raise ValueError("threshold_ppt must be in (0, 1000]")
+    s = F.col(key_col)
+    grams = F.when(
+        F.length(s) >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(q) + 1),
+                lambda i: s.substr(i, F.lit(q)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = records.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("gram")
+    )
+    if max_block_size is not None:
+        oversized = (
+            rows.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(max_block_size))
+            .select("gram")
+        )
+        rows = rows.join(F.broadcast(oversized), "gram", "left_anti")
+    per_id = rows.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_grams")
+    )
+    a = rows.select(F.col("_id").alias("id_a"), "gram")
+    b = rows.select(F.col("_id").alias("id_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+        .join(
+            per_id.select(F.col("_id").alias("id_a"), F.col("_n_grams").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            per_id.select(F.col("_id").alias("id_b"), F.col("_n_grams").alias("n_b")),
+            "id_b",
+        )
+    )
+    if threshold_ppt is not None:
+        pairs = pairs.filter(
+            F.col("n_shared") * F.lit(1000)
+            >= F.lit(int(threshold_ppt)) * F.greatest(F.col("n_a"), F.col("n_b"))
+        )
+    return pairs.select("id_a", "id_b", "n_shared", "n_a", "n_b")
