@@ -998,8 +998,11 @@ def test_er_blocking_compare_frontier(spark):
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    assert set(rows) == {"snm_w4", "phonetic_soundex", "suffix_rev12_cap50"}
-    for r in rows.values():
+    assert set(rows) == {
+        "snm_w4", "phonetic_soundex", "suffix_rev12_cap50", "qgram4_cap50",
+    }
+    for name in ("snm_w4", "phonetic_soundex", "suffix_rev12_cap50"):
+        r = rows[name]
         assert r["recall_ppm"] == 1000000
         assert r["twins_covered"] == r["twins_total"] == 150
     n = 300
@@ -1007,6 +1010,13 @@ def test_er_blocking_compare_frontier(spark):
     assert rows["phonetic_soundex"]["rr_ppm"] == 0
     assert rows["snm_w4"]["rr_ppm"] > 950000
     assert rows["suffix_rev12_cap50"]["rr_ppm"] > 900000
+    # qgram on tail-corrupted ID-names: partial recall (the informative
+    # grams cluster around the corrupted character — 130/150 measured),
+    # good reduction: strictly between Soundex's corner and suffix's 100%
+    qg = rows["qgram4_cap50"]
+    assert qg["twins_covered"] == 130 and qg["twins_total"] == 150
+    assert 0 < qg["recall_ppm"] < 1000000
+    assert qg["rr_ppm"] > 900000
 
 
 def test_constrained_components_union_find_parity(spark):

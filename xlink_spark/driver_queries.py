@@ -5548,7 +5548,7 @@ SQL_CLUSTERING_VMEASURE = (
 
 
 def q_er_blocking_compare(spark, sf_dir):
-    """The blocking-scheme frontier across the three candidate-generation
+    """The blocking-scheme frontier across the four candidate-generation
     families on the SAME records — the gauge a deployment runs before
     committing a blocker. Per scheme: comparisons (Σ C(n_b,2) over blocks
     for key schemes — no pair ever materialized, the blocking_metrics
@@ -5557,7 +5557,8 @@ def q_er_blocking_compare(spark, sf_dir):
     exact integer ppm. The fixture makes the trade vivid: phonetic
     Soundex on ID-like names is recall-perfect but reduction-free (digit
     bumps never touch the letters — one giant block), suffix/SNM sit on
-    the efficient frontier."""
+    the efficient frontier, and qgram lands between them (its
+    informative grams cluster around the corrupted tail character)."""
     from xlink_spark.operators.fuzzy import soundex_key
     from xlink_spark.operators.linkage import sorted_neighborhood_pairs
 
@@ -5664,10 +5665,51 @@ def q_er_blocking_compare(spark, sf_dir):
     )
     suf_one = s_comp.crossJoin(F.broadcast(s_tw))
 
+    # qgram (q=4, cap 50): kept-block arithmetic + (base, gram)-grain
+    # twin coverage — same block-comparisons definition as suffix
+    qg = recs.select(
+        "id",
+        F.explode(
+            F.when(
+                F.length("name") >= 4,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("name") - F.lit(3)),
+                        lambda i: F.col("name").substr(i, F.lit(4)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    q_over = (
+        qg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 50)
+        .select("g")
+    )
+    qkm = qg.join(F.broadcast(q_over), "g", "left_anti")
+    q_comp = (
+        qkm.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("comps")
+        )
+    )
+    qa = qkm.filter(F.col("id") < 10000000)
+    qd = qkm.select((F.col("id") - 10000000).alias("id"), "g")
+    q_tw = (
+        qa.join(qd, ["id", "g"])
+        .agg(F.count_distinct("id").cast("long").alias("twins_covered"))
+    )
+    qg_one = q_comp.crossJoin(F.broadcast(q_tw))
+
     return (
         _finish("snm_w4", snm_one)
         .unionByName(_finish("phonetic_soundex", phon_one))
         .unionByName(_finish("suffix_rev12_cap50", suf_one))
+        .unionByName(_finish("qgram4_cap50", qg_one))
     )
 
 
@@ -5697,6 +5739,16 @@ def _sql_er_blocking_compare() -> str:
         "  as comps from (select count(*)::bigint as n_ from km group by s)), "
         "st as (select count(distinct a.id)::bigint as twins_covered"
         "  from km a join km d on d.s = a.s and d.id = a.id + 10000000"
+        "  where a.id < 10000000), "
+        "qg as (select distinct id, substr(name, g, 4) as gm"
+        "  from recs, unnest(generate_series(1, length(name) - 3)) as t(g)), "
+        "qbig as (select gm from qg group by gm having count(*) > 50), "
+        "qkm as (select x.id, x.gm from qg x left join qbig using (gm)"
+        "  where qbig.gm is null), "
+        "qc as (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint"
+        "  as comps from (select count(*)::bigint as n_ from qkm group by gm)), "
+        "qt as (select count(distinct a.id)::bigint as twins_covered"
+        "  from qkm a join qkm d on d.gm = a.gm and d.id = a.id + 10000000"
         "  where a.id < 10000000) "
         "select 'snm_w4' as scheme, comps, twins_covered, twins_total,"
         "  (1000000 * twins_covered) // twins_total as recall_ppm,"
@@ -5712,7 +5764,13 @@ def _sql_er_blocking_compare() -> str:
         "  twins_total,"
         "  (1000000 * st.twins_covered) // twins_total,"
         "  1000000 - ((1000000 * sc2.comps) // ((n * (n - 1)) // 2))"
-        "  from sc2, st, tot"
+        "  from sc2, st, tot "
+        "union all "
+        "select 'qgram4_cap50', qc.comps, qt.twins_covered,"
+        "  twins_total,"
+        "  (1000000 * qt.twins_covered) // twins_total,"
+        "  1000000 - ((1000000 * qc.comps) // ((n * (n - 1)) // 2))"
+        "  from qc, qt, tot"
     )
 
 
