@@ -15,7 +15,7 @@ Usage (cluster or local):
         [--blocking snm|multipass|phonetic|suffix|qgram] [--max-block-size N] \\
         [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
         [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
-        [--review-lower-micro -2000000]
+        [--review-lower-micro -2000000] [--tf-adjust-fields name]
 
 The pipeline is the north-star shape on records: candidate blocking —
 sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex of
@@ -213,6 +213,47 @@ def run_er_job(spark, args) -> dict:
             weights = fs_em_weights(vec, agree_cols, iterations=args.em_iterations)
             mode = "em"
         scores = fs_score(vec, weights, agree_cols, ["id_a", "id_b"])
+        tf_fields = [
+            c.strip()
+            for c in (getattr(args, "tf_adjust_fields", None) or "").split(",")
+            if c.strip()
+        ]
+        bad_tf = [f for f in tf_fields if f not in fields or f in jw_fields]
+        if bad_tf:
+            raise ValueError(
+                "--tf-adjust-fields must name equality-compared --fields "
+                f"(not jw): {sorted(bad_tf)}"
+            )
+        if tf_fields:
+            # Winkler term-frequency adjustment: pairs agreeing on a field
+            # swap the global agreement weight for the value-specific one.
+            # Both-NULL agreements (null-safe equality) have no shared
+            # value to look up, so they keep the global weight.
+            from xlink_spark.operators.linkage import (
+                tf_adjust_scores,
+                tf_value_weights,
+            )
+
+            for f in tf_fields:
+                tfw = tf_value_weights(recs, f, weights, f"agree_{f}")
+                agreeing = (
+                    vec.filter(F.col(f"agree_{f}"))
+                    .join(
+                        recs.select(
+                            F.col(idc).alias("id_a"), F.col(f).alias("value")
+                        ),
+                        "id_a",
+                    )
+                    .select("id_a", "id_b", "value")
+                )
+                scores = tf_adjust_scores(
+                    scores, agreeing, tfw, weights, f"agree_{f}",
+                    ["id_a", "id_b"],
+                ).select(
+                    "id_a",
+                    "id_b",
+                    F.col("score_tf_micro").alias("score_micro"),
+                )
         review_lower = getattr(args, "review_lower_micro", None)
         n_review = None
         if review_lower is not None:
@@ -285,6 +326,8 @@ def run_er_job(spark, args) -> dict:
     }
     if n_review is not None:
         out["n_review_pairs"] = n_review
+    if tf_fields:
+        out["tf_adjust_fields"] = tf_fields
     return out
 
 
@@ -297,6 +340,7 @@ def main() -> None:
     ap.add_argument("--order-cols", default="", help="csv: within-key sort columns (required for --blocking snm; unused by phonetic/suffix)")
     ap.add_argument("--fields", required=True, help="csv: comparison columns (null-safe equality)")
     ap.add_argument("--jw-fields", help="csv col:threshold_micro — compare these fields by Jaro-Winkler >= threshold instead of equality")
+    ap.add_argument("--tf-adjust-fields", help="csv: equality-compared fields whose agreement weight is term-frequency adjusted per shared value (Winkler tf adjustment)")
     ap.add_argument("--label-expr", help="SQL boolean over id_a/id_b: true-match label; omit for unsupervised EM")
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument(

@@ -575,3 +575,79 @@ def test_run_er_job_review_queue(spark, tmp_path):
     assert m["n_match_edges"] == 0 and m["n_clusters"] == 40
     # metrics key absent when the flag is off
     assert "n_review_pairs" not in m0
+
+
+def test_run_er_job_tf_adjustment(spark, tmp_path):
+    """--tf-adjust-fields name swaps the global name-agreement weight for
+    the per-value one on every pair that agrees on name: doubleton values
+    (the bump-collision names) shift by less than unique values, every
+    delta matches the floor(1e6·ln(m·n/(m_den·tf_v))) replica exactly,
+    and non-agreeing pairs keep their base score byte-for-byte."""
+    import argparse
+    import math
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 31):
+        name = f"Rec#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5))
+    src = str(tmp_path / "records_tf")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    ).write.parquet(src)
+
+    def run(outdir, **kw):
+        args = argparse.Namespace(
+            records=src, output=str(tmp_path / outdir), id_col="id",
+            key_expr="substring(name, 1, 7)", order_cols="name",
+            fields="name,segment,nation", jw_fields=None,
+            label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+            window=4, threshold_micro=0, em_iterations=5,
+            rules="name:longest", rank_strategy="keys", snapshots=None,
+            blocking="snm", **kw,
+        )
+        run_er_job(spark, args)
+        return args
+
+    a_base = run("tf_base")
+    a_tf = run("tf_adj", tf_adjust_fields="name")
+
+    base = {
+        (r.id_a, r.id_b): r.score_micro
+        for r in spark.read.parquet(f"{a_base.output}/scores").collect()
+    }
+    adj = {
+        (r.id_a, r.id_b): r.score_micro
+        for r in spark.read.parquet(f"{a_tf.output}/scores").collect()
+    }
+    assert set(base) == set(adj)
+    w = {
+        r.field: r
+        for r in spark.read.parquet(f"{a_base.output}/weights").collect()
+    }["agree_name"]
+    names = {i: n for i, n, _s, _n in rows}
+    tf = {}
+    for n in names.values():
+        tf[n] = tf.get(n, 0) + 1
+    n_total = len(rows)
+    changed = 0
+    for (ia, ib), s in base.items():
+        if names[ia] == names[ib]:
+            v = names[ia]
+            w_tf = math.floor(
+                1e6 * math.log((w.m_num * n_total) / (w.m_den * tf[v]))
+            )
+            assert adj[(ia, ib)] == s - w.w_agree_micro + w_tf, (ia, ib)
+            changed += 1
+        else:
+            assert adj[(ia, ib)] == s, (ia, ib)
+    assert changed > 0
+    # validation: tf on a jw field or an unknown field is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tf-adjust-fields"):
+        run("tf_bad", tf_adjust_fields="bogus")
