@@ -15,7 +15,8 @@ Usage (cluster or local):
         [--blocking snm|multipass|phonetic|suffix|qgram] [--max-block-size N] \\
         [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
         [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
-        [--review-lower-micro -2000000] [--tf-adjust-fields name]
+        [--review-lower-micro -2000000] [--tf-adjust-fields name] \\
+        [--level-fields "name:2"]
 
 The pipeline is the north-star shape on records: candidate blocking —
 sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex of
@@ -198,21 +199,80 @@ def run_er_job(spark, args) -> dict:
             .alias(f"agree_{f}")
         )
 
-    vec = pairs.join(ra, "id_a").join(rb, "id_b").select(
-        "id_a", "id_b", *[_agree(f) for f in fields]
-    )
+    level_fields = {}
+    for part in (getattr(args, "level_fields", None) or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ":" not in part:
+            raise ValueError(
+                f"--level-fields entry {part!r} is not col:edit_max"
+            )
+        col, t = part.split(":", 1)
+        level_fields[col.strip()] = int(t)
+    bad_lvl = [f for f in level_fields if f not in fields or f in jw_fields]
+    if bad_lvl:
+        raise ValueError(
+            "--level-fields must name equality-compared --fields "
+            f"(not jw): {sorted(bad_lvl)}"
+        )
+    if level_fields and not args.label_expr:
+        raise ValueError(
+            "--level-fields requires --label-expr (per-level m/u needs "
+            "labels; the EM estimator is binary-pattern based)"
+        )
+
+    def _level(f):
+        # 3-level gamma for --level-fields columns: 2 = exact (null-safe),
+        # 1 = within the edit band (classic levenshtein, exact integers),
+        # 0 = different / one side null. Other fields (incl. jw ones)
+        # ride along as 2-level gammas of their agree boolean.
+        col = f"lvl_{f}"
+        if f not in level_fields:
+            return _agree(f).cast("long").alias(col)
+        a, b = F.col(f"_a_{f}"), F.col(f"_b_{f}")
+        return (
+            F.when(a.eqNullSafe(b), 2)
+            .when(a.isNull() | b.isNull(), 0)
+            .when(F.levenshtein(a, b) <= F.lit(level_fields[f]), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias(col)
+        )
+
+    if level_fields:
+        vec = pairs.join(ra, "id_a").join(rb, "id_b").select(
+            "id_a", "id_b", *[_level(f) for f in fields]
+        )
+    else:
+        vec = pairs.join(ra, "id_a").join(rb, "id_b").select(
+            "id_a", "id_b", *[_agree(f) for f in fields]
+        )
     if args.label_expr:
         vec = vec.withColumn("_is_match", F.expr(args.label_expr))
     # vec fans out (weights + scoring); persist the narrow boolean rows
     vec = vec.persist()
     try:
-        if args.label_expr:
+        if level_fields:
+            from xlink_spark.operators.linkage import (
+                fs_score_levels,
+                match_weights_levels,
+            )
+
+            fl = {
+                f"lvl_{f}": (3 if f in level_fields else 2) for f in fields
+            }
+            weights = match_weights_levels(vec, fl, "_is_match")
+            mode = "supervised_levels"
+            scores = fs_score_levels(vec, weights, list(fl), ["id_a", "id_b"])
+        elif args.label_expr:
             weights = match_weights(vec, agree_cols, "_is_match")
             mode = "supervised"
+            scores = fs_score(vec, weights, agree_cols, ["id_a", "id_b"])
         else:
             weights = fs_em_weights(vec, agree_cols, iterations=args.em_iterations)
             mode = "em"
-        scores = fs_score(vec, weights, agree_cols, ["id_a", "id_b"])
+            scores = fs_score(vec, weights, agree_cols, ["id_a", "id_b"])
         tf_fields = [
             c.strip()
             for c in (getattr(args, "tf_adjust_fields", None) or "").split(",")
@@ -223,6 +283,11 @@ def run_er_job(spark, args) -> dict:
             raise ValueError(
                 "--tf-adjust-fields must name equality-compared --fields "
                 f"(not jw): {sorted(bad_tf)}"
+            )
+        if tf_fields and level_fields:
+            raise ValueError(
+                "--tf-adjust-fields cannot combine with --level-fields "
+                "(the tf swap is defined on the binary agreement weight)"
             )
         if tf_fields:
             # Winkler term-frequency adjustment: pairs agreeing on a field
@@ -309,10 +374,16 @@ def run_er_job(spark, args) -> dict:
             n_golden = spark.read.parquet(f"{args.output}/golden").count()
         n_pairs = vec.count()
         n_edges = edges.count()
-        w_rows = {
-            r["field"]: (r["w_agree_micro"], r["w_disagree_micro"])
-            for r in weights.collect()
-        }
+        if level_fields:
+            w_rows = {
+                f"{r['field']}/L{r['level']}": r["w_micro"]
+                for r in weights.collect()
+            }
+        else:
+            w_rows = {
+                r["field"]: (r["w_agree_micro"], r["w_disagree_micro"])
+                for r in weights.collect()
+            }
     finally:
         vec.unpersist()
     out = {
@@ -341,6 +412,7 @@ def main() -> None:
     ap.add_argument("--fields", required=True, help="csv: comparison columns (null-safe equality)")
     ap.add_argument("--jw-fields", help="csv col:threshold_micro — compare these fields by Jaro-Winkler >= threshold instead of equality")
     ap.add_argument("--tf-adjust-fields", help="csv: equality-compared fields whose agreement weight is term-frequency adjusted per shared value (Winkler tf adjustment)")
+    ap.add_argument("--level-fields", help="csv col:edit_max — score these fields as 3-level gammas (exact / levenshtein <= edit_max / different) with per-level weights; requires --label-expr")
     ap.add_argument("--label-expr", help="SQL boolean over id_a/id_b: true-match label; omit for unsupervised EM")
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument(

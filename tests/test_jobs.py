@@ -651,3 +651,65 @@ def test_run_er_job_tf_adjustment(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="tf-adjust-fields"):
         run("tf_bad", tf_adjust_fields="bogus")
+
+
+def test_run_er_job_level_fields(spark, tmp_path):
+    """--level-fields name:2 scores name as a 3-level gamma: the weights
+    output carries per-(field, level) rows, the learned level-1 (edit
+    band) weight is POSITIVE while level-2 (exact — the bump-collision
+    artifact) is negative, twins still co-cluster, and the mode/metrics
+    reflect the level path. EM mode and tf-adjust combos are rejected."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 31):
+        name = f"Rec#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5))
+    src = str(tmp_path / "records_lvl")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    ).write.parquet(src)
+
+    def args(**kw):
+        base = dict(
+            records=src, output=str(tmp_path / "lvl_out"), id_col="id",
+            key_expr="substring(name, 1, 7)", order_cols="name",
+            fields="name,segment,nation", jw_fields=None,
+            label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+            window=4, threshold_micro=0, em_iterations=5,
+            rules="name:longest", rank_strategy="keys", snapshots=None,
+            blocking="snm", level_fields="name:2",
+        )
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    m = run_er_job(spark, args())
+    assert m["mode"] == "supervised_levels"
+    w = {
+        (r.field, r.level): r.w_micro
+        for r in spark.read.parquet(str(tmp_path / "lvl_out/weights")).collect()
+    }
+    # 3 levels for name, 2 each for segment/nation
+    assert {f for f, _ in w} == {"lvl_name", "lvl_segment", "lvl_nation"}
+    assert sum(1 for f, _ in w if f == "lvl_name") == 3
+    # the edit band is predictive, exact equality (bump collisions) is not
+    assert w[("lvl_name", 1)] > 0 > w[("lvl_name", 2)]
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(str(tmp_path / "lvl_out/clusters")).collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires --label-expr"):
+        run_er_job(spark, args(label_expr=None))
+    with _pytest.raises(ValueError, match="cannot combine"):
+        run_er_job(spark, args(tf_adjust_fields="segment"))
+    with _pytest.raises(ValueError, match="level-fields"):
+        run_er_job(spark, args(level_fields="bogus:2"))
