@@ -46,6 +46,8 @@ HEADLINE = [
     "jaccard_pairs_exact",  # exact PPJoin set-similarity (zero-miss near-dup)
     "coherence_rerank",   # collective linking: detect → priors → WLM rerank
     "fs_pair_scores",     # SNM blocking → Fellegi-Sunter pairwise scores
+    "fs_level_scores",    # multi-level gamma FS (levenshtein band levels)
+    "qgram_blocks",       # q-gram blocking with stop-gram purge
 ]
 
 

@@ -391,3 +391,88 @@ def test_qgram_gauge_recall_on_testdata(spark):
     rows = q_qgram_blocks(spark, "/root/testdata/sf0.001")
     twins = rows.filter("is_twin").count()
     assert 120 <= twins <= 150  # 130 measured; 150 planted
+
+
+def test_match_posteriors_exact_replica_and_monotone(spark):
+    """posterior_ppm matches the floor(1e6·BF/(1+BF)) replica exactly for
+    both prior forms (int pair and one-row frame), is monotone in the
+    score, and hits the saturation ends correctly."""
+    scores = spark.createDataFrame(
+        [(1, 2, -5_000_000), (3, 4, 0), (5, 6, 1_500_000), (7, 8, 40_000_000)],
+        "id_a long, id_b long, score_micro long",
+    )
+    from xlink_spark.operators.linkage import match_posteriors
+
+    def replica(s, pn, pd):
+        bf = math.exp(s / 1e6) * (pn / (pd - pn))
+        return math.floor((1e6 * bf) / (1 + bf))
+
+    got_int = {
+        (r.id_a, r.id_b): r.posterior_ppm
+        for r in match_posteriors(scores, (1, 5)).collect()
+    }
+    prior = spark.createDataFrame([(1, 5)], "prior_num long, prior_den long")
+    got_df = {
+        (r.id_a, r.id_b): r.posterior_ppm
+        for r in match_posteriors(scores, prior).collect()
+    }
+    want = {
+        (1, 2): replica(-5.0e6, 1, 5),
+        (3, 4): replica(0, 1, 5),
+        (5, 6): replica(1.5e6, 1, 5),
+        (7, 8): replica(4.0e7, 1, 5),
+    }
+    assert got_int == want == got_df
+    # monotone in score; score 0 with odds 1/4 sits at 1/5; huge score → 1
+    ordered = [want[(1, 2)], want[(3, 4)], want[(5, 6)], want[(7, 8)]]
+    assert ordered == sorted(ordered)
+    assert want[(3, 4)] in (199999, 200000)
+    assert want[(7, 8)] in (999999, 1000000)
+
+
+def test_match_posteriors_validation_and_pure_jvm(spark):
+    from xlink_spark.operators.linkage import match_posteriors
+
+    scores = spark.createDataFrame(
+        [(1, 2, 0)], "id_a long, id_b long, score_micro long"
+    )
+    with pytest.raises(ValueError, match="prior must"):
+        match_posteriors(scores, (0, 5))
+    with pytest.raises(ValueError, match="prior must"):
+        match_posteriors(scores, (5, 5))
+    prior = spark.createDataFrame([(1, 5)], "prior_num long, prior_den long")
+    df = match_posteriors(scores, prior)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_posterior_floor_margins_at_oracle_sfs():
+    """Margins for the ONE exp-based floor: every distinct FS score's raw
+    1e6·BF/(1+BF) sits ≥0.05 ppm-units from its floor at both oracle sf —
+    ~10⁸ × the worst-case cross-engine exp() ulp divergence."""
+    import duckdb
+
+    from xlink_spark.driver_queries import (
+        _SQL_FS_SCORE_CORE,
+        _SQL_LINKAGE_VEC,
+    )
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        con.sql(
+            f"create or replace view customer as select * from"
+            f" read_parquet('/root/testdata/{sf}/customer.parquet')"
+        )
+        rows = con.sql(
+            f"with {_SQL_LINKAGE_VEC}, {_SQL_FS_SCORE_CORE}, "
+            "pr as (select (sum(case when is_match then 1 else 0 end) + 1)"
+            "::bigint as prior_num, (count(*) + 2)::bigint as prior_den"
+            " from vec) "
+            "select distinct s.score_micro, prior_num, prior_den from sc s, pr"
+        ).fetchall()
+        assert rows
+        for s, pn, pd in rows:
+            bf = math.exp(s / 1e6) * (pn / (pd - pn))
+            v = (1e6 * bf) / (1 + bf)
+            assert v - math.floor(v) > 0.05, (sf, s, v)

@@ -1475,3 +1475,45 @@ def qgram_blocking_pairs(
             >= F.lit(int(threshold_ppt)) * F.greatest(F.col("n_a"), F.col("n_b"))
         )
     return pairs.select("id_a", "id_b", "n_shared", "n_a", "n_b")
+
+
+# --------------------------------------------------- posterior probabilities
+def match_posteriors(
+    scores: DataFrame,
+    prior,
+) -> DataFrame:
+    """Posterior match probability per pair — the user-facing surface
+    production linkers put on top of the FS score. ``prior`` is either an
+    exact bigint pair ``(prior_num, prior_den)`` with λ = num/den strictly
+    inside (0,1) — derive it from the labeled counts with the same
+    Laplace smoothing as the weights — or a ONE-row DataFrame carrying
+    ``prior_num``/``prior_den`` columns (broadcast cross join, so plan
+    construction stays action-free). With prior odds λ/(1−λ) and Bayes
+    factor BF = e^(score) · prior-odds:
+
+        posterior_ppm = floor(1e6 · BF / (1 + BF))
+
+    The float chain is one double division of the exact bigint prior
+    (num / (den − num)), exp, one multiply, one divide — IEEE doubles
+    rounding identically on both engines up to exp()'s ulp; the floor
+    margins are measured per dataset before any oracle ships (same
+    protocol as the ln() weights). Adds one narrow column; no shuffle."""
+    score = F.col("score_micro").cast("double") / F.lit(float(MICRO))
+    if isinstance(prior, DataFrame):
+        src = scores.crossJoin(F.broadcast(prior.select("prior_num", "prior_den")))
+        odds = F.col("prior_num").cast("double") / (
+            F.col("prior_den") - F.col("prior_num")
+        ).cast("double")
+        drop = ["prior_num", "prior_den"]
+    else:
+        prior_num, prior_den = (int(prior[0]), int(prior[1]))
+        if not (0 < prior_num < prior_den):
+            raise ValueError("prior must satisfy 0 < prior_num < prior_den")
+        src = scores
+        odds = F.lit(float(prior_num) / float(prior_den - prior_num))
+        drop = []
+    bf = F.exp(score) * odds
+    return src.withColumn(
+        "posterior_ppm",
+        F.floor(F.lit(float(MICRO)) * bf / (F.lit(1.0) + bf)).cast("long"),
+    ).drop(*drop)
