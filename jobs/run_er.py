@@ -319,6 +319,22 @@ def run_er_job(spark, args) -> dict:
                     "id_b",
                     F.col("score_tf_micro").alias("score_micro"),
                 )
+        if getattr(args, "posteriors", False):
+            # P(match | evidence): Bayes posterior from the FS score and
+            # the Laplace-smoothed prior odds. Supervised mode derives the
+            # prior from the labels; EM mode has none — require labels.
+            if not args.label_expr:
+                raise ValueError("--posteriors requires --label-expr")
+            from xlink_spark.operators.linkage import match_posteriors
+
+            prior = vec.agg(
+                (
+                    F.sum(F.when(F.col("_is_match"), 1).otherwise(0))
+                    + F.lit(1)
+                ).cast("long").alias("prior_num"),
+                (F.count(F.lit(1)) + F.lit(2)).cast("long").alias("prior_den"),
+            )
+            scores = match_posteriors(scores, prior)
         review_lower = getattr(args, "review_lower_micro", None)
         n_review = None
         if review_lower is not None:
@@ -413,6 +429,7 @@ def main() -> None:
     ap.add_argument("--jw-fields", help="csv col:threshold_micro — compare these fields by Jaro-Winkler >= threshold instead of equality")
     ap.add_argument("--tf-adjust-fields", help="csv: equality-compared fields whose agreement weight is term-frequency adjusted per shared value (Winkler tf adjustment)")
     ap.add_argument("--level-fields", help="csv col:edit_max — score these fields as 3-level gammas (exact / levenshtein <= edit_max / different) with per-level weights; requires --label-expr")
+    ap.add_argument("--posteriors", action="store_true", help="attach posterior_ppm (Bayes P(match) from the labeled prior) to output/scores; requires --label-expr")
     ap.add_argument("--label-expr", help="SQL boolean over id_a/id_b: true-match label; omit for unsupervised EM")
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument(

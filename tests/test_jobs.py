@@ -713,3 +713,48 @@ def test_run_er_job_level_fields(spark, tmp_path):
         run_er_job(spark, args(tf_adjust_fields="segment"))
     with _pytest.raises(ValueError, match="level-fields"):
         run_er_job(spark, args(level_fields="bogus:2"))
+
+
+def test_run_er_job_posteriors(spark, tmp_path):
+    """--posteriors attaches posterior_ppm to output/scores, bounded and
+    monotone in the score; EM mode (no labels) is rejected."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 21):
+        name = f"Rec#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5))
+    src = str(tmp_path / "records_post")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    ).write.parquet(src)
+
+    def args(**kw):
+        base = dict(
+            records=src, output=str(tmp_path / "post_out"), id_col="id",
+            key_expr="substring(name, 1, 7)", order_cols="name",
+            fields="name,segment,nation", jw_fields=None,
+            label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+            window=4, threshold_micro=0, em_iterations=5,
+            rules="name:longest", rank_strategy="keys", snapshots=None,
+            blocking="snm", posteriors=True,
+        )
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    run_er_job(spark, args())
+    sc = spark.read.parquet(str(tmp_path / "post_out/scores")).collect()
+    assert all(0 <= r.posterior_ppm <= 1_000_000 for r in sc)
+    srt = sorted(sc, key=lambda r: r.score_micro)
+    ps = [r.posterior_ppm for r in srt]
+    assert ps == sorted(ps) and ps[0] < ps[-1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="posteriors requires"):
+        run_er_job(spark, args(label_expr=None))

