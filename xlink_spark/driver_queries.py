@@ -6094,6 +6094,84 @@ SQL_FS_CALIBRATION = (
 )
 
 
+def q_cluster_cohesion(spark, sf_dir):
+    """Cluster-cohesion audit of the transitive ER clusters — the check
+    that catches chain merges: connected components link anything with a
+    PATH of ≥0-score edges, so a cluster can contain candidate pairs the
+    scorer itself rejected. Per multi-member cluster with scored internal
+    pairs: size, the number of internal candidate pairs, and the exact
+    min/sum of their FS scores — min_score_micro < 0 rows are precisely
+    the clusters glued through transitivity despite an internally
+    rejected pair — the fixture's bump-collision chains produce MANY
+    (sf0.001: 25 of 62 audited clusters, the largest a 14-member chain),
+    exactly the pathology this audit exists to surface. All-bigint over
+    the already-oracled scores + components — no new float steps."""
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    vec = _linkage_vectors(spark, sf_dir)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).select("id")
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
+    )
+    sizes = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    internal = (
+        scores.join(
+            asg.select(F.col("id").alias("id_a"), F.col("cluster").alias("_ca")),
+            "id_a",
+        )
+        .join(
+            asg.select(F.col("id").alias("id_b"), F.col("cluster").alias("_cb")),
+            "id_b",
+        )
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_pairs"),
+            F.min("score_micro").cast("long").alias("min_score_micro"),
+            F.sum("score_micro").cast("long").alias("sum_score_micro"),
+        )
+    )
+    return internal.join(sizes, "cluster").select(
+        "cluster", "size", "n_scored_pairs", "min_score_micro",
+        "sum_score_micro",
+    )
+
+
+SQL_CLUSTER_COHESION = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "asg as (select r.id, coalesce(c.component, r.id) as cluster"
+    "  from recs r left join comp c on c.node = r.id), "
+    "sizes as (select cluster, count(*)::bigint as size from asg group by 1), "
+    "internal as (select a.cluster,"
+    "  count(*)::bigint as n_scored_pairs,"
+    "  min(s.score_micro)::bigint as min_score_micro,"
+    "  sum(s.score_micro)::bigint as sum_score_micro"
+    "  from sc s join asg a on a.id = s.id_a"
+    "            join asg b on b.id = s.id_b"
+    "  where a.cluster = b.cluster group by 1) "
+    "select i.cluster, z.size, i.n_scored_pairs, i.min_score_micro,"
+    "  i.sum_score_micro "
+    "from internal i join sizes z using (cluster)"
+)
+
+
 def q_qgram_blocks(spark, sf_dir):
     """Q-gram blocking (linkage.qgram_blocking_pairs — Baxter/Christen's
     bigram-indexing family) over the linkage names with q=4 and a
@@ -6259,6 +6337,7 @@ QUERIES: dict[str, Query] = {
     "qgram_blocks": q_qgram_blocks,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
+    "cluster_cohesion": q_cluster_cohesion,
 }
 
 ORACLES: dict[str, str] = {
@@ -6383,4 +6462,5 @@ ORACLES: dict[str, str] = {
     "qgram_blocks": SQL_QGRAM_BLOCKS,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
+    "cluster_cohesion": SQL_CLUSTER_COHESION,
 }
