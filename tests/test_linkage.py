@@ -1074,3 +1074,135 @@ def test_constrained_components_union_find_parity(spark):
             ).collect()
         }
         assert got == want
+
+
+# --------------------------------------------------------- chain-merge repair
+def _repair_frames(spark, score_rows, strong_rows):
+    sc = spark.createDataFrame(
+        score_rows, "id_a long, id_b long, score_micro long"
+    )
+    st = spark.createDataFrame(
+        strong_rows, "id_a long, id_b long, score_micro long"
+    )
+    return sc, st
+
+
+def _asg(df):
+    return {r["node"]: (r["component"], r["was_flagged"]) for r in df.collect()}
+
+
+def test_repair_splits_chain_on_strong_rejection(spark):
+    """A-B-C chain glued by transitivity with A-C rejected: the strong
+    comparator keeps A-B and rejects B-C, so the repair splits the
+    cluster into {A,B} and {C}."""
+    from xlink_spark.operators.linkage import repair_chain_merges
+
+    sc, st = _repair_frames(
+        spark,
+        [(1, 2, 5), (2, 3, 4), (1, 3, -7)],
+        [(1, 2, 9), (2, 3, -9), (1, 3, -9)],
+    )
+    out = _asg(repair_chain_merges(sc, st))
+    assert out == {1: (1, True), 2: (1, True), 3: (3, True)}
+
+
+def test_repair_untouched_cluster_is_bit_identical(spark):
+    """A cluster with no interior rejected pair keeps membership, label,
+    and was_flagged=False even when the strong comparator would have
+    rejected its edges (it is never consulted)."""
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import repair_chain_merges
+
+    import pyspark.sql.functions as F
+
+    sc, st = _repair_frames(
+        spark,
+        [(10, 11, 3), (11, 12, 3), (1, 2, 5), (2, 3, 4), (1, 3, -7)],
+        [(1, 2, 9)],  # no strong rows for the clean cluster or for 2-3
+    )
+    out = _asg(repair_chain_merges(sc, st))
+    assert out[10] == (10, False)
+    assert out[11] == (10, False)
+    assert out[12] == (10, False)
+    # flagged cluster: only 1-2 survives (2-3 has no strong row -> pruned)
+    assert out[1] == (1, True) and out[2] == (1, True) and out[3] == (3, True)
+    # unflagged labels equal plain CC labels over the base edges
+    base = connected_components(
+        sc.filter("score_micro >= 0").select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+    base_map = {r["node"]: r["component"] for r in base.collect()}
+    for n in (10, 11, 12):
+        assert out[n][0] == base_map[n]
+
+
+def test_repair_no_flagged_clusters_is_identity(spark):
+    from xlink_spark.operators.linkage import repair_chain_merges
+
+    sc, st = _repair_frames(
+        spark, [(1, 2, 5), (2, 3, 4)], [(1, 2, -9), (2, 3, -9)]
+    )
+    out = _asg(repair_chain_merges(sc, st))
+    assert out == {1: (1, False), 2: (1, False), 3: (1, False)}
+
+
+def test_repair_orientation_and_duplicate_strong_rows(spark):
+    """Pairs arrive in either orientation; duplicate strong rows take the
+    conservative (min) verdict."""
+    from xlink_spark.operators.linkage import repair_chain_merges
+
+    sc, st = _repair_frames(
+        spark,
+        [(2, 1, 5), (3, 2, 4), (3, 1, -7)],
+        [(1, 2, 9), (2, 1, 9), (2, 3, 9), (3, 2, -9)],
+    )
+    out = _asg(repair_chain_merges(sc, st))
+    # 2-3 has strong rows {9, -9} -> min -9 -> pruned
+    assert out == {1: (1, True), 2: (1, True), 3: (3, True)}
+
+
+def test_repair_is_always_a_refinement(spark):
+    """Random graphs: every repaired component is a subset of a base
+    component (repair only removes edges), and unflagged components are
+    untouched."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import repair_chain_merges
+
+    rng = random.Random(7)
+    n = 40
+    rows = []
+    seen = set()
+    for _ in range(120):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        if (lo, hi) in seen:
+            continue
+        seen.add((lo, hi))
+        rows.append((lo, hi, rng.randrange(-10, 11)))
+    strong = [(a, b, rng.randrange(-10, 11)) for (a, b, _) in rows]
+    sc, st = _repair_frames(spark, rows, strong)
+    out = _asg(repair_chain_merges(sc, st))
+    base = connected_components(
+        sc.filter("score_micro >= 0").select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+    base_map = {r["node"]: r["component"] for r in base.collect()}
+    assert set(out) == set(base_map)
+    # refinement: co-clustered after => co-clustered before
+    nodes = sorted(out)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if out[x][0] == out[y][0]:
+                assert base_map[x] == base_map[y]
+    # unflagged => identical label
+    for node, (comp, flagged) in out.items():
+        if not flagged:
+            assert comp == base_map[node]

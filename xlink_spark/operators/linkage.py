@@ -1517,3 +1517,108 @@ def match_posteriors(
         "posterior_ppm",
         F.floor(F.lit(float(MICRO)) * bf / (F.lit(1.0) + bf)).cast("long"),
     ).drop(*drop)
+
+
+# ------------------------------------------------- chain-merge repair
+def repair_chain_merges(
+    scores: DataFrame,
+    strong_scores: DataFrame,
+    *,
+    threshold_micro: int = 0,
+    strong_threshold_micro: int = 0,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score_micro",
+    strong_score_col: str = "score_micro",
+) -> DataFrame:
+    """Escalation repair of transitively chain-merged clusters — the fix
+    for the pathology ``cluster_cohesion`` diagnoses: connected
+    components link anything joined by a PATH of accepted edges, so a
+    cluster can contain pairs the scorer itself rejected (score <
+    threshold). The repair re-adjudicates exactly those clusters with a
+    STRONGER comparator and re-clusters them on the edges that survive:
+
+    1. base graph: ``scores`` pairs with ``score_col`` ≥
+       ``threshold_micro`` → connected components (comp₀);
+    2. a component is FLAGGED iff any scored pair interior to it fell
+       below ``threshold_micro`` (the cohesion criterion — a rejected
+       pair glued in by transitivity);
+    3. edges inside flagged components survive only if their
+       ``strong_scores`` row has ``strong_score_col`` ≥
+       ``strong_threshold_micro``; a flagged-interior edge with NO
+       strong row is pruned (conservative — unjudged evidence does not
+       merge). Edges in unflagged components pass through untouched;
+    4. connected components over the surviving edges (comp₁).
+
+    Returns (node, component, was_flagged) for every node of the BASE
+    graph: component = min node id of the repaired component (own id if
+    repair isolated the node), was_flagged = node sat in a flagged
+    base component. Unflagged components keep their edge sets, hence
+    their membership AND labels, bit-identically; repaired components
+    are always refinements of their base component (repair only removes
+    edges — pinned by test).
+
+    Both score frames canonicalize pairs to (least, greatest) before any
+    join, so orientation never matters; pass the same candidate
+    population to both (the strong frame is consulted ONLY for edges
+    interior to flagged components, so callers may lazily restrict the
+    expensive comparator to that subset — at 10^12 records the flagged
+    interiors are the audit-grain fraction of the corpus, which is the
+    point of escalating instead of re-scoring everything).
+
+    Scale shape: two iterative large/small-star CC jobs (the second over
+    a subset of the first's edges), one distinct over the SMALL flagged
+    component list, narrow (node, component) rows on every shuffle —
+    record payloads never ride any of it.
+    """
+    from xlink_spark.operators.cluster import connected_components
+
+    def _canon(df: DataFrame, a: str, b: str, s: str, out: str) -> DataFrame:
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("_lo"),
+            F.greatest(F.col(a), F.col(b)).alias("_hi"),
+            F.col(s).cast("long").alias(out),
+        )
+
+    sc = _canon(scores, id_a, id_b, score_col, "_s")
+    strong = _canon(
+        strong_scores, id_a, id_b, strong_score_col, "_t"
+    ).groupBy("_lo", "_hi").agg(F.min("_t").alias("_t"))
+
+    edges0 = sc.filter(F.col("_s") >= F.lit(int(threshold_micro)))
+    comp0 = connected_components(
+        edges0.select(F.col("_lo").alias("src"), F.col("_hi").alias("dst"))
+    )
+    ca = comp0.select(F.col("node").alias("_lo"), F.col("component").alias("_c0"))
+    cb = comp0.select(F.col("node").alias("_hi"), F.col("component").alias("_c1"))
+    flagged = (
+        sc.filter(F.col("_s") < F.lit(int(threshold_micro)))
+        .join(ca, "_lo")
+        .join(cb, "_hi")
+        .filter(F.col("_c0") == F.col("_c1"))
+        .select(F.col("_c0").alias("_flag"))
+        .distinct()
+    )
+    edges1 = (
+        edges0.join(ca, "_lo")
+        .join(flagged, F.col("_c0") == F.col("_flag"), "left")
+        .join(strong, ["_lo", "_hi"], "left")
+        .filter(
+            F.col("_flag").isNull()
+            | (F.col("_t") >= F.lit(int(strong_threshold_micro)))
+        )
+    )
+    comp1 = connected_components(
+        edges1.select(F.col("_lo").alias("src"), F.col("_hi").alias("dst"))
+    )
+    nodes0 = comp0.join(flagged, comp0.component == F.col("_flag"), "left").select(
+        "node", F.col("_flag").isNotNull().alias("was_flagged")
+    )
+    return (
+        nodes0.join(comp1.withColumnRenamed("component", "_rc"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_rc"), F.col("node")).alias("component"),
+            "was_flagged",
+        )
+    )
