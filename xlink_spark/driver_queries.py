@@ -4089,6 +4089,11 @@ def _linkage_records(spark, sf_dir):
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").cast("long").alias("nation"),
+        # a stable high-signal identifier the corruption never touches —
+        # unique per clean record, copied verbatim onto the twin: the
+        # "expensive field" the escalation repair consults (see
+        # q_cluster_repair); the cheap 3-field pass never reads it
+        F.col("c_acctbal").alias("ident"),
     )
     dirty = cust.select(
         (F.col("id") + 10000000).alias("id"),
@@ -4107,6 +4112,7 @@ def _linkage_records(spark, sf_dir):
                 " as bigint), 2)"
             )
         ).alias("nation"),
+        F.col("ident"),
     )
     return cust.unionByName(dirty).withColumn(
         "key", F.expr("substring(name, 10, 4)")
@@ -4115,18 +4121,21 @@ def _linkage_records(spark, sf_dir):
 
 _SQL_LINKAGE_BASE = """
 cust as (select c_custkey::bigint as id, c_name as name,
-                c_mktsegment as seg, c_nationkey::bigint as nation
+                c_mktsegment as seg, c_nationkey::bigint as nation,
+                c_acctbal as ident
          from customer),
 dirty as (select id + 10000000 as id,
   substr(name, 1, length(name) - 1)
     || chr(ascii(substr(name, length(name), 1)) + 1) as dname,
   case when (('0x' || substr(md5(name), 31, 2))::bigint % 3) = 0
        then 'xx' || seg else seg end as dseg,
-  nation + (('0x' || substr(md5(name), 16, 15))::bigint % 2) as dnation
+  nation + (('0x' || substr(md5(name), 16, 15))::bigint % 2) as dnation,
+  ident
   from cust),
-recs as (select id, name, seg, nation from cust
+recs as (select id, name, seg, nation, ident from cust
          union all
-         select id, dname as name, dseg as seg, dnation as nation from dirty),
+         select id, dname as name, dseg as seg, dnation as nation, ident
+         from dirty),
 ranked as (select *, row_number() over (
              order by substr(name, 10, 4), name, id)::bigint as rank
            from recs),
@@ -4201,6 +4210,93 @@ def _linkage_vectors(spark, sf_dir):
             "is_match"
         ),
     )
+
+
+def _linkage_vectors4(spark, sf_dir):
+    """Escalation comparison vectors: the three cheap fields plus
+    ``agree_ident`` — the stable unique identifier the corruption never
+    touches. The cheap 3-field pass cannot separate twins from
+    sequential-name neighbors (both live in the same gamma cells, see
+    q_cluster_repair); the ident field does, at the cost every real
+    deployment pays for such a field (licensing, latency, PII handling),
+    which is why it is consulted only for flagged clusters."""
+    from xlink_spark.operators.linkage import sorted_neighborhood_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(recs, "key", ["name"], "id", window=4)
+    ra = recs.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("seg").alias("seg_a"),
+        F.col("nation").alias("nation_a"),
+        F.col("ident").alias("ident_a"),
+    )
+    rb = recs.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("seg").alias("seg_b"),
+        F.col("nation").alias("nation_b"),
+        F.col("ident").alias("ident_b"),
+    )
+    return pairs.join(ra, "id_a").join(rb, "id_b").select(
+        "id_a",
+        "id_b",
+        (F.col("name_a") == F.col("name_b")).alias("agree_name"),
+        (F.col("seg_a") == F.col("seg_b")).alias("agree_seg"),
+        (F.col("nation_a") == F.col("nation_b")).alias("agree_nation"),
+        (F.col("ident_a") == F.col("ident_b")).alias("agree_ident"),
+        F.expr("pmod(id_a, 10000000) = pmod(id_b, 10000000)").alias(
+            "is_match"
+        ),
+    )
+
+
+_FIELDS4 = ["agree_name", "agree_seg", "agree_nation", "agree_ident"]
+
+# 4-field FS chain (the escalation comparator): vec4 -> one4/w4 -> sc4,
+# the same exact-bigint Laplace formulas as the 3-field w/sc chain
+_SQL_STRONG4 = (
+    "vec4 as (select p.id_a, p.id_b,"
+    "   (ra.name = rb.name) as agree_name,"
+    "   (ra.seg = rb.seg) as agree_seg,"
+    "   (ra.nation = rb.nation) as agree_nation,"
+    "   (ra.ident = rb.ident) as agree_ident,"
+    "   ((p.id_a % 10000000) = (p.id_b % 10000000)) as is_match"
+    "  from pairs p join ranked ra on ra.id = p.id_a"
+    "               join ranked rb on rb.id = p.id_b), "
+    "one4 as (select"
+    "  sum(case when is_match then 1 else 0 end)::bigint as nm,"
+    "  sum(case when not is_match then 1 else 0 end)::bigint as nn,"
+    "  sum(case when is_match and agree_name then 1 else 0 end)::bigint as ma1,"
+    "  sum(case when not is_match and agree_name then 1 else 0 end)::bigint as ua1,"
+    "  sum(case when is_match and agree_seg then 1 else 0 end)::bigint as ma2,"
+    "  sum(case when not is_match and agree_seg then 1 else 0 end)::bigint as ua2,"
+    "  sum(case when is_match and agree_nation then 1 else 0 end)::bigint as ma3,"
+    "  sum(case when not is_match and agree_nation then 1 else 0 end)::bigint as ua3,"
+    "  sum(case when is_match and agree_ident then 1 else 0 end)::bigint as ma4,"
+    "  sum(case when not is_match and agree_ident then 1 else 0 end)::bigint as ua4"
+    " from vec4), "
+    "w4 as (select f.field,"
+    "  floor(1e6 * ln(((f.ma + 1) * (o.nn + 2))::double"
+    "                 / ((f.ua + 1) * (o.nm + 2))::double))::bigint"
+    "    as w_agree_micro,"
+    "  floor(1e6 * ln((((o.nm + 2) - (f.ma + 1)) * (o.nn + 2))::double"
+    "                 / (((o.nn + 2) - (f.ua + 1)) * (o.nm + 2))::double))::bigint"
+    "    as w_disagree_micro"
+    " from one4 o, (select unnest(['agree_name', 'agree_seg', 'agree_nation',"
+    "                              'agree_ident']) as field,"
+    "                      unnest([ma1, ma2, ma3, ma4]) as ma,"
+    "                      unnest([ua1, ua2, ua3, ua4]) as ua from one4) f), "
+    "long4 as (select id_a, id_b,"
+    "  unnest(['agree_name', 'agree_seg', 'agree_nation', 'agree_ident'])"
+    "    as field,"
+    "  unnest([agree_name, agree_seg, agree_nation, agree_ident]) as agree"
+    "  from vec4), "
+    "sc4 as (select l.id_a, l.id_b,"
+    "  sum(case when l.agree then w4.w_agree_micro"
+    "      else w4.w_disagree_micro end)::bigint as score_micro"
+    "  from long4 l join w4 using (field) group by 1, 2)"
+)
 
 
 def q_snm_candidate_pairs(spark, sf_dir):
@@ -5834,9 +5930,10 @@ def q_fs_level_weights(spark, sf_dir):
     return match_weights_levels(vec, _LEVEL_FIELDS, "is_match")
 
 
-_SQL_LEVEL_VEC = (
-    _SQL_LINKAGE_BASE
-    + """,
+# level CTEs split off from the base so queries composing BOTH the binary
+# and the level chains (cluster_repair) can attach them to one shared base
+_SQL_LEVEL_TAIL = (
+    """,
 lvl as (select p.id_a, p.id_b,
    (case when ra.name = rb.name then 2
          when levenshtein(ra.name, rb.name) <= 2 then 1
@@ -5879,6 +5976,18 @@ lw as (select f.field, f.level,
 """
 )
 
+_SQL_LEVEL_VEC = _SQL_LINKAGE_BASE + _SQL_LEVEL_TAIL
+
+# per-pair level-score CTEs (melt + broadcast weight join), reusable on top
+# of any with-clause that already carries lvl + lw
+_SQL_LEVEL_SCORE_CORE = (
+    "melted as (select id_a, id_b,"
+    "  unnest(['lvl_name', 'lvl_seg', 'lvl_nation']) as field,"
+    "  unnest([lvl_name, lvl_seg, lvl_nation]) as level from lvl), "
+    "lsc as (select m.id_a, m.id_b, sum(w.w_micro)::bigint as score_micro"
+    "  from melted m join lw w using (field, level) group by 1, 2)"
+)
+
 SQL_FS_LEVEL_WEIGHTS = (
     f"with {_SQL_LEVEL_VEC} "
     "select field, level, m_num, m_den, u_num, u_den, w_micro from lw"
@@ -5906,12 +6015,7 @@ def q_fs_level_scores(spark, sf_dir):
 
 
 SQL_FS_LEVEL_SCORES = (
-    f"with {_SQL_LEVEL_VEC}, "
-    "melted as (select id_a, id_b,"
-    "  unnest(['lvl_name', 'lvl_seg', 'lvl_nation']) as field,"
-    "  unnest([lvl_name, lvl_seg, lvl_nation]) as level from lvl), "
-    "lsc as (select m.id_a, m.id_b, sum(w.w_micro)::bigint as score_micro"
-    "  from melted m join lw w using (field, level) group by 1, 2) "
+    f"with {_SQL_LEVEL_VEC}, {_SQL_LEVEL_SCORE_CORE} "
     "select s.id_a, s.id_b, s.score_micro, l.is_match "
     "from lsc s join lvl l using (id_a, id_b)"
 )
@@ -6172,6 +6276,174 @@ SQL_CLUSTER_COHESION = (
 )
 
 
+def q_cluster_repair(spark, sf_dir):
+    """Escalation repair (linkage.repair_chain_merges) of the chain-merged
+    ER clusters cluster_cohesion diagnoses: base clustering from the
+    3-field binary FS scores (sf0.001: 25 of 62 audited clusters carry an
+    interior rejected pair), flagged components re-adjudicated by a
+    4-field FS that adds the ident column (account balance — a stable, near-unique identifier) — the stable unique identifier
+    the corruption never touches. The cheap fields CANNOT fix these
+    clusters: their glue edges and the planted twins occupy the same
+    gamma cells (measured — both classes sit at levenshtein(name) = 1
+    with chance seg/nation agreement, so level gammas and TF adjustment
+    leave every edge in place). The ident field separates them exactly,
+    at the cost such a field always carries (licensing/latency/PII) —
+    which is why it is consulted ONLY for edges interior to flagged
+    clusters, the audit-grain fraction of the corpus. Unflagged
+    components pass through bit-identically; all-bigint on top of the
+    margin-checked weight floors."""
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_weights,
+        repair_chain_merges,
+    )
+
+    vec = _linkage_vectors(spark, sf_dir)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    vec4 = _linkage_vectors4(spark, sf_dir)
+    w4 = match_weights(vec4, _FIELDS4, "is_match")
+    strong = fs_score(vec4, w4, _FIELDS4, ["id_a", "id_b"])
+    return repair_chain_merges(scores, strong)
+
+
+_SQL_REPAIR_CORE = (
+    # flagged components: any interior pair the binary scorer rejected
+    "flagged as (select distinct ca.component as flag"
+    "  from sc s join comp ca on ca.node = least(s.id_a, s.id_b)"
+    "            join comp cb on cb.node = greatest(s.id_a, s.id_b)"
+    "  where s.score_micro < 0 and ca.component = cb.component), "
+    # strong verdict per canonical pair (min = conservative on dups)
+    "strong as (select least(id_a, id_b) as lo, greatest(id_a, id_b) as hi,"
+    "  min(score_micro)::bigint as t from sc4 group by 1, 2), "
+    # surviving edges: untouched outside flagged components, judged inside
+    "eg1 as (select least(e.src, e.dst) as lo, greatest(e.src, e.dst) as hi"
+    "  from eg e join comp c on c.node = e.src"
+    "  left join flagged f on f.flag = c.component"
+    "  left join strong l on l.lo = least(e.src, e.dst)"
+    "                    and l.hi = greatest(e.src, e.dst)"
+    "  where f.flag is null or coalesce(l.t >= 0, false)), "
+    "und2 as (select lo as src, hi as dst from eg1"
+    "  union select hi, lo from eg1), "
+    "walk2 (node, reach) as ("
+    "  select src as node, dst as reach from und2"
+    "  union"
+    "  select wk.node, u.dst as reach"
+    "  from walk2 wk join und2 u on u.src = wk.reach"
+    "  where u.dst <> wk.node), "
+    "comp2 as (select node, least(node, min(reach)) as component"
+    "  from walk2 group by node)"
+)
+
+
+SQL_CLUSTER_REPAIR = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_STRONG4
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    + _SQL_REPAIR_CORE
+    + " "
+    "select n.node, coalesce(c2.component, n.node) as component,"
+    "  (f.flag is not null) as was_flagged "
+    "from comp n "
+    "left join flagged f on f.flag = n.component "
+    "left join comp2 c2 on c2.node = n.node"
+)
+
+
+def q_repair_f1_gain(spark, sf_dir):
+    """Pairwise F1 of the ER clusters BEFORE and AFTER escalation repair —
+    the gauge that shows the repair pays on the labeled fixture: the
+    base (binary-FS) clustering's chain merges are false-positive pairs,
+    so precision (and F1) must rise when the level comparator splits
+    them; recall records what the stricter bar costs. Exact bigint
+    counts and integer-floor metrics end to end (linkage.pairwise_f1 ×2
+    over the same labeled SNM candidate pairs)."""
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_weights,
+        pairwise_f1,
+        repair_chain_merges,
+    )
+
+    vec = _linkage_vectors(spark, sf_dir)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    vec4 = _linkage_vectors4(spark, sf_dir)
+    w4 = match_weights(vec4, _FIELDS4, "is_match")
+    strong = fs_score(vec4, w4, _FIELDS4, ["id_a", "id_b"])
+
+    base = connected_components(
+        scores.filter(F.col("score_micro") >= 0).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+    repaired = repair_chain_merges(scores, strong)
+    pairs = vec.select("id_a", "id_b", "is_match")
+    f_base = pairwise_f1(
+        base, pairs, id_col="node", cluster_col="component"
+    ).select(F.lit("base").alias("stage"), "*")
+    f_rep = pairwise_f1(
+        repaired, pairs, id_col="node", cluster_col="component"
+    ).select(F.lit("repaired").alias("stage"), "*")
+    return f_base.unionByName(f_rep)
+
+
+SQL_REPAIR_F1_GAIN = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_STRONG4
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    + _SQL_REPAIR_CORE
+    + ", "
+    "cnt as ("
+    "  select 'base' as stage, count(*)::bigint as n_pairs,"
+    "    sum(case when coalesce(ca.component, v.id_a)"
+    "               = coalesce(cb.component, v.id_b)"
+    "             and v.is_match then 1 else 0 end)::bigint as tp,"
+    "    sum(case when coalesce(ca.component, v.id_a)"
+    "               = coalesce(cb.component, v.id_b)"
+    "             and not v.is_match then 1 else 0 end)::bigint as fp,"
+    "    sum(case when coalesce(ca.component, v.id_a)"
+    "               <> coalesce(cb.component, v.id_b)"
+    "             and v.is_match then 1 else 0 end)::bigint as fn"
+    "  from vec v left join comp ca on ca.node = v.id_a"
+    "             left join comp cb on cb.node = v.id_b"
+    "  union all"
+    "  select 'repaired', count(*)::bigint,"
+    "    sum(case when coalesce(ca.component, v.id_a)"
+    "               = coalesce(cb.component, v.id_b)"
+    "             and v.is_match then 1 else 0 end)::bigint,"
+    "    sum(case when coalesce(ca.component, v.id_a)"
+    "               = coalesce(cb.component, v.id_b)"
+    "             and not v.is_match then 1 else 0 end)::bigint,"
+    "    sum(case when coalesce(ca.component, v.id_a)"
+    "               <> coalesce(cb.component, v.id_b)"
+    "             and v.is_match then 1 else 0 end)::bigint"
+    "  from vec v left join comp2 ca on ca.node = v.id_a"
+    "             left join comp2 cb on cb.node = v.id_b) "
+    "select stage, n_pairs, tp, fp, fn,"
+    "  case when tp + fp > 0 then (tp * 1000000) // (tp + fp) end::bigint"
+    "    as precision_micro,"
+    "  case when tp + fn > 0 then (tp * 1000000) // (tp + fn) end::bigint"
+    "    as recall_micro,"
+    "  case when 2 * tp + fp + fn > 0 then"
+    "    (2 * tp * 1000000) // (2 * tp + fp + fn) end::bigint as f1_micro "
+    "from cnt"
+)
+
+
 def q_qgram_blocks(spark, sf_dir):
     """Q-gram blocking (linkage.qgram_blocking_pairs — Baxter/Christen's
     bigram-indexing family) over the linkage names with q=4 and a
@@ -6338,6 +6610,8 @@ QUERIES: dict[str, Query] = {
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
+    "cluster_repair": q_cluster_repair,
+    "repair_f1_gain": q_repair_f1_gain,
 }
 
 ORACLES: dict[str, str] = {
@@ -6463,4 +6737,6 @@ ORACLES: dict[str, str] = {
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
+    "cluster_repair": SQL_CLUSTER_REPAIR,
+    "repair_f1_gain": SQL_REPAIR_F1_GAIN,
 }
