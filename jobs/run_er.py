@@ -16,7 +16,8 @@ Usage (cluster or local):
         [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
         [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
         [--review-lower-micro -2000000] [--tf-adjust-fields name] \\
-        [--level-fields "name:2"]
+        [--level-fields "name:2"] \\
+        [--repair-fields ident] [--repair-threshold-micro 0]
 
 The pipeline is the north-star shape on records: candidate blocking —
 sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex of
@@ -28,7 +29,13 @@ deployments use for names) → Fellegi-Sunter weights — supervised from
 --label-expr when given, otherwise UNSUPERVISED via Winkler's pattern EM
 (linkage.fs_em_weights) → pairwise scores → match edges at
 --threshold-micro → iterative large/small-star connected components →
-survivorship golden records (--rules). Outputs under --output:
+survivorship golden records (--rules). With --repair-fields, chain-merged
+clusters (components holding a scorer-rejected interior pair) are
+re-adjudicated by a stronger FS comparator over --fields plus the repair
+columns and re-clustered on the surviving edges (escalation repair:
+linkage.repair_chain_merges); the strong comparator estimates its weights
+on the full candidate population but scores only accepted edges — the
+expensive-field lookups never run over the whole corpus. Outputs under --output:
 clusters/ (id, cluster), golden/ (one canonical row per cluster),
 weights/ (the estimated per-field weight table), scores/ (pair scores).
 With --snapshots, clusters and golden commit through the SnapshotStore
@@ -252,6 +259,9 @@ def run_er_job(spark, args) -> dict:
         vec = vec.withColumn("_is_match", F.expr(args.label_expr))
     # vec fans out (weights + scoring); persist the narrow boolean rows
     vec = vec.persist()
+    rep = None
+    weights_repair = None
+    repair_fields = []
     try:
         if level_fields:
             from xlink_spark.operators.linkage import (
@@ -358,11 +368,95 @@ def run_er_job(spark, args) -> dict:
             F.col("id_a").cast("long").alias("src"),
             F.col("id_b").cast("long").alias("dst"),
         )
-        comp = connected_components(edges)
+        repair_fields = [
+            c.strip()
+            for c in (getattr(args, "repair_fields", None) or "").split(",")
+            if c.strip()
+        ]
+        if repair_fields:
+            # Escalation repair (linkage.repair_chain_merges): chain-merged
+            # clusters — components glued together by transitivity around a
+            # pair the scorer itself rejected — are re-adjudicated by a
+            # STRONGER comparator that adds the --repair-fields columns
+            # (the expensive fields a deployment consults only on demand).
+            dup = [f for f in repair_fields if f in fields]
+            if dup:
+                raise ValueError(
+                    f"--repair-fields already in --fields: {sorted(dup)}"
+                )
+            missing = [f for f in repair_fields if f not in recs.columns]
+            if missing:
+                raise ValueError(
+                    f"--repair-fields not in the records: {sorted(missing)}"
+                )
+            from xlink_spark.operators.linkage import repair_chain_merges
+
+            strong_fields = fields + repair_fields
+            ra_s = recs.select(
+                F.col(idc).alias("id_a"),
+                *[F.col(f).alias(f"_a_{f}") for f in strong_fields],
+            )
+            rb_s = recs.select(
+                F.col(idc).alias("id_b"),
+                *[F.col(f).alias(f"_b_{f}") for f in strong_fields],
+            )
+            # base fields keep their comparator (equality or Jaro-Winkler);
+            # repair fields compare by null-safe equality
+            vec_s = pairs.join(ra_s, "id_a").join(rb_s, "id_b").select(
+                "id_a", "id_b", *[_agree(f) for f in strong_fields]
+            )
+            agree_s = [f"agree_{f}" for f in strong_fields]
+            if args.label_expr:
+                vec_s = vec_s.withColumn("_is_match", F.expr(args.label_expr))
+            # weights need the full candidate population (u-probabilities
+            # come from the non-matches); scoring below is restricted
+            vec_s = vec_s.persist()
+            try:
+                if args.label_expr:
+                    weights_repair = match_weights(vec_s, agree_s, "_is_match")
+                else:
+                    weights_repair = fs_em_weights(
+                        vec_s, agree_s, iterations=args.em_iterations
+                    )
+                # the repair consults strong scores ONLY for accepted edges
+                # (they are the only rows its edge-filter left-join reads),
+                # so score just that subset — at scale the expensive-field
+                # comparator never runs over the full candidate population
+                vec_edges = vec_s.join(
+                    edges.select(
+                        F.col("src").alias("id_a"),
+                        F.col("dst").alias("id_b"),
+                    ),
+                    ["id_a", "id_b"],
+                    "left_semi",
+                )
+                strong_scores = fs_score(
+                    vec_edges, weights_repair, agree_s, ["id_a", "id_b"]
+                )
+                rep = repair_chain_merges(
+                    scores,
+                    strong_scores,
+                    threshold_micro=int(args.threshold_micro),
+                    strong_threshold_micro=int(
+                        getattr(args, "repair_threshold_micro", None) or 0
+                    ),
+                )
+                # materialize before unpersisting the vectors it reads
+                rep = rep.persist()
+                n_flagged = rep.filter(F.col("was_flagged")).count()
+            finally:
+                vec_s.unpersist()
+            comp = rep.select("node", "component")
+        else:
+            comp = connected_components(edges)
         golden = golden_records(recs.drop("_key"), comp, idc, rules)
 
         weights.write.mode("overwrite").parquet(f"{args.output}/weights")
         scores.write.mode("overwrite").parquet(f"{args.output}/scores")
+        if weights_repair is not None:
+            weights_repair.write.mode("overwrite").parquet(
+                f"{args.output}/weights_repair"
+            )
         asg = (
             recs.select(F.col(idc).cast("long").alias("id"))
             .join(
@@ -402,6 +496,8 @@ def run_er_job(spark, args) -> dict:
             }
     finally:
         vec.unpersist()
+        if rep is not None:
+            rep.unpersist()
     out = {
         "mode": mode,
         "blocking": blocking,
@@ -415,6 +511,9 @@ def run_er_job(spark, args) -> dict:
         out["n_review_pairs"] = n_review
     if tf_fields:
         out["tf_adjust_fields"] = tf_fields
+    if repair_fields:
+        out["repair_fields"] = repair_fields
+        out["n_flagged_records"] = n_flagged
     return out
 
 
@@ -469,6 +568,20 @@ def main() -> None:
         "this * greatest(n_a, n_b) over KEPT grams",
     )
     ap.add_argument("--threshold-micro", type=int, default=0)
+    ap.add_argument(
+        "--repair-fields",
+        help="csv: extra record columns for the escalation comparator — "
+        "clusters holding a scorer-rejected interior pair (chain merges) "
+        "are re-clustered on edges a stronger FS over --fields + these "
+        "columns confirms; scored only for accepted edges",
+    )
+    ap.add_argument(
+        "--repair-threshold-micro",
+        type=int,
+        default=0,
+        help="escalation: strong-score acceptance threshold inside "
+        "flagged clusters",
+    )
     ap.add_argument(
         "--review-lower-micro",
         type=int,

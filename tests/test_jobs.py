@@ -758,3 +758,93 @@ def test_run_er_job_posteriors(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="posteriors requires"):
         run_er_job(spark, args(label_expr=None))
+
+
+def test_run_er_job_escalation_repair(spark, tmp_path):
+    """--repair-fields re-adjudicates chain-merged clusters: trios
+    (A, B, C) where A~B share segment, B~C share nation, and A~C share
+    nothing chain into ONE component through accepted glue edges even
+    though the scorer rejects the (A, C) interior pair; the escalation
+    comparator adds the ident column (shared only by true twins) and
+    splits every trio back into its three twin pairs, leaving twin links
+    intact. Without --repair-fields the chains stay merged."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for k in range(1, 13):
+        # trio members: distinct per-trio seg/nation values so nothing
+        # agrees across trios; names sequential so SNM sees the chain
+        trio = [
+            (3 * k - 2, f"a{k:02d}", 2 * k),       # A: segA, natA
+            (3 * k - 1, f"a{k:02d}", 2 * k + 1),   # B: segA, natB
+            (3 * k, f"c{k:02d}", 2 * k + 1),       # C: segC, natB
+        ]
+        for i, seg, nat in trio:
+            name = f"Rec#{i:04d}x"
+            rows.append((i, name, seg, nat, i))
+            # twin: bumped name tail, same ident; seg/nation corrupted on
+            # a third of twins each so the m-probabilities sit near 2/3 —
+            # that keeps single-field-agreement glue edges ABOVE the
+            # threshold (disagreement weights stay mild), which is what
+            # lets the trios chain-merge in the base run
+            tseg = "xx" + seg if i % 3 == 0 else seg
+            tnat = nat + 100 if i % 3 == 1 else nat
+            rows.append((i + 1000, name[:-1] + "y", tseg, tnat, i))
+    src = str(tmp_path / "records_rep")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long, ident long"
+    ).write.parquet(src)
+
+    def run(outdir, **kw):
+        base = dict(
+            records=src, output=str(tmp_path / outdir), id_col="id",
+            key_expr="'all'", order_cols="name",
+            fields="name,segment,nation", jw_fields=None,
+            label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+            window=5, threshold_micro=0, em_iterations=3,
+            rules="name:min", rank_strategy="keys", snapshots=None,
+            blocking="snm",
+        )
+        base.update(kw)
+        args = argparse.Namespace(**base)
+        return run_er_job(spark, args), args
+
+    def clusters(a):
+        return {
+            r["id"]: r["cluster"]
+            for r in spark.read.parquet(f"{a.output}/clusters").collect()
+        }
+
+    m0, a0 = run("rep_base")
+    asg0 = clusters(a0)
+    # the base run chain-merges every trio: A..C one component
+    merged = sum(1 for k in range(1, 13)
+                 if asg0[3 * k - 2] == asg0[3 * k])
+    assert merged == 12, merged
+
+    m1, a1 = run("rep_fix", repair_fields="ident")
+    assert m1["repair_fields"] == ["ident"]
+    # every trio was flagged (all 6 members sat in a flagged component)
+    assert m1["n_flagged_records"] == 72
+    asg1 = clusters(a1)
+    for k in range(1, 13):
+        A, B, C = 3 * k - 2, 3 * k - 1, 3 * k
+        # twins stay linked, the chain is split member from member
+        for i in (A, B, C):
+            assert asg1[i] == asg1[i + 1000], i
+        assert asg1[A] != asg1[B] and asg1[B] != asg1[C]
+    # the strong comparator's weight table is written for audit
+    wr = spark.read.parquet(f"{a1.output}/weights_repair")
+    assert {r["field"] for r in wr.collect()} == {
+        "agree_name", "agree_segment", "agree_nation", "agree_ident"
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already in --fields"):
+        run("rep_bad1", repair_fields="nation")
+    with _pytest.raises(ValueError, match="not in the records"):
+        run("rep_bad2", repair_fields="phone")
