@@ -48,6 +48,7 @@ HEADLINE = [
     "fs_pair_scores",     # SNM blocking → Fellegi-Sunter pairwise scores
     "fs_level_scores",    # multi-level gamma FS (levenshtein band levels)
     "qgram_blocks",       # q-gram blocking with stop-gram purge
+    "cluster_repair",     # escalation repair of chain-merged ER clusters
 ]
 
 

@@ -392,22 +392,38 @@ def run_er_job(spark, args) -> dict:
             from xlink_spark.operators.linkage import repair_chain_merges
 
             strong_fields = fields + repair_fields
-            ra_s = recs.select(
+            # base-field agreements are already sitting in the persisted
+            # vec (including _is_match) — join ONLY the repair columns
+            # against the pairs instead of re-running every comparator
+            ra_r = recs.select(
                 F.col(idc).alias("id_a"),
-                *[F.col(f).alias(f"_a_{f}") for f in strong_fields],
+                *[F.col(f).alias(f"_a_{f}") for f in repair_fields],
             )
-            rb_s = recs.select(
+            rb_r = recs.select(
                 F.col(idc).alias("id_b"),
-                *[F.col(f).alias(f"_b_{f}") for f in strong_fields],
+                *[F.col(f).alias(f"_b_{f}") for f in repair_fields],
             )
-            # base fields keep their comparator (equality or Jaro-Winkler);
-            # repair fields compare by null-safe equality
-            vec_s = pairs.join(ra_s, "id_a").join(rb_s, "id_b").select(
-                "id_a", "id_b", *[_agree(f) for f in strong_fields]
+            vec_extra = pairs.join(ra_r, "id_a").join(rb_r, "id_b").select(
+                "id_a", "id_b", *[_agree(f) for f in repair_fields]
+            )
+            if level_fields:
+                # reconstruct the binary agreements the strong comparator
+                # needs from the level gammas: exact equality is level 2
+                # for 3-level fields and level 1 for the 2-level ride-alongs
+                base_agrees = [
+                    (F.col(f"lvl_{f}") == (2 if f in level_fields else 1))
+                    .alias(f"agree_{f}")
+                    for f in fields
+                ]
+            else:
+                base_agrees = [F.col(f"agree_{f}") for f in fields]
+            keep = ["id_a", "id_b"] + (
+                ["_is_match"] if args.label_expr else []
+            )
+            vec_s = vec.select(*keep, *base_agrees).join(
+                vec_extra, ["id_a", "id_b"]
             )
             agree_s = [f"agree_{f}" for f in strong_fields]
-            if args.label_expr:
-                vec_s = vec_s.withColumn("_is_match", F.expr(args.label_expr))
             # weights need the full candidate population (u-probabilities
             # come from the non-matches); scoring below is restricted
             vec_s = vec_s.persist()

@@ -842,6 +842,17 @@ def test_run_er_job_escalation_repair(spark, tmp_path):
         "agree_name", "agree_segment", "agree_nation", "agree_ident"
     }
 
+    # repair composes with --level-fields: the strong comparator's binary
+    # agreements are reconstructed from the level gammas (exact = top
+    # level), and the ident escalation still separates every trio member
+    m2, a2 = run("rep_lvl", repair_fields="ident", level_fields="name:2")
+    asg2 = clusters(a2)
+    for k in range(1, 13):
+        A, B, C = 3 * k - 2, 3 * k - 1, 3 * k
+        for i in (A, B, C):
+            assert asg2[i] == asg2[i + 1000], i
+        assert asg2[A] != asg2[B] and asg2[B] != asg2[C]
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="already in --fields"):
