@@ -160,6 +160,11 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # the driver JVM is created once per process and reused across the
+    # per-level sessions — size it for the multi-million-row arms up front
+    # (same figure the spark-submit scaling runs used via --driver-memory)
+    os.environ.setdefault("XLINK_DRIVER_MEM", "48g")
+
     levels = [int(x) for x in args.levels.split(",")]
     records = os.path.join(args.workdir, f"records_x{args.multiplier}")
 

@@ -1580,7 +1580,15 @@ def repair_chain_merges(
             F.col(s).cast("long").alias(out),
         )
 
-    sc = _canon(scores, id_a, id_b, score_col, "_s")
+    # the narrow canonical score rows feed FOUR downstream consumers
+    # (comp0's CC + its roots pass, the flag scan, the edge filter); an
+    # eager localCheckpoint evaluates the caller's scoring plan exactly
+    # once instead of once per consumer — at corpus scale the upstream
+    # plan is a pairs-wide comparator, the single most expensive thing
+    # to accidentally recompute (measured 2x wall on a 12M-record run)
+    sc = _canon(scores, id_a, id_b, score_col, "_s").localCheckpoint(
+        eager=True
+    )
     strong = _canon(
         strong_scores, id_a, id_b, strong_score_col, "_t"
     ).groupBy("_lo", "_hi").agg(F.min("_t").alias("_t"))
@@ -1588,7 +1596,7 @@ def repair_chain_merges(
     edges0 = sc.filter(F.col("_s") >= F.lit(int(threshold_micro)))
     comp0 = connected_components(
         edges0.select(F.col("_lo").alias("src"), F.col("_hi").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)  # read by flagged, edges1, nodes0
     ca = comp0.select(F.col("node").alias("_lo"), F.col("component").alias("_c0"))
     cb = comp0.select(F.col("node").alias("_hi"), F.col("component").alias("_c1"))
     flagged = (
@@ -1598,6 +1606,7 @@ def repair_chain_merges(
         .filter(F.col("_c0") == F.col("_c1"))
         .select(F.col("_c0").alias("_flag"))
         .distinct()
+        .localCheckpoint(eager=True)  # tiny; read by edges1 and nodes0
     )
     edges1 = (
         edges0.join(ca, "_lo")
@@ -1607,6 +1616,11 @@ def repair_chain_merges(
             F.col("_flag").isNull()
             | (F.col("_t") >= F.lit(int(strong_threshold_micro)))
         )
+        # CC evaluates its edge input twice (iteration seed + the roots
+        # pass); checkpointing keeps the strong-comparator join chain —
+        # the expensive-field consultation — to a single execution
+        .select("_lo", "_hi")
+        .localCheckpoint(eager=True)
     )
     comp1 = connected_components(
         edges1.select(F.col("_lo").alias("src"), F.col("_hi").alias("dst"))
