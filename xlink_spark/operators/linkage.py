@@ -1548,7 +1548,10 @@ def repair_chain_merges(
        ``strong_threshold_micro``; a flagged-interior edge with NO
        strong row is pruned (conservative — unjudged evidence does not
        merge). Edges in unflagged components pass through untouched;
-    4. connected components over the surviving edges (comp₁).
+    4. connected components over the surviving flagged-interior edges
+       (comp₁) — unflagged components keep comp₀'s labels outright, so
+       the re-cluster job's input scales with the flagged subgraph, not
+       the corpus.
 
     Returns (node, component, was_flagged) for every node of the BASE
     graph: component = min node id of the repaired component (own id if
@@ -1566,10 +1569,14 @@ def repair_chain_merges(
     interiors are the audit-grain fraction of the corpus, which is the
     point of escalating instead of re-scoring everything).
 
-    Scale shape: two iterative large/small-star CC jobs (the second over
-    a subset of the first's edges), one distinct over the SMALL flagged
-    component list, narrow (node, component) rows on every shuffle —
-    record payloads never ride any of it.
+    Scale shape: two iterative large/small-star CC jobs — the second over
+    ONLY the flagged components' surviving edges (audit-grain input; the
+    unflagged corpus never enters it) — one distinct over the SMALL
+    flagged component list, narrow (node, component) rows on every
+    shuffle; record payloads never ride any of it. The narrow
+    intermediates (canonical scores, comp₀, flags, surviving edges) are
+    eagerly locally checkpointed so each upstream plan — including the
+    caller's pairwise comparators — executes exactly once.
     """
     from xlink_spark.operators.cluster import connected_components
 
@@ -1608,14 +1615,17 @@ def repair_chain_merges(
         .distinct()
         .localCheckpoint(eager=True)  # tiny; read by edges1 and nodes0
     )
+    # re-cluster ONLY the flagged components: unflagged components keep
+    # their full edge set, so their repaired assignment is comp0's by
+    # construction — running the second CC over their edges would just
+    # recompute the same labels. Restricting the input to flagged-interior
+    # survivors makes the re-cluster cost scale with the FLAGGED subgraph
+    # (the audit-grain fraction of the corpus), not with the corpus.
     edges1 = (
         edges0.join(ca, "_lo")
-        .join(flagged, F.col("_c0") == F.col("_flag"), "left")
+        .join(flagged, F.col("_c0") == F.col("_flag"))
         .join(strong, ["_lo", "_hi"], "left")
-        .filter(
-            F.col("_flag").isNull()
-            | (F.col("_t") >= F.lit(int(strong_threshold_micro)))
-        )
+        .filter(F.col("_t") >= F.lit(int(strong_threshold_micro)))
         # CC evaluates its edge input twice (iteration seed + the roots
         # pass); checkpointing keeps the strong-comparator join chain —
         # the expensive-field consultation — to a single execution
@@ -1626,13 +1636,17 @@ def repair_chain_merges(
         edges1.select(F.col("_lo").alias("src"), F.col("_hi").alias("dst"))
     )
     nodes0 = comp0.join(flagged, comp0.component == F.col("_flag"), "left").select(
-        "node", F.col("_flag").isNotNull().alias("was_flagged")
+        "node", "component", F.col("_flag").isNotNull().alias("was_flagged")
     )
     return (
         nodes0.join(comp1.withColumnRenamed("component", "_rc"), "node", "left")
         .select(
             "node",
-            F.coalesce(F.col("_rc"), F.col("node")).alias("component"),
+            # unflagged: the base label; flagged: the re-clustered label,
+            # own id if every interior edge was pruned
+            F.when(~F.col("was_flagged"), F.col("component"))
+            .otherwise(F.coalesce(F.col("_rc"), F.col("node")))
+            .alias("component"),
             "was_flagged",
         )
     )
