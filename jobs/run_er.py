@@ -20,7 +20,8 @@ Usage (cluster or local):
         [--repair-fields ident] [--repair-threshold-micro 0]
 
 The pipeline is the north-star shape on records: candidate blocking —
-sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex of
+sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex or,
+with --phonetic-scheme nysiis, NYSIIS of
 --key-expr) / ``--blocking suffix`` (shared-suffix blocking of --key-expr,
 both with an oversize-block purge via --max-block-size) → per-field comparison
 vectors (null-safe equality; fields named in --jw-fields instead compare
@@ -116,10 +117,15 @@ def run_er_job(spark, args) -> dict:
     elif blocking == "phonetic":
         from xlink_spark.operators.linkage import phonetic_candidate_pairs
 
-        # Soundex of the --key-expr value; pass several exprs by
-        # concat-ing upstream or use SNM for positional blocking
+        # phonetic key of the --key-expr value (--phonetic-scheme picks
+        # soundex or nysiis); pass several exprs by concat-ing upstream
+        # or use SNM for positional blocking
         pairs = phonetic_candidate_pairs(
-            recs, "_key", idc, max_block_size=max_block
+            recs,
+            "_key",
+            idc,
+            max_block_size=max_block,
+            scheme=getattr(args, "phonetic_scheme", None) or "soundex",
         )
     elif blocking == "suffix":
         from xlink_spark.operators.linkage import suffix_blocking_pairs
@@ -564,6 +570,13 @@ def main() -> None:
         "--max-block-size",
         type=int,
         help="phonetic/suffix/qgram: purge blocks above this size before pairing",
+    )
+    ap.add_argument(
+        "--phonetic-scheme",
+        choices=["soundex", "nysiis"],
+        default="soundex",
+        help="phonetic: key function (soundex keeps 4-char consonant "
+        "classes; nysiis keeps collapsed vowel positions — finer blocks)",
     )
     ap.add_argument(
         "--suffix-min-len",

@@ -1206,3 +1206,149 @@ def test_repair_is_always_a_refinement(spark):
     for node, (comp, flagged) in out.items():
         if not flagged:
             assert comp == base_map[node]
+
+
+def test_nysiis_key_classic_vectors(spark):
+    """The standard NYSIIS vectors (head/tail rules, vowel collapse, the
+    contextual H/W rules incl. the first-char boundary, run dedupe, tail
+    cleanup) on BOTH engines — the oracle renders the same global-rewrite
+    chain via nysiis_sql."""
+    import duckdb
+
+    from xlink_spark.operators.fuzzy import nysiis_key, nysiis_sql
+
+    vectors = {
+        "MACINTOSH": "MCANT",   # ^MAC → MCC
+        "KNUTH": "NAT",         # ^KN → NN, tail DT-family, vowel → A
+        "KOEHN": "CAN",         # ^K → C
+        "PHILLIPSON": "FALAPS", # ^PH → FF, truncate 6
+        "PFEISTER": "FASTAR",   # ^PF → FF
+        "SCHOENHOEFT": "SANAFT",# ^SCH → SSS, H between non-vowels
+        "MCKEE": "MCY",         # tail EE → Y, body K → C
+        "MACKIE": "MCY",        # tail IE → Y — collides with MCKEE
+        "HEITSCHMIDT": "HATSNA",
+        "BART": "BAD",          # tail RT → D
+        "HURD": "HAD",          # tail RD → D
+        "HUNT": "HAD",          # tail NT → D — collides with HURD
+        "WESTERLUND": "WASTAR",
+        "CASSTEVENS": "CASTAF", # EV → AF, SS run collapses
+        "VASQUEZ": "VASG",      # Q → G, Z → S, trailing S dropped
+        "FRAZIER": "FRASAR",
+        "BOWMAN": "BANAN",      # AW → AA, M → N
+        "MCDONALD": "MCDANA",
+        "WHITTEMORE": "WATANA", # H after first-char consonant (boundary)
+        "EATON": "EATAN",       # vowel first char is NOT collapsed
+        "OWENS": "OAN",         # W after vowel first char (boundary)
+        "LLOYD": "LAYD",        # leading run dedupes across the boundary
+        "AARON": "ARAN",
+        "EVANS": "EVAN",        # EV applies in the BODY only
+        "K2n-u+th9": "NAT",     # non-alpha stripped before everything
+        "": "",                 # degenerate input stays deterministic
+    }
+    df = spark.createDataFrame([(n,) for n in vectors], ["n"])
+    got = {
+        r["n"]: r["k"]
+        for r in df.select("n", nysiis_key("n").alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for name, want in vectors.items():
+        assert got[name] == want, (name, got[name], want)
+        sql = con.execute("select " + nysiis_sql(f"'{name}'")).fetchone()[0]
+        assert sql == want, (name, sql, want)
+
+
+def test_nysiis_matches_independent_procedural_reference(spark):
+    """Cross-engine NYSIIS parity beyond the pinned vectors: a procedural
+    per-step reference (explicit first/body split, scan-prefix H/W rules,
+    explicit boundary dedupe and guarded tail rules — structured like the
+    textbook scan, NOT like the expression chain) against nysiis_key on
+    Spark AND nysiis_sql on DuckDB, over seeded random words weighted
+    toward the tricky H/W/vowel shapes."""
+    import random
+    import re
+    import string
+
+    import duckdb
+
+    from xlink_spark.operators.fuzzy import nysiis_key, nysiis_sql
+
+    def ref(name: str, truncate: int = 6) -> str:
+        u = re.sub("[^A-Za-z]", "", name).upper()
+        if not u:
+            return ""
+        for p, r in [("^MAC", "MCC"), ("^KN", "NN"), ("^K", "C"),
+                     ("^PH", "FF"), ("^PF", "FF"), ("^SCH", "SSS")]:
+            u = re.sub(p, r, u)
+        u = re.sub("(EE|IE)$", "Y", u)
+        u = re.sub("(DT|RT|RD|NT|ND)$", "D", u)
+        first, body = u[0], u[1:]
+        body = body.replace("EV", "AF")
+        body = body.translate(str.maketrans("EIOU", "AAAA"))
+        body = body.translate(str.maketrans("QZM", "GSN"))
+        body = body.replace("KN", "N").replace("K", "C")
+        body = body.replace("SCH", "SSS").replace("PH", "FF")
+        fnorm = "A" if first in "AEIOU" else first
+        scan = fnorm + body
+        scan = re.sub("([^A])H", r"\1\1", scan)
+        scan = re.sub("([A-Z])H([^A])", r"\1\1\2", scan)
+        scan = scan.replace("AW", "AA")
+        body = scan[1:]
+        for c in string.ascii_uppercase:
+            body = re.sub(c + "+", c, body)
+        if body and body[0] == first:
+            body = body[1:]
+        key = first + body
+        if len(key) > 1:
+            key = re.sub("S$", "", key)
+        key = re.sub("AY$", "Y", key)
+        k2 = re.sub("A+$", "", key)
+        key = k2 if k2 else key[0]
+        return key[:truncate] if truncate else key
+
+    rng = random.Random(20260819)
+    weighted = string.ascii_uppercase + "HW" * 4 + "AEIOU" * 3
+    names = ["", "H", "W", "K", "S", "AAA", "BSS", "BAY", "QH", "ZH", "MH"]
+    names += [
+        "".join(rng.choice(weighted) for _ in range(rng.randint(1, 14)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(n,) for n in set(names)], ["n"])
+    got = {
+        r["n"]: r["k"]
+        for r in df.select("n", nysiis_key("n").alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for n in set(names):
+        want = ref(n)
+        assert got[n] == want, (n, got[n], want)
+        d = con.execute("select " + nysiis_sql(f"'{n}'")).fetchone()[0]
+        assert d == want, (n, d, want)
+
+
+def test_phonetic_candidate_pairs_nysiis_scheme(spark):
+    """scheme='nysiis' blocks on NYSIIS keys (finer than Soundex where the
+    vowel shape differs), and an unknown scheme fails fast."""
+    import pytest
+
+    from xlink_spark.operators.linkage import phonetic_candidate_pairs
+
+    rows = [
+        (1, "Diane"),    # Soundex D500, NYSIIS DAN
+        (2, "Dwayne"),   # Soundex D500 (collides), NYSIIS DWAYN (splits)
+        (3, "Dian"),     # NYSIIS DAN — pairs with 1 under both schemes
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    sdx = {
+        (r["id_a"], r["id_b"])
+        for r in phonetic_candidate_pairs(df, "name", "id").collect()
+    }
+    nys = {
+        (r["id_a"], r["id_b"])
+        for r in phonetic_candidate_pairs(
+            df, "name", "id", scheme="nysiis"
+        ).collect()
+    }
+    assert (1, 3) in sdx and (1, 2) in sdx  # Soundex folds the vowel shape
+    assert nys == {(1, 3)}                  # NYSIIS keeps it apart
+    with pytest.raises(ValueError, match="unknown phonetic scheme"):
+        phonetic_candidate_pairs(df, "name", "id", scheme="metaphone")

@@ -5251,6 +5251,78 @@ def _sql_phonetic_blocks() -> str:
 SQL_PHONETIC_BLOCKS = _sql_phonetic_blocks()
 
 
+def q_nysiis_blocks(spark, sf_dir):
+    """NYSIIS phonetic blocking (linkage.phonetic_candidate_pairs with
+    scheme='nysiis' — Taft 1970, the literature's standard companion to
+    Soundex) over the same clean ∪ bumped-last-letter part-name corpus as
+    `phonetic_blocks`, so the two schemes are directly comparable on
+    identical records: NYSIIS keeps collapsed vowel POSITIONS, so it
+    splits name shapes Soundex folds together (finer blocks, stricter
+    recall on tail bumps — measured by the riding is_twin flag). The key
+    is a global-rewrite formulation of the classic rule set — one fixed
+    regexp/translate chain rendered identically on both engines (no UDF,
+    no per-position scan), pinned against the published vectors
+    (MACINTOSH→MCANT, KNUTH→NAT, PFEISTER→FASTAR) and fuzz-checked
+    against a procedural reference on 120k random words. Blocks above 32
+    members are purged pre-join (the meta-blocking purge). Pure string
+    ops end to end — no floats, no margins."""
+    from xlink_spark.operators.linkage import phonetic_candidate_pairs
+
+    part = spark.read.parquet(_T(sf_dir, "part"))
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
+        F.regexp_extract("p_name", "^[a-z]+ ([a-z]+)", 1).alias("w2"),
+    )
+    dirty = base.select(
+        (F.col("id") + 10000000).alias("id"),
+        F.expr(
+            "concat(substring(w1, 1, length(w1) - 1),"
+            " char(ascii(substring(w1, length(w1), 1)) + 1))"
+        ).alias("w1"),
+        F.col("w2"),
+    )
+    recs = base.unionByName(dirty)
+    pairs = phonetic_candidate_pairs(
+        recs, ["w1", "w2"], "id", max_block_size=32, scheme="nysiis"
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "pkey",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
+def _sql_nysiis_blocks() -> str:
+    from xlink_spark.operators.fuzzy import nysiis_sql
+
+    return (
+        "with base as (select p_partkey::bigint as id,"
+        "  regexp_extract(p_name, '^[a-z]+', 0) as w1,"
+        "  regexp_extract(p_name, '^[a-z]+ ([a-z]+)', 1) as w2 from part), "
+        "dirty as (select id + 10000000 as id,"
+        "  substr(w1, 1, length(w1) - 1)"
+        "    || chr(ascii(substr(w1, length(w1), 1)) + 1) as w1, w2"
+        "  from base), "
+        "recs as (select * from base union all select * from dirty), "
+        f"keyed as (select id, {nysiis_sql('w1')} || {nysiis_sql('w2')}"
+        "  as pkey from recs), "
+        "kept as (select pkey from keyed group by pkey"
+        "  having count(*) <= 32), "
+        "km as (select k.id, k.pkey from keyed k join kept using (pkey)) "
+        "select a.id as id_a, b.id as id_b, a.pkey,"
+        "  (a.id % 10000000) = (b.id % 10000000) as is_twin "
+        "from km a join km b on a.pkey = b.pkey and a.id < b.id"
+    )
+
+
+SQL_NYSIIS_BLOCKS = _sql_nysiis_blocks()
+
+
 def q_mutual_best_pairs(spark, sf_dir):
     """One-to-one clean-clean matching (linkage.mutual_best_matches): FS
     pair scores restricted to cross-side (clean↔dirty) candidates, then a
@@ -6597,6 +6669,7 @@ QUERIES: dict[str, Query] = {
     "meta_blocking_pairs": q_meta_blocking_pairs,
     "clustering_ari": q_clustering_ari,
     "phonetic_blocks": q_phonetic_blocks,
+    "nysiis_blocks": q_nysiis_blocks,
     "mutual_best_pairs": q_mutual_best_pairs,
     "link_constraints": q_link_constraints,
     "suffix_blocks": q_suffix_blocks,
@@ -6724,6 +6797,7 @@ ORACLES: dict[str, str] = {
     "meta_blocking_pairs": SQL_META_BLOCKING_PAIRS,
     "clustering_ari": SQL_CLUSTERING_ARI,
     "phonetic_blocks": SQL_PHONETIC_BLOCKS,
+    "nysiis_blocks": SQL_NYSIIS_BLOCKS,
     "mutual_best_pairs": SQL_MUTUAL_BEST_PAIRS,
     "link_constraints": SQL_LINK_CONSTRAINTS,
     "suffix_blocks": SQL_SUFFIX_BLOCKS,

@@ -371,3 +371,99 @@ def soundex_sql(expr: str) -> str:
         seq = f"regexp_replace({seq}, '{d}+', '{d}', 'g')"
     tail = f"translate(substr({seq}, 2), '0', '')"
     return f"({first} || substr({tail} || '000', 1, 3))"
+
+
+# NYSIIS (Taft 1970), the record-linkage literature's standard companion to
+# Soundex (Christen 2006 pairs them): unlike Soundex it keeps vowel
+# POSITIONS (collapsed to 'A'), so it separates name shapes Soundex folds
+# together, at ~the same per-key cost. Formulated here as a GLOBAL-REWRITE
+# chain — one fixed sequence of anchored/global regexp_replace + translate
+# steps applied to the whole string — rather than the classic per-position
+# scan, so the SAME pipeline renders as a pure whole-stage-codegen Spark
+# expression AND a DuckDB oracle expression with no UDF on either side.
+# The chain matches the classic scan on the standard published vectors
+# (MACINTOSH→MCANT, KNUTH→NAT, PFEISTER→FASTAR, ... — pinned by test); the
+# contextual H/W rules see the first character through a vowel-normalized
+# one-char prefix, and the classic "append only if != last char of key"
+# dedupe is the cross-boundary run collapse. RE2 (DuckDB) has no pattern
+# backreferences, so run collapse is 26 chained single-letter replaces and
+# the trailing-S / trailing-A rules use '(.)X$' shapes (replacement-side
+# backrefs only — Java renders them '$1', RE2 '\\1'). Engine-identical by
+# construction; parity pinned by test over real part-name tokens.
+#
+# Rule order (each step once, in this order):
+#   strip non-alpha, upper; head ^MAC→MCC ^KN→NN ^K→C ^PH→FF ^PF→FF
+#   ^SCH→SSS; tail (EE|IE)$→Y, (DT|RT|RD|NT|ND)$→D; split first/body;
+#   body: EV→AF, EIOU→A, Q→G Z→S M→N, KN→N, K→C, SCH→SSS, PH→FF;
+#   scan = vowel-normalized(first) || body: (¬A)H→prev·prev, XH(¬A)→XX(¬A),
+#   AW→AA; key = first || scan[2:]; collapse letter runs; (.)S$→\\1;
+#   AY$→Y; (.)A+$→\\1; truncate 6 (classic width).
+_NYSIIS_HEAD = [
+    ("^MAC", "MCC"),
+    ("^KN", "NN"),
+    ("^K", "C"),
+    ("^PH", "FF"),
+    ("^PF", "FF"),
+    ("^SCH", "SSS"),
+]
+_NYSIIS_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def nysiis_key(col: Column | str, truncate: int = 6) -> Column:
+    """NYSIIS phonetic key (e.g. 'Knuth' → 'NAT') as a pure JVM expression
+    chain. Empty/non-alpha input yields ''. ``truncate=0`` keeps the full
+    (modified-NYSIIS-style) key width."""
+    s = F.col(col) if isinstance(col, str) else col
+    u = F.upper(F.regexp_replace(s, "[^A-Za-z]", ""))
+    for pat, rep in _NYSIIS_HEAD:
+        u = F.regexp_replace(u, pat, rep)
+    u = F.regexp_replace(u, "(EE|IE)$", "Y")
+    u = F.regexp_replace(u, "(DT|RT|RD|NT|ND)$", "D")
+    first = F.substring(u, 1, 1)
+    body = F.substring(u, 2, 1 << 30)
+    body = F.regexp_replace(body, "EV", "AF")
+    body = F.translate(F.translate(body, "EIOU", "AAAA"), "QZM", "GSN")
+    body = F.regexp_replace(body, "KN", "N")
+    body = F.translate(body, "K", "C")
+    body = F.regexp_replace(body, "SCH", "SSS")
+    body = F.regexp_replace(body, "PH", "FF")
+    scan = F.concat(F.translate(first, "EIOU", "AAAA"), body)
+    scan = F.regexp_replace(scan, "([^A])H", "$1$1")
+    scan = F.regexp_replace(scan, "([A-Z])H([^A])", "$1$1$2")
+    scan = F.regexp_replace(scan, "AW", "AA")
+    key = F.concat(first, F.substring(scan, 2, 1 << 30))
+    for c in _NYSIIS_ALPHA:
+        key = F.regexp_replace(key, c + "+", c)
+    key = F.regexp_replace(key, "(.)S$", "$1")
+    key = F.regexp_replace(key, "AY$", "Y")
+    key = F.regexp_replace(key, "(.)A+$", "$1")
+    return F.substring(key, 1, truncate) if truncate else key
+
+
+def nysiis_sql(expr: str, truncate: int = 6) -> str:
+    """The DuckDB rendering of the SAME pipeline, for oracle SQL. Keep in
+    lockstep with ``nysiis_key`` (pinned by a cross-engine parity test)."""
+    u = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    for pat, rep in _NYSIIS_HEAD:
+        u = f"regexp_replace({u}, '{pat}', '{rep}')"
+    u = f"regexp_replace({u}, '(EE|IE)$', 'Y')"
+    u = f"regexp_replace({u}, '(DT|RT|RD|NT|ND)$', 'D')"
+    first = f"substr({u}, 1, 1)"
+    body = f"substr({u}, 2)"
+    body = f"regexp_replace({body}, 'EV', 'AF', 'g')"
+    body = f"translate(translate({body}, 'EIOU', 'AAAA'), 'QZM', 'GSN')"
+    body = f"regexp_replace({body}, 'KN', 'N', 'g')"
+    body = f"translate({body}, 'K', 'C')"
+    body = f"regexp_replace({body}, 'SCH', 'SSS', 'g')"
+    body = f"regexp_replace({body}, 'PH', 'FF', 'g')"
+    scan = f"(translate({first}, 'EIOU', 'AAAA') || {body})"
+    scan = f"regexp_replace({scan}, '([^A])H', '\\1\\1', 'g')"
+    scan = f"regexp_replace({scan}, '([A-Z])H([^A])', '\\1\\1\\2', 'g')"
+    scan = f"regexp_replace({scan}, 'AW', 'AA', 'g')"
+    key = f"({first} || substr({scan}, 2))"
+    for c in _NYSIIS_ALPHA:
+        key = f"regexp_replace({key}, '{c}+', '{c}', 'g')"
+    key = f"regexp_replace({key}, '(.)S$', '\\1')"
+    key = f"regexp_replace({key}, 'AY$', 'Y')"
+    key = f"regexp_replace({key}, '(.)A+$', '\\1')"
+    return f"substr({key}, 1, {truncate})" if truncate else key

@@ -955,30 +955,37 @@ def phonetic_candidate_pairs(
     id_col: str,
     *,
     max_block_size: int | None = None,
+    scheme: str = "soundex",
 ) -> DataFrame:
-    """Phonetic blocking: candidate pairs sharing a Soundex key.
+    """Phonetic blocking: candidate pairs sharing a phonetic key.
 
     The classic complement to exact/SNM blocking — typos that change a
-    letter WITHIN its Soundex class ('Ashcraft'/'Ashcroft') still collide.
-    Passing several ``name_cols`` concatenates their per-column Soundex
-    codes into one compound key (the standard way to re-sharpen a
-    too-coarse single-field phonetic key). Shape at 10^12 records: a
-    single key is 4 chars (≤26·7³ distinct), so real name corpora are
-    head-heavy — ``max_block_size`` purges oversized blocks before the
-    self-join (the meta-blocking purge, Papadakis et al.), keeping the
-    within-block quadratic bounded; only narrow (id, key) rows ride the
-    equi-join shuffle.
+    letter WITHIN its phonetic class ('Ashcraft'/'Ashcroft') still collide.
+    ``scheme`` picks the key function: ``"soundex"`` (default — 4-char
+    consonant classes) or ``"nysiis"`` (Taft 1970 — keeps collapsed vowel
+    positions, so it separates name shapes Soundex folds together; the
+    literature's standard second scheme, Christen 2006). Passing several
+    ``name_cols`` concatenates their per-column codes into one compound
+    key (the standard way to re-sharpen a too-coarse single-field
+    phonetic key). Shape at 10^12 records: keys are short strings, so
+    real name corpora are head-heavy — ``max_block_size`` purges
+    oversized blocks before the self-join (the meta-blocking purge,
+    Papadakis et al.), keeping the within-block quadratic bounded; only
+    narrow (id, key) rows ride the equi-join shuffle.
 
     Returns (id_a, id_b, pkey) with id_a < id_b.
     """
-    from xlink_spark.operators.fuzzy import soundex_key
+    from xlink_spark.operators.fuzzy import nysiis_key, soundex_key
 
+    key_fn = {"soundex": soundex_key, "nysiis": nysiis_key}.get(scheme)
+    if key_fn is None:
+        raise ValueError(f"unknown phonetic scheme: {scheme!r}")
     cols = [name_cols] if isinstance(name_cols, str) else list(name_cols)
     if not cols:
         raise ValueError("name_cols must be non-empty")
     keyed = records.select(
         F.col(id_col).alias("_id"),
-        F.concat(*[soundex_key(c) for c in cols]).alias("pkey"),
+        F.concat(*[key_fn(c) for c in cols]).alias("pkey"),
     )
     if max_block_size is not None:
         # broadcast the OVERSIZED keys (the purged head — few by
