@@ -14,6 +14,7 @@ Usage (cluster or local):
         [--rank-strategy keys|range] [--snapshots /lake/snap] \\
         [--blocking snm|multipass|phonetic|suffix|qgram] [--max-block-size N] \\
         [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
+        [--allpairs-threshold-ppt 600] \\
         [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
         [--review-lower-micro -2000000] [--tf-adjust-fields name] \\
         [--level-fields "name:2"] \\
@@ -22,8 +23,10 @@ Usage (cluster or local):
 The pipeline is the north-star shape on records: candidate blocking —
 sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex or,
 with --phonetic-scheme nysiis, NYSIIS of
---key-expr) / ``--blocking suffix`` (shared-suffix blocking of --key-expr,
-both with an oversize-block purge via --max-block-size) → per-field comparison
+--key-expr) / ``--blocking suffix`` (shared-suffix blocking of --key-expr) /
+``--blocking allpairs`` (prefix-filtered exact-recall Jaccard over the
+whitespace tokens of --key-expr at --allpairs-threshold-ppt; all with an
+oversize-block purge via --max-block-size) → per-field comparison
 vectors (null-safe equality; fields named in --jw-fields instead compare
 by Jaro-Winkler ≥ threshold_micro — the fuzzy comparator production FS
 deployments use for names) → Fellegi-Sunter weights — supervised from
@@ -150,6 +153,21 @@ def run_er_job(spark, args) -> dict:
             q=int(getattr(args, "qgram_q", None) or 4),
             max_block_size=max_block,
             threshold_ppt=getattr(args, "qgram_threshold_ppt", None),
+        )
+    elif blocking == "allpairs":
+        from xlink_spark.operators.linkage import allpairs_jaccard_pairs
+
+        # whitespace-tokenized --key-expr; exact distinct-token Jaccard
+        # with prefix-filter candidate generation (exact recall; the
+        # optional --max-block-size purge is the recall/cost knob)
+        pairs = allpairs_jaccard_pairs(
+            recs.withColumn("_toks", F.split(F.col("_key"), "\\s+")),
+            "_toks",
+            idc,
+            threshold_ppt=int(
+                getattr(args, "allpairs_threshold_ppt", None) or 600
+            ),
+            max_block_size=max_block,
         )
     elif blocking == "multipass":
         from xlink_spark.operators.linkage import multipass_pairs
@@ -555,11 +573,13 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument(
         "--blocking",
-        choices=["snm", "multipass", "phonetic", "suffix", "qgram"],
+        choices=["snm", "multipass", "phonetic", "suffix", "qgram", "allpairs"],
         default="snm",
         help="candidate generation: sorted-neighborhood (default), "
         "multi-pass SNM (--pass-exprs), Soundex of --key-expr, suffix "
-        "blocking of --key-expr, or q-gram blocking of --key-expr",
+        "blocking of --key-expr, q-gram blocking of --key-expr, or "
+        "prefix-filtered all-pairs Jaccard over whitespace tokens of "
+        "--key-expr (exact recall at --allpairs-threshold-ppt)",
     )
     ap.add_argument(
         "--pass-exprs",
@@ -589,6 +609,14 @@ def main() -> None:
         type=int,
         default=4,
         help="qgram blocking: gram width",
+    )
+    ap.add_argument(
+        "--allpairs-threshold-ppt",
+        type=int,
+        default=600,
+        help="allpairs blocking: exact distinct-token Jaccard threshold "
+        "in parts per thousand (candidate generation stays exact-recall "
+        "at this threshold unless --max-block-size purges)",
     )
     ap.add_argument(
         "--qgram-threshold-ppt",

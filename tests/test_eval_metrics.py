@@ -220,3 +220,68 @@ def test_vmeasure_textbook_and_replica(spark):
         spark.createDataFrame(cases[2], "pred long, gold long")
     ).collect()[0]
     assert blob["completeness"] == 1.0 and blob["homogeneity"] < 1.0
+
+
+def test_muc_textbook_examples(spark):
+    """The Vilain et al. (1995) worked examples: a gold chain split in two
+    scores R=2/3 P=1; the mirror scores R=1 P=2/3; perfect = 1/1."""
+    from xlink_spark.eval.bcubed import muc
+
+    split = [("a", "p1", "g1"), ("b", "p1", "g1"), ("c", "p2", "g1"), ("d", "p2", "g1")]
+    m = muc(spark.createDataFrame(split, ["id", "pred", "gold"])).collect()[0]
+    assert (m["muc_r_num"], m["muc_r_den"]) == (2, 3)
+    assert (m["muc_p_num"], m["muc_p_den"]) == (2, 2)
+    assert m["muc_r_micro"] == 666666 and m["muc_p_micro"] == 1000000
+    mirror = [(i, g, p) for i, p, g in split]
+    m2 = muc(spark.createDataFrame(mirror, ["id", "pred", "gold"])).collect()[0]
+    assert m2["muc_p_micro"] == 666666 and m2["muc_r_micro"] == 1000000
+    perfect = [("a", "x", "y"), ("b", "x", "y"), ("c", "z", "w")]
+    m3 = muc(spark.createDataFrame(perfect, ["id", "pred", "gold"])).collect()[0]
+    assert m3["muc_f_micro"] == 1000000
+
+
+def test_muc_vacuous_and_singleton_blindness(spark):
+    """All-singletons on a side reports the vacuous 10^6, and MUC's known
+    blind spot is pinned: correctly isolated singletons add nothing (the
+    same numerators as without them)."""
+    from xlink_spark.eval.bcubed import muc
+
+    single = [("a", "p1", "g1"), ("b", "p2", "g2")]
+    m = muc(spark.createDataFrame(single, ["id", "pred", "gold"])).collect()[0]
+    assert m["muc_p_micro"] == m["muc_r_micro"] == 1000000
+
+    base = [("a", "p1", "g1"), ("b", "p1", "g1")]
+    extra = base + [("c", "p9", "g9"), ("d", "p8", "g8")]
+    mb = muc(spark.createDataFrame(base, ["id", "pred", "gold"])).collect()[0]
+    me = muc(spark.createDataFrame(extra, ["id", "pred", "gold"])).collect()[0]
+    assert (mb["muc_r_num"], mb["muc_p_num"]) == (me["muc_r_num"], me["muc_p_num"])
+
+
+def test_muc_matches_procedural_reference(spark):
+    """Seeded random clusterings against a per-cluster procedural replica
+    of the Vilain counts."""
+    import random
+
+    from xlink_spark.eval.bcubed import muc
+
+    rng = random.Random(13)
+    rows = [(i, f"p{rng.randint(0, 9)}", f"g{rng.randint(0, 7)}") for i in range(500)]
+
+    def side(items, key, other):
+        num = den = 0
+        clusters = {}
+        for _, p, g in items:
+            clusters.setdefault((p if key == "p" else g), []).append(
+                g if key == "p" else p
+            )
+        for members in clusters.values():
+            num += len(members) - len(set(members))
+            den += len(members) - 1
+        return num, den
+
+    r_num, r_den = side(rows, "g", "p")
+    p_num, p_den = side(rows, "p", "g")
+    m = muc(spark.createDataFrame(rows, ["id", "pred", "gold"])).collect()[0]
+    assert (m["muc_r_num"], m["muc_r_den"]) == (r_num, r_den)
+    assert (m["muc_p_num"], m["muc_p_den"]) == (p_num, p_den)
+    assert m["muc_p_micro"] == p_num * 1000000 // p_den

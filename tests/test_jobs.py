@@ -473,6 +473,22 @@ def test_run_er_job_blocking_strategies(spark, tmp_path):
     }
     assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
 
+    # allpairs: whitespace tokens of a compound key (name + a synthetic
+    # per-entity zip token) — a twin shares the zip (J = 1/3 >= 0.333),
+    # unrelated records share nothing, and the one name-collision pair
+    # (the bump of Rec#0001 IS Rec#0002) gets a (1,0,0) vector FS scores
+    # negative, so the plumbing test also exercises the scorer's rejection
+    m_ap, a_ap = run(
+        "allpairs", "concat(name, ' z', pmod(id, 1000))", "ap",
+        allpairs_threshold_ppt=333, max_block_size=None,
+    )
+    assert m_ap["blocking"] == "allpairs"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{a_ap.output}/clusters").collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

@@ -1352,3 +1352,101 @@ def test_phonetic_candidate_pairs_nysiis_scheme(spark):
     assert nys == {(1, 3)}                  # NYSIIS keeps it apart
     with pytest.raises(ValueError, match="unknown phonetic scheme"):
         phonetic_candidate_pairs(df, "name", "id", scheme="metaphone")
+
+
+def test_allpairs_jaccard_matches_brute_force(spark):
+    """Exact-recall property of the prefix filter: on seeded random token
+    sets, allpairs_jaccard_pairs equals the brute-force Jaccard join at
+    every threshold — the prefix is candidate PRUNING only."""
+    import random
+
+    from xlink_spark.operators.linkage import allpairs_jaccard_pairs
+
+    rng = random.Random(20260819)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [(i, rng.sample(vocab, rng.randint(0, 7))) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    for t in (250, 500, 750, 1000):
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+            for r in allpairs_jaccard_pairs(
+                df, "toks", "id", threshold_ppt=t
+            ).collect()
+        }
+        brute = {}
+        for i, ta in rows:
+            for j, tb in rows:
+                if i >= j:
+                    continue
+                sa, sb = set(ta), set(tb)
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter and 1000 * inter >= t * len(sa | sb):
+                    brute[(i, j)] = (inter, len(sa), len(sb))
+        assert got == brute, (t, set(brute) ^ set(got))
+
+
+def test_allpairs_jaccard_duplicates_empty_and_validation(spark):
+    """Token multiplicity is ignored (DISTINCT-token Jaccard), empty sets
+    never pair, and an out-of-range threshold fails fast."""
+    import pytest
+
+    from xlink_spark.operators.linkage import allpairs_jaccard_pairs
+
+    rows = [
+        (1, ["a", "a", "b", "b"]),  # distinct {a,b}
+        (2, ["a", "b"]),            # identical set -> J=1
+        (3, []),                    # never pairs
+        (4, ["a"]),                 # J with 1,2 = 1/2
+    ]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in allpairs_jaccard_pairs(df, "toks", "id", threshold_ppt=500).collect()
+    }
+    assert got == {(1, 2): 2, (1, 4): 1, (2, 4): 1}
+    for bad in (0, 1001, -5):
+        with pytest.raises(ValueError, match="threshold_ppt"):
+            allpairs_jaccard_pairs(df, "toks", "id", threshold_ppt=bad)
+
+
+def test_allpairs_prefix_purge_is_a_recall_knob(spark):
+    """max_block_size purges oversized prefix-token blocks: pairs whose
+    ONLY shared prefix token is purged are lost (the documented caveat),
+    pairs reachable through a surviving rare token stay."""
+    from xlink_spark.operators.linkage import allpairs_jaccard_pairs
+
+    # 12 records all sharing hot 'h'; two also share rare 'r'. At t=333
+    # every cross pair qualifies ({h,x} vs {h,y}: J = 1/3), and a 2-token
+    # set's prefix is the whole set (p = 2 - 1 + 1 = 2).
+    rows = [(i, ["h", f"u{i}"]) for i in range(10)]
+    rows += [(100, ["h", "r"]), (101, ["h", "r"])]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in allpairs_jaccard_pairs(df, "toks", "id", threshold_ppt=333).collect()
+    }
+    assert (100, 101) in full and len(full) == 66  # all C(12,2) qualify
+    purged = {
+        (r["id_a"], r["id_b"])
+        for r in allpairs_jaccard_pairs(
+            df, "toks", "id", threshold_ppt=333, max_block_size=4
+        ).collect()
+    }
+    assert purged == {(100, 101)}  # only the rare-token pair survives
+
+
+def test_allpairs_jaccard_plan_has_no_python_udf(spark):
+    """The whole operator is JVM-side: no BatchEvalPython/ArrowEvalPython
+    nodes in the physical plan."""
+    from xlink_spark.operators.linkage import allpairs_jaccard_pairs
+
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["b", "c"])], ["id", "toks"])
+    plan = (
+        allpairs_jaccard_pairs(df, "toks", "id", threshold_ppt=500)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

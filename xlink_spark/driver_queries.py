@@ -5323,6 +5323,170 @@ def _sql_nysiis_blocks() -> str:
 SQL_NYSIIS_BLOCKS = _sql_nysiis_blocks()
 
 
+def q_clustering_muc(spark, sf_dir):
+    """MUC link-based P/R/F1 (eval/bcubed.muc, Vilain et al. 1995) of the
+    full ER chain's transitive clusters against the planted-twin gold
+    partition — the fifth cluster gauge next to pairwise F1 / B³ / ARI /
+    V-measure: MUC counts correct MERGE DECISIONS (minimum spanning links)
+    and is blind to correctly isolated singletons, the complementary bias
+    to B³'s item-averaging. The oracle replays blocking → FS weights →
+    scores → recursive-CTE connected components → the Vilain counts, so
+    this one row hash-checks the whole causal chain plus the metric. Pure
+    bigint counts and integer micro-divisions — no floats anywhere, exact
+    on any engine."""
+    from xlink_spark.eval.bcubed import muc
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).select("id")
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("id")).alias("pred"),
+        F.pmod(F.col("id"), F.lit(10000000)).alias("gold"),
+    )
+    return muc(asg)
+
+
+SQL_CLUSTERING_MUC = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "asg as (select coalesce(c.component, r.id) as pred,"
+    "  r.id % 10000000 as gold"
+    "  from recs r left join comp c on c.node = r.id), "
+    "cells as (select pred, gold, count(*)::bigint as n_pg"
+    "  from asg group by pred, gold), "
+    "by_g as (select gold, sum(n_pg)::bigint as n_g,"
+    "  count(*)::bigint as parts_g from cells group by gold), "
+    "by_p as (select pred, sum(n_pg)::bigint as n_p,"
+    "  count(*)::bigint as parts_p from cells group by pred), "
+    "rs as (select coalesce(sum(n_g), 0)::bigint as n_items,"
+    "  coalesce(sum(n_g - parts_g), 0)::bigint as muc_r_num,"
+    "  coalesce(sum(n_g - 1), 0)::bigint as muc_r_den from by_g), "
+    "ps as (select coalesce(sum(n_p - parts_p), 0)::bigint as muc_p_num,"
+    "  coalesce(sum(n_p - 1), 0)::bigint as muc_p_den from by_p), "
+    "m as (select n_items, muc_r_num, muc_r_den, muc_p_num, muc_p_den,"
+    "  (case when muc_p_den > 0 then (muc_p_num * 1000000) // muc_p_den"
+    "    else 1000000 end)::bigint as muc_p_micro,"
+    "  (case when muc_r_den > 0 then (muc_r_num * 1000000) // muc_r_den"
+    "    else 1000000 end)::bigint as muc_r_micro"
+    "  from rs, ps) "
+    "select *, (case when muc_p_micro + muc_r_micro > 0"
+    "  then (2 * muc_p_micro * muc_r_micro) // (muc_p_micro + muc_r_micro)"
+    "  else 0 end)::bigint as muc_f_micro from m"
+)
+
+
+def q_allpairs_name_blocks(spark, sf_dir):
+    """Prefix-filtered all-pairs Jaccard self-join
+    (linkage.allpairs_jaccard_pairs — Bayardo et al. 2007 / Vernica et
+    al. 2010) over a clean ∪ bumped-first-word corpus of part-name token
+    sets: exact-recall candidate generation that joins only on each
+    record's RAREST prefix tokens (p = n − ⌈t·n⌉ + 1 under the global
+    document-frequency order), then length-filters and verifies exact
+    distinct-token Jaccard ≥ 0.6 in pure integer arithmetic. The bumped
+    twin shares 4 of 5 words (J = 2/3) so it survives; the riding is_twin
+    flag separates planted twins from the corpus's genuine color-word
+    near-dups. The oracle replays frequency ordering, prefix selection
+    (row_number over (df, token) — the same total order), the purge, the
+    length filter, and verification — every branch integer-exact. A third
+    of the parts keeps prefix blocks small at every sf; max_block_size
+    1500 is the at-scale purge knob (inert at these sf — asserted by the
+    identical oracle)."""
+    from xlink_spark.operators.linkage import allpairs_jaccard_pairs
+
+    part = spark.read.parquet(_T(sf_dir, "part")).filter(
+        F.col("p_partkey") % 3 == 0
+    )
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("name"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
+    )
+    dirty = base.select(
+        (F.col("id") + 10000000).alias("id"),
+        F.expr(
+            "concat(substring(w1, 1, length(w1) - 1),"
+            " char(ascii(substring(w1, length(w1), 1)) + 1),"
+            " substring(name, length(w1) + 1))"
+        ).alias("name"),
+    )
+    recs = base.select("id", "name").unionByName(dirty)
+    toks = recs.select("id", F.split("name", " ").alias("toks"))
+    pairs = allpairs_jaccard_pairs(
+        toks, "toks", "id", threshold_ppt=600, max_block_size=1500
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
+SQL_ALLPAIRS_NAME_BLOCKS = (
+    "with base as (select p_partkey::bigint as id, p_name as name,"
+    "  regexp_extract(p_name, '^[a-z]+', 0) as w1 from part"
+    "  where p_partkey % 3 = 0), "
+    "dirty as (select id + 10000000 as id,"
+    "  substr(w1, 1, length(w1) - 1)"
+    "    || chr(ascii(substr(w1, length(w1), 1)) + 1)"
+    "    || substr(name, length(w1) + 1) as name"
+    "  from base), "
+    "recs as (select id, name from base union all select * from dirty), "
+    "toks as (select distinct id, unnest(string_split(name, ' ')) as tok"
+    "  from recs), "
+    "freq as (select tok, count(*)::bigint as df_ from toks group by tok), "
+    "ranked as (select t.id, t.tok,"
+    "  row_number() over (partition by t.id order by f.df_, t.tok) as rn,"
+    "  count(*) over (partition by t.id) as n"
+    "  from toks t join freq f using (tok)), "
+    "prefix as (select id, tok, n from ranked"
+    "  where rn <= n - ((n * 600 + 999) // 1000) + 1), "
+    "kept as (select tok from prefix group by tok"
+    "  having count(*) <= 1500), "
+    "pf as (select p.id, p.tok, p.n from prefix p join kept using (tok)), "
+    "cands as (select distinct a.id as id_a, b.id as id_b,"
+    "  a.n as n_a, b.n as n_b"
+    "  from pf a join pf b on a.tok = b.tok and a.id < b.id"
+    "  where 1000 * least(a.n, b.n) >= 600 * greatest(a.n, b.n)), "
+    "shared as (select c.id_a, c.id_b, count(*)::bigint as n_shared"
+    "  from cands c"
+    "  join toks ta on ta.id = c.id_a"
+    "  join toks tb on tb.id = c.id_b and tb.tok = ta.tok"
+    "  group by c.id_a, c.id_b) "
+    "select c.id_a, c.id_b, s.n_shared, c.n_a::bigint as n_a,"
+    "  c.n_b::bigint as n_b,"
+    "  (c.id_a % 10000000) = (c.id_b % 10000000) as is_twin "
+    "from cands c join shared s on s.id_a = c.id_a and s.id_b = c.id_b "
+    "where 1000 * s.n_shared >= 600 * (c.n_a + c.n_b - s.n_shared)"
+)
+
+
 def q_mutual_best_pairs(spark, sf_dir):
     """One-to-one clean-clean matching (linkage.mutual_best_matches): FS
     pair scores restricted to cross-side (clean↔dirty) candidates, then a
@@ -6670,6 +6834,8 @@ QUERIES: dict[str, Query] = {
     "clustering_ari": q_clustering_ari,
     "phonetic_blocks": q_phonetic_blocks,
     "nysiis_blocks": q_nysiis_blocks,
+    "clustering_muc": q_clustering_muc,
+    "allpairs_name_blocks": q_allpairs_name_blocks,
     "mutual_best_pairs": q_mutual_best_pairs,
     "link_constraints": q_link_constraints,
     "suffix_blocks": q_suffix_blocks,
@@ -6798,6 +6964,8 @@ ORACLES: dict[str, str] = {
     "clustering_ari": SQL_CLUSTERING_ARI,
     "phonetic_blocks": SQL_PHONETIC_BLOCKS,
     "nysiis_blocks": SQL_NYSIIS_BLOCKS,
+    "clustering_muc": SQL_CLUSTERING_MUC,
+    "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "mutual_best_pairs": SQL_MUTUAL_BEST_PAIRS,
     "link_constraints": SQL_LINK_CONSTRAINTS,
     "suffix_blocks": SQL_SUFFIX_BLOCKS,

@@ -297,3 +297,92 @@ def vmeasure(
         / (F.col("homogeneity") + F.col("completeness"))
     )
     return one.select("*", v.alias("v_measure"))
+
+
+def muc(
+    assignments: DataFrame,
+    *,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """MUC link-based precision / recall / F1 (Vilain et al. 1995) — the
+    original coreference/ER cluster metric, completing the gauge family
+    next to pairwise F1 (labeled pairs), B³ (item-averaged), ARI (all
+    pairs, chance-corrected), and V (entropy): MUC counts the MINIMUM
+    spanning links a clustering gets right, so it measures "how many merge
+    decisions were correct" and — unlike B³ — is insensitive to cluster
+    size imbalance (its known blind spot: it cannot reward correctly
+    isolated singletons, which is why the family carries all five gauges).
+
+        recall    = Σ_g (n_g − parts(g)) / Σ_g (n_g − 1)
+        precision = Σ_p (n_p − parts(p)) / Σ_p (n_p − 1)
+
+    where parts(g) = number of distinct pred clusters intersecting gold
+    cluster g (and symmetrically for precision) — for fully-labeled input
+    that is exactly the count of nonzero contingency cells in g's row.
+
+    Exactness: the four sums are pure bigint counts (no floats anywhere);
+    micro values are floor(num · 10⁶ / den) single integer divisions, and
+    F1 is the harmonic mean of the two micros in integers — bit-identical
+    on any engine. A zero denominator (that side is all singletons: no
+    links to get right) reports the vacuous 10⁶, the module's convention.
+
+    Scale shape: the B³ shape exactly — one (pred, gold) cell count and
+    two marginal counts, all map-side combinable; parts(·) per marginal is
+    a count over cell rows, never a pair; linear in items."""
+    r = assignments.select(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    )
+    cells = r.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("n_pg"))
+    # per gold cluster: size and the number of pred parts it shatters into
+    by_g = cells.groupBy("_g").agg(
+        F.sum("n_pg").alias("n_g"), F.count(F.lit(1)).alias("parts_g")
+    )
+    by_p = cells.groupBy("_p").agg(
+        F.sum("n_pg").alias("n_p"), F.count(F.lit(1)).alias("parts_p")
+    )
+    _z = lambda c: F.coalesce(c, F.lit(0)).cast("long")
+    rsums = by_g.agg(
+        _z(F.sum("n_g")).alias("n_items"),
+        _z(F.sum(F.col("n_g") - F.col("parts_g"))).alias("muc_r_num"),
+        _z(F.sum(F.col("n_g") - F.lit(1))).alias("muc_r_den"),
+    )
+    psums = by_p.agg(
+        _z(F.sum(F.col("n_p") - F.col("parts_p"))).alias("muc_p_num"),
+        _z(F.sum(F.col("n_p") - F.lit(1))).alias("muc_p_den"),
+    )
+    _MU = F.lit(_MICRO).cast("long")
+    one = rsums.crossJoin(F.broadcast(psums)).select(
+        "n_items",
+        "muc_r_num",
+        "muc_r_den",
+        "muc_p_num",
+        "muc_p_den",
+        F.when(
+            F.col("muc_p_den") > 0,
+            F.expr(f"muc_p_num * {_MICRO} div muc_p_den"),
+        )
+        .otherwise(_MU)
+        .cast("long")
+        .alias("muc_p_micro"),
+        F.when(
+            F.col("muc_r_den") > 0,
+            F.expr(f"muc_r_num * {_MICRO} div muc_r_den"),
+        )
+        .otherwise(_MU)
+        .cast("long")
+        .alias("muc_r_micro"),
+    )
+    return one.select(
+        "*",
+        F.when(
+            F.col("muc_p_micro") + F.col("muc_r_micro") > 0,
+            F.expr(
+                "2 * muc_p_micro * muc_r_micro"
+                " div (muc_p_micro + muc_r_micro)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("muc_f_micro"),
+    )

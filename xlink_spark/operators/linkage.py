@@ -1657,3 +1657,132 @@ def repair_chain_merges(
             "was_flagged",
         )
     )
+
+
+# ------------------------------------------- all-pairs set-similarity join
+def allpairs_jaccard_pairs(
+    records: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    *,
+    threshold_ppt: int,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs set-similarity self-join with prefix filtering —
+    the scalable token-set blocking of the similarity-join literature
+    (Bayardo, Ma & Srikant 2007; Vernica, Carey & Li 2010 is the
+    map-reduce formulation this follows): every pair of records whose
+    DISTINCT-token Jaccard is ≥ threshold_ppt/1000, found WITHOUT the
+    all-token self-join q-gram blocking pays.
+
+    The prefix filter: order every record's tokens by ascending global
+    document frequency (rarest first; ties by token text — one total
+    order shared by all records), and keep only the first
+
+        p = n − ⌈t·n⌉ + 1
+
+    tokens as join keys. Any pair with Jaccard ≥ t must share at least
+    ⌈t·max(n_a,n_b)⌉ tokens, so it cannot avoid both prefixes — candidate
+    generation is exact-recall while joining only on each record's RAREST
+    few tokens (at t=0.8, one fifth of them, and the frequent head tokens
+    that create mega-blocks never become join keys at all). Candidates
+    then pass the length filter (1000·n_small ≥ t_ppt·n_large, integer)
+    and exact verification: overlap via ``array_intersect`` of the full
+    sorted token arrays, kept when
+
+        1000 · n_shared ≥ threshold_ppt · (n_a + n_b − n_shared)
+
+    — all-integer arithmetic, engine-exact, no floats.
+
+    No global token ranking is materialized: each record sorts its OWN
+    (freq, token) structs with ``sort_array``, so the only vocabulary-wide
+    step is the map-combinable frequency count joined back at token grain
+    (at 10^12 records the vocabulary table is the small side; Spark
+    broadcasts or shuffles it by token hash — no single-partition window
+    anywhere). ``max_block_size`` additionally purges prefix-token blocks
+    larger than the cap before pairing — with the standard caveat that a
+    purge (unlike the prefix filter) CAN drop true pairs whose only shared
+    prefix token is purged; it is the recall/cost knob, not part of the
+    exact algorithm.
+
+    Returns (id_a, id_b, n_shared, n_a, n_b) with id_a < id_b — the
+    q-gram blocking contract, so downstream FS scoring composes unchanged.
+    Records with empty token sets never pair (Jaccard undefined), and
+    NULL tokens are ignored consistently: they drop at the frequency join
+    and verification runs over the same null-free sorted arrays, so sizes
+    and overlaps always count non-null distinct tokens.
+    """
+    if not (0 < threshold_ppt <= 1000):
+        raise ValueError("threshold_ppt must be in (0, 1000]")
+    t = int(threshold_ppt)
+    base = records.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(tokens_col)).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    tok_rows = base.select("_id", F.explode("_toks").alias("tok"))
+    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    # per-record token list sorted by (global df, token): struct sort_array
+    # keeps everything at record grain — no global rank table, no window
+    sorted_toks = (
+        tok_rows.join(freq, "tok")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("_sorted")
+        )
+        .select("_id", "_sorted", F.size("_sorted").alias("_n"))
+    )
+    # p = n - ceil(t*n/1000) + 1, all integer: ceil(a/b) = (a + b - 1) div b
+    prefix_len = (
+        F.col("_n")
+        - ((F.col("_n") * F.lit(t) + F.lit(999)) / F.lit(1000)).cast("long")
+        + F.lit(1)
+    )
+    prefix = sorted_toks.select(
+        "_id",
+        "_n",
+        F.explode(F.slice("_sorted", F.lit(1), prefix_len)).alias("tok"),
+    )
+    if max_block_size is not None:
+        oversized = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_nb"))
+            .filter(F.col("_nb") > int(max_block_size))
+            .select("tok")
+        )
+        prefix = prefix.join(F.broadcast(oversized), "tok", "left_anti")
+    a = prefix.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "tok")
+    b = prefix.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "tok")
+    cands = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter before the distinct: J >= t needs the sizes within
+        # a factor t of each other
+        .filter(
+            F.lit(1000) * F.least("n_a", "n_b")
+            >= F.lit(t) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full = sorted_toks.select("_id", "_sorted")
+    verified = (
+        cands.join(full.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_sorted", "_ta")
+        .join(full.withColumnRenamed("_id", "id_b"), "id_b")
+        .withColumnRenamed("_sorted", "_tb")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("n_shared"),
+            F.size("_ta").cast("long").alias("n_a"),
+            F.size("_tb").cast("long").alias("n_b"),
+        )
+        .filter(
+            F.lit(1000) * F.col("n_shared")
+            >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
+    )
+    return verified.select("id_a", "id_b", "n_shared", "n_a", "n_b")
