@@ -5880,18 +5880,29 @@ SQL_CLUSTERING_VMEASURE = (
 
 
 def q_er_blocking_compare(spark, sf_dir):
-    """The blocking-scheme frontier across the four candidate-generation
+    """The blocking-scheme frontier across six candidate-generation
     families on the SAME records — the gauge a deployment runs before
     committing a blocker. Per scheme: comparisons (Σ C(n_b,2) over blocks
     for key schemes — no pair ever materialized, the blocking_metrics
     trick; the actual pair count for SNM, whose window bounds it
-    linearly), planted-twin recall, and reduction ratio vs C(n,2) — all
-    exact integer ppm. The fixture makes the trade vivid: phonetic
-    Soundex on ID-like names is recall-perfect but reduction-free (digit
-    bumps never touch the letters — one giant block), suffix/SNM sit on
-    the efficient frontier, and qgram lands between them (its
-    informative grams cluster around the corrupted tail character)."""
-    from xlink_spark.operators.fuzzy import soundex_key
+    linearly; the distinct post-length-filter candidate count for
+    allpairs, whose verifier compares exactly those), planted-twin
+    recall, and reduction ratio vs C(n,2) — all exact integer ppm. The
+    fixture makes the trade vivid: phonetic Soundex AND NYSIIS on
+    ID-like names are recall-perfect but reduction-free (digit bumps
+    never touch the letters — one giant block each; NYSIIS is finer only
+    where vowel SHAPE differs, which digits don't), suffix/SNM sit on
+    the efficient frontier, qgram lands between them (its informative
+    grams cluster around the corrupted tail character), and
+    allpairs-over-the-same-4-gram-sets at t=0.6 honestly degenerates to
+    ALL pairs (rr 0): dense identifiers share the long constant prefix,
+    so nearly every pair's TRUE gram-Jaccard clears the threshold and
+    exact-recall candidate generation must keep them — the gauge's
+    lesson is that set-similarity blocking is the wrong scheme for
+    ID-like keys (it shines on word-token corpora: allpairs_name_blocks)
+    while positional schemes (suffix/SNM) exploit where the corruption
+    lives."""
+    from xlink_spark.operators.fuzzy import nysiis_key, soundex_key
     from xlink_spark.operators.linkage import sorted_neighborhood_pairs
 
     recs = _linkage_records(spark, sf_dir)
@@ -6037,16 +6048,88 @@ def q_er_blocking_compare(spark, sf_dir):
     )
     qg_one = q_comp.crossJoin(F.broadcast(q_tw))
 
+    # nysiis: the soundex arithmetic at the finer phonetic key
+    nb = recs.select("id", nysiis_key("name").alias("k"))
+    n_comp = (
+        nb.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("comps")
+        )
+    )
+    na = nb.filter(F.col("id") < 10000000)
+    nd = nb.select((F.col("id") - 10000000).alias("id"), F.col("k").alias("_dk"))
+    n_tw = na.join(nd, "id").agg(
+        F.sum(F.when(F.col("k") == F.col("_dk"), 1).otherwise(0))
+        .cast("long")
+        .alias("twins_covered")
+    )
+    nys_one = n_comp.crossJoin(F.broadcast(n_tw))
+
+    # allpairs over the SAME distinct 4-gram sets (pre-purge qg rows),
+    # t = 0.6: per-record frequency-ordered prefix + length filter;
+    # comps = the distinct candidate pairs the verifier would compare
+    ap_sorted = (
+        qg.join(qg.groupBy("g").agg(F.count(F.lit(1)).alias("_df")), "g")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "g"))),
+                lambda s: s["g"],
+            ).alias("_sg")
+        )
+        .select("id", "_sg", F.size("_sg").alias("_n"))
+    )
+    plen = (
+        F.col("_n")
+        - ((F.col("_n") * F.lit(600) + F.lit(999)) / F.lit(1000)).cast("long")
+        + F.lit(1)
+    )
+    apx = ap_sorted.select(
+        "id", "_n", F.explode(F.slice("_sg", F.lit(1), plen)).alias("g")
+    )
+    aa = apx.select(F.col("id").alias("id_a"), F.col("_n").alias("n_a"), "g")
+    ab = apx.select(F.col("id").alias("id_b"), F.col("_n").alias("n_b"), "g")
+    acand = (
+        aa.join(ab, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(1000) * F.least("n_a", "n_b")
+            >= F.lit(600) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ap_one = acand.agg(
+        F.count(F.lit(1)).cast("long").alias("comps"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.pmod(F.col("id_a"), F.lit(10000000))
+                    == F.pmod(F.col("id_b"), F.lit(10000000)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("twins_covered"),
+    )
+
     return (
         _finish("snm_w4", snm_one)
         .unionByName(_finish("phonetic_soundex", phon_one))
         .unionByName(_finish("suffix_rev12_cap50", suf_one))
         .unionByName(_finish("qgram4_cap50", qg_one))
+        .unionByName(_finish("phonetic_nysiis", nys_one))
+        .unionByName(_finish("allpairs_qgram4_t600", ap_one))
     )
 
 
 def _sql_er_blocking_compare() -> str:
-    from xlink_spark.operators.fuzzy import soundex_sql
+    from xlink_spark.operators.fuzzy import nysiis_sql, soundex_sql
 
     return (
         f"with {_SQL_LINKAGE_BASE}, "
@@ -6081,7 +6164,26 @@ def _sql_er_blocking_compare() -> str:
         "  as comps from (select count(*)::bigint as n_ from qkm group by gm)), "
         "qt as (select count(distinct a.id)::bigint as twins_covered"
         "  from qkm a join qkm d on d.gm = a.gm and d.id = a.id + 10000000"
-        "  where a.id < 10000000) "
+        "  where a.id < 10000000), "
+        f"nb as (select id, {nysiis_sql('name')} as k from recs), "
+        "nc as (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint"
+        "  as comps from (select count(*)::bigint as n_ from nb group by k)), "
+        "nt2 as (select sum(case when a.k = d.k then 1 else 0 end)::bigint"
+        "  as twins_covered from nb a join nb d on d.id = a.id + 10000000"
+        "  where a.id < 10000000), "
+        "afreq as (select gm, count(*)::bigint as df_ from qg group by gm), "
+        "arank as (select q.id, q.gm,"
+        "  row_number() over (partition by q.id order by f.df_, q.gm) as rn,"
+        "  count(*) over (partition by q.id) as n"
+        "  from qg q join afreq f using (gm)), "
+        "apre as (select id, gm, n from arank"
+        "  where rn <= n - ((n * 600 + 999) // 1000) + 1), "
+        "acand as (select distinct a.id as id_a, b.id as id_b"
+        "  from apre a join apre b on a.gm = b.gm and a.id < b.id"
+        "  where 1000 * least(a.n, b.n) >= 600 * greatest(a.n, b.n)), "
+        "ac as (select count(*)::bigint as comps,"
+        "  coalesce(sum(case when id_a % 10000000 = id_b % 10000000"
+        "    then 1 else 0 end), 0)::bigint as twins_covered from acand) "
         "select 'snm_w4' as scheme, comps, twins_covered, twins_total,"
         "  (1000000 * twins_covered) // twins_total as recall_ppm,"
         "  1000000 - ((1000000 * comps) // ((n * (n - 1)) // 2)) as rr_ppm"
@@ -6102,7 +6204,19 @@ def _sql_er_blocking_compare() -> str:
         "  twins_total,"
         "  (1000000 * qt.twins_covered) // twins_total,"
         "  1000000 - ((1000000 * qc.comps) // ((n * (n - 1)) // 2))"
-        "  from qc, qt, tot"
+        "  from qc, qt, tot "
+        "union all "
+        "select 'phonetic_nysiis', nc.comps, nt2.twins_covered,"
+        "  twins_total,"
+        "  (1000000 * nt2.twins_covered) // twins_total,"
+        "  1000000 - ((1000000 * nc.comps) // ((n * (n - 1)) // 2))"
+        "  from nc, nt2, tot "
+        "union all "
+        "select 'allpairs_qgram4_t600', ac.comps, ac.twins_covered,"
+        "  twins_total,"
+        "  (1000000 * ac.twins_covered) // twins_total,"
+        "  1000000 - ((1000000 * ac.comps) // ((n * (n - 1)) // 2))"
+        "  from ac, tot"
     )
 
 
