@@ -168,6 +168,7 @@ def run_er_job(spark, args) -> dict:
                 getattr(args, "allpairs_threshold_ppt", None) or 600
             ),
             max_block_size=max_block,
+            measure=getattr(args, "allpairs_measure", None) or "jaccard",
         )
     elif blocking == "multipass":
         from xlink_spark.operators.linkage import multipass_pairs
@@ -617,6 +618,13 @@ def main() -> None:
         help="allpairs blocking: exact distinct-token Jaccard threshold "
         "in parts per thousand (candidate generation stays exact-recall "
         "at this threshold unless --max-block-size purges)",
+    )
+    ap.add_argument(
+        "--allpairs-measure",
+        choices=["jaccard", "cosine", "dice"],
+        default="jaccard",
+        help="allpairs blocking: the set-similarity measure (each with "
+        "its own sound prefix and length bound)",
     )
     ap.add_argument(
         "--qgram-threshold-ppt",

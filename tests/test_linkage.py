@@ -1367,9 +1367,10 @@ def test_phonetic_candidate_pairs_nysiis_scheme(spark):
 
 
 def test_allpairs_jaccard_matches_brute_force(spark):
-    """Exact-recall property of the prefix filter: on seeded random token
-    sets, allpairs_jaccard_pairs equals the brute-force Jaccard join at
-    every threshold — the prefix is candidate PRUNING only."""
+    """Exact-recall property of the prefix filter for ALL THREE measures:
+    on seeded random token sets, allpairs_jaccard_pairs equals the
+    brute-force similarity join at every threshold — the prefix (and the
+    per-measure length filter) is candidate PRUNING only."""
     import random
 
     from xlink_spark.operators.linkage import allpairs_jaccard_pairs
@@ -1378,25 +1379,34 @@ def test_allpairs_jaccard_matches_brute_force(spark):
     vocab = [f"t{i}" for i in range(30)]
     rows = [(i, rng.sample(vocab, rng.randint(0, 7))) for i in range(100)]
     df = spark.createDataFrame(rows, ["id", "toks"])
-    for t in (250, 500, 750, 1000):
-        got = {
-            (r["id_a"], r["id_b"]): (r["n_shared"], r["n_a"], r["n_b"])
-            for r in allpairs_jaccard_pairs(
-                df, "toks", "id", threshold_ppt=t
-            ).collect()
-        }
-        brute = {}
-        for i, ta in rows:
-            for j, tb in rows:
-                if i >= j:
-                    continue
-                sa, sb = set(ta), set(tb)
-                if not sa or not sb:
-                    continue
-                inter = len(sa & sb)
-                if inter and 1000 * inter >= t * len(sa | sb):
-                    brute[(i, j)] = (inter, len(sa), len(sb))
-        assert got == brute, (t, set(brute) ^ set(got))
+
+    def qualifies(measure, t, o, na, nb):
+        if measure == "jaccard":
+            return 1000 * o >= t * (na + nb - o)
+        if measure == "cosine":
+            return 10**6 * o * o >= t * t * na * nb
+        return 2000 * o >= t * (na + nb)
+
+    for measure in ("jaccard", "cosine", "dice"):
+        for t in (250, 500, 750, 1000):
+            got = {
+                (r["id_a"], r["id_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+                for r in allpairs_jaccard_pairs(
+                    df, "toks", "id", threshold_ppt=t, measure=measure
+                ).collect()
+            }
+            brute = {}
+            for i, ta in rows:
+                for j, tb in rows:
+                    if i >= j:
+                        continue
+                    sa, sb = set(ta), set(tb)
+                    if not sa or not sb:
+                        continue
+                    inter = len(sa & sb)
+                    if inter and qualifies(measure, t, inter, len(sa), len(sb)):
+                        brute[(i, j)] = (inter, len(sa), len(sb))
+            assert got == brute, (measure, t, set(brute) ^ set(got))
 
 
 def test_allpairs_jaccard_duplicates_empty_and_validation(spark):
@@ -1421,6 +1431,10 @@ def test_allpairs_jaccard_duplicates_empty_and_validation(spark):
     for bad in (0, 1001, -5):
         with pytest.raises(ValueError, match="threshold_ppt"):
             allpairs_jaccard_pairs(df, "toks", "id", threshold_ppt=bad)
+    with pytest.raises(ValueError, match="unknown measure"):
+        allpairs_jaccard_pairs(
+            df, "toks", "id", threshold_ppt=500, measure="overlap"
+        )
 
 
 def test_allpairs_prefix_purge_is_a_recall_knob(spark):

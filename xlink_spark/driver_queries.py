@@ -5448,42 +5448,112 @@ def q_allpairs_name_blocks(spark, sf_dir):
     )
 
 
-SQL_ALLPAIRS_NAME_BLOCKS = (
-    "with base as (select p_partkey::bigint as id, p_name as name,"
-    "  regexp_extract(p_name, '^[a-z]+', 0) as w1 from part"
-    "  where p_partkey % 3 = 0), "
-    "dirty as (select id + 10000000 as id,"
-    "  substr(w1, 1, length(w1) - 1)"
-    "    || chr(ascii(substr(w1, length(w1), 1)) + 1)"
-    "    || substr(name, length(w1) + 1) as name"
-    "  from base), "
-    "recs as (select id, name from base union all select * from dirty), "
-    "toks as (select distinct id, unnest(string_split(name, ' ')) as tok"
-    "  from recs), "
-    "freq as (select tok, count(*)::bigint as df_ from toks group by tok), "
-    "ranked as (select t.id, t.tok,"
-    "  row_number() over (partition by t.id order by f.df_, t.tok) as rn,"
-    "  count(*) over (partition by t.id) as n"
-    "  from toks t join freq f using (tok)), "
-    "prefix as (select id, tok, n from ranked"
-    "  where rn <= n - ((n * 600 + 999) // 1000) + 1), "
-    "kept as (select tok from prefix group by tok"
-    "  having count(*) <= 1500), "
-    "pf as (select p.id, p.tok, p.n from prefix p join kept using (tok)), "
-    "cands as (select distinct a.id as id_a, b.id as id_b,"
-    "  a.n as n_a, b.n as n_b"
-    "  from pf a join pf b on a.tok = b.tok and a.id < b.id"
-    "  where 1000 * least(a.n, b.n) >= 600 * greatest(a.n, b.n)), "
-    "shared as (select c.id_a, c.id_b, count(*)::bigint as n_shared"
-    "  from cands c"
-    "  join toks ta on ta.id = c.id_a"
-    "  join toks tb on tb.id = c.id_b and tb.tok = ta.tok"
-    "  group by c.id_a, c.id_b) "
-    "select c.id_a, c.id_b, s.n_shared, c.n_a::bigint as n_a,"
-    "  c.n_b::bigint as n_b,"
-    "  (c.id_a % 10000000) = (c.id_b % 10000000) as is_twin "
-    "from cands c join shared s on s.id_a = c.id_a and s.id_b = c.id_b "
-    "where 1000 * s.n_shared >= 600 * (c.n_a + c.n_b - s.n_shared)"
+def _sql_allpairs_name_blocks(alpha: str, len_cond: str, verify: str) -> str:
+    """One oracle body per measure — the three expression slots mirror
+    the operator's alpha / length-filter / verification switch exactly
+    (kept in lockstep with allpairs_jaccard_pairs; parity pinned at both
+    sf by the allpairs_name_blocks / allpairs_cosine_blocks rows)."""
+    return (
+        "with base as (select p_partkey::bigint as id, p_name as name,"
+        "  regexp_extract(p_name, '^[a-z]+', 0) as w1 from part"
+        "  where p_partkey % 3 = 0), "
+        "dirty as (select id + 10000000 as id,"
+        "  substr(w1, 1, length(w1) - 1)"
+        "    || chr(ascii(substr(w1, length(w1), 1)) + 1)"
+        "    || substr(name, length(w1) + 1) as name"
+        "  from base), "
+        "recs as (select id, name from base union all select * from dirty), "
+        "toks as (select distinct id, unnest(string_split(name, ' ')) as tok"
+        "  from recs), "
+        "freq as (select tok, count(*)::bigint as df_ from toks group by tok), "
+        "ranked as (select t.id, t.tok,"
+        "  row_number() over (partition by t.id order by f.df_, t.tok) as rn,"
+        "  count(*) over (partition by t.id) as n"
+        "  from toks t join freq f using (tok)), "
+        "prefix as (select id, tok, n from ranked"
+        f"  where rn <= n - ({alpha}) + 1), "
+        "kept as (select tok from prefix group by tok"
+        "  having count(*) <= 1500), "
+        "pf as (select p.id, p.tok, p.n from prefix p join kept using (tok)), "
+        "cands as (select distinct a.id as id_a, b.id as id_b,"
+        "  a.n as n_a, b.n as n_b"
+        "  from pf a join pf b on a.tok = b.tok and a.id < b.id"
+        f"  where {len_cond}), "
+        "shared as (select c.id_a, c.id_b, count(*)::bigint as n_shared"
+        "  from cands c"
+        "  join toks ta on ta.id = c.id_a"
+        "  join toks tb on tb.id = c.id_b and tb.tok = ta.tok"
+        "  group by c.id_a, c.id_b) "
+        "select c.id_a, c.id_b, s.n_shared, c.n_a::bigint as n_a,"
+        "  c.n_b::bigint as n_b,"
+        "  (c.id_a % 10000000) = (c.id_b % 10000000) as is_twin "
+        "from cands c join shared s on s.id_a = c.id_a and s.id_b = c.id_b "
+        f"where {verify}"
+    )
+
+
+SQL_ALLPAIRS_NAME_BLOCKS = _sql_allpairs_name_blocks(
+    "(n * 600 + 999) // 1000",
+    "1000 * least(a.n, b.n) >= 600 * greatest(a.n, b.n)",
+    "1000 * s.n_shared >= 600 * (c.n_a + c.n_b - s.n_shared)",
+)
+
+
+def q_allpairs_cosine_blocks(spark, sf_dir):
+    """The same prefix-filtered all-pairs join as allpairs_name_blocks
+    but under the COSINE set measure at t=0.7
+    (linkage.allpairs_jaccard_pairs(measure='cosine')): prefix length
+    ⌈t²·n⌉, length filter t²·max ≤ 10⁶·min, verification
+    10⁶·o² ≥ t²·n_a·n_b — the PPJoin family's second measure, with its
+    own sound bounds, over identical records so the two measures'
+    frontiers are directly comparable (cosine 0.7 keeps 4-distinct-word
+    twins Jaccard 0.6 drops: 3/√16 = 0.75). All-integer arithmetic end
+    to end; the oracle swaps exactly the three expression slots."""
+    from xlink_spark.operators.linkage import allpairs_jaccard_pairs
+
+    part = spark.read.parquet(_T(sf_dir, "part")).filter(
+        F.col("p_partkey") % 3 == 0
+    )
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("name"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
+    )
+    dirty = base.select(
+        (F.col("id") + 10000000).alias("id"),
+        F.expr(
+            "concat(substring(w1, 1, length(w1) - 1),"
+            " char(ascii(substring(w1, length(w1), 1)) + 1),"
+            " substring(name, length(w1) + 1))"
+        ).alias("name"),
+    )
+    recs = base.select("id", "name").unionByName(dirty)
+    toks = recs.select("id", F.split("name", " ").alias("toks"))
+    pairs = allpairs_jaccard_pairs(
+        toks,
+        "toks",
+        "id",
+        threshold_ppt=700,
+        max_block_size=1500,
+        measure="cosine",
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
+SQL_ALLPAIRS_COSINE_BLOCKS = _sql_allpairs_name_blocks(
+    "(n * 490000 + 999999) // 1000000",
+    "1000000 * least(a.n, b.n) >= 490000 * greatest(a.n, b.n)",
+    "1000000 * s.n_shared * s.n_shared >= 490000 * c.n_a * c.n_b",
 )
 
 
@@ -6950,6 +7020,7 @@ QUERIES: dict[str, Query] = {
     "nysiis_blocks": q_nysiis_blocks,
     "clustering_muc": q_clustering_muc,
     "allpairs_name_blocks": q_allpairs_name_blocks,
+    "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
     "mutual_best_pairs": q_mutual_best_pairs,
     "link_constraints": q_link_constraints,
     "suffix_blocks": q_suffix_blocks,
@@ -7080,6 +7151,7 @@ ORACLES: dict[str, str] = {
     "nysiis_blocks": SQL_NYSIIS_BLOCKS,
     "clustering_muc": SQL_CLUSTERING_MUC,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
+    "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
     "mutual_best_pairs": SQL_MUTUAL_BEST_PAIRS,
     "link_constraints": SQL_LINK_CONSTRAINTS,
     "suffix_blocks": SQL_SUFFIX_BLOCKS,

@@ -1667,32 +1667,41 @@ def allpairs_jaccard_pairs(
     *,
     threshold_ppt: int,
     max_block_size: int | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact all-pairs set-similarity self-join with prefix filtering —
     the scalable token-set blocking of the similarity-join literature
     (Bayardo, Ma & Srikant 2007; Vernica, Carey & Li 2010 is the
     map-reduce formulation this follows): every pair of records whose
-    DISTINCT-token Jaccard is ≥ threshold_ppt/1000, found WITHOUT the
-    all-token self-join q-gram blocking pays.
+    DISTINCT-token similarity is ≥ threshold_ppt/1000, found WITHOUT the
+    all-token self-join q-gram blocking pays. ``measure`` picks the
+    similarity (the PPJoin family's standard trio, each with its own
+    sound prefix and length bound):
+
+        jaccard  |∩| / |∪|               prefix ⌈t·n⌉      length t·max ≤ min·1
+        cosine   |∩| / √(n_a·n_b)        prefix ⌈t²·n⌉     length t²·max ≤ min
+        dice     2|∩| / (n_a+n_b)        prefix ⌈t/(2−t)·n⌉ length t·max ≤ (2−t)·min
 
     The prefix filter: order every record's tokens by ascending global
     document frequency (rarest first; ties by token text — one total
     order shared by all records), and keep only the first
 
-        p = n − ⌈t·n⌉ + 1
+        p = n − α(n) + 1        (α the measure's prefix column above)
 
-    tokens as join keys. Any pair with Jaccard ≥ t must share at least
-    ⌈t·max(n_a,n_b)⌉ tokens, so it cannot avoid both prefixes — candidate
-    generation is exact-recall while joining only on each record's RAREST
-    few tokens (at t=0.8, one fifth of them, and the frequent head tokens
+    tokens as join keys. Any qualifying pair's overlap meets the
+    measure's bound, so it cannot avoid both prefixes (for cosine/dice
+    the corresponding length condition holds AUTOMATICALLY for true
+    pairs, since overlap ≤ min(n_a,n_b)) — candidate generation is
+    exact-recall while joining only on each record's RAREST few tokens
+    (at jaccard t=0.8, one fifth of them, and the frequent head tokens
     that create mega-blocks never become join keys at all). Candidates
-    then pass the length filter (1000·n_small ≥ t_ppt·n_large, integer)
-    and exact verification: overlap via ``array_intersect`` of the full
-    sorted token arrays, kept when
+    then pass the measure's length filter and exact verification:
+    overlap o via ``array_intersect`` of the full sorted token arrays,
+    kept when (all-integer arithmetic, engine-exact, no floats)
 
-        1000 · n_shared ≥ threshold_ppt · (n_a + n_b − n_shared)
-
-    — all-integer arithmetic, engine-exact, no floats.
+        jaccard  1000·o ≥ t·(n_a + n_b − o)
+        cosine   10⁶·o² ≥ t²·n_a·n_b
+        dice     2000·o ≥ t·(n_a + n_b)
 
     No global token ranking is materialized: each record sorts its OWN
     (freq, token) structs with ``sort_array``, so the only vocabulary-wide
@@ -1714,6 +1723,8 @@ def allpairs_jaccard_pairs(
     """
     if not (0 < threshold_ppt <= 1000):
         raise ValueError("threshold_ppt must be in (0, 1000]")
+    if measure not in ("jaccard", "cosine", "dice"):
+        raise ValueError(f"unknown measure: {measure!r}")
     t = int(threshold_ppt)
     base = records.select(
         F.col(id_col).alias("_id"),
@@ -1734,12 +1745,14 @@ def allpairs_jaccard_pairs(
         )
         .select("_id", "_sorted", F.size("_sorted").alias("_n"))
     )
-    # p = n - ceil(t*n/1000) + 1, all integer: ceil(a/b) = (a + b - 1) div b
-    prefix_len = (
-        F.col("_n")
-        - ((F.col("_n") * F.lit(t) + F.lit(999)) / F.lit(1000)).cast("long")
-        + F.lit(1)
-    )
+    # p = n - alpha(n) + 1, all integer: ceil(a/b) = (a + b - 1) div b
+    if measure == "jaccard":
+        alpha = (F.col("_n") * F.lit(t) + F.lit(999)) / F.lit(1000)
+    elif measure == "cosine":
+        alpha = (F.col("_n") * F.lit(t * t) + F.lit(999999)) / F.lit(1000000)
+    else:  # dice: ceil(t*n / (2000 - t))
+        alpha = (F.col("_n") * F.lit(t) + F.lit(2000 - t - 1)) / F.lit(2000 - t)
+    prefix_len = F.col("_n") - alpha.cast("long") + F.lit(1)
     prefix = sorted_toks.select(
         "_id",
         "_n",
@@ -1755,15 +1768,25 @@ def allpairs_jaccard_pairs(
         prefix = prefix.join(F.broadcast(oversized), "tok", "left_anti")
     a = prefix.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "tok")
     b = prefix.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "tok")
+    # length filter before the distinct: a qualifying pair's sizes are
+    # within the measure's factor of each other (holds automatically for
+    # true pairs, so filtering candidates never costs recall)
+    if measure == "jaccard":
+        len_ok = F.lit(1000) * F.least("n_a", "n_b") >= F.lit(t) * F.greatest(
+            "n_a", "n_b"
+        )
+    elif measure == "cosine":
+        len_ok = F.lit(1000000) * F.least("n_a", "n_b") >= F.lit(
+            t * t
+        ) * F.greatest("n_a", "n_b")
+    else:  # dice
+        len_ok = F.lit(2000 - t) * F.least("n_a", "n_b") >= F.lit(
+            t
+        ) * F.greatest("n_a", "n_b")
     cands = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
-        # length filter before the distinct: J >= t needs the sizes within
-        # a factor t of each other
-        .filter(
-            F.lit(1000) * F.least("n_a", "n_b")
-            >= F.lit(t) * F.greatest("n_a", "n_b")
-        )
+        .filter(len_ok)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -1781,8 +1804,20 @@ def allpairs_jaccard_pairs(
             F.size("_tb").cast("long").alias("n_b"),
         )
         .filter(
-            F.lit(1000) * F.col("n_shared")
-            >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            (
+                F.lit(1000) * F.col("n_shared")
+                >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            )
+            if measure == "jaccard"
+            else (
+                F.lit(1000000) * F.col("n_shared") * F.col("n_shared")
+                >= F.lit(t * t) * F.col("n_a") * F.col("n_b")
+            )
+            if measure == "cosine"
+            else (
+                F.lit(2000) * F.col("n_shared")
+                >= F.lit(t) * (F.col("n_a") + F.col("n_b"))
+            )
         )
     )
     return verified.select("id_a", "id_b", "n_shared", "n_a", "n_b")
