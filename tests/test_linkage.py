@@ -1476,3 +1476,133 @@ def test_allpairs_jaccard_plan_has_no_python_udf(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_linkage_textbook(spark):
+    """The On et al. GES semantics on a worked example: mutual-best
+    alignment inside each group pair, unmatched members dilute the
+    normalized score, within-group pairs contribute nothing, and record
+    orientation does not matter."""
+    from xlink_spark.operators.linkage import group_linkage_scores
+
+    groups = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (11, "B"), (12, "B"), (13, "B"),
+         (21, "C")],
+        ["id", "group"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 11, 900), (2, 12, 850), (3, 13, 400), (1, 12, 700),
+         (1, 21, 950), (2, 3, 999)],
+        ["id_a", "id_b", "sim_ppt"],
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r.asDict()
+        for r in group_linkage_scores(pairs, groups).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C")}  # 2-3 is within-group
+    ab = out[("A", "B")]
+    assert ab["n_matched"] == 3 and ab["sum_sim_ppt"] == 2150
+    assert ab["ges_ppt"] == 2150 // 3  # |A|+|B|-|M| = 3
+    ac = out[("A", "C")]
+    assert ac["n_matched"] == 1 and ac["ges_ppt"] == 950 // 3  # diluted
+    rev = pairs.selectExpr("id_b as id_a", "id_a as id_b", "sim_ppt")
+    out2 = {
+        (r["group_a"], r["group_b"]): (r["n_matched"], r["sum_sim_ppt"])
+        for r in group_linkage_scores(rev, groups).collect()
+    }
+    assert out2 == {
+        k: (v["n_matched"], v["sum_sim_ppt"]) for k, v in out.items()
+    }
+    kept = group_linkage_scores(pairs, groups, min_ges_ppt=500).collect()
+    assert {(r["group_a"], r["group_b"]) for r in kept} == {("A", "B")}
+
+
+def test_group_linkage_matches_procedural_reference(spark):
+    """Seeded random group structures + sims against a per-group-pair
+    procedural replica of pair-grain max → mutual-best → GES."""
+    import random
+    from collections import defaultdict
+
+    from xlink_spark.operators.linkage import group_linkage_scores
+
+    rng = random.Random(20260819)
+    gids = {i: f"g{rng.randint(0, 11)}" for i in range(60)}
+    raw = [
+        (rng.randint(0, 59), rng.randint(0, 59), rng.randint(1, 1000))
+        for _ in range(400)
+    ]
+    raw = [(a, b, s) for a, b, s in raw if a != b]
+    groups = spark.createDataFrame(sorted(gids.items()), ["id", "group"])
+    pairs = spark.createDataFrame(raw, ["id_a", "id_b", "sim_ppt"])
+
+    # replica
+    best = {}
+    for a, b, s in raw:
+        ga, gb = gids[a], gids[b]
+        if ga == gb:
+            continue
+        if ga > gb:
+            ga, gb, a, b = gb, ga, b, a
+        k = (ga, gb, a, b)
+        best[k] = max(best.get(k, 0), s)
+    per_gp = defaultdict(list)
+    for (ga, gb, a, b), s in best.items():
+        per_gp[(ga, gb)].append((a, b, s))
+    sizes = defaultdict(int)
+    for _, g in gids.items():
+        sizes[g] += 1
+    want = {}
+    for gp, rows in per_gp.items():
+        best_a, best_b = {}, {}
+        for a, b, s in rows:
+            ka, kb = (-s, b), (-s, a)
+            if a not in best_a or ka < best_a[a][0]:
+                best_a[a] = (ka, b)
+            if b not in best_b or kb < best_b[b][0]:
+                best_b[b] = (kb, a)
+        matched = [
+            (a, b, s)
+            for a, b, s in rows
+            if best_a[a][1] == b and best_b[b][1] == a
+        ]
+        if matched:
+            tot = sum(s for _, _, s in matched)
+            m = len(matched)
+            ga, gb = gp
+            want[gp] = (
+                m, tot,
+                tot // (sizes[ga] + sizes[gb] - m),
+            )
+    got = {
+        (r["group_a"], r["group_b"]): (
+            r["n_matched"], r["sum_sim_ppt"], r["ges_ppt"]
+        )
+        for r in group_linkage_scores(pairs, groups).collect()
+    }
+    assert got == want
+
+
+def test_group_linkage_ges_fixture_story(spark):
+    """The driver fixture's planted structure holds: every twin record
+    pair survives the t=0.6 join (J = 3/5 exactly), twin GROUPS score
+    GES 600 (all five members matched at sim 600), and the GES ranking
+    is twin-groups-first."""
+    import __spark_entry__ as entrymod
+
+    pairs = entrymod.queries()["allpairs_name_blocks"](
+        spark, "/root/testdata/sf0.001"
+    )
+    n_clean = pairs.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/part.parquet"
+    ).filter("p_partkey % 3 = 0").count()
+    twins = pairs.filter("is_twin").collect()
+    assert len(twins) == n_clean  # every planted twin survives
+    assert all(r["n_shared"] == 3 and r["n_a"] == 4 for r in twins)
+
+    ges = entrymod.queries()["group_linkage_ges"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    twin_groups = [r for r in ges if r["is_twin_group"]]
+    other = [r for r in ges if not r["is_twin_group"]]
+    assert twin_groups and all(r["ges_ppt"] == 600 for r in twin_groups)
+    assert max((r["ges_ppt"] for r in other), default=0) < 600

@@ -5399,14 +5399,16 @@ SQL_CLUSTERING_MUC = (
 def q_allpairs_name_blocks(spark, sf_dir):
     """Prefix-filtered all-pairs Jaccard self-join
     (linkage.allpairs_jaccard_pairs — Bayardo et al. 2007 / Vernica et
-    al. 2010) over a clean ∪ bumped-first-word corpus of part-name token
-    sets: exact-recall candidate generation that joins only on each
+    al. 2010) over a clean ∪ bumped-first-word corpus of part token sets
+    (the two p_name words + p_type + p_brand — four distinct tokens per
+    record): exact-recall candidate generation that joins only on each
     record's RAREST prefix tokens (p = n − ⌈t·n⌉ + 1 under the global
     document-frequency order), then length-filters and verifies exact
     distinct-token Jaccard ≥ 0.6 in pure integer arithmetic. The bumped
-    twin shares 4 of 5 words (J = 2/3) so it survives; the riding is_twin
-    flag separates planted twins from the corpus's genuine color-word
-    near-dups. The oracle replays frequency ordering, prefix selection
+    twin shares 3 of 5 union tokens — J = 0.6 EXACTLY, sitting on the
+    ≥ boundary, so the integer comparison decides it identically on both
+    engines; the riding is_twin flag separates planted twins from the
+    corpus's genuine shared-attribute near-dups. The oracle replays frequency ordering, prefix selection
     (row_number over (df, token) — the same total order), the purge, the
     length filter, and verification — every branch integer-exact. A third
     of the parts keeps prefix blocks small at every sf; max_block_size
@@ -5414,24 +5416,7 @@ def q_allpairs_name_blocks(spark, sf_dir):
     identical oracle)."""
     from xlink_spark.operators.linkage import allpairs_jaccard_pairs
 
-    part = spark.read.parquet(_T(sf_dir, "part")).filter(
-        F.col("p_partkey") % 3 == 0
-    )
-    base = part.select(
-        F.col("p_partkey").cast("long").alias("id"),
-        F.col("p_name").alias("name"),
-        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
-    )
-    dirty = base.select(
-        (F.col("id") + 10000000).alias("id"),
-        F.expr(
-            "concat(substring(w1, 1, length(w1) - 1),"
-            " char(ascii(substring(w1, length(w1), 1)) + 1),"
-            " substring(name, length(w1) + 1))"
-        ).alias("name"),
-    )
-    recs = base.select("id", "name").unionByName(dirty)
-    toks = recs.select("id", F.split("name", " ").alias("toks"))
+    toks = _allpairs_fixture(spark, sf_dir)
     pairs = allpairs_jaccard_pairs(
         toks, "toks", "id", threshold_ppt=600, max_block_size=1500
     )
@@ -5448,6 +5433,38 @@ def q_allpairs_name_blocks(spark, sf_dir):
     )
 
 
+def _allpairs_fixture(spark, sf_dir):
+    """Shared allpairs corpus: a third of the parts, each record's token
+    set = the two p_name words + p_type + p_brand (four distinct tokens),
+    plus a dirty twin whose FIRST name word has its last letter bumped —
+    the twin shares 3 of 5 union tokens (J = 0.6, cosine 0.75)."""
+    part = spark.read.parquet(_T(sf_dir, "part")).filter(
+        F.col("p_partkey") % 3 == 0
+    )
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("name"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
+        F.col("p_type").alias("ty"),
+        F.col("p_brand").alias("br"),
+    )
+    dirty = base.select(
+        (F.col("id") + 10000000).alias("id"),
+        F.expr(
+            "concat(substring(w1, 1, length(w1) - 1),"
+            " char(ascii(substring(w1, length(w1), 1)) + 1),"
+            " substring(name, length(w1) + 1))"
+        ).alias("name"),
+        "w1",
+        "ty",
+        "br",
+    )
+    recs = base.unionByName(dirty)
+    return recs.select(
+        "id", F.split(F.concat_ws(" ", "name", "ty", "br"), " ").alias("toks")
+    )
+
+
 def _sql_allpairs_name_blocks(alpha: str, len_cond: str, verify: str) -> str:
     """One oracle body per measure — the three expression slots mirror
     the operator's alpha / length-filter / verification switch exactly
@@ -5455,14 +5472,17 @@ def _sql_allpairs_name_blocks(alpha: str, len_cond: str, verify: str) -> str:
     sf by the allpairs_name_blocks / allpairs_cosine_blocks rows)."""
     return (
         "with base as (select p_partkey::bigint as id, p_name as name,"
-        "  regexp_extract(p_name, '^[a-z]+', 0) as w1 from part"
+        "  regexp_extract(p_name, '^[a-z]+', 0) as w1, p_type as ty,"
+        "  p_brand as br from part"
         "  where p_partkey % 3 = 0), "
         "dirty as (select id + 10000000 as id,"
         "  substr(w1, 1, length(w1) - 1)"
         "    || chr(ascii(substr(w1, length(w1), 1)) + 1)"
-        "    || substr(name, length(w1) + 1) as name"
+        "    || substr(name, length(w1) + 1) as name, ty, br"
         "  from base), "
-        "recs as (select id, name from base union all select * from dirty), "
+        "recs as (select id, name || ' ' || ty || ' ' || br as name"
+        "  from (select id, name, ty, br from base"
+        "        union all select * from dirty)), "
         "toks as (select distinct id, unnest(string_split(name, ' ')) as tok"
         "  from recs), "
         "freq as (select tok, count(*)::bigint as df_ from toks group by tok), "
@@ -5506,29 +5526,13 @@ def q_allpairs_cosine_blocks(spark, sf_dir):
     ⌈t²·n⌉, length filter t²·max ≤ 10⁶·min, verification
     10⁶·o² ≥ t²·n_a·n_b — the PPJoin family's second measure, with its
     own sound bounds, over identical records so the two measures'
-    frontiers are directly comparable (cosine 0.7 keeps 4-distinct-word
-    twins Jaccard 0.6 drops: 3/√16 = 0.75). All-integer arithmetic end
-    to end; the oracle swaps exactly the three expression slots."""
+    frontiers are directly comparable (the twin pair sits at cosine
+    3/√16 = 0.75 ≥ 0.7 and Jaccard 3/5 = 0.6 — both boundary-decided in
+    exact integers). All-integer arithmetic end to end; the oracle swaps
+    exactly the three expression slots."""
     from xlink_spark.operators.linkage import allpairs_jaccard_pairs
 
-    part = spark.read.parquet(_T(sf_dir, "part")).filter(
-        F.col("p_partkey") % 3 == 0
-    )
-    base = part.select(
-        F.col("p_partkey").cast("long").alias("id"),
-        F.col("p_name").alias("name"),
-        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
-    )
-    dirty = base.select(
-        (F.col("id") + 10000000).alias("id"),
-        F.expr(
-            "concat(substring(w1, 1, length(w1) - 1),"
-            " char(ascii(substring(w1, length(w1), 1)) + 1),"
-            " substring(name, length(w1) + 1))"
-        ).alias("name"),
-    )
-    recs = base.select("id", "name").unionByName(dirty)
-    toks = recs.select("id", F.split("name", " ").alias("toks"))
+    toks = _allpairs_fixture(spark, sf_dir)
     pairs = allpairs_jaccard_pairs(
         toks,
         "toks",
@@ -5554,6 +5558,89 @@ SQL_ALLPAIRS_COSINE_BLOCKS = _sql_allpairs_name_blocks(
     "(n * 490000 + 999999) // 1000000",
     "1000000 * least(a.n, b.n) >= 490000 * greatest(a.n, b.n)",
     "1000000 * s.n_shared * s.n_shared >= 490000 * c.n_a * c.n_b",
+)
+
+
+def q_group_linkage_ges(spark, sf_dir):
+    """Group linkage (linkage.group_linkage_scores — On et al., ICDE
+    2007) lifted onto the allpairs fixture: records are the clean ∪
+    bumped-first-word parts, groups bundle five consecutive kept
+    partkeys per side ('c<k>' clean / 'd<k>' dirty), record-pair sims
+    are the floor-ppt Jaccard of the verified allpairs output, and each
+    clean group should link to its dirty twin ('cK' ↔ 'dK', flagged by
+    is_twin_group) through the mutual-best member alignment and the
+    GES = Σ sim / (|A|+|B|−|M|) normalization. The oracle nests the full
+    allpairs query and replays orientation canonicalization, pair-grain
+    max, the two matching windows, and the size-diluted division —
+    all-integer end to end."""
+    from xlink_spark.operators.linkage import (
+        allpairs_jaccard_pairs,
+        group_linkage_scores,
+    )
+
+    toks = _allpairs_fixture(spark, sf_dir)
+    pairs = allpairs_jaccard_pairs(
+        toks, "toks", "id", threshold_ppt=600, max_block_size=1500
+    )
+    sims = pairs.select(
+        "id_a",
+        "id_b",
+        F.expr("(1000 * n_shared) div (n_a + n_b - n_shared)").alias(
+            "sim_ppt"
+        ),
+    )
+    grp = toks.select(
+        "id",
+        F.concat(
+            F.when(F.col("id") < 10000000, F.lit("c")).otherwise(F.lit("d")),
+            F.expr("pmod(id, 10000000) div 15").cast("string"),
+        ).alias("group"),
+    )
+    out = group_linkage_scores(sims, grp)
+    return out.select(
+        "*",
+        (
+            (F.expr("substring(group_a, 2)") == F.expr("substring(group_b, 2)"))
+            & (F.expr("substring(group_a, 1, 1)") == F.lit("c"))
+            & (F.expr("substring(group_b, 1, 1)") == F.lit("d"))
+        ).alias("is_twin_group"),
+    )
+
+
+SQL_GROUP_LINKAGE_GES = (
+    f"with pairs as ({SQL_ALLPAIRS_NAME_BLOCKS}), "
+    "base2 as (select p_partkey::bigint as id from part"
+    "  where p_partkey % 3 = 0), "
+    "ids as (select id from base2"
+    "  union all select id + 10000000 as id from base2), "
+    "gr as (select id, (case when id < 10000000 then 'c' else 'd' end)"
+    "  || ((id % 10000000) // 15)::varchar as grp from ids), "
+    "sims as (select id_a, id_b,"
+    "  (1000 * n_shared) // (n_a + n_b - n_shared) as sim from pairs), "
+    "ps as (select s.id_a, s.id_b, s.sim, ga.grp as gx, gb.grp as gy"
+    "  from sims s join gr ga on ga.id = s.id_a"
+    "  join gr gb on gb.id = s.id_b where ga.grp <> gb.grp), "
+    "ori as (select case when gx < gy then gx else gy end as g1,"
+    "  case when gx < gy then gy else gx end as g2,"
+    "  case when gx < gy then id_a else id_b end as r1,"
+    "  case when gx < gy then id_b else id_a end as r2, sim from ps), "
+    "pg as (select g1, g2, r1, r2, max(sim) as sim from ori"
+    "  group by g1, g2, r1, r2), "
+    "w as (select *,"
+    "  row_number() over (partition by g1, g2, r1"
+    "    order by sim desc, r2 asc) as rna,"
+    "  row_number() over (partition by g1, g2, r2"
+    "    order by sim desc, r1 asc) as rnb from pg), "
+    "mt as (select g1, g2, count(*)::bigint as n_matched,"
+    "  sum(sim)::bigint as sum_sim_ppt from w"
+    "  where rna = 1 and rnb = 1 group by g1, g2), "
+    "gsz as (select grp, count(*)::bigint as gn from gr group by grp) "
+    "select m.g1 as group_a, m.g2 as group_b, m.n_matched, m.sum_sim_ppt,"
+    "  a.gn as n_a, b.gn as n_b,"
+    "  (m.sum_sim_ppt // (a.gn + b.gn - m.n_matched))::bigint as ges_ppt,"
+    "  (substr(m.g1, 2) = substr(m.g2, 2) and substr(m.g1, 1, 1) = 'c'"
+    "   and substr(m.g2, 1, 1) = 'd') as is_twin_group "
+    "from mt m join gsz a on a.grp = m.g1 join gsz b on b.grp = m.g2"
 )
 
 
@@ -7021,6 +7108,7 @@ QUERIES: dict[str, Query] = {
     "clustering_muc": q_clustering_muc,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
+    "group_linkage_ges": q_group_linkage_ges,
     "mutual_best_pairs": q_mutual_best_pairs,
     "link_constraints": q_link_constraints,
     "suffix_blocks": q_suffix_blocks,
@@ -7152,6 +7240,7 @@ ORACLES: dict[str, str] = {
     "clustering_muc": SQL_CLUSTERING_MUC,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
+    "group_linkage_ges": SQL_GROUP_LINKAGE_GES,
     "mutual_best_pairs": SQL_MUTUAL_BEST_PAIRS,
     "link_constraints": SQL_LINK_CONSTRAINTS,
     "suffix_blocks": SQL_SUFFIX_BLOCKS,

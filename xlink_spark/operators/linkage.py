@@ -1821,3 +1821,122 @@ def allpairs_jaccard_pairs(
         )
     )
     return verified.select("id_a", "id_b", "n_shared", "n_a", "n_b")
+
+
+# ------------------------------------------------------------ group linkage
+def group_linkage_scores(
+    pair_scores: DataFrame,
+    groups: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    sim_col: str = "sim_ppt",
+    group_id: str = "id",
+    group_col: str = "group",
+    min_ges_ppt: int | None = None,
+) -> DataFrame:
+    """Group linkage (On, Koudas, Lee & Srivastava, ICDE 2007): lift
+    record-pair similarities to GROUP-pair decisions — the
+    household/citation-group problem where the entity is a SET of records
+    (a household of people, a paper's author list) and two groups match
+    when their members align well, even though no single record pair is
+    decisive.
+
+    Per group pair, members are aligned one-to-one and the group
+    similarity is the paper's normalized measure
+
+        GES(A, B) = Σ_matched sim / (|A| + |B| − |M|)
+
+    — a Jaccard-style normalization where unmatched members dilute the
+    score (|A|, |B| count ALL members from ``groups``, including records
+    that produced no candidate pair at all). The paper's one-to-one
+    alignment is maximum-weight bipartite matching; distributed here as
+    MUTUAL-BEST within each group pair (a pair survives iff it is both
+    members' best partner inside that group pair) — the standard
+    greedy-optimal approximation, exact whenever the true matching is
+    unambiguous, and engine-reproducible: pair-grain max first, then two
+    row_number windows over exact bigint sims with partner-id tie-breaks.
+
+    Inputs: ``pair_scores`` at record-pair grain with a non-negative
+    bigint ppt similarity; ``groups`` maps record id → group id. Pairs
+    whose records share a group are dropped (within-group affinity is
+    not cross-group evidence). Group pairs canonicalize to
+    group_a < group_b; record orientation follows the group swap so the
+    matching stays bipartite. Output one row per group pair:
+    (group_a, group_b, n_matched, sum_sim_ppt, n_a, n_b, ges_ppt) with
+    ges_ppt = sum_sim_ppt div (n_a + n_b − n_matched) — sum-of-bigints
+    plus ONE integer division, exact on any engine. ``min_ges_ppt``
+    filters the output (the decision threshold).
+
+    Scale shape: two narrow joins attach group ids to pair rows, the
+    matching is windows over (group_a, group_b, member) keys — pair-grain
+    rows only, nothing wider shuffles; group sizes come from one
+    map-combinable count. Skewed mega-groups cost what their candidate
+    pairs cost — bound THOSE with the blocking purge upstream.
+    """
+    g = groups.select(
+        F.col(group_id).alias("_gid"), F.col(group_col).alias("_g")
+    )
+    p = (
+        pair_scores.select(
+            F.col(id_a).alias("_ra"),
+            F.col(id_b).alias("_rb"),
+            F.col(sim_col).cast("long").alias("_sim"),
+        )
+        .join(g.withColumnRenamed("_gid", "_ra").withColumnRenamed("_g", "_ga"), "_ra")
+        .join(g.withColumnRenamed("_gid", "_rb").withColumnRenamed("_g", "_gb"), "_rb")
+        .filter(F.col("_ga") != F.col("_gb"))
+    )
+    swap = F.col("_ga") > F.col("_gb")
+    oriented = p.select(
+        F.when(swap, F.col("_gb")).otherwise(F.col("_ga")).alias("group_a"),
+        F.when(swap, F.col("_ga")).otherwise(F.col("_gb")).alias("group_b"),
+        F.when(swap, F.col("_rb")).otherwise(F.col("_ra")).alias("_ma"),
+        F.when(swap, F.col("_ra")).otherwise(F.col("_rb")).alias("_mb"),
+        "_sim",
+    )
+    # pair-grain max: duplicate candidate rows must not take
+    # window-inconsistent row_numbers (the mutual_best_matches rule)
+    pairs = oriented.groupBy("group_a", "group_b", "_ma", "_mb").agg(
+        F.max("_sim").alias("_sim")
+    )
+    wa = Window.partitionBy("group_a", "group_b", "_ma").orderBy(
+        F.col("_sim").desc(), F.col("_mb").asc()
+    )
+    wb = Window.partitionBy("group_a", "group_b", "_mb").orderBy(
+        F.col("_sim").desc(), F.col("_ma").asc()
+    )
+    matched = (
+        pairs.withColumn("_rn_a", F.row_number().over(wa))
+        .withColumn("_rn_b", F.row_number().over(wb))
+        .filter((F.col("_rn_a") == 1) & (F.col("_rn_b") == 1))
+    )
+    gm = matched.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("_sim").cast("long").alias("sum_sim_ppt"),
+    )
+    sizes = g.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_gn"))
+    out = (
+        gm.join(
+            sizes.select(F.col("_g").alias("group_a"), F.col("_gn").alias("n_a")),
+            "group_a",
+        )
+        .join(
+            sizes.select(F.col("_g").alias("group_b"), F.col("_gn").alias("n_b")),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_matched",
+            "sum_sim_ppt",
+            "n_a",
+            "n_b",
+            F.expr("sum_sim_ppt div (n_a + n_b - n_matched)")
+            .cast("long")
+            .alias("ges_ppt"),
+        )
+    )
+    if min_ges_ppt is not None:
+        out = out.filter(F.col("ges_ppt") >= int(min_ges_ppt))
+    return out
