@@ -41,7 +41,9 @@ linkage.repair_chain_merges); the strong comparator estimates its weights
 on the full candidate population but scores only accepted edges — the
 expensive-field lookups never run over the whole corpus. Outputs under --output:
 clusters/ (id, cluster), golden/ (one canonical row per cluster),
-weights/ (the estimated per-field weight table), scores/ (pair scores).
+weights/ (the estimated per-field weight table), scores/ (pair scores);
+with --group-col, group_links/ (group-pair GES via mutual-best member
+alignment — linkage.group_linkage_scores).
 With --snapshots, clusters and golden commit through the SnapshotStore
 (manifest-last, crash-safe). One JSON metrics line on stdout.
 """
@@ -525,6 +527,45 @@ def run_er_job(spark, args) -> dict:
             n_golden = spark.read.parquet(f"{args.output}/golden").count()
         n_pairs = vec.count()
         n_edges = edges.count()
+        group_col = getattr(args, "group_col", None)
+        n_group_links = None
+        if group_col:
+            from xlink_spark.operators.linkage import group_linkage_scores
+
+            # graded member evidence when --posteriors computed it,
+            # else binary match edges at sim 1000 (GES degenerates to
+            # the member-Jaccard of matched pairs)
+            if "posterior_ppm" in scores.columns:
+                sims = scores.filter(
+                    F.col("score_micro") >= F.lit(int(args.threshold_micro))
+                ).select(
+                    F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    F.expr("posterior_ppm div 1000").cast("long").alias(
+                        "sim_ppt"
+                    ),
+                )
+            else:
+                sims = edges.select(
+                    F.col("src").alias("id_a"),
+                    F.col("dst").alias("id_b"),
+                    F.lit(1000).cast("long").alias("sim_ppt"),
+                )
+            grp = recs.select(
+                F.col(idc).cast("long").alias("id"),
+                F.col(group_col).cast("string").alias("group"),
+            )
+            glinks = group_linkage_scores(
+                sims,
+                grp,
+                min_ges_ppt=getattr(args, "group_min_ges_ppt", None),
+            )
+            glinks.write.mode("overwrite").parquet(
+                f"{args.output}/group_links"
+            )
+            n_group_links = spark.read.parquet(
+                f"{args.output}/group_links"
+            ).count()
         if level_fields:
             w_rows = {
                 f"{r['field']}/L{r['level']}": r["w_micro"]
@@ -550,6 +591,8 @@ def run_er_job(spark, args) -> dict:
     }
     if n_review is not None:
         out["n_review_pairs"] = n_review
+    if n_group_links is not None:
+        out["n_group_links"] = n_group_links
     if tf_fields:
         out["tf_adjust_fields"] = tf_fields
     if repair_fields:
@@ -618,6 +661,19 @@ def main() -> None:
         help="allpairs blocking: exact distinct-token Jaccard threshold "
         "in parts per thousand (candidate generation stays exact-recall "
         "at this threshold unless --max-block-size purges)",
+    )
+    ap.add_argument(
+        "--group-col",
+        help="records column holding a group id (household, author list): "
+        "also emit output/group_links — group-pair GES scores via "
+        "mutual-best member alignment (On et al. 2007); member evidence "
+        "is posterior_ppm when --posteriors is on, else binary match "
+        "edges",
+    )
+    ap.add_argument(
+        "--group-min-ges-ppt",
+        type=int,
+        help="group linkage: keep group pairs with GES >= this (ppt)",
     )
     ap.add_argument(
         "--allpairs-measure",

@@ -875,3 +875,44 @@ def test_run_er_job_escalation_repair(spark, tmp_path):
         run("rep_bad1", repair_fields="nation")
     with _pytest.raises(ValueError, match="not in the records"):
         run("rep_bad2", repair_fields="phone")
+
+
+def test_run_er_job_group_links(spark, tmp_path):
+    """--group-col emits output/group_links: planted duplicate households
+    (three members each, each member's twin an exact-name match) score
+    GES 1000 via full member alignment, and the min-GES gate keeps only
+    those — unrelated household pairs share no match edge at all."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for h in range(8):
+        for m in range(3):
+            i = h * 10 + m
+            name = f"Person{h:02d}m{m}"
+            rows.append((i, name, "gold", h, f"H{h}"))
+            rows.append((i + 1000, name, "gold", h, f"D{h}"))
+    src = str(tmp_path / "records_grp")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long, hh string"
+    ).write.parquet(src)
+    args = argparse.Namespace(
+        records=src, output=str(tmp_path / "grp_out"), id_col="id",
+        key_expr="substring(name, 1, 10)", order_cols="name",
+        fields="name,segment,nation", jw_fields=None,
+        label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+        window=4, threshold_micro=0, em_iterations=5,
+        rules="name:longest", rank_strategy="keys", snapshots=None,
+        blocking="snm", group_col="hh", group_min_ges_ppt=900,
+    )
+    m = run_er_job(spark, args)
+    assert m["n_group_links"] == 8
+    links = {
+        (r["group_a"], r["group_b"]): r["ges_ppt"]
+        for r in spark.read.parquet(
+            str(tmp_path / "grp_out" / "group_links")
+        ).collect()
+    }
+    assert links == {(f"D{h}", f"H{h}"): 1000 for h in range(8)}
