@@ -1674,9 +1674,13 @@ def allpairs_jaccard_pairs(
     (Bayardo, Ma & Srikant 2007; Vernica, Carey & Li 2010 is the
     map-reduce formulation this follows): every pair of records whose
     DISTINCT-token similarity is ≥ threshold_ppt/1000, found WITHOUT the
-    all-token self-join q-gram blocking pays. ``measure`` picks the
-    similarity (the PPJoin family's standard trio, each with its own
-    sound prefix and length bound):
+    all-token self-join q-gram blocking pays. This is the RECORD-BLOCKING
+    front-end of the prefix-filter principle — multi-measure, purge knob,
+    (id_a, id_b, n_shared, n_a, n_b) output that FS scoring composes with;
+    the document-shingle near-dup path over ppm thresholds is
+    ``operators/setsim.jaccard_join_exact`` (same lemma, dedup contract).
+    ``measure`` picks the similarity (the PPJoin family's standard trio,
+    each with its own sound prefix and length bound):
 
         jaccard  |∩| / |∪|               prefix ⌈t·n⌉      length t·max ≤ min·1
         cosine   |∩| / √(n_a·n_b)        prefix ⌈t²·n⌉     length t²·max ≤ min

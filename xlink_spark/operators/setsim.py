@@ -23,6 +23,12 @@ prefixes exclude). Thresholds are integer ppm and every comparison is exact
 bigint cross-multiplication — no float boundary ambiguity, engine-portable.
 The verify step carries each doc's shingle-set array across only the
 candidate pairs.
+
+The record-linkage counterpart of this principle — multi-measure
+(jaccard/cosine/dice), oversize-prefix-block purge, ppt thresholds, and the
+(id_a, id_b, n_shared, n_a, n_b) contract FS scoring composes with — is
+``operators/linkage.allpairs_jaccard_pairs`` (the ER job's ``--blocking
+allpairs``); this module stays the document-shingle dedup path.
 """
 
 from __future__ import annotations
