@@ -49,6 +49,8 @@ HEADLINE = [
     "fs_level_scores",    # multi-level gamma FS (levenshtein band levels)
     "qgram_blocks",       # q-gram blocking with stop-gram purge
     "cluster_repair",     # escalation repair of chain-merged ER clusters
+    "allpairs_name_blocks",  # prefix-filtered exact set-similarity blocking
+    "group_linkage_ges",  # household GES over mutual-best member alignment
 ]
 
 

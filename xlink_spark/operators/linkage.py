@@ -1696,7 +1696,13 @@ def allpairs_jaccard_pairs(
     measure's bound, so it cannot avoid both prefixes (for cosine/dice
     the corresponding length condition holds AUTOMATICALLY for true
     pairs, since overlap ≤ min(n_a,n_b)) — candidate generation is
-    exact-recall while joining only on each record's RAREST few tokens
+    exact-recall while joining only on each record's RAREST few tokens.
+    Candidate rows additionally pass PPJoin's positional filter (Xiao et
+    al. 2008): the matched token's positions bound the pair's possible
+    overlap, and the bound must itself satisfy the measure's inequality
+    — sound (a qualifying pair's first shared prefix token always
+    passes), so recall stays exact while late-position collisions on
+    frequent tokens never reach the distinct/verify stages
     (at jaccard t=0.8, one fifth of them, and the frequent head tokens
     that create mega-blocks never become join keys at all). Candidates
     then pass the measure's length filter and exact verification:
@@ -1737,7 +1743,13 @@ def allpairs_jaccard_pairs(
     tok_rows = base.select("_id", F.explode("_toks").alias("tok"))
     freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     # per-record token list sorted by (global df, token): struct sort_array
-    # keeps everything at record grain — no global rank table, no window
+    # keeps everything at record grain — no global rank table, no window.
+    # The sorted lists feed FIVE consumers (both prefix join sides, the
+    # purge scan, and both verification joins); an eager localCheckpoint
+    # materializes the scan + frequency join + per-record sort exactly once
+    # — the Vernica et al. formulation materializes precisely this table
+    # between its ordering and joining stages (measured ~2x wall on the
+    # dense-vocabulary bench corpus when recomputed per consumer)
     sorted_toks = (
         tok_rows.join(freq, "tok")
         .groupBy("_id")
@@ -1748,6 +1760,7 @@ def allpairs_jaccard_pairs(
             ).alias("_sorted")
         )
         .select("_id", "_sorted", F.size("_sorted").alias("_n"))
+        .localCheckpoint(eager=True)
     )
     # p = n - alpha(n) + 1, all integer: ceil(a/b) = (a + b - 1) div b
     if measure == "jaccard":
@@ -1760,7 +1773,9 @@ def allpairs_jaccard_pairs(
     prefix = sorted_toks.select(
         "_id",
         "_n",
-        F.explode(F.slice("_sorted", F.lit(1), prefix_len)).alias("tok"),
+        F.posexplode(F.slice("_sorted", F.lit(1), prefix_len)).alias(
+            "_pos", "tok"
+        ),
     )
     if max_block_size is not None:
         oversized = (
@@ -1770,8 +1785,18 @@ def allpairs_jaccard_pairs(
             .select("tok")
         )
         prefix = prefix.join(F.broadcast(oversized), "tok", "left_anti")
-    a = prefix.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "tok")
-    b = prefix.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "tok")
+    a = prefix.select(
+        F.col("_id").alias("id_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_pos").alias("_pa"),
+        "tok",
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_pos").alias("_pb"),
+        "tok",
+    )
     # length filter before the distinct: a qualifying pair's sizes are
     # within the measure's factor of each other (holds automatically for
     # true pairs, so filtering candidates never costs recall)
@@ -1787,10 +1812,36 @@ def allpairs_jaccard_pairs(
         len_ok = F.lit(2000 - t) * F.least("n_a", "n_b") >= F.lit(
             t
         ) * F.greatest("n_a", "n_b")
+    # positional filter (PPJoin, Xiao et al. 2008): a candidate row whose
+    # matched token sits at (0-based) positions (_pa, _pb) of the shared
+    # global order bounds the pair's possible overlap by
+    #     r = 1 + min(n_a − _pa − 1, n_b − _pb − 1)
+    # (every other shared token sorts strictly later in BOTH lists — were
+    # one earlier, it would itself be a shared prefix token before this
+    # one). Exact recall is preserved because a qualifying pair's FIRST
+    # shared prefix token always passes: its r ≥ true overlap. The check
+    # is the measure's own verification inequality evaluated at r — pure
+    # integers, no new constants, no oracle impact (it only drops rows
+    # verification would reject).
+    rem = F.lit(1) + F.least(
+        F.col("n_a") - F.col("_pa") - F.lit(1),
+        F.col("n_b") - F.col("_pb") - F.lit(1),
+    )
+    if measure == "jaccard":
+        pos_ok = F.lit(1000) * rem >= F.lit(t) * (
+            F.col("n_a") + F.col("n_b") - rem
+        )
+    elif measure == "cosine":
+        pos_ok = F.lit(1000000) * rem * rem >= F.lit(t * t) * F.col(
+            "n_a"
+        ) * F.col("n_b")
+    else:  # dice
+        pos_ok = F.lit(2000) * rem >= F.lit(t) * (F.col("n_a") + F.col("n_b"))
     cands = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(len_ok)
+        .filter(pos_ok)
         .select("id_a", "id_b")
         .distinct()
     )
