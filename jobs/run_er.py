@@ -22,7 +22,7 @@ Usage (cluster or local):
 
 The pipeline is the north-star shape on records: candidate blocking —
 sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex or,
-with --phonetic-scheme nysiis, NYSIIS of
+with --phonetic-scheme nysiis/caverphone, NYSIIS or Caverphone 2.0 of
 --key-expr) / ``--blocking suffix`` (shared-suffix blocking of --key-expr) /
 ``--blocking allpairs`` (prefix-filtered exact-recall Jaccard over the
 whitespace tokens of --key-expr at --allpairs-threshold-ppt; all with an
@@ -637,10 +637,11 @@ def main() -> None:
     )
     ap.add_argument(
         "--phonetic-scheme",
-        choices=["soundex", "nysiis"],
+        choices=["soundex", "nysiis", "caverphone"],
         default="soundex",
         help="phonetic: key function (soundex keeps 4-char consonant "
-        "classes; nysiis keeps collapsed vowel positions — finer blocks)",
+        "classes; nysiis keeps collapsed vowel positions; caverphone "
+        "keeps 10-char keys with gh/ough/wh cluster handling — finest)",
     )
     ap.add_argument(
         "--suffix-min-len",

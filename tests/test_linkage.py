@@ -1337,6 +1337,165 @@ def test_nysiis_matches_independent_procedural_reference(spark):
         assert d == want, (n, d, want)
 
 
+def test_caverphone_key_published_vectors(spark):
+    """Caverphone 2.0 (Hood 2004) on BOTH engines against the published
+    vectors — including the spec's designed Stevenson/Stephenson
+    collision — plus degenerate inputs. The oracle renders the same
+    replacement chain via caverphone_sql."""
+    import duckdb
+
+    from xlink_spark.operators.fuzzy import caverphone_key, caverphone_sql
+
+    vectors = {
+        "Peter": "PTA1111111",        # the paper's worked example
+        "Stevenson": "STFNSN1111",    # the paper's worked example
+        "Stephenson": "STFNSN1111",   # designed collision with Stevenson
+        "Thompson": "TMPSN11111",
+        "Lee": "LA11111111",          # final-e drop, trailing vowel → A
+        "Knight": "KNT1111111",       # gh → 22 → dropped
+        "Wright": "RT11111111",       # initial w before consonant → 2
+        "Whitney": "WTNA111111",      # wh3 keeps the W
+        "Cough": "KF11111111",        # ^cough head rule
+        "Enough": "ANF1111111",       # ^enough head rule, initial vowel
+        "Lamb": "LM11111111",         # mb$ tail rule
+        "": "1111111111",             # degenerate input: all-pad key
+        "42!": "1111111111",          # non-alpha stripped first
+    }
+    df = spark.createDataFrame([(n,) for n in vectors], ["n"])
+    got = {
+        r["n"]: r["k"]
+        for r in df.select("n", caverphone_key("n").alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for name, want in vectors.items():
+        assert got[name] == want, (name, got[name], want)
+        sql = con.execute("select " + caverphone_sql(f"'{name}'")).fetchone()[0]
+        assert sql == want, (name, sql, want)
+
+
+def test_caverphone_matches_independent_procedural_reference(spark):
+    """Cross-engine Caverphone 2.0 parity beyond the pinned vectors: a
+    procedural reference coded straight from the spec with plain str
+    operations (startswith/endswith slicing, str.replace, explicit run
+    collapses — NO regex, NO shared rule table) against caverphone_key on
+    Spark AND caverphone_sql on DuckDB, over seeded random words weighted
+    toward the gh/ough/wh/mb/tch cluster shapes the scheme special-cases.
+    str.replace and global regex replacement share left-to-right
+    non-overlapping semantics, so agreement here pins the chain's
+    confluence, not just easy inputs."""
+    import random
+    import string
+
+    import duckdb
+
+    from xlink_spark.operators.fuzzy import caverphone_key, caverphone_sql
+
+    def ref(name: str) -> str:
+        t = "".join(ch for ch in name.lower() if "a" <= ch <= "z")
+        if t.endswith("e"):
+            t = t[:-1]
+        for head in ("cough", "rough", "tough", "enough", "trough"):
+            if t.startswith(head):
+                t = head[:-2] + "2f" + t[len(head):]
+        if t.startswith("gn"):
+            t = "2n" + t[2:]
+        if t.endswith("mb"):
+            t = t[:-1] + "2"
+        for a, b in (("cq", "2q"), ("ci", "si"), ("ce", "se"),
+                     ("cy", "sy"), ("tch", "2ch"), ("c", "k"), ("q", "k"),
+                     ("x", "k"), ("v", "f"), ("dg", "2g"), ("tio", "sio"),
+                     ("tia", "sia"), ("d", "t"), ("ph", "fh"), ("b", "p"),
+                     ("sh", "s2"), ("z", "s")):
+            t = t.replace(a, b)
+        if t[:1] in ("a", "e", "i", "o", "u"):
+            t = "A" + t[1:]
+        t = "".join("3" if ch in "aeiou" else ch for ch in t)
+        t = t.replace("j", "y")
+        if t.startswith("y3"):
+            t = "Y3" + t[2:]
+        if t.startswith("y"):
+            t = "A" + t[1:]
+        t = t.replace("y", "3")
+        t = t.replace("3gh3", "3kh3").replace("gh", "22").replace("g", "k")
+        for ch in "stpkfmn":
+            out, i = [], 0
+            while i < len(t):
+                if t[i] == ch:
+                    while i < len(t) and t[i] == ch:
+                        i += 1
+                    out.append(ch.upper())
+                else:
+                    out.append(t[i])
+                    i += 1
+            t = "".join(out)
+        t = t.replace("w3", "W3").replace("wh3", "Wh3")
+        if t.endswith("w"):
+            t = t[:-1] + "3"
+        t = t.replace("w", "2")
+        if t.startswith("h"):
+            t = "A" + t[1:]
+        t = t.replace("h", "2")
+        t = t.replace("r3", "R3")
+        if t.endswith("r"):
+            t = t[:-1] + "3"
+        t = t.replace("r", "2")
+        t = t.replace("l3", "L3")
+        if t.endswith("l"):
+            t = t[:-1] + "3"
+        t = t.replace("l", "2")
+        t = t.replace("2", "")
+        if t.endswith("3"):
+            t = t[:-1] + "A"
+        t = t.replace("3", "")
+        return (t + "1" * 10)[:10]
+
+    rng = random.Random(20260819)
+    weighted = string.ascii_lowercase + "gh" * 6 + "wmbtc" * 3 + "aeiou" * 4
+    names = ["", "h", "w", "y", "gn", "mb", "enought", "troughs",
+             "coughing", "yay", "wha", "awe", "chghch", "3gh3"]
+    names += [
+        "".join(rng.choice(weighted) for _ in range(rng.randint(1, 14)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(n,) for n in set(names)], ["n"])
+    got = {
+        r["n"]: r["k"]
+        for r in df.select("n", caverphone_key("n").alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for n in set(names):
+        want = ref(n)
+        assert got[n] == want, (n, got[n], want)
+        d = con.execute("select " + caverphone_sql(f"'{n}'")).fetchone()[0]
+        assert d == want, (n, d, want)
+
+
+def test_phonetic_candidate_pairs_caverphone_scheme(spark):
+    """scheme='caverphone' blocks on Caverphone 2.0 keys: the designed
+    Stevenson/Stephenson fold collides, while the 10-char width keeps
+    longer tails apart that Soundex's 4-char truncation folds."""
+    from xlink_spark.operators.linkage import phonetic_candidate_pairs
+
+    rows = [
+        (1, "Stevenson"),   # CV STFNSN1111, Soundex S315
+        (2, "Stephenson"),  # CV STFNSN1111 (collides), Soundex S315
+        (3, "Stevensonia"), # CV STFNSNA111 (splits), Soundex S315 (folds)
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    sdx = {
+        (r["id_a"], r["id_b"])
+        for r in phonetic_candidate_pairs(df, "name", "id").collect()
+    }
+    cav = {
+        (r["id_a"], r["id_b"])
+        for r in phonetic_candidate_pairs(
+            df, "name", "id", scheme="caverphone"
+        ).collect()
+    }
+    assert sdx == {(1, 2), (1, 3), (2, 3)}  # 4-char Soundex folds all
+    assert cav == {(1, 2)}                  # the designed collision only
+
+
 def test_phonetic_candidate_pairs_nysiis_scheme(spark):
     """scheme='nysiis' blocks on NYSIIS keys (finer than Soundex where the
     vowel shape differs), and an unknown scheme fails fast."""

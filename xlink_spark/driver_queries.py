@@ -5323,6 +5323,81 @@ def _sql_nysiis_blocks() -> str:
 SQL_NYSIIS_BLOCKS = _sql_nysiis_blocks()
 
 
+def q_caverphone_blocks(spark, sf_dir):
+    """Caverphone 2.0 phonetic blocking (linkage.phonetic_candidate_pairs
+    with scheme='caverphone' — Hood 2004, the Caversham Project's
+    electoral-roll-tuned scheme and Christen 2006's third benchmark next
+    to Soundex and NYSIIS) over the same clean ∪ bumped-last-letter
+    part-name corpus as `phonetic_blocks` / `nysiis_blocks`, so all
+    three schemes are directly comparable on identical records:
+    Caverphone's 10-char padded keys keep the most context of the trio
+    (vowel markers survive the consonant rules; gh/ough/wh clusters get
+    dedicated rewrites), giving the finest blocks and the strictest
+    recall on tail bumps (measured by the riding is_twin flag). Unlike
+    Soundex/NYSIIS, the published algorithm IS an ordered replacement
+    list, so the dual-engine rewrite chain is the spec verbatim —
+    pinned against the published vectors (Peter→PTA1111111,
+    Stevenson→STFNSN1111=Stephenson, Thompson→TMPSN11111) and
+    fuzz-checked against an independently-coded procedural reference.
+    Blocks above 32 members are purged pre-join (the meta-blocking
+    purge). Pure string ops end to end — no floats, no margins."""
+    from xlink_spark.operators.linkage import phonetic_candidate_pairs
+
+    part = spark.read.parquet(_T(sf_dir, "part"))
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
+        F.regexp_extract("p_name", "^[a-z]+ ([a-z]+)", 1).alias("w2"),
+    )
+    dirty = base.select(
+        (F.col("id") + 10000000).alias("id"),
+        F.expr(
+            "concat(substring(w1, 1, length(w1) - 1),"
+            " char(ascii(substring(w1, length(w1), 1)) + 1))"
+        ).alias("w1"),
+        F.col("w2"),
+    )
+    recs = base.unionByName(dirty)
+    pairs = phonetic_candidate_pairs(
+        recs, ["w1", "w2"], "id", max_block_size=32, scheme="caverphone"
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "pkey",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
+def _sql_caverphone_blocks() -> str:
+    from xlink_spark.operators.fuzzy import caverphone_sql
+
+    return (
+        "with base as (select p_partkey::bigint as id,"
+        "  regexp_extract(p_name, '^[a-z]+', 0) as w1,"
+        "  regexp_extract(p_name, '^[a-z]+ ([a-z]+)', 1) as w2 from part), "
+        "dirty as (select id + 10000000 as id,"
+        "  substr(w1, 1, length(w1) - 1)"
+        "    || chr(ascii(substr(w1, length(w1), 1)) + 1) as w1, w2"
+        "  from base), "
+        "recs as (select * from base union all select * from dirty), "
+        f"keyed as (select id, {caverphone_sql('w1')} || {caverphone_sql('w2')}"
+        "  as pkey from recs), "
+        "kept as (select pkey from keyed group by pkey"
+        "  having count(*) <= 32), "
+        "km as (select k.id, k.pkey from keyed k join kept using (pkey)) "
+        "select a.id as id_a, b.id as id_b, a.pkey,"
+        "  (a.id % 10000000) = (b.id % 10000000) as is_twin "
+        "from km a join km b on a.pkey = b.pkey and a.id < b.id"
+    )
+
+
+SQL_CAVERPHONE_BLOCKS = _sql_caverphone_blocks()
+
+
 def q_clustering_muc(spark, sf_dir):
     """MUC link-based P/R/F1 (eval/bcubed.muc, Vilain et al. 1995) of the
     full ER chain's transitive clusters against the planted-twin gold
@@ -7105,6 +7180,7 @@ QUERIES: dict[str, Query] = {
     "clustering_ari": q_clustering_ari,
     "phonetic_blocks": q_phonetic_blocks,
     "nysiis_blocks": q_nysiis_blocks,
+    "caverphone_blocks": q_caverphone_blocks,
     "clustering_muc": q_clustering_muc,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
@@ -7237,6 +7313,7 @@ ORACLES: dict[str, str] = {
     "clustering_ari": SQL_CLUSTERING_ARI,
     "phonetic_blocks": SQL_PHONETIC_BLOCKS,
     "nysiis_blocks": SQL_NYSIIS_BLOCKS,
+    "caverphone_blocks": SQL_CAVERPHONE_BLOCKS,
     "clustering_muc": SQL_CLUSTERING_MUC,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,

@@ -467,3 +467,102 @@ def nysiis_sql(expr: str, truncate: int = 6) -> str:
     key = f"regexp_replace({key}, 'AY$', 'Y')"
     key = f"regexp_replace({key}, '(.)A+$', '\\1')"
     return f"substr({key}, 1, {truncate})" if truncate else key
+
+
+# Caverphone 2.0 (Hood 2004, "Caverphone Revisited", Caversham Project,
+# University of Otago) — the third phonetic scheme next to Soundex and
+# NYSIIS (Christen 2006 benchmarks all three): tuned on a real electoral
+# roll rather than 1910s census surnames, it keeps MORE context than
+# either (vowel positions survive as markers through the consonant rules,
+# 'gh'/'ough'/'wh' clusters get dedicated handling) and pads to a fixed
+# 10-char width. Unlike Soundex/NYSIIS — which need per-position scans
+# reformulated as rewrite chains — Caverphone is PUBLISHED as an ordered
+# replacement list, so the dual-engine global-rewrite formulation used by
+# this module is the algorithm verbatim, not a reformulation. Digits 2/3
+# are the spec's own scratch markers ('2' = delete me, '3' = vowel
+# placeholder); uppercase letters are finished output that later
+# lowercase-only rules cannot re-touch — which is exactly why the chain
+# is confluent under left-to-right non-overlapping global replacement,
+# the semantics BOTH Java regex (Spark) and RE2 (DuckDB) implement. No
+# pattern backreferences anywhere, so the chain is RE2-safe as written.
+_CAVERPHONE_RULES: list[tuple[str, str]] = [
+    ("e$", ""),
+    ("^cough", "cou2f"),
+    ("^rough", "rou2f"),
+    ("^tough", "tou2f"),
+    ("^enough", "enou2f"),
+    ("^trough", "trou2f"),
+    ("^gn", "2n"),
+    ("mb$", "m2"),
+    ("cq", "2q"),
+    ("ci", "si"),
+    ("ce", "se"),
+    ("cy", "sy"),
+    ("tch", "2ch"),
+    ("c", "k"),
+    ("q", "k"),
+    ("x", "k"),
+    ("v", "f"),
+    ("dg", "2g"),
+    ("tio", "sio"),
+    ("tia", "sia"),
+    ("d", "t"),
+    ("ph", "fh"),
+    ("b", "p"),
+    ("sh", "s2"),
+    ("z", "s"),
+    ("^[aeiou]", "A"),
+    ("[aeiou]", "3"),
+    ("j", "y"),
+    ("^y3", "Y3"),
+    ("^y", "A"),
+    ("y", "3"),
+    ("3gh3", "3kh3"),
+    ("gh", "22"),
+    ("g", "k"),
+    ("s+", "S"),
+    ("t+", "T"),
+    ("p+", "P"),
+    ("k+", "K"),
+    ("f+", "F"),
+    ("m+", "M"),
+    ("n+", "N"),
+    ("w3", "W3"),
+    ("wh3", "Wh3"),
+    ("w$", "3"),
+    ("w", "2"),
+    ("^h", "A"),
+    ("h", "2"),
+    ("r3", "R3"),
+    ("r$", "3"),
+    ("r", "2"),
+    ("l3", "L3"),
+    ("l$", "3"),
+    ("l", "2"),
+    ("2", ""),
+    ("3$", "A"),
+    ("3", ""),
+]
+
+
+def caverphone_key(col: Column | str, width: int = 10) -> Column:
+    """Caverphone 2.0 key (e.g. 'Stevenson' → 'STFNSN1111', identical to
+    'Stephenson') as a pure JVM expression chain. Empty/non-alpha input
+    yields the all-pad key '1111111111'. ``width`` is the spec's 10 by
+    default; smaller widths coarsen (the Soundex-truncation analogue)."""
+    s = F.col(col) if isinstance(col, str) else col
+    key = F.lower(F.regexp_replace(s, "[^A-Za-z]", ""))
+    for pat, rep in _CAVERPHONE_RULES:
+        key = F.regexp_replace(key, pat, rep)
+    return F.substring(F.concat(key, F.lit("1" * width)), 1, width)
+
+
+def caverphone_sql(expr: str, width: int = 10) -> str:
+    """The DuckDB rendering of the SAME pipeline, for oracle SQL. Keep in
+    lockstep with ``caverphone_key`` (pinned by a cross-engine parity
+    test). The 'g' flag matches Spark's replace-all semantics; anchored
+    rules have at most one match, so it is inert there."""
+    key = f"lower(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    for pat, rep in _CAVERPHONE_RULES:
+        key = f"regexp_replace({key}, '{pat}', '{rep}', 'g')"
+    return f"substr({key} || '{'1' * width}', 1, {width})"

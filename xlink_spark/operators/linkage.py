@@ -962,9 +962,12 @@ def phonetic_candidate_pairs(
     The classic complement to exact/SNM blocking — typos that change a
     letter WITHIN its phonetic class ('Ashcraft'/'Ashcroft') still collide.
     ``scheme`` picks the key function: ``"soundex"`` (default — 4-char
-    consonant classes) or ``"nysiis"`` (Taft 1970 — keeps collapsed vowel
+    consonant classes), ``"nysiis"`` (Taft 1970 — keeps collapsed vowel
     positions, so it separates name shapes Soundex folds together; the
-    literature's standard second scheme, Christen 2006). Passing several
+    literature's standard second scheme, Christen 2006), or
+    ``"caverphone"`` (Hood 2004 — 10-char keys with dedicated
+    gh/ough/wh cluster handling; Christen's third benchmark scheme,
+    the finest of the trio). Passing several
     ``name_cols`` concatenates their per-column codes into one compound
     key (the standard way to re-sharpen a too-coarse single-field
     phonetic key). Shape at 10^12 records: keys are short strings, so
@@ -975,9 +978,17 @@ def phonetic_candidate_pairs(
 
     Returns (id_a, id_b, pkey) with id_a < id_b.
     """
-    from xlink_spark.operators.fuzzy import nysiis_key, soundex_key
+    from xlink_spark.operators.fuzzy import (
+        caverphone_key,
+        nysiis_key,
+        soundex_key,
+    )
 
-    key_fn = {"soundex": soundex_key, "nysiis": nysiis_key}.get(scheme)
+    key_fn = {
+        "soundex": soundex_key,
+        "nysiis": nysiis_key,
+        "caverphone": caverphone_key,
+    }.get(scheme)
     if key_fn is None:
         raise ValueError(f"unknown phonetic scheme: {scheme!r}")
     cols = [name_cols] if isinstance(name_cols, str) else list(name_cols)
