@@ -285,3 +285,83 @@ def test_muc_matches_procedural_reference(spark):
     assert (m["muc_r_num"], m["muc_r_den"]) == (r_num, r_den)
     assert (m["muc_p_num"], m["muc_p_den"]) == (p_num, p_den)
     assert m["muc_p_micro"] == p_num * 1000000 // p_den
+
+
+def test_blanc_worked_example_and_boundaries(spark):
+    """BLANC (Recasens & Hovy 2011) on a hand-derived example — gold
+    {a,b},{c},{d} vs pred {a,b,c},{d}: F_c = 1/2, F_n = 3/4, BLANC =
+    5/8 (floor-micro 624999/499999/750000) — plus the paper's boundary
+    conventions: all-singletons both sides reduces to F_n, one-cluster
+    both sides reduces to F_c."""
+    from xlink_spark.eval.bcubed import blanc
+
+    rows = [("A", "x"), ("A", "x"), ("A", "y"), ("B", "z")]
+    b = blanc(spark.createDataFrame(rows, ["pred", "gold"])).collect()[0]
+    assert (b["rc"], b["links_pred"], b["links_gold"], b["rn"]) == (1, 3, 1, 3)
+    assert b["blanc_pc_micro"] == 333333 and b["blanc_rc_micro"] == 1000000
+    assert b["blanc_pn_micro"] == 1000000 and b["blanc_rn_micro"] == 600000
+    assert b["blanc_fc_micro"] == 499999 and b["blanc_fn_micro"] == 750000
+    assert b["blanc_micro"] == 624999
+
+    singles = [(str(i), str(i)) for i in range(4)]
+    s = blanc(spark.createDataFrame(singles, ["pred", "gold"])).collect()[0]
+    assert s["blanc_fc_micro"] == 0 and s["blanc_micro"] == 1000000
+
+    ones = [("A", "z")] * 4
+    o = blanc(spark.createDataFrame(ones, ["pred", "gold"])).collect()[0]
+    assert o["blanc_fn_micro"] == 0 and o["blanc_micro"] == 1000000
+
+
+def test_blanc_matches_procedural_reference(spark):
+    """Seeded random clusterings against an all-pairs procedural replica
+    that literally enumerates the four pair classes — the O(n²) semantics
+    the contingency-moment formulation must reproduce without ever
+    materializing a pair."""
+    import random
+    from itertools import combinations
+
+    from xlink_spark.eval.bcubed import blanc
+
+    rng = random.Random(13)
+    rows = [(i, f"p{rng.randint(0, 9)}", f"g{rng.randint(0, 7)}") for i in range(300)]
+    rc = wc = wn = rn = 0
+    for (_, p1, g1), (_, p2, g2) in combinations(rows, 2):
+        cp, cg = p1 == p2, g1 == g2
+        rc += cp and cg
+        wc += cp and not cg
+        wn += cg and not cp
+        rn += (not cp) and (not cg)
+    b = blanc(
+        spark.createDataFrame(rows, ["id", "pred", "gold"]).select("pred", "gold")
+    ).collect()[0]
+    assert b["rc"] == rc and b["rn"] == rn
+    assert b["links_pred"] == rc + wc and b["links_gold"] == rc + wn
+    M = 1000000
+    pc, rcm = rc * M // (rc + wc), rc * M // (rc + wn)
+    pn, rnm = rn * M // (rn + wn), rn * M // (rn + wc)
+    fc = 2 * pc * rcm // (pc + rcm) if pc + rcm else 0
+    fn = 2 * pn * rnm // (pn + rnm) if pn + rnm else 0
+    assert b["blanc_fc_micro"] == fc and b["blanc_fn_micro"] == fn
+    assert b["blanc_micro"] == (fc + fn) // 2
+
+
+def test_blanc_symmetry_between_merge_and_split(spark):
+    """The bilateral property MUC lacks: over-merging (one big pred
+    cluster) and over-splitting (all pred singletons) against the same
+    two-cluster gold score with swapped link/non-link F1s — BLANC treats
+    the two failure directions symmetrically when the gold is balanced."""
+    from xlink_spark.eval.bcubed import blanc
+
+    gold = [str(i % 2) for i in range(8)]
+    merged = blanc(
+        spark.createDataFrame([("A", g) for g in gold], ["pred", "gold"])
+    ).collect()[0]
+    split = blanc(
+        spark.createDataFrame(
+            [(str(i), g) for i, g in enumerate(gold)], ["pred", "gold"]
+        )
+    ).collect()[0]
+    # merged: every gold link found (R_c=1) but no non-link survives;
+    # split: every gold non-link found (R_n=1) but no link survives
+    assert merged["blanc_rc_micro"] == 1000000 and merged["blanc_rn_micro"] == 0
+    assert split["blanc_fc_micro"] == 0 and split["blanc_rn_micro"] == 1000000

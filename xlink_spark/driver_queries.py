@@ -5471,6 +5471,99 @@ SQL_CLUSTERING_MUC = (
 )
 
 
+def q_clustering_blanc(spark, sf_dir):
+    """BLANC (eval/bcubed.blanc, Recasens & Hovy 2011) of the full ER
+    chain's transitive clusters against the planted-twin gold partition —
+    the sixth cluster gauge, the bilateral Rand adaptation: an F1 over
+    coreference LINKS and an F1 over NON-links, averaged, so over-merging
+    and over-splitting are penalized symmetrically where MUC ignores
+    singletons and raw Rand saturates on them. Same causal chain as
+    `clustering_muc` (blocking → FS weights → scores → recursive-CTE
+    connected components), so the one output row hash-checks the chain
+    plus all four pair-class counts (rc/rn from the ARI contingency
+    moments — no pair materialized) and every floor-micro division.
+    Pure bigint arithmetic end to end — no floats anywhere."""
+    from xlink_spark.eval.bcubed import blanc
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).select("id")
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("id")).alias("pred"),
+        F.pmod(F.col("id"), F.lit(10000000)).alias("gold"),
+    )
+    return blanc(asg)
+
+
+SQL_CLUSTERING_BLANC = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "asg as (select coalesce(c.component, r.id) as pred,"
+    "  r.id % 10000000 as gold"
+    "  from recs r left join comp c on c.node = r.id), "
+    "cells as (select pred, gold, count(*)::bigint as n_pg"
+    "  from asg group by pred, gold), "
+    "mom as (select coalesce(sum((n_pg * (n_pg - 1)) // 2), 0)::bigint as rc,"
+    "  coalesce(sum(n_pg), 0)::bigint as n from cells), "
+    "ra as (select coalesce(sum((np * (np - 1)) // 2), 0)::bigint as links_pred"
+    "  from (select sum(n_pg)::bigint as np from cells group by pred)), "
+    "rb as (select coalesce(sum((ng * (ng - 1)) // 2), 0)::bigint as links_gold"
+    "  from (select sum(n_pg)::bigint as ng from cells group by gold)), "
+    "b1 as (select n, rc, links_pred, links_gold,"
+    "  ((n * (n - 1)) // 2)::bigint as c2 from mom, ra, rb), "
+    "b2 as (select *,"
+    "  (c2 - links_pred - links_gold + rc)::bigint as rn from b1), "
+    "b3 as (select *,"
+    "  (case when links_pred > 0 then rc * 1000000 // links_pred"
+    "    else 0 end)::bigint as blanc_pc_micro,"
+    "  (case when links_gold > 0 then rc * 1000000 // links_gold"
+    "    else 0 end)::bigint as blanc_rc_micro,"
+    "  (case when c2 - links_pred > 0"
+    "    then rn * 1000000 // (c2 - links_pred)"
+    "    else 0 end)::bigint as blanc_pn_micro,"
+    "  (case when c2 - links_gold > 0"
+    "    then rn * 1000000 // (c2 - links_gold)"
+    "    else 0 end)::bigint as blanc_rn_micro"
+    "  from b2), "
+    "b4 as (select *,"
+    "  (case when blanc_pc_micro + blanc_rc_micro > 0"
+    "    then 2 * blanc_pc_micro * blanc_rc_micro"
+    "      // (blanc_pc_micro + blanc_rc_micro)"
+    "    else 0 end)::bigint as blanc_fc_micro,"
+    "  (case when blanc_pn_micro + blanc_rn_micro > 0"
+    "    then 2 * blanc_pn_micro * blanc_rn_micro"
+    "      // (blanc_pn_micro + blanc_rn_micro)"
+    "    else 0 end)::bigint as blanc_fn_micro"
+    "  from b3) "
+    "select *, (case"
+    "  when links_pred + links_gold = 0 then blanc_fn_micro"
+    "  when (c2 - links_pred) + (c2 - links_gold) = 0 then blanc_fc_micro"
+    "  else (blanc_fc_micro + blanc_fn_micro) // 2 end)::bigint"
+    "  as blanc_micro from b4"
+)
+
+
 def q_allpairs_name_blocks(spark, sf_dir):
     """Prefix-filtered all-pairs Jaccard self-join
     (linkage.allpairs_jaccard_pairs — Bayardo et al. 2007 / Vernica et
@@ -7182,6 +7275,7 @@ QUERIES: dict[str, Query] = {
     "nysiis_blocks": q_nysiis_blocks,
     "caverphone_blocks": q_caverphone_blocks,
     "clustering_muc": q_clustering_muc,
+    "clustering_blanc": q_clustering_blanc,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
     "group_linkage_ges": q_group_linkage_ges,
@@ -7315,6 +7409,7 @@ ORACLES: dict[str, str] = {
     "nysiis_blocks": SQL_NYSIIS_BLOCKS,
     "caverphone_blocks": SQL_CAVERPHONE_BLOCKS,
     "clustering_muc": SQL_CLUSTERING_MUC,
+    "clustering_blanc": SQL_CLUSTERING_BLANC,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
     "group_linkage_ges": SQL_GROUP_LINKAGE_GES,

@@ -386,3 +386,142 @@ def muc(
         .cast("long")
         .alias("muc_f_micro"),
     )
+
+
+def blanc(
+    assignments: DataFrame,
+    *,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """BLANC (Recasens & Hovy 2011) — the bilateral Rand-index adaptation
+    for coreference/ER clusters, the sixth gauge of the family (pairwise
+    F1 / B³ / ARI / V / MUC / BLANC): where MUC sees only merge links and
+    B³ averages over items, BLANC scores the link view BOTH ways — an F1
+    over coreference links (same cluster) and an F1 over NON-links
+    (different clusters), averaged — so over-merging and over-splitting
+    are penalized symmetrically even when singletons dominate (MUC's
+    blind spot) or one giant cluster dominates (where raw Rand saturates).
+
+    All four pair classes come from the same contingency moments ARI
+    uses (no pair is materialized; linear in items):
+
+        rc = Σ_cells C(n_ij,2)          right coreference links
+        wc = sum_a − rc                 pred links the gold splits
+        wn = sum_b − rc                 gold links the pred splits
+        rn = C(n,2) − sum_a − sum_b + rc   right non-links (incl./excl.)
+
+    P_c = rc/sum_a, R_c = rc/sum_b; P_n = rn/(C(n,2)−sum_a),
+    R_n = rn/(C(n,2)−sum_b); BLANC = (F_c + F_n)/2, with the paper's
+    boundary conventions: when BOTH sides have no coreference links
+    (all-singleton pred AND gold) BLANC = F_n alone; when both have no
+    non-links (one cluster covers everything on both sides) BLANC = F_c
+    alone; a one-sided zero denominator scores that component 0 (Luo et
+    al. 2014 reference-implementation convention).
+
+    Exactness: micro values are floor(num · 10⁶ / den) single bigint
+    divisions, F1s harmonic in integers, BLANC one more integer mean —
+    bit-identical cross-engine, no floats anywhere. Bigint bound: the
+    non-link counts scale with C(n,2), so rn · 10⁶ < 2⁶³ requires
+    n ≤ ~4·10⁶ items; beyond that run over a deterministic hash-sample
+    (the B³/ARI precedent — every term is a ratio of pair-count moments,
+    sample-stable)."""
+    lab = assignments.select(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    )
+
+    def _c2(cnt):
+        return F.coalesce(
+            F.sum(F.expr(f"({cnt} * ({cnt} - 1)) div 2")), F.lit(0)
+        ).cast("long")
+
+    cells = (
+        lab.groupBy("_p", "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            _c2("_n").alias("rc"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    rows_ = (
+        lab.groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(_c2("_n").alias("links_pred"))
+    )
+    cols_ = (
+        lab.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(_c2("_n").alias("links_gold"))
+    )
+    one = (
+        cells.crossJoin(F.broadcast(rows_))
+        .crossJoin(F.broadcast(cols_))
+        .select(
+            "n",
+            "rc",
+            "links_pred",
+            "links_gold",
+            F.expr("(n * (n - 1)) div 2").cast("long").alias("c2"),
+        )
+        .select(
+            "*",
+            (F.col("c2") - F.col("links_pred") - F.col("links_gold") + F.col("rc"))
+            .cast("long")
+            .alias("rn"),
+        )
+    )
+
+    def _micro(num, den):
+        return (
+            F.when(
+                F.expr(den) > 0, F.expr(f"{num} * {_MICRO} div ({den})")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    def _f1(p, r):
+        return (
+            F.when(
+                F.col(p) + F.col(r) > 0,
+                F.expr(f"2 * {p} * {r} div ({p} + {r})"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    one = one.select(
+        "*",
+        _micro("rc", "links_pred").alias("blanc_pc_micro"),
+        _micro("rc", "links_gold").alias("blanc_rc_micro"),
+    ).select(
+        "*",
+        _micro("rn", "c2 - links_pred").alias("blanc_pn_micro"),
+        _micro("rn", "c2 - links_gold").alias("blanc_rn_micro"),
+    )
+    # DuckDB cannot divide by an expression alias inside div cleanly the
+    # same way, so the non-link denominators above are spelled inline in
+    # the oracle too (kept in lockstep by the clustering_blanc row)
+    one = one.select(
+        "*",
+        _f1("blanc_pc_micro", "blanc_rc_micro").alias("blanc_fc_micro"),
+        _f1("blanc_pn_micro", "blanc_rn_micro").alias("blanc_fn_micro"),
+    )
+    return one.select(
+        "*",
+        F.when(
+            F.col("links_pred") + F.col("links_gold") == 0,
+            F.col("blanc_fn_micro"),
+        )
+        .when(
+            (F.col("c2") - F.col("links_pred"))
+            + (F.col("c2") - F.col("links_gold"))
+            == 0,
+            F.col("blanc_fc_micro"),
+        )
+        .otherwise(
+            F.expr("(blanc_fc_micro + blanc_fn_micro) div 2")
+        )
+        .cast("long")
+        .alias("blanc_micro"),
+    )
