@@ -1000,20 +1000,23 @@ def test_er_blocking_compare_frontier(spark):
     }
     assert set(rows) == {
         "snm_w4", "phonetic_soundex", "suffix_rev12_cap50", "qgram4_cap50",
-        "phonetic_nysiis", "allpairs_qgram4_t600",
+        "phonetic_nysiis", "phonetic_caverphone", "allpairs_qgram4_t600",
     }
     for name in ("snm_w4", "phonetic_soundex", "suffix_rev12_cap50",
-                 "phonetic_nysiis", "allpairs_qgram4_t600"):
+                 "phonetic_nysiis", "phonetic_caverphone",
+                 "allpairs_qgram4_t600"):
         r = rows[name]
         assert r["recall_ppm"] == 1000000
         assert r["twins_covered"] == r["twins_total"] == 150
     n = 300
     assert rows["phonetic_soundex"]["comps"] == n * (n - 1) // 2
     assert rows["phonetic_soundex"]["rr_ppm"] == 0
-    # NYSIIS strips digits like Soundex does — same degenerate corner on
-    # ID-like names (finer only where vowel SHAPE differs)
+    # NYSIIS and Caverphone strip digits like Soundex does — the same
+    # degenerate corner on ID-like names for the WHOLE phonetic family
     assert rows["phonetic_nysiis"]["comps"] == n * (n - 1) // 2
     assert rows["phonetic_nysiis"]["rr_ppm"] == 0
+    assert rows["phonetic_caverphone"]["comps"] == n * (n - 1) // 2
+    assert rows["phonetic_caverphone"]["rr_ppm"] == 0
     # exact-recall set-similarity at t=0.6 must keep every pair whose TRUE
     # gram-Jaccard clears t — on dense identifiers that is ALL pairs (the
     # long constant prefix dominates): rr exactly 0, the honest lesson

@@ -6205,7 +6205,7 @@ SQL_CLUSTERING_VMEASURE = (
 
 
 def q_er_blocking_compare(spark, sf_dir):
-    """The blocking-scheme frontier across six candidate-generation
+    """The blocking-scheme frontier across seven candidate-generation
     families on the SAME records — the gauge a deployment runs before
     committing a blocker. Per scheme: comparisons (Σ C(n_b,2) over blocks
     for key schemes — no pair ever materialized, the blocking_metrics
@@ -6213,7 +6213,7 @@ def q_er_blocking_compare(spark, sf_dir):
     linearly; the distinct post-length-filter candidate count for
     allpairs, whose verifier compares exactly those), planted-twin
     recall, and reduction ratio vs C(n,2) — all exact integer ppm. The
-    fixture makes the trade vivid: phonetic Soundex AND NYSIIS on
+    fixture makes the trade vivid: phonetic Soundex, NYSIIS AND Caverphone on
     ID-like names are recall-perfect but reduction-free (digit bumps
     never touch the letters — one giant block each; NYSIIS is finer only
     where vowel SHAPE differs, which digits don't), suffix/SNM sit on
@@ -6227,7 +6227,11 @@ def q_er_blocking_compare(spark, sf_dir):
     ID-like keys (it shines on word-token corpora: allpairs_name_blocks)
     while positional schemes (suffix/SNM) exploit where the corruption
     lives."""
-    from xlink_spark.operators.fuzzy import nysiis_key, soundex_key
+    from xlink_spark.operators.fuzzy import (
+        caverphone_key,
+        nysiis_key,
+        soundex_key,
+    )
     from xlink_spark.operators.linkage import sorted_neighborhood_pairs
 
     recs = _linkage_records(spark, sf_dir)
@@ -6393,6 +6397,28 @@ def q_er_blocking_compare(spark, sf_dir):
     )
     nys_one = n_comp.crossJoin(F.broadcast(n_tw))
 
+    # caverphone: the same arithmetic at the 10-char key — digits are
+    # stripped like soundex/nysiis, so ID-like names hit the SAME
+    # degenerate corner (the lesson generalizes to the whole family)
+    cb = recs.select("id", caverphone_key("name").alias("k"))
+    c_comp = (
+        cb.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("comps")
+        )
+    )
+    ca_ = cb.filter(F.col("id") < 10000000)
+    cd_ = cb.select((F.col("id") - 10000000).alias("id"), F.col("k").alias("_dk"))
+    c_tw = ca_.join(cd_, "id").agg(
+        F.sum(F.when(F.col("k") == F.col("_dk"), 1).otherwise(0))
+        .cast("long")
+        .alias("twins_covered")
+    )
+    cav_one = c_comp.crossJoin(F.broadcast(c_tw))
+
     # allpairs over the SAME distinct 4-gram sets (pre-purge qg rows),
     # t = 0.6: per-record frequency-ordered prefix + length filter;
     # comps = the distinct candidate pairs the verifier would compare
@@ -6449,12 +6475,17 @@ def q_er_blocking_compare(spark, sf_dir):
         .unionByName(_finish("suffix_rev12_cap50", suf_one))
         .unionByName(_finish("qgram4_cap50", qg_one))
         .unionByName(_finish("phonetic_nysiis", nys_one))
+        .unionByName(_finish("phonetic_caverphone", cav_one))
         .unionByName(_finish("allpairs_qgram4_t600", ap_one))
     )
 
 
 def _sql_er_blocking_compare() -> str:
-    from xlink_spark.operators.fuzzy import nysiis_sql, soundex_sql
+    from xlink_spark.operators.fuzzy import (
+        caverphone_sql,
+        nysiis_sql,
+        soundex_sql,
+    )
 
     return (
         f"with {_SQL_LINKAGE_BASE}, "
@@ -6496,6 +6527,12 @@ def _sql_er_blocking_compare() -> str:
         "nt2 as (select sum(case when a.k = d.k then 1 else 0 end)::bigint"
         "  as twins_covered from nb a join nb d on d.id = a.id + 10000000"
         "  where a.id < 10000000), "
+        f"cb as (select id, {caverphone_sql('name')} as k from recs), "
+        "cc as (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint"
+        "  as comps from (select count(*)::bigint as n_ from cb group by k)), "
+        "ct as (select sum(case when a.k = d.k then 1 else 0 end)::bigint"
+        "  as twins_covered from cb a join cb d on d.id = a.id + 10000000"
+        "  where a.id < 10000000), "
         "afreq as (select gm, count(*)::bigint as df_ from qg group by gm), "
         "arank as (select q.id, q.gm,"
         "  row_number() over (partition by q.id order by f.df_, q.gm) as rn,"
@@ -6536,6 +6573,12 @@ def _sql_er_blocking_compare() -> str:
         "  (1000000 * nt2.twins_covered) // twins_total,"
         "  1000000 - ((1000000 * nc.comps) // ((n * (n - 1)) // 2))"
         "  from nc, nt2, tot "
+        "union all "
+        "select 'phonetic_caverphone', cc.comps, ct.twins_covered,"
+        "  twins_total,"
+        "  (1000000 * ct.twins_covered) // twins_total,"
+        "  1000000 - ((1000000 * cc.comps) // ((n * (n - 1)) // 2))"
+        "  from cc, ct, tot "
         "union all "
         "select 'allpairs_qgram4_t600', ac.comps, ac.twins_covered,"
         "  twins_total,"
