@@ -460,6 +460,19 @@ def test_run_er_job_blocking_strategies(spark, tmp_path):
     }
     assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
 
+    # caverphone through the same CLI plumbing: digits strip from the
+    # ID-like names exactly as under soundex, so twin coverage is intact
+    m_cv, a_cv = run(
+        "phonetic", "name", "cv",
+        max_block_size=None, phonetic_scheme="caverphone",
+    )
+    assert m_cv["blocking"] == "phonetic"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{a_cv.output}/clusters").collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+
     # qgram: a last-char bump corrupts only the grams touching that char,
     # so every twin shares >= 3 of its 5 four-grams and blocks together
     m_qg, a_qg = run(
