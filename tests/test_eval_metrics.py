@@ -365,3 +365,104 @@ def test_blanc_symmetry_between_merge_and_split(spark):
     # split: every gold non-link found (R_n=1) but no link survives
     assert merged["blanc_rc_micro"] == 1000000 and merged["blanc_rn_micro"] == 0
     assert split["blanc_fc_micro"] == 0 and split["blanc_rn_micro"] == 1000000
+
+
+def test_ceaf_luo_worked_example(spark):
+    """CEAF (Luo 2005) on the paper's own running example — keys
+    {1..5},{6,7},{8..12} vs responses {1..5},{6..12}: the optimal φ3
+    alignment scores 10/12 mentions; the optimal φ4 alignment pairs K3
+    (not K2) with R2, totalling 1 + 5/6 → CEAF_e P = 11/12, R = 11/18
+    (floor-micro 916666 / 611111)."""
+    from xlink_spark.eval.ceaf import ceaf
+
+    data = (
+        [(1, 10)] * 5  # R1 ∩ K1 = 5
+        + [(2, 20)] * 2  # R2 ∩ K2 = 2
+        + [(2, 30)] * 5  # R2 ∩ K3 = 5
+    )
+    r = ceaf(spark.createDataFrame(data, ["pred", "gold"])).collect()[0]
+    assert (r["n_items"], r["n_pred_clusters"], r["n_gold_clusters"]) == (12, 2, 3)
+    assert r["phi3_total"] == 10 and r["phi4_micro_total"] == 1833333
+    assert r["ceafm_p_micro"] == r["ceafm_r_micro"] == 833333
+    assert r["ceafe_p_micro"] == 916666 and r["ceafe_r_micro"] == 611111
+    assert r["ceafe_f_micro"] == 733333
+
+    perf = spark.createDataFrame([(i % 3, i % 3) for i in range(9)], ["pred", "gold"])
+    p = ceaf(perf).collect()[0]
+    assert p["ceafm_f_micro"] == 1000000 and p["ceafe_f_micro"] == 1000000
+
+    e = ceaf(spark.createDataFrame([], "pred long, gold long")).collect()[0]
+    assert e["ceafm_f_micro"] == 1000000 and e["ceafe_f_micro"] == 1000000
+
+
+def test_ceaf_matches_bruteforce_optimal_alignment(spark):
+    """Seeded random clusterings against a brute-force enumeration of ALL
+    injective key→response alignments (itertools.permutations over the
+    full similarity matrix, zeros included) — the exponential semantics
+    the per-component subset-DP must reproduce, including the documented
+    sum-of-floors φ4 arithmetic."""
+    import random
+    from itertools import permutations
+
+    from xlink_spark.eval.ceaf import ceaf
+
+    M = 1000000
+    for seed in (13, 29):
+        rng = random.Random(seed)
+        rows = [(rng.randint(0, 4), rng.randint(0, 3)) for _ in range(60)]
+        cells: dict[tuple[int, int], int] = {}
+        np_, ng_ = {}, {}
+        for p, g in rows:
+            cells[(p, g)] = cells.get((p, g), 0) + 1
+            np_[p] = np_.get(p, 0) + 1
+            ng_[g] = ng_.get(g, 0) + 1
+        preds, golds = sorted(np_), sorted(ng_)
+
+        def w3(p, g):
+            return cells.get((p, g), 0)
+
+        def w4(p, g):
+            return 2 * cells.get((p, g), 0) * M // (np_[p] + ng_[g])
+
+        best3 = best4 = 0
+        for perm in permutations(preds, len(golds)):
+            best3 = max(best3, sum(w3(p, g) for p, g in zip(perm, golds)))
+            best4 = max(best4, sum(w4(p, g) for p, g in zip(perm, golds)))
+        r = ceaf(spark.createDataFrame(rows, ["pred", "gold"])).collect()[0]
+        assert r["phi3_total"] == best3, seed
+        assert r["phi4_micro_total"] == best4, seed
+        assert r["ceafm_p_micro"] == best3 * M // len(rows)
+        assert r["ceafe_p_micro"] == best4 // len(preds)
+        assert r["ceafe_r_micro"] == best4 // len(golds)
+
+
+def test_ceaf_penalizes_bcubed_blind_spots(spark):
+    """The property CEAF was introduced for: one giant response cluster
+    overlapping every key earns φ credit for ONE alignment only, so
+    CEAF_e recall collapses where B³ precision only sags (Luo's §1
+    motivation) — and the exact-DP width guards raise with the documented
+    hash-sample advice instead of silently truncating."""
+    import pytest as _pytest
+
+    from xlink_spark.eval.ceaf import ceaf
+
+    rows = [(0, g) for g in range(8) for _ in range(2)]  # 1 pred, 8 golds
+    r = ceaf(spark.createDataFrame(rows, ["pred", "gold"])).collect()[0]
+    # only one key can align: φ3 = 2 of 16 mentions
+    assert r["phi3_total"] == 2 and r["ceafm_p_micro"] == 125000
+    assert r["ceafe_p_micro"] < 250000 and r["ceafe_r_micro"] < 31250
+
+    wide = [(p, 0) for p in range(41)]
+    with _pytest.raises(ValueError, match="response clusters"):
+        ceaf(spark.createDataFrame(wide, ["pred", "gold"]))
+    tall = [(0, g) for g in range(9)]
+    with _pytest.raises(ValueError, match="gold clusters"):
+        ceaf(
+            spark.createDataFrame(tall, ["pred", "gold"]),
+            max_gold_per_component=8,
+        )
+    with _pytest.raises(ValueError, match="62-bit"):
+        ceaf(
+            spark.createDataFrame(wide, ["pred", "gold"]),
+            max_pred_per_component=63,
+        )
