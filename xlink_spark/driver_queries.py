@@ -5564,6 +5564,152 @@ SQL_CLUSTERING_BLANC = (
 )
 
 
+def q_clustering_ceaf(spark, sf_dir):
+    """CEAF_m / CEAF_e (eval/ceaf.ceaf, Luo EMNLP 2005) of the full ER
+    chain's transitive clusters against the planted-twin gold partition —
+    the seventh cluster gauge, completing the canonical coreference
+    quartet (MUC / B³ / CEAF / BLANC): score only the OPTIMAL one-to-one
+    key↔response cluster alignment, so a response cluster cannot farm
+    credit across many keys (B³'s inflation) and shattering earns nothing
+    twice (MUC's blind spot). Same causal chain as `clustering_muc`
+    (blocking → FS weights → scores → recursive-CTE connected
+    components); the Spark side solves the assignment problem with a
+    per-bipartite-component subset-DP over response bitmasks, the oracle
+    enumerates every injective matching per component in a recursive CTE
+    — both maximize the identical integer objective (φ3 = overlap counts;
+    φ4 = the documented sum-of-floors micro weights), whose maximum is
+    unique even when the argmax alignment is not. Pure bigint arithmetic
+    end to end — no floats anywhere."""
+    from xlink_spark.eval.ceaf import ceaf
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).select("id")
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("id")).alias("pred"),
+        F.pmod(F.col("id"), F.lit(10000000)).alias("gold"),
+    )
+    return ceaf(asg)
+
+
+SQL_CLUSTERING_CEAF = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    # every multiply-referenced CTE below is MATERIALIZED: DuckDB inlines
+    # plain CTEs per reference, and re-inlining the recursive walk chains
+    # multiplicatively is an OOM (observed at sf0.001)
+    "asg as materialized ("
+    "  select coalesce(c.component, r.id) as pred,"
+    "  r.id % 10000000 as gold"
+    "  from recs r left join comp c on c.node = r.id), "
+    "cells as materialized ("
+    "  select pred, gold, count(*)::bigint as n_pg"
+    "  from asg group by pred, gold), "
+    "bp as (select pred, sum(n_pg)::bigint as n_p from cells group by pred), "
+    "bg as (select gold, sum(n_pg)::bigint as n_g from cells group by gold), "
+    "wc as materialized ("
+    "  select c.pred, c.gold, c.n_pg::bigint as w3,"
+    "  ((2 * c.n_pg * 1000000) // (bp.n_p + bg.n_g))::bigint as w4"
+    "  from cells c join bp using (pred) join bg using (gold)), "
+    # bipartite overlap components at cluster grain (2·pred / 2·gold+1)
+    "bu as materialized ("
+    "  select pred * 2 as src, gold * 2 + 1 as dst from wc"
+    "  union select gold * 2 + 1 as src, pred * 2 as dst from wc), "
+    "bwalk (node, reach) as ("
+    "  select src as node, dst as reach from bu"
+    "  union"
+    "  select wk.node, u.dst as reach"
+    "  from bwalk wk join bu u on u.src = wk.reach"
+    "  where u.dst <> wk.node), "
+    "bcmp as (select node, least(node, min(reach)) as component"
+    "  from bwalk group by node), "
+    # gold clusters -> dense levels, response clusters -> mask bits
+    "rk as materialized ("
+    "  select b.component,"
+    "  (dense_rank() over (partition by b.component order by w.gold)"
+    "    - 1)::bigint as gi,"
+    "  (dense_rank() over (partition by b.component order by w.pred)"
+    "    - 1)::bigint as pbit,"
+    "  w.w3, w.w4"
+    "  from wc w join bcmp b on b.node = w.pred * 2), "
+    "kgs as materialized ("
+    "  select component, max(gi) as kg from rk group by component), "
+    # one sentinel skip row (pbit -1) per (component, level)
+    "opts as materialized ("
+    "  select component, gi, pbit, w3, w4 from rk"
+    "  union all"
+    "  select distinct component, gi, (-1)::bigint as pbit,"
+    "    0::bigint as w3, 0::bigint as w4 from rk), "
+    # enumerate every injective matching: exponential semantics the
+    # Spark subset-DP reproduces; exact because both maximize the same
+    # integer path sums
+    "dpw (component, gi, mask, s3, s4) as ("
+    "  select component, (-1)::bigint, 0::bigint, 0::bigint, 0::bigint"
+    "  from kgs"
+    "  union all"
+    "  select d.component, o.gi,"
+    "    case when o.pbit < 0 then d.mask"
+    "      else d.mask | (1::bigint << o.pbit) end,"
+    "    d.s3 + o.w3, d.s4 + o.w4"
+    "  from dpw d join opts o on o.component = d.component"
+    "    and o.gi = d.gi + 1"
+    "  where o.pbit < 0 or (d.mask & (1::bigint << o.pbit)) = 0), "
+    "per as (select d.component, max(d.s3)::bigint as b3,"
+    "  max(d.s4)::bigint as b4"
+    "  from dpw d join kgs k using (component)"
+    "  where d.gi = k.kg group by d.component), "
+    "tot as (select coalesce(sum(b3), 0)::bigint as phi3_total,"
+    "  coalesce(sum(b4), 0)::bigint as phi4_micro_total from per), "
+    "cnts as (select (select count(*) from asg)::bigint as n_items,"
+    "  (select count(distinct pred) from asg)::bigint as n_pred_clusters,"
+    "  (select count(distinct gold) from asg)::bigint as n_gold_clusters), "
+    "fin as (select n_items, n_pred_clusters, n_gold_clusters,"
+    "  phi3_total, phi4_micro_total,"
+    "  (case when n_items > 0 then (phi3_total * 1000000) // n_items"
+    "    else 1000000 end)::bigint as ceafm_p_micro,"
+    "  (case when n_items > 0 then (phi3_total * 1000000) // n_items"
+    "    else 1000000 end)::bigint as ceafm_r_micro,"
+    "  (case when n_pred_clusters > 0"
+    "    then phi4_micro_total // n_pred_clusters"
+    "    else 1000000 end)::bigint as ceafe_p_micro,"
+    "  (case when n_gold_clusters > 0"
+    "    then phi4_micro_total // n_gold_clusters"
+    "    else 1000000 end)::bigint as ceafe_r_micro"
+    "  from cnts, tot) "
+    "select *,"
+    "  (case when ceafm_p_micro + ceafm_r_micro > 0"
+    "    then (2 * ceafm_p_micro * ceafm_r_micro)"
+    "      // (ceafm_p_micro + ceafm_r_micro)"
+    "    else 0 end)::bigint as ceafm_f_micro,"
+    "  (case when ceafe_p_micro + ceafe_r_micro > 0"
+    "    then (2 * ceafe_p_micro * ceafe_r_micro)"
+    "      // (ceafe_p_micro + ceafe_r_micro)"
+    "    else 0 end)::bigint as ceafe_f_micro"
+    " from fin"
+)
+
+
 def q_allpairs_name_blocks(spark, sf_dir):
     """Prefix-filtered all-pairs Jaccard self-join
     (linkage.allpairs_jaccard_pairs — Bayardo et al. 2007 / Vernica et
@@ -7319,6 +7465,7 @@ QUERIES: dict[str, Query] = {
     "caverphone_blocks": q_caverphone_blocks,
     "clustering_muc": q_clustering_muc,
     "clustering_blanc": q_clustering_blanc,
+    "clustering_ceaf": q_clustering_ceaf,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
     "group_linkage_ges": q_group_linkage_ges,
@@ -7453,6 +7600,7 @@ ORACLES: dict[str, str] = {
     "caverphone_blocks": SQL_CAVERPHONE_BLOCKS,
     "clustering_muc": SQL_CLUSTERING_MUC,
     "clustering_blanc": SQL_CLUSTERING_BLANC,
+    "clustering_ceaf": SQL_CLUSTERING_CEAF,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
     "group_linkage_ges": SQL_GROUP_LINKAGE_GES,
