@@ -566,6 +566,65 @@ def run_er_job(spark, args) -> dict:
             n_group_links = spark.read.parquet(
                 f"{args.output}/group_links"
             ).count()
+        gold_expr = getattr(args, "gold_expr", None)
+        eval_metrics = None
+        if gold_expr:
+            # Labeled-subset evaluation (--gold-expr): score the final
+            # clusters with the full gauge family over every record whose
+            # gold label is non-null, plus the CoNLL-2012 official average
+            # (mean of MUC / B³ / CEAF_e) — all exact bigint micro values.
+            from xlink_spark.eval.bcubed import (
+                adjusted_rand,
+                bcubed,
+                blanc,
+                muc,
+                vmeasure,
+            )
+            from xlink_spark.eval.ceaf import ceaf
+
+            glab = recs.select(
+                F.col(idc).cast("long").alias("id"),
+                F.expr(gold_expr).cast("long").alias("gold"),
+            ).filter(F.col("gold").isNotNull())
+            lab = (
+                asg.join(glab, "id")
+                .select(F.col("cluster").alias("pred"), "gold")
+                .persist()
+            )
+            try:
+                b = bcubed(lab).collect()[0]
+                m = muc(lab).collect()[0]
+                bl = blanc(lab).collect()[0]
+                ar = adjusted_rand(lab).collect()[0]
+                vm = vmeasure(lab).collect()[0]
+                eval_metrics = {
+                    "n_labeled": b["n_items"],
+                    "bcubed_f_micro": b["bcubed_f_micro"],
+                    "muc_f_micro": m["muc_f_micro"],
+                    "blanc_micro": bl["blanc_micro"],
+                    "ari_micro": (
+                        (ar["ari_num"] * 1000000) // ar["ari_den"]
+                        if ar["ari_den"]
+                        else 1000000
+                    ),
+                    "v_measure": round(vm["v_measure"], 6),
+                }
+                try:
+                    ce = ceaf(lab).collect()[0]
+                except ValueError as exc:
+                    # width guard: entangled components — CEAF's documented
+                    # hash-sample fallback is the caller's call, not ours
+                    eval_metrics["ceaf_err"] = str(exc)
+                else:
+                    eval_metrics["ceafm_f_micro"] = ce["ceafm_f_micro"]
+                    eval_metrics["ceafe_f_micro"] = ce["ceafe_f_micro"]
+                    eval_metrics["conll_f_micro"] = (
+                        b["bcubed_f_micro"]
+                        + m["muc_f_micro"]
+                        + ce["ceafe_f_micro"]
+                    ) // 3
+            finally:
+                lab.unpersist()
         if level_fields:
             w_rows = {
                 f"{r['field']}/L{r['level']}": r["w_micro"]
@@ -591,6 +650,8 @@ def run_er_job(spark, args) -> dict:
     }
     if n_review is not None:
         out["n_review_pairs"] = n_review
+    if eval_metrics is not None:
+        out["eval"] = eval_metrics
     if n_group_links is not None:
         out["n_group_links"] = n_group_links
     if tf_fields:
@@ -675,6 +736,15 @@ def main() -> None:
         "--group-min-ges-ppt",
         type=int,
         help="group linkage: keep group pairs with GES >= this (ppt)",
+    )
+    ap.add_argument(
+        "--gold-expr",
+        help="SQL expr over the record columns yielding a bigint gold "
+        "cluster label (NULL = unlabeled); when given, the metrics line "
+        "gains an 'eval' block scoring the final clusters on the labeled "
+        "subset with B-cubed, MUC, BLANC, ARI, V-measure, CEAF_m/CEAF_e "
+        "and the CoNLL-2012 average (mean of MUC/B-cubed/CEAF_e), all "
+        "exact bigint micro values",
     )
     ap.add_argument(
         "--allpairs-measure",

@@ -929,3 +929,63 @@ def test_run_er_job_group_links(spark, tmp_path):
         ).collect()
     }
     assert links == {(f"D{h}", f"H{h}"): 1000 for h in range(8)}
+
+
+def test_run_er_job_gold_expr_eval_block(spark, tmp_path):
+    """--gold-expr: the metrics line gains an 'eval' block scoring the
+    final clusters on the labeled subset with the full gauge family —
+    planted twins that all pair correctly must score 10⁶ on every micro
+    gauge (including the CoNLL-2012 average), records whose gold expr is
+    NULL are excluded from n_labeled, and a deliberately shattered gold
+    labeling drags every gauge strictly below perfect."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 31):
+        name = f"Gold#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5))
+    src = str(tmp_path / "records_gold")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    ).write.parquet(src)
+
+    def run(gold_expr, outdir):
+        args = argparse.Namespace(
+            records=src, output=str(tmp_path / outdir), id_col="id",
+            key_expr="substring(name, 1, 7)", order_cols="name",
+            fields="name,segment,nation", jw_fields=None,
+            label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+            window=4, threshold_micro=0, em_iterations=5,
+            rules="name:longest", rank_strategy="keys", snapshots=None,
+            gold_expr=gold_expr,
+        )
+        return run_er_job(spark, args)
+
+    # gold = planted twin identity, but only for even base ids (NULL else)
+    m = run("case when pmod(id, 2) = 0 then pmod(id, 1000) end", "gold_even")
+    ev = m["eval"]
+    assert ev["n_labeled"] == 30  # 15 even base ids × 2 copies
+    for k in (
+        "bcubed_f_micro", "muc_f_micro", "blanc_micro",
+        "ceafm_f_micro", "ceafe_f_micro", "conll_f_micro", "ari_micro",
+    ):
+        assert ev[k] == 1000000, (k, ev)
+    assert ev["v_measure"] == 1.0
+
+    # shattered gold: every record its own gold cluster — the clustering
+    # over-merges relative to it, so link-sensitive gauges drop
+    m2 = run("id", "gold_shatter")
+    ev2 = m2["eval"]
+    assert ev2["n_labeled"] == 60
+    assert ev2["bcubed_f_micro"] < 1000000
+    assert ev2["ceafe_f_micro"] < 1000000
+    assert ev2["conll_f_micro"] < 1000000
+
+    # no flag → no eval block
+    m3 = run(None, "gold_none")
+    assert "eval" not in m3
