@@ -5608,14 +5608,10 @@ def q_clustering_ceaf(spark, sf_dir):
     return ceaf(asg)
 
 
-SQL_CLUSTERING_CEAF = (
-    "with recursive "
-    + _SQL_LINKAGE_VEC.strip()
-    + ", "
-    + _SQL_FS_SCORE_CORE
-    + ", "
-    + _SQL_ER_CC_CORE
-    + ", "
+# Shared CEAF oracle core (asg → contingency → bipartite components →
+# injective-matching enumeration → φ totals); consumed by
+# SQL_CLUSTERING_CEAF and SQL_CLUSTERING_CONLL below.
+_SQL_CEAF_CORE = (
     # every multiply-referenced CTE below is MATERIALIZED: DuckDB inlines
     # plain CTEs per reference, and re-inlining the recursive walk chains
     # multiplicatively is an OOM (observed at sf0.001)
@@ -5680,7 +5676,20 @@ SQL_CLUSTERING_CEAF = (
     "  from dpw d join kgs k using (component)"
     "  where d.gi = k.kg group by d.component), "
     "tot as (select coalesce(sum(b3), 0)::bigint as phi3_total,"
-    "  coalesce(sum(b4), 0)::bigint as phi4_micro_total from per), "
+    "  coalesce(sum(b4), 0)::bigint as phi4_micro_total from per)"
+)
+
+
+SQL_CLUSTERING_CEAF = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    + _SQL_CEAF_CORE
+    + ", "
     "cnts as (select (select count(*) from asg)::bigint as n_items,"
     "  (select count(distinct pred) from asg)::bigint as n_pred_clusters,"
     "  (select count(distinct gold) from asg)::bigint as n_gold_clusters), "
@@ -5707,6 +5716,126 @@ SQL_CLUSTERING_CEAF = (
     "      // (ceafe_p_micro + ceafe_r_micro)"
     "    else 0 end)::bigint as ceafe_f_micro"
     " from fin"
+)
+
+
+def q_clustering_conll(spark, sf_dir):
+    """The CoNLL-2012 official coreference score (Pradhan et al. 2012) of
+    the full ER chain — the unweighted mean of MUC F1, B³ F1, and CEAF_e
+    F1, the single headline number the coreference/ER literature reports
+    — over the same causal chain as `clustering_muc`/`clustering_ceaf`
+    (blocking → FS weights → scores → recursive-CTE connected
+    components). The three component gauges run over ONE persisted
+    assignment table; the oracle recomputes all three from one
+    materialized contingency table inside a single recursive query, so
+    this one row hash-checks the chain plus every component F and the
+    exact integer mean (floor of the bigint sum over 3). Pure bigint
+    arithmetic end to end — no floats anywhere."""
+    from xlink_spark.eval.bcubed import bcubed, muc
+    from xlink_spark.eval.ceaf import ceaf
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir).select("id")
+    asg = (
+        recs.join(
+            comp.select(F.col("node").alias("id"), "component"), "id", "left"
+        )
+        .select(
+            F.coalesce(F.col("component"), F.col("id")).alias("pred"),
+            F.pmod(F.col("id"), F.lit(10000000)).alias("gold"),
+        )
+        .persist()
+    )
+    asg.count()
+    _FS_HELD.append(asg)  # unpersisted by the next FS-family query
+    b = bcubed(asg).select("n_items", "bcubed_f_micro")
+    m = muc(asg).select("muc_f_micro")
+    c = ceaf(asg).select("ceafe_f_micro")
+    return (
+        b.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "*",
+            F.expr(
+                "(bcubed_f_micro + muc_f_micro + ceafe_f_micro) div 3"
+            )
+            .cast("long")
+            .alias("conll_f_micro"),
+        )
+    )
+
+
+SQL_CLUSTERING_CONLL = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    + _SQL_CEAF_CORE
+    + ", "
+    # B³ over the same materialized contingency (sum-of-floors micro)
+    "b3a as (select coalesce(sum(n_pg), 0)::bigint as n_items,"
+    "  coalesce(sum((n_pg * n_pg * 1000000) // bp.n_p), 0)::bigint as psum,"
+    "  coalesce(sum((n_pg * n_pg * 1000000) // bg.n_g), 0)::bigint as rsum"
+    "  from cells c join bp using (pred) join bg using (gold)), "
+    "b3b as (select n_items,"
+    "  (case when n_items > 0 then psum // n_items"
+    "    else 1000000 end)::bigint as bp_micro,"
+    "  (case when n_items > 0 then rsum // n_items"
+    "    else 1000000 end)::bigint as br_micro from b3a), "
+    "b3f as (select n_items,"
+    "  (case when bp_micro + br_micro > 0"
+    "    then (2 * bp_micro * br_micro) // (bp_micro + br_micro)"
+    "    else 0 end)::bigint as bcubed_f_micro from b3b), "
+    # MUC over the same contingency (Vilain link counts)
+    "mg as (select gold, sum(n_pg)::bigint as n_g,"
+    "  count(*)::bigint as parts_g from cells group by gold), "
+    "mp as (select pred, sum(n_pg)::bigint as n_p,"
+    "  count(*)::bigint as parts_p from cells group by pred), "
+    "mr as (select coalesce(sum(n_g - parts_g), 0)::bigint as r_num,"
+    "  coalesce(sum(n_g - 1), 0)::bigint as r_den from mg), "
+    "mq as (select coalesce(sum(n_p - parts_p), 0)::bigint as p_num,"
+    "  coalesce(sum(n_p - 1), 0)::bigint as p_den from mp), "
+    "mf as (select (case when pm + rm > 0"
+    "    then (2 * pm * rm) // (pm + rm) else 0 end)::bigint as muc_f_micro"
+    "  from (select"
+    "    (case when p_den > 0 then (p_num * 1000000) // p_den"
+    "      else 1000000 end)::bigint as pm,"
+    "    (case when r_den > 0 then (r_num * 1000000) // r_den"
+    "      else 1000000 end)::bigint as rm from mr, mq)), "
+    # CEAF_e from the shared alignment totals
+    "cf as (select (case when cp + cr > 0"
+    "    then (2 * cp * cr) // (cp + cr) else 0 end)::bigint"
+    "    as ceafe_f_micro"
+    "  from (select"
+    "    (case when npc > 0 then phi4_micro_total // npc"
+    "      else 1000000 end)::bigint as cp,"
+    "    (case when ngc > 0 then phi4_micro_total // ngc"
+    "      else 1000000 end)::bigint as cr"
+    "    from tot,"
+    "    (select count(distinct pred)::bigint as npc,"
+    "      count(distinct gold)::bigint as ngc from asg))) "
+    "select n_items, bcubed_f_micro, muc_f_micro, ceafe_f_micro,"
+    "  ((bcubed_f_micro + muc_f_micro + ceafe_f_micro) // 3)::bigint"
+    "  as conll_f_micro"
+    " from b3f, mf, cf"
 )
 
 
@@ -7466,6 +7595,7 @@ QUERIES: dict[str, Query] = {
     "clustering_muc": q_clustering_muc,
     "clustering_blanc": q_clustering_blanc,
     "clustering_ceaf": q_clustering_ceaf,
+    "clustering_conll": q_clustering_conll,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
     "group_linkage_ges": q_group_linkage_ges,
@@ -7601,6 +7731,7 @@ ORACLES: dict[str, str] = {
     "clustering_muc": SQL_CLUSTERING_MUC,
     "clustering_blanc": SQL_CLUSTERING_BLANC,
     "clustering_ceaf": SQL_CLUSTERING_CEAF,
+    "clustering_conll": SQL_CLUSTERING_CONLL,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
     "group_linkage_ges": SQL_GROUP_LINKAGE_GES,
