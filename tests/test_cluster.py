@@ -287,3 +287,53 @@ def test_pagerank_string_nodes(spark):
     got = {r["node"]: r["rank_micro"] for r in pagerank_integer(df).collect()}
     assert set(got) == {"m:paris", "e:Paris", "e:Paris_TX"}
     assert got["e:Paris"] >= got["e:Paris_TX"]
+
+
+def test_star_clusters_never_chain_and_bound_diameter(spark):
+    """Parallel-greedy star cover (Aslam et al. 2004): on the path
+    1-2-3-4-5 connected components chains everything into ONE cluster,
+    but stars split at the degree maxima — {1,2,3} around 2 and {4,5}
+    around 4 — every satellite exactly one hop from its center. Triangle
+    ties break to the min id; a center is never also a satellite."""
+    from xlink_spark.operators.cluster import star_clusters
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    r = {x["node"]: (x["center"], x["round"]) for x in star_clusters(e).collect()}
+    assert r == {1: (2, 1), 2: (2, 1), 3: (2, 1), 4: (4, 2), 5: (4, 2)}
+
+    t = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    rt = {x["node"]: (x["center"], x["round"]) for x in star_clusters(t).collect()}
+    assert rt == {1: (1, 1), 2: (1, 1), 3: (1, 1)}
+
+    # satellites are one hop from their center: center of every node is
+    # itself or an adjacent node (diameter <= 2 by construction)
+    adj = {(1, 2), (2, 3), (3, 4), (4, 5)}
+    adj |= {(b, a) for a, b in adj}
+    for n, (c, _) in r.items():
+        assert c == n or (n, c) in adj
+
+
+def test_star_clusters_round_exhaustion_and_exact_rounds(spark):
+    """rounds=1 on the 7-path: only node 2 is a round-1 local key maximum
+    (static full-graph degrees), its neighbors 1 and 3 attach, and ALL
+    remaining nodes fall out as singleton centers at round = rounds+1 —
+    the documented exact-K semantics — while rounds=3 assigns everyone a
+    real star. Node ids at 0 (key_base boundary) survive the key
+    encode/decode round-trip."""
+    from xlink_spark.operators.cluster import star_clusters
+
+    p = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "src long, dst long"
+    )
+    r1 = {x["node"]: (x["center"], x["round"]) for x in star_clusters(p, rounds=1).collect()}
+    assert r1[1] == (2, 1) and r1[2] == (2, 1) and r1[3] == (2, 1)
+    assert all(r1[n] == (n, 2) for n in (4, 5, 6, 7))
+
+    r3 = {x["node"]: x["round"] for x in star_clusters(p, rounds=3).collect()}
+    assert max(r3.values()) <= 3  # no leftovers with enough rounds
+
+    z = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    rz = {x["node"]: x["center"] for x in star_clusters(z).collect()}
+    assert rz == {0: 1, 1: 1, 2: 1}

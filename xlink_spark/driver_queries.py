@@ -5839,6 +5839,96 @@ SQL_CLUSTERING_CONLL = (
 )
 
 
+def q_star_clusters(spark, sf_dir):
+    """Star clustering (cluster.star_clusters, Aslam/Pelekhov/Rus 2004)
+    of the ER chain's match edges — the classic alternative to transitive
+    closure that CANNOT chain-merge: every satellite is exactly one hop
+    from its center (cluster diameter ≤ 2), so one wrong edge contaminates
+    one star instead of welding two entities. K=3 rounds of parallel
+    local order-key maxima over static full-graph degrees (the unique
+    bigint key deg·10⁸ − node makes ties engine-exact); leftovers become
+    flagged singletons at round 4. Same blocking → FS weights → scores
+    chain as the CC queries, so the rows hash-check the chain plus every
+    round's center election, satellite attachment, and the key
+    encode/decode arithmetic."""
+    from xlink_spark.operators.cluster import star_clusters
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return star_clusters(edges, rounds=3)
+
+
+def _star_rounds_sql(rounds: int, base: int = 100000000) -> str:
+    """Unrolled K-round star-cover SQL over the keyed adjacency ``ka0``
+    (a, b, k, kb) — the coherence_iterate2 unroll precedent. Emits CTEs
+    d1..dK (per-round assignments) and ``allr``; the caller supplies ka0
+    and the kt key table and appends the leftover-singleton select."""
+    blocks = []
+    for i in range(1, rounds + 1):
+        prev = f"ka{i - 1}"
+        blocks.append(
+            f"nm{i} as (select a, k, max(kb) as mk from {prev}"
+            f"  group by a, k), "
+            f"c{i} as materialized (select a from nm{i} where k > mk), "
+            f"s{i} as materialized ("
+            f"  select t.a,"
+            f"  ((t.mx + {base} - 1) // {base} * {base} - t.mx)::bigint"
+            f"    as center"
+            f"  from (select e.a, max(e.kb) as mx"
+            f"    from {prev} e join c{i} cb on cb.a = e.b"
+            f"    left join c{i} ca on ca.a = e.a"
+            f"    where ca.a is null group by e.a) t), "
+            f"d{i} as materialized ("
+            f"  select a, a::bigint as center, {i}::int as round from c{i}"
+            f"  union all"
+            f"  select a, center, {i}::int as round from s{i}), "
+            f"ka{i} as materialized ("
+            f"  select e.* from {prev} e"
+            f"  left join d{i} da on da.a = e.a"
+            f"  left join d{i} db on db.a = e.b"
+            f"  where da.a is null and db.a is null), "
+        )
+    unions = " union all ".join(f"select * from d{i}" for i in range(1, rounds + 1))
+    blocks.append(f"allr as materialized ({unions})")
+    return "".join(blocks)
+
+
+SQL_STAR_CLUSTERS = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    "eg as (select id_a as src, id_b as dst from sc where score_micro >= 0), "
+    "adj as materialized (select src as a, dst as b from"
+    "  (select src, dst from eg union select dst, src from eg)), "
+    "dg as (select a, count(*)::bigint as deg from adj group by a), "
+    "kt as materialized (select a,"
+    "  (deg * 100000000 - a)::bigint as k from dg), "
+    "ka0 as materialized (select e.a, e.b, x.k, y.k as kb"
+    "  from adj e join kt x on x.a = e.a"
+    "  join kt y on y.a = e.b), "
+    + _star_rounds_sql(3)
+    + ", "
+    "rest as (select kt.a, kt.a::bigint as center, 4::int as round"
+    "  from kt left join allr r on r.a = kt.a where r.a is null) "
+    "select a::bigint as node, center, round from"
+    " (select * from allr union all select * from rest)"
+)
+
+
 def q_allpairs_name_blocks(spark, sf_dir):
     """Prefix-filtered all-pairs Jaccard self-join
     (linkage.allpairs_jaccard_pairs — Bayardo et al. 2007 / Vernica et
@@ -7596,6 +7686,7 @@ QUERIES: dict[str, Query] = {
     "clustering_blanc": q_clustering_blanc,
     "clustering_ceaf": q_clustering_ceaf,
     "clustering_conll": q_clustering_conll,
+    "star_clusters": q_star_clusters,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
     "group_linkage_ges": q_group_linkage_ges,
@@ -7732,6 +7823,7 @@ ORACLES: dict[str, str] = {
     "clustering_blanc": SQL_CLUSTERING_BLANC,
     "clustering_ceaf": SQL_CLUSTERING_CEAF,
     "clustering_conll": SQL_CLUSTERING_CONLL,
+    "star_clusters": SQL_STAR_CLUSTERS,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
     "group_linkage_ges": SQL_GROUP_LINKAGE_GES,

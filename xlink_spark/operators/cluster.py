@@ -419,3 +419,121 @@ def mint_stable_ids(reconciled: DataFrame, reserved: DataFrame) -> DataFrame:
         F.lit("minted").alias("origin"),
     )
     return ok.unionByName(minted)
+
+
+STAR_KEY_BASE = 100_000_000  # order key = deg * BASE - node; node < BASE
+
+
+def star_clusters(
+    edges: DataFrame,
+    rounds: int = 3,
+    key_base: int = STAR_KEY_BASE,
+) -> DataFrame:
+    """(src:long, dst:long) match edges → (node, center, round) star
+    assignment: K rounds of the parallel-greedy star cover (Aslam,
+    Pelekhov & Rus 2004's greedy high-degree-first cover, parallelized as
+    rounds of local order-key maxima — the MIS-round shape of Blelloch et
+    al.'s parallel greedy).
+
+    Where connected components transitively closes every match edge —
+    so one wrong edge chains two true entities — a STAR never chains:
+    every satellite is exactly one hop from its center (cluster diameter
+    ≤ 2), the classic ER antidote to chain merges.
+
+    Semantics (deterministic, engine-portable): degrees are the STATIC
+    full-graph degrees (Aslam's processing order). Each node carries the
+    unique bigint order key ``deg * key_base - node`` (node ids must be
+    in [0, key_base)); round t over the remaining EDGE set makes every
+    node whose key exceeds all remaining neighbors' keys a CENTER,
+    attaches every remaining node adjacent to ≥1 new center to its best
+    (max-key) adjacent center, and removes both plus their edges. After
+    ``rounds`` rounds, every still-unassigned node — including nodes an
+    earlier round left edgeless — becomes its own singleton center with
+    ``round = rounds + 1``, so the K-round semantics is exact on any
+    engine (the oracle unrolls the same K blocks). Progress is guaranteed
+    (each round's global max-key remaining node is always a center), so
+    small K suffices in practice; leftovers are flagged by their round,
+    never silently mis-clustered.
+
+    Scale shape: one static degree groupBy, then per round two narrow
+    self-joins + groupBy-max over the remaining edge list (shrinking
+    fast), lineage truncated per round via localCheckpoint — the
+    connected-components driver-loop precedent.
+    """
+    adj = (
+        _canonical(edges)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    key = deg.select(
+        "a", (F.col("deg") * F.lit(key_base) - F.col("a")).alias("k")
+    )
+    # keyed adjacency: both endpoints' keys ride the edge row once
+    ka = adj.join(key, "a").join(
+        key.select(F.col("a").alias("b"), F.col("k").alias("kb")), "b"
+    )
+    cur = ka.localCheckpoint(eager=True)
+    assigned = []
+    for rnd in range(1, rounds + 1):
+        nbr_max = cur.groupBy("a", "k").agg(F.max("kb").alias("mk"))
+        centers = nbr_max.filter(F.col("k") > F.col("mk")).select(
+            "a", F.col("a").alias("center"), F.lit(rnd).cast("int").alias("round")
+        )
+        sats = (
+            cur.join(
+                centers.select(F.col("a").alias("b")), "b", "semi"
+            )
+            .join(centers.select(F.col("a")), "a", "anti")
+            .groupBy("a")
+            .agg(F.max("kb").alias("ck"))
+            .select(
+                "a",
+                # decode center id from its unique key: deg = ceil(k/BASE)
+                F.expr(
+                    f"(ck + {key_base} - 1) div {key_base} * {key_base} - ck"
+                )
+                .cast("long")
+                .alias("center"),
+                F.lit(rnd).cast("int").alias("round"),
+            )
+        )
+        done = centers.unionByName(sats).localCheckpoint(eager=True)
+        assigned.append(done)
+        cur = (
+            cur.join(done.select("a"), "a", "anti")
+            .join(done.select(F.col("a").alias("b")), "b", "anti")
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            break
+    rest = (
+        key.select("a")
+        .join(_union_all(assigned).select("a"), "a", "anti")
+        .select(
+            "a",
+            F.col("a").alias("center"),
+            F.lit(rounds + 1).cast("int").alias("round"),
+        )
+    )
+    out = _union_all(assigned + [rest])
+    return out.select(
+        F.col("a").cast("long").alias("node"),
+        F.col("center").cast("long").alias("center"),
+        "round",
+    )
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
