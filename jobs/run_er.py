@@ -400,6 +400,16 @@ def run_er_job(spark, args) -> dict:
             for c in (getattr(args, "repair_fields", None) or "").split(",")
             if c.strip()
         ]
+        cluster_algo = getattr(args, "cluster_algo", None) or "cc"
+        if cluster_algo not in ("cc", "star"):
+            raise ValueError(
+                f"--cluster-algo must be cc or star, got {cluster_algo!r}"
+            )
+        if repair_fields and cluster_algo == "star":
+            raise ValueError(
+                "--repair-fields repairs transitive chain merges; stars "
+                "cannot chain-merge — drop one of the two flags"
+            )
         if repair_fields:
             # Escalation repair (linkage.repair_chain_merges): chain-merged
             # clusters — components glued together by transitivity around a
@@ -490,6 +500,16 @@ def run_er_job(spark, args) -> dict:
             finally:
                 vec_s.unpersist()
             comp = rep.select("node", "component")
+        elif cluster_algo == "star":
+            # Star cover instead of transitive closure: every satellite is
+            # one hop from its center (diameter <= 2), so a single wrong
+            # edge contaminates one star instead of chain-welding two
+            # entities — the structural alternative to --repair-fields.
+            from xlink_spark.operators.cluster import star_clusters
+
+            comp = star_clusters(
+                edges, rounds=int(getattr(args, "star_rounds", None) or 3)
+            ).select("node", F.col("center").alias("component"))
         else:
             comp = connected_components(edges)
         golden = golden_records(recs.drop("_key"), comp, idc, rules)
@@ -642,6 +662,7 @@ def run_er_job(spark, args) -> dict:
     out = {
         "mode": mode,
         "blocking": blocking,
+        "cluster_algo": cluster_algo if not repair_fields else "cc+repair",
         "n_records": n_records,
         "n_candidate_pairs": n_pairs,
         "n_match_edges": n_edges,
@@ -736,6 +757,22 @@ def main() -> None:
         "--group-min-ges-ppt",
         type=int,
         help="group linkage: keep group pairs with GES >= this (ppt)",
+    )
+    ap.add_argument(
+        "--cluster-algo",
+        choices=["cc", "star"],
+        default="cc",
+        help="cluster extraction over the match edges: cc = transitive "
+        "connected components (default); star = Aslam-2004 star cover "
+        "(diameter <= 2, structurally immune to chain merges; "
+        "incompatible with --repair-fields)",
+    )
+    ap.add_argument(
+        "--star-rounds",
+        type=int,
+        default=3,
+        help="star clustering: parallel greedy rounds before leftovers "
+        "become flagged singletons",
     )
     ap.add_argument(
         "--gold-expr",
