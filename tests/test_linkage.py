@@ -1768,3 +1768,55 @@ def test_group_linkage_ges_fixture_story(spark):
     other = [r for r in ges if not r["is_twin_group"]]
     assert twin_groups and all(r["ges_ppt"] == 600 for r in twin_groups)
     assert max((r["ges_ppt"] for r in other), default=0) < 600
+
+
+def test_soft_tfidf_hand_computed_and_typo_tolerance(spark):
+    """Soft-TFIDF (Cohen et al. 2003) against hand-computed floor-micro
+    arithmetic: milli-floored ln idf weights, exact bigint norms, the
+    best-JW partner per left token, one floored division per term. The
+    typo token ('acme' vs 'acmee') keeps ~96% of its contribution where
+    exact-token TFIDF cosine would drop it entirely; pairs with no
+    θ-close token survive as explicit zero rows."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.fuzzy import jaro_winkler_micro
+    from xlink_spark.operators.linkage import soft_tfidf_scores
+
+    toks = spark.createDataFrame(
+        [
+            (1, "customer"), (1, "acme"), (1, "north"),
+            (2, "customer"), (2, "acmee"), (2, "north"),
+            (3, "customer"), (3, "zeta"),
+            (4, "supplier"), (4, "omega"),
+        ],
+        ["id", "tok"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_close"], r["soft_tfidf_micro"])
+        for r in soft_tfidf_scores(pairs, toks).collect()
+    }
+
+    jw = (
+        spark.range(1)
+        .select(jaro_winkler_micro(F.lit("acme"), F.lit("acmee")).alias("j"))
+        .collect()[0]["j"]
+    )
+    N = 4
+
+    def wmil(df):
+        return math.floor(1000.0 * math.log(1.0 + N / df))
+
+    w_cust, w_rare, w_north = wmil(3), wmil(1), wmil(2)
+    n2 = w_cust**2 + w_rare**2 + w_north**2  # both sides identical here
+    terms = [
+        math.floor(w_cust * w_cust * 1000000 / (math.sqrt(n2) * math.sqrt(n2))),
+        math.floor(w_rare * w_rare * jw / (math.sqrt(n2) * math.sqrt(n2))),
+        math.floor(w_north * w_north * 1000000 / (math.sqrt(n2) * math.sqrt(n2))),
+    ]
+    assert out[(1, 2)] == (3, sum(terms))
+    assert out[(1, 2)][1] > 950_000  # typo twin stays a near-match
+    assert out[(1, 4)] == (0, 0)  # zero-overlap pair survives as 0
+    assert out[(1, 3)][0] == 1  # only 'customer' is θ-close

@@ -4626,6 +4626,75 @@ SQL_JW_PAIR_SCORES = (
 )
 
 
+def q_soft_tfidf_scores(spark, sf_dir):
+    """Soft-TFIDF hybrid comparator (linkage.soft_tfidf_scores — Cohen,
+    Ravikumar & Fienberg 2003, their experiments' best name matcher)
+    over the SNM candidate pairs: TFIDF cosine where a token matches its
+    best Jaro-Winkler partner ≥ 0.9 instead of requiring exact equality
+    — so the planted last-char typo twins keep near-perfect scores while
+    plain token-overlap TFIDF (q_tfidf_cosine_pairs) drops them. All
+    arithmetic is the repo's exact-integer convention: milli-floored ln
+    idf weights, EXACT bigint norms (the 10³ cancels in the unit vector,
+    so no float rides a distributed SUM), the bit-exact integer
+    jw_micro argmax, and per-term single-division micro floors summed as
+    bigints — identical operation order on both engines."""
+    from xlink_spark.operators.linkage import (
+        soft_tfidf_scores,
+        sorted_neighborhood_pairs,
+    )
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(
+        recs, "key", ["name"], "id", window=4
+    ).select("id_a", "id_b")
+    toks = (
+        recs.select(
+            "id",
+            F.explode(F.split(F.lower("name"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return soft_tfidf_scores(pairs, toks)
+
+
+SQL_SOFT_TFIDF_SCORES = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "tk as materialized (select distinct id, t as tok from ("
+    "  select id, unnest(string_split_regex(lower(name), '[^a-z0-9]+'))"
+    "    as t from recs) where t <> ''), "
+    "nn as (select count(distinct id)::bigint as n from tk), "
+    "dft as (select tok, count(distinct id)::bigint as df"
+    "  from tk group by tok), "
+    "w as materialized (select tk.id, tk.tok,"
+    "  floor(1000.0 * ln(1.0 + cast(n as double) / cast(df as double)))"
+    "    ::bigint as w_milli"
+    "  from tk join dft using (tok), nn), "
+    "nrm as materialized (select id,"
+    "  sum(w_milli * w_milli)::bigint as norm2 from w group by id), "
+    "cl as (select p.id_a, p.id_b, a.tok as tok_a, b.tok as tok_b,"
+    "  a.w_milli as wa, b.w_milli as wb,"
+    "  floor(1e6 * jaro_winkler_similarity(a.tok, b.tok))::bigint"
+    "    as jw_micro"
+    "  from pairs p join w a on a.id = p.id_a join w b on b.id = p.id_b"
+    "  where floor(1e6 * jaro_winkler_similarity(a.tok, b.tok)) >= 900000), "
+    "best as (select * from (select *, row_number() over ("
+    "  partition by id_a, id_b, tok_a"
+    "  order by jw_micro desc, tok_b asc) as rn from cl) where rn = 1), "
+    "terms as (select b.id_a, b.id_b,"
+    "  floor(cast(b.wa * b.wb * b.jw_micro as double)"
+    "    / (sqrt(cast(na.norm2 as double)) * sqrt(cast(nb.norm2 as double))))"
+    "    ::bigint as term_micro"
+    "  from best b join nrm na on na.id = b.id_a"
+    "  join nrm nb on nb.id = b.id_b), "
+    "sc2 as (select id_a, id_b, count(*)::bigint as n_close,"
+    "  sum(term_micro)::bigint as soft_tfidf_micro from terms group by 1, 2) "
+    "select p.id_a, p.id_b, coalesce(s.n_close, 0)::bigint as n_close,"
+    "  coalesce(s.soft_tfidf_micro, 0)::bigint as soft_tfidf_micro"
+    " from pairs p left join sc2 s using (id_a, id_b)"
+)
+
+
 def q_fs_em_weights(spark, sf_dir):
     """UNSUPERVISED Fellegi-Sunter estimation (linkage.fs_em_weights,
     Winkler's EM over agreement patterns) on the SAME comparison vectors as
@@ -7687,6 +7756,7 @@ QUERIES: dict[str, Query] = {
     "clustering_ceaf": q_clustering_ceaf,
     "clustering_conll": q_clustering_conll,
     "star_clusters": q_star_clusters,
+    "soft_tfidf_scores": q_soft_tfidf_scores,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
     "group_linkage_ges": q_group_linkage_ges,
@@ -7824,6 +7894,7 @@ ORACLES: dict[str, str] = {
     "clustering_ceaf": SQL_CLUSTERING_CEAF,
     "clustering_conll": SQL_CLUSTERING_CONLL,
     "star_clusters": SQL_STAR_CLUSTERS,
+    "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
     "group_linkage_ges": SQL_GROUP_LINKAGE_GES,

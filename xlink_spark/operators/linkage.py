@@ -2006,3 +2006,117 @@ def group_linkage_scores(
     if min_ges_ppt is not None:
         out = out.filter(F.col("ges_ppt") >= int(min_ges_ppt))
     return out
+
+
+def soft_tfidf_scores(
+    pairs: DataFrame,
+    tokens: DataFrame,
+    theta_micro: int = 900_000,
+) -> DataFrame:
+    """Soft-TFIDF hybrid comparator (Cohen, Ravikumar & Fienberg,
+    IIWeb 2003): TFIDF cosine where tokens need not match exactly —
+    each left-side token is paired with its BEST Jaro-Winkler partner on
+    the right (if jw ≥ theta), and the pair contributes the product of
+    the two TFIDF unit-vector weights scaled by that similarity. The
+    hallmark ER comparator for multi-token names where typos break exact
+    token overlap but JW still sees the tokens ("Customer 00042x" vs
+    "Customer 000429").
+
+    ``pairs``: (id_a, id_b) blocked candidate pairs. ``tokens``:
+    (id, tok) DISTINCT record tokens (caller tokenizes). Returns one row
+    per pair: ``id_a id_b n_close soft_tfidf_micro`` — pairs whose token
+    sets share no θ-close token score 0, never vanish.
+
+    Exact cross-engine arithmetic (the fs/vmeasure micro conventions):
+    idf weights are milli-floored bigints w = floor(10³·ln(1 + N/df));
+    record norms are EXACT bigint sums of w² (the 10³ cancels in the
+    normalized vector, so no float ever rides a Spark/DuckDB SUM); the
+    best-partner argmax ranks by the bit-exact integer jw_micro
+    (fuzzy.jaro_winkler_micro ≡ DuckDB jaro_winkler_similarity, fuzz-
+    pinned) with ties broken by token string; each close pair then
+    contributes floor(w_a·w_b·jw_micro / (sqrt(norm_a²)·sqrt(norm_b²)))
+    — a single double division with identical operation order on both
+    engines (numerator ≤ 4·10¹⁴, exactly representable) — and the final
+    score is the order-independent bigint sum of those floors.
+
+    Scale shape: one df groupBy over the token table, one narrow
+    norm-groupBy per record, then the comparator runs ONLY on blocked
+    pairs (tokens-per-record is small, so the in-pair token join is a
+    bounded fan-out, never a cross product); the argmax is a window by
+    (pair, left token) — skew-bounded by the blocking that produced the
+    pairs.
+    """
+    n_recs = tokens.select("id").distinct().count()
+    df_t = tokens.groupBy("tok").agg(
+        F.countDistinct("id").cast("long").alias("df")
+    )
+    w = (
+        tokens.join(df_t, "tok")
+        .select(
+            "id",
+            "tok",
+            F.expr(
+                f"cast(floor(1000.0 * ln(1.0 + cast({n_recs} as double)"
+                " / cast(df as double))) as bigint)"
+            ).alias("w_milli"),
+        )
+    )
+    norm2 = w.groupBy("id").agg(
+        F.sum(F.expr("w_milli * w_milli")).cast("long").alias("norm2")
+    )
+    ta = w.select(
+        F.col("id").alias("id_a"),
+        F.col("tok").alias("tok_a"),
+        F.col("w_milli").alias("wa"),
+    )
+    tb = w.select(
+        F.col("id").alias("id_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("w_milli").alias("wb"),
+    )
+    from xlink_spark.operators.fuzzy import jaro_winkler_micro
+
+    cand = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jw_micro", jaro_winkler_micro(F.col("tok_a"), F.col("tok_b"))
+        )
+        .filter(F.col("jw_micro") >= F.lit(int(theta_micro)))
+    )
+    best = cand.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("id_a", "id_b", "tok_a").orderBy(
+                F.col("jw_micro").desc(), F.col("tok_b").asc()
+            )
+        ),
+    ).filter(F.col("_rn") == 1)
+    terms = (
+        best.join(norm2.select(F.col("id").alias("id_a"), F.col("norm2").alias("na2")), "id_a")
+        .join(norm2.select(F.col("id").alias("id_b"), F.col("norm2").alias("nb2")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "cast(floor(cast(wa * wb * jw_micro as double)"
+                " / (sqrt(cast(na2 as double)) * sqrt(cast(nb2 as double))))"
+                " as bigint)"
+            ).alias("term_micro"),
+        )
+    )
+    scored = terms.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_close"),
+        F.sum("term_micro").cast("long").alias("soft_tfidf_micro"),
+    )
+    return (
+        pairs.join(scored, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_close", F.lit(0)).cast("long").alias("n_close"),
+            F.coalesce("soft_tfidf_micro", F.lit(0))
+            .cast("long")
+            .alias("soft_tfidf_micro"),
+        )
+    )
