@@ -1820,3 +1820,56 @@ def test_soft_tfidf_hand_computed_and_typo_tolerance(spark):
     assert out[(1, 2)][1] > 950_000  # typo twin stays a near-match
     assert out[(1, 4)] == (0, 0)  # zero-overlap pair survives as 0
     assert out[(1, 3)][0] == 1  # only 'customer' is θ-close
+
+
+def test_bloom_encode_matches_independent_reference(spark):
+    """PPRL Bloom encodings (pprl.bloom_encode, Schnell et al. 2009)
+    against an independently-coded pure-python CLK: padded bigrams, k=4
+    double-hashed md5 positions, 256-bit filter — bit-for-bit identical
+    words (two's-complement signed longs), exact popcounts; Dice ranks
+    the typo twin above the stranger and identical strings at 1000."""
+    import hashlib
+
+    from xlink_spark.operators.pprl import bloom_dice_scores, bloom_encode
+
+    recs = spark.createDataFrame(
+        [(1, "Smith"), (2, "Smyth"), (3, "Johnson"), (4, "Smith")],
+        ["id", "text"],
+    )
+    enc = bloom_encode(recs, "id", "text")
+    rows = {r["id"]: r for r in enc.collect()}
+
+    def ref_bits(s, m=256, k=4):
+        s = "_" + s.lower() + "_"
+        grams = {s[i : i + 2] for i in range(len(s) - 1)}
+        bits = set()
+        for g in grams:
+            h = hashlib.md5(g.encode()).hexdigest()
+            h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+            for i in range(k):
+                bits.add((h1 + i * h2) % m)
+        return bits
+
+    for i, s in [(1, "Smith"), (2, "Smyth"), (3, "Johnson"), (4, "Smith")]:
+        bits = ref_bits(s)
+        words = [0, 0, 0, 0]
+        for b in bits:
+            words[b // 64] |= 1 << (b % 64)
+        signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        assert [rows[i][f"w{j}"] for j in range(4)] == signed, (i, s)
+        assert rows[i]["nbits"] == len(bits)
+
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    d = {
+        (r["id_a"], r["id_b"]): r["dice_ppt"]
+        for r in bloom_dice_scores(pairs, enc).collect()
+    }
+    assert d[(1, 4)] == 1000
+    assert d[(1, 2)] > d[(1, 3)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_encode(recs, "id", "text", m_bits=100)
+    with _pytest.raises(ValueError, match="k must"):
+        bloom_encode(recs, "id", "text", k=0)

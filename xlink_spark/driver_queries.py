@@ -4695,6 +4695,74 @@ SQL_SOFT_TFIDF_SCORES = (
 )
 
 
+def q_pprl_dice_scores(spark, sf_dir):
+    """Privacy-preserving linkage comparator (pprl.bloom_encode +
+    bloom_dice_scores — Schnell, Bachteler & Reiher 2009) over the SNM
+    candidate pairs: names are reduced to 256-bit Bloom filters of padded
+    character bigrams (k=4 double-hashed md5 positions, the
+    Kirsch-Mitzenmatcher h1+i·h2 convention) and pairs are scored by the
+    DICE coefficient of the bitvectors — the linkage a deployment runs
+    when identifiers cannot be exchanged in the clear. Everything is
+    integer: md5 hex hashes (byte-identical cross-engine), bit_or'd
+    64-bit words (the oracle builds them as hugeint power sums then
+    two's-complement-converts, since DuckDB's bigint shift overflows at
+    bit 63), AND-popcounts, and a floored parts-per-thousand Dice."""
+    from xlink_spark.operators.linkage import sorted_neighborhood_pairs
+    from xlink_spark.operators.pprl import bloom_dice_scores, bloom_encode
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(
+        recs, "key", ["name"], "id", window=4
+    ).select("id_a", "id_b")
+    enc = bloom_encode(recs, "id", "name")
+    return bloom_dice_scores(pairs, enc)
+
+
+SQL_PPRL_DICE_SCORES = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "pd as (select id, '_' || lower(name) || '_' as p from recs), "
+    "gr as (select distinct id, g as gram from ("
+    "  select id, unnest(list_transform(range(1, length(p)),"
+    "    i -> substr(p, i::int, 2))) as g from pd)), "
+    "hh as (select id,"
+    "  ('0x' || substr(md5(gram), 1, 8))::bigint as h1,"
+    "  ('0x' || substr(md5(gram), 9, 8))::bigint as h2 from gr), "
+    "ps as materialized (select distinct id, pos from ("
+    "  select id, unnest(list_transform(range(0, 4),"
+    "    i -> (h1 + i * h2) % 256)) as pos from hh)), "
+    # DuckDB's bigint << overflows at bit 63: build each word as a
+    # hugeint sum of distinct powers, then two's-complement-convert
+    "wv as (select id, wi,"
+    "  (case when s >= 9223372036854775808::hugeint"
+    "    then (s - 18446744073709551616::hugeint)::bigint"
+    "    else s::bigint end) as w from ("
+    "  select id, pos // 64 as wi,"
+    "    sum(1::hugeint << (pos % 64)::int) as s"
+    "  from ps group by 1, 2)), "
+    "enc as materialized (select id,"
+    "  coalesce(max(case when wi = 0 then w end), 0)::bigint as w0,"
+    "  coalesce(max(case when wi = 1 then w end), 0)::bigint as w1,"
+    "  coalesce(max(case when wi = 2 then w end), 0)::bigint as w2,"
+    "  coalesce(max(case when wi = 3 then w end), 0)::bigint as w3"
+    "  from wv group by id), "
+    "nb as (select id, count(*)::bigint as nbits from ps group by id), "
+    "e2 as materialized (select enc.id, w0, w1, w2, w3, nbits"
+    "  from enc join nb using (id)), "
+    "sc2 as (select p.id_a, p.id_b,"
+    "  (bit_count(a.w0 & b.w0) + bit_count(a.w1 & b.w1)"
+    "   + bit_count(a.w2 & b.w2) + bit_count(a.w3 & b.w3))::bigint"
+    "    as common_bits,"
+    "  a.nbits as nbits_a, b.nbits as nbits_b"
+    "  from pairs p join e2 a on a.id = p.id_a"
+    "  join e2 b on b.id = p.id_b) "
+    "select id_a, id_b, common_bits, nbits_a, nbits_b,"
+    "  (case when nbits_a + nbits_b > 0"
+    "    then (2000 * common_bits) // (nbits_a + nbits_b)"
+    "    else 0 end)::bigint as dice_ppt"
+    " from sc2"
+)
+
+
 def q_fs_em_weights(spark, sf_dir):
     """UNSUPERVISED Fellegi-Sunter estimation (linkage.fs_em_weights,
     Winkler's EM over agreement patterns) on the SAME comparison vectors as
@@ -7757,6 +7825,7 @@ QUERIES: dict[str, Query] = {
     "clustering_conll": q_clustering_conll,
     "star_clusters": q_star_clusters,
     "soft_tfidf_scores": q_soft_tfidf_scores,
+    "pprl_dice_scores": q_pprl_dice_scores,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
     "group_linkage_ges": q_group_linkage_ges,
@@ -7895,6 +7964,7 @@ ORACLES: dict[str, str] = {
     "clustering_conll": SQL_CLUSTERING_CONLL,
     "star_clusters": SQL_STAR_CLUSTERS,
     "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,
+    "pprl_dice_scores": SQL_PPRL_DICE_SCORES,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
     "group_linkage_ges": SQL_GROUP_LINKAGE_GES,
