@@ -51,6 +51,11 @@ HEADLINE = [
     "cluster_repair",     # escalation repair of chain-merged ER clusters
     "allpairs_name_blocks",  # prefix-filtered exact set-similarity blocking
     "group_linkage_ges",  # household GES over mutual-best member alignment
+    "clustering_conll",   # CoNLL-2012 score (MUC+B3+CEAF_e) over the ER chain
+    "star_clusters",      # chain-merge-immune star cover (Aslam 2004)
+    "soft_tfidf_scores",  # Soft-TFIDF hybrid comparator (Cohen 2003)
+    "pprl_dice_scores",   # Bloom-filter PPRL Dice comparator (Schnell 2009)
+    "pprl_hlsh_pairs",    # full PPRL: CLK encode → Hamming-LSH → Dice verify
 ]
 
 

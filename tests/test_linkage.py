@@ -1873,3 +1873,76 @@ def test_bloom_encode_matches_independent_reference(spark):
         bloom_encode(recs, "id", "text", m_bits=100)
     with _pytest.raises(ValueError, match="k must"):
         bloom_encode(recs, "id", "text", k=0)
+
+
+def test_hlsh_candidate_pairs_blocks_on_encodings_only(spark):
+    """Hamming-LSH blocking (pprl.hlsh_candidate_pairs, Durham et al.):
+    identical CLKs agree on EVERY band so exact duplicates can never be
+    missed; the Smith/Smyth typo twins collide on the fixed md5-sampled
+    positions (deterministic, so pinned exactly); and the blocking plan
+    reads only the encoding words — the cleartext column never enters
+    the candidate join, which is the privacy contract."""
+    from xlink_spark.operators.pprl import (
+        bloom_encode,
+        hlsh_candidate_pairs,
+        hlsh_positions,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, "Smith"), (2, "Smyth"), (3, "Johnson"), (4, "Smith")],
+        ["id", "text"],
+    )
+    enc = bloom_encode(recs, "id", "text")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hlsh_candidate_pairs(enc).collect()
+    }
+    assert (1, 4) in pairs  # identical CLK -> collides in all 6 bands
+    assert (1, 2) in pairs and (2, 4) in pairs  # typo twin recalled
+    # Independent recomputation of band buckets from the reference CLK
+    # bits: a pair is a candidate iff some band's sampled bits all agree.
+    import hashlib
+
+    def ref_bits(s, m=256, k=4):
+        s = "_" + s.lower() + "_"
+        grams = {s[i : i + 2] for i in range(len(s) - 1)}
+        bits = set()
+        for g in grams:
+            h = hashlib.md5(g.encode()).hexdigest()
+            h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+            for i in range(k):
+                bits.add((h1 + i * h2) % m)
+        return bits
+
+    texts = {1: "Smith", 2: "Smyth", 3: "Johnson", 4: "Smith"}
+    bands = hlsh_positions()
+    expected = set()
+    for a in texts:
+        for b in texts:
+            if a < b:
+                ba, bb = ref_bits(texts[a]), ref_bits(texts[b])
+                if any(
+                    all((p in ba) == (p in bb) for p in plist)
+                    for plist in bands
+                ):
+                    expected.add((a, b))
+    assert pairs == expected
+    # Privacy contract: blocking is a pure function of the ENCODINGS —
+    # a linkage unit holding only (id, w0..w3, nbits) rows (what the
+    # data owners actually transmit) produces the identical candidate
+    # set, and its plan contains no cleartext column at all.
+    enc_only = spark.createDataFrame(
+        enc.collect(), schema=enc.schema
+    )
+    pairs2 = {
+        (r["id_a"], r["id_b"])
+        for r in hlsh_candidate_pairs(enc_only).collect()
+    }
+    assert pairs2 == pairs
+    plan = (
+        hlsh_candidate_pairs(enc_only)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "text" not in plan

@@ -4718,9 +4718,9 @@ def q_pprl_dice_scores(spark, sf_dir):
     return bloom_dice_scores(pairs, enc)
 
 
-SQL_PPRL_DICE_SCORES = (
-    f"with {_SQL_LINKAGE_BASE}, "
-    "pd as (select id, '_' || lower(name) || '_' as p from recs), "
+# Shared CLK-encoding oracle core: expects a CTE ``pd(id, p)`` with the
+# padded lowercase text; yields ``e2(id, w0..w3, nbits)``.
+_SQL_CLK_CORE = (
     "gr as (select distinct id, g as gram from ("
     "  select id, unnest(list_transform(range(1, length(p)),"
     "    i -> substr(p, i::int, 2))) as g from pd)), "
@@ -4747,7 +4747,15 @@ SQL_PPRL_DICE_SCORES = (
     "  from wv group by id), "
     "nb as (select id, count(*)::bigint as nbits from ps group by id), "
     "e2 as materialized (select enc.id, w0, w1, w2, w3, nbits"
-    "  from enc join nb using (id)), "
+    "  from enc join nb using (id))"
+)
+
+
+SQL_PPRL_DICE_SCORES = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "pd as (select id, '_' || lower(name) || '_' as p from recs), "
+    + _SQL_CLK_CORE
+    + ", "
     "sc2 as (select p.id_a, p.id_b,"
     "  (bit_count(a.w0 & b.w0) + bit_count(a.w1 & b.w1)"
     "   + bit_count(a.w2 & b.w2) + bit_count(a.w3 & b.w3))::bigint"
@@ -4760,6 +4768,104 @@ SQL_PPRL_DICE_SCORES = (
     "    then (2000 * common_bits) // (nbits_a + nbits_b)"
     "    else 0 end)::bigint as dice_ppt"
     " from sc2"
+)
+
+
+def q_pprl_hlsh_pairs(spark, sf_dir):
+    """The COMPLETE privacy-preserving linkage pipeline (pprl.bloom_encode
+    → pprl.hlsh_candidate_pairs → pprl.bloom_dice_scores): part records
+    (clean ∪ bumped-first-word twins, the allpairs fixture corpus) are
+    CLK-encoded, blocked by Hamming-LSH over the ENCODINGS (6 bands × 10
+    md5-sampled bit positions — cleartext never drives the blocking), and
+    candidates are verified at Dice ≥ 0.9 (keeps the last-char-bumped
+    twins at ~0.93, drops same-template strangers) — the end-to-end
+    shape a PPRL
+    deployment runs at scale (narrow (id, band, bucket) projection +
+    bucket equi-join, the simhash_near_pairs shape). All-integer
+    arithmetic; the band positions are computed driver-side from stdlib
+    md5, so both engines inline the SAME literals."""
+    from xlink_spark.operators.pprl import (
+        bloom_dice_scores,
+        bloom_encode,
+        hlsh_candidate_pairs,
+    )
+
+    part = spark.read.parquet(_T(sf_dir, "part")).filter(
+        F.col("p_partkey") % 7 == 0
+    )
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("name"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"),
+        F.col("p_type").alias("ty"),
+        F.col("p_brand").alias("br"),
+    )
+    dirty = base.select(
+        (F.col("id") + 10000000).alias("id"),
+        F.expr(
+            "concat(substring(w1, 1, length(w1) - 1),"
+            " char(ascii(substring(w1, length(w1), 1)) + 1),"
+            " substring(name, length(w1) + 1))"
+        ).alias("name"),
+        "w1",
+        "ty",
+        "br",
+    )
+    recs = base.unionByName(dirty).select(
+        "id", F.concat_ws(" ", "name", "ty", "br").alias("text")
+    )
+    enc = bloom_encode(recs, "id", "text")
+    cand = hlsh_candidate_pairs(enc)
+    return bloom_dice_scores(cand, enc).filter(F.col("dice_ppt") >= 900)
+
+
+def _hlsh_bands_sql() -> str:
+    """Per-band bucket selects over ``e2`` with the SAME literal positions
+    the Spark operator uses (pprl.hlsh_positions — stdlib md5)."""
+    from xlink_spark.operators.pprl import hlsh_positions
+
+    parts = []
+    for b, plist in enumerate(hlsh_positions()):
+        bits = " + ".join(
+            f"(((w{p // 64} >> {p % 64}) & 1) << {j})"
+            for j, p in enumerate(plist)
+        )
+        parts.append(
+            f"select id, {b}::bigint as band, ({bits})::bigint as bucket"
+            " from e2"
+        )
+    return " union all ".join(parts)
+
+
+SQL_PPRL_HLSH_PAIRS = (
+    "with base as (select p_partkey::bigint as id, p_name as name,"
+    "  regexp_extract(p_name, '^[a-z]+', 0) as w1, p_type as ty,"
+    "  p_brand as br from part where p_partkey % 7 = 0), "
+    "dirty as (select id + 10000000 as id,"
+    "  substr(w1, 1, length(w1) - 1)"
+    "    || chr(ascii(substr(w1, length(w1), 1)) + 1)"
+    "    || substr(name, length(w1) + 1) as name, w1, ty, br from base), "
+    "recs2 as (select id, name || ' ' || ty || ' ' || br as text from base"
+    "  union all select id, name || ' ' || ty || ' ' || br from dirty), "
+    "pd as (select id, '_' || lower(text) || '_' as p from recs2), "
+    + _SQL_CLK_CORE
+    + ", "
+    "bk as materialized (" + _hlsh_bands_sql() + "), "
+    "cp as (select distinct a.id as id_a, b.id as id_b"
+    "  from bk a join bk b on a.band = b.band and a.bucket = b.bucket"
+    "  where a.id < b.id), "
+    "sc2 as (select p.id_a, p.id_b,"
+    "  (bit_count(a.w0 & b.w0) + bit_count(a.w1 & b.w1)"
+    "   + bit_count(a.w2 & b.w2) + bit_count(a.w3 & b.w3))::bigint"
+    "    as common_bits,"
+    "  a.nbits as nbits_a, b.nbits as nbits_b"
+    "  from cp p join e2 a on a.id = p.id_a"
+    "  join e2 b on b.id = p.id_b) "
+    "select * from (select id_a, id_b, common_bits, nbits_a, nbits_b,"
+    "  (case when nbits_a + nbits_b > 0"
+    "    then (2000 * common_bits) // (nbits_a + nbits_b)"
+    "    else 0 end)::bigint as dice_ppt"
+    " from sc2) where dice_ppt >= 900"
 )
 
 
@@ -7826,6 +7932,7 @@ QUERIES: dict[str, Query] = {
     "star_clusters": q_star_clusters,
     "soft_tfidf_scores": q_soft_tfidf_scores,
     "pprl_dice_scores": q_pprl_dice_scores,
+    "pprl_hlsh_pairs": q_pprl_hlsh_pairs,
     "allpairs_name_blocks": q_allpairs_name_blocks,
     "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
     "group_linkage_ges": q_group_linkage_ges,
@@ -7965,6 +8072,7 @@ ORACLES: dict[str, str] = {
     "star_clusters": SQL_STAR_CLUSTERS,
     "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,
     "pprl_dice_scores": SQL_PPRL_DICE_SCORES,
+    "pprl_hlsh_pairs": SQL_PPRL_HLSH_PAIRS,
     "allpairs_name_blocks": SQL_ALLPAIRS_NAME_BLOCKS,
     "allpairs_cosine_blocks": SQL_ALLPAIRS_COSINE_BLOCKS,
     "group_linkage_ges": SQL_GROUP_LINKAGE_GES,

@@ -150,3 +150,72 @@ def bloom_dice_scores(
             .alias("dice_ppt"),
         )
     )
+
+
+def hlsh_positions(
+    bands: int = 6, bits_per_band: int = 10, m_bits: int = 256
+) -> list[list[int]]:
+    """Deterministic Hamming-LSH bit-position sample: band b, slot j reads
+    bit md5("hlsh_{b}_{j}") mod m — pure stdlib, so the Spark plan and the
+    SQL oracle inline the SAME literal positions (no engine hashing
+    involved at plan time)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hlsh_{b}_{j}".encode()).hexdigest()[:8], 16)
+            % m_bits
+            for j in range(bits_per_band)
+        ]
+        for b in range(bands)
+    ]
+
+
+def hlsh_candidate_pairs(
+    encodings: DataFrame,
+    bands: int = 6,
+    bits_per_band: int = 10,
+    m_bits: int = 256,
+) -> DataFrame:
+    """Hamming-LSH blocking over CLK encodings (Durham et al.'s PPRL
+    blocking): band b packs ``bits_per_band`` fixed sampled bits of the
+    Bloom filter into a bucket key; records agreeing on ALL sampled bits
+    of ANY band become a candidate pair — so blocking runs on the
+    ENCODINGS, never on cleartext, completing the privacy-preserving
+    pipeline (encode → HLSH block → Dice verify). Near-identical filters
+    flip few bits, so they collide in some band with high probability
+    (the standard banded-LSH recall curve); candidates are verified by
+    exact Dice downstream, so band misses are the only recall loss.
+
+    Returns distinct (id_a < id_b) candidate pairs. Scale shape: one
+    narrow (id, band, bucket) projection + a bucket equi-join — the
+    simhash_near_pairs shape; arithmetic-only bit extraction
+    ((word >> s) & 1 — both engines shift negatives arithmetically,
+    parity-tested)."""
+    pos = hlsh_positions(bands, bits_per_band, m_bits)
+    bucket_rows = []
+    for b, plist in enumerate(pos):
+        parts = [
+            f"((shiftright(w{p // 64}, {p % 64}) & 1) << {j})"
+            for j, p in enumerate(plist)
+        ]
+        bucket_rows.append(
+            f"struct({b}L as band, cast({' + '.join(parts)} as bigint)"
+            " as bucket)"
+        )
+    keyed = encodings.select(
+        "id",
+        F.explode(F.expr(f"array({', '.join(bucket_rows)})")).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = keyed.select(
+        F.col("id").alias("id_a"), "band", "bucket"
+    )
+    b2 = keyed.select(
+        F.col("id").alias("id_b"), "band", "bucket"
+    )
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
