@@ -337,3 +337,65 @@ def test_star_clusters_round_exhaustion_and_exact_rounds(spark):
     z = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     rz = {x["node"]: x["center"] for x in star_clusters(z).collect()}
     assert rz == {0: 1, 1: 1, 2: 1}
+
+
+def test_center_clusters_similarity_order_and_absorption(spark):
+    """CENTER (Hassanzadeh & Miller 2009) on the scored path
+    1-2(50)-3(90)-4(40): the strongest edge (2,3) is mutual-best and
+    fires first — center 2, satellite 3 — exactly as the sequential
+    descending-similarity scan; node 1 attaches to the now-existing
+    center 2 in round TWO (centers persist and absorb), and node 4,
+    whose only edge leads to the consumed satellite 3, falls out as a
+    flagged singleton — the same outcome as the sequential skip rule."""
+    from xlink_spark.operators.cluster import center_clusters
+
+    e = spark.createDataFrame(
+        [(1, 2, 50), (2, 3, 90), (3, 4, 40)],
+        "src long, dst long, score_micro long",
+    )
+    r = {x["node"]: (x["center"], x["round"]) for x in center_clusters(e).collect()}
+    assert r == {1: (2, 2), 2: (2, 1), 3: (2, 1), 4: (4, 4)}
+
+    # determinism: equal scores tie-break on (src, dst); repartitioning
+    # the input cannot change any assignment
+    t = spark.createDataFrame(
+        [(1, 2, 50), (1, 3, 50)], "src long, dst long, score_micro long"
+    )
+    rt = {x["node"]: (x["center"], x["round"]) for x in center_clusters(t).collect()}
+    assert rt == {1: (1, 1), 2: (1, 1), 3: (1, 2)}
+    rp = {
+        x["node"]: (x["center"], x["round"])
+        for x in center_clusters(e.repartition(7)).collect()
+    }
+    assert rp == r
+
+
+def test_merge_center_bridges_clusters_center_does_not(spark):
+    """MERGE-CENTER vs CENTER on two strong stars {1,2} and {5,6} plus a
+    bridge record 3 similar to BOTH centers: CENTER attaches 3 to its
+    best center (1) and keeps the stars apart; MERGE-CENTER sees 3's
+    other edge into center 5 as merge evidence and welds the two
+    clusters — the documented middle ground before full transitive
+    closure. Cluster ids come from the CC job over the center graph."""
+    from xlink_spark.operators.cluster import (
+        center_clusters,
+        merge_center_clusters,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 100), (5, 6, 100), (1, 3, 80), (3, 5, 70)],
+        "src long, dst long, score_micro long",
+    )
+    c = {x["node"]: x["center"] for x in center_clusters(e).collect()}
+    assert c == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    m = {x["node"]: (x["center"], x["cluster"]) for x in merge_center_clusters(e).collect()}
+    assert {n: cc for n, (cc, _) in m.items()} == c  # centers unchanged
+    assert {cl for _, cl in m.values()} == {1}  # one merged cluster
+
+    # no merge evidence -> clusters == centers (coalesce path)
+    iso = spark.createDataFrame(
+        [(1, 2, 100), (5, 6, 100)], "src long, dst long, score_micro long"
+    )
+    mi = {x["node"]: x["cluster"] for x in merge_center_clusters(iso).collect()}
+    assert mi == {1: 1, 2: 1, 5: 5, 6: 5}

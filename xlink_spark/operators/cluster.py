@@ -537,3 +537,240 @@ def _union_all(frames: list[DataFrame]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def center_clusters(
+    edges: DataFrame,
+    rounds: int = 3,
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """(src:long, dst:long, score) match edges → (node, center, round)
+    CENTER-clustering assignment (Hassanzadeh & Miller, VLDB J. 2009;
+    Hassanzadeh et al., VLDB 2009 §4.3), parallelized as K deterministic
+    rounds of per-node best-edge elections — the star_clusters precedent,
+    but ordered by EDGE similarity instead of node degree, and with
+    centers that persist across rounds to keep absorbing satellites,
+    exactly as the sequential scan lets a center claim every later
+    above-threshold record.
+
+    Sequential CENTER scans edges by descending similarity: an edge whose
+    two endpoints are both unassigned makes the first endpoint a CENTER
+    and the second its satellite; an edge from an unassigned record to an
+    existing center attaches it; everything else is skipped. Clusters are
+    stars (diameter ≤ 2) — like star clustering it cannot chain-merge —
+    but membership follows SIMILARITY order, not degree order.
+
+    Deterministic parallel semantics (engine-portable, oracle-unrollable):
+    every undirected edge carries the unique lexicographic key
+    ``(-score, src, dst)`` (canonical src < dst), lower = earlier in the
+    sequential scan. Round t:
+
+    1. every non-center, non-satellite node elects its minimum-key
+       remaining incident edge (its "best" edge);
+    2. a node whose best edge leads to a CENTER existing at round start
+       becomes that center's satellite;
+    3. an edge elected by BOTH endpoints (mutual best, the parallel
+       analogue of "first edge in the scan with both ends free") fires:
+       the smaller endpoint becomes a CENTER, the larger its satellite;
+    4. satellites and their edges leave the graph; center–center edges
+       die; centers stay to absorb future satellites.
+
+    Progress is guaranteed (the globally minimal remaining key is always
+    mutual-best or an attachment), so each round assigns ≥ 1 node. After
+    ``rounds`` rounds, still-unassigned nodes become flagged singleton
+    centers with ``round = rounds + 1`` — never silently mis-clustered.
+
+    Scale shape: one canonicalizing groupBy, then per round a groupBy-min
+    of a struct key over the shrinking edge list plus narrow anti/semi
+    joins against the (tiny) center and new-satellite sets; lineage is
+    truncated per round via localCheckpoint. No global sort, no windows —
+    the per-node argmin shuffles on the node key only.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("cs"),
+            F.greatest("src", "dst").alias("cd"),
+            F.col(score_col).cast("long").alias("s"),
+        )
+        .filter(F.col("cs") != F.col("cd"))
+        .groupBy("cs", "cd")
+        .agg(F.max("s").alias("s"))
+    )
+    both = (
+        canon.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cs").alias("n"),
+                        F.col("cd").alias("m"),
+                        (-F.col("s")).alias("negs"),
+                        F.col("cs"),
+                        F.col("cd"),
+                    ),
+                    F.struct(
+                        F.col("cd").alias("n"),
+                        F.col("cs").alias("m"),
+                        (-F.col("s")).alias("negs"),
+                        F.col("cs"),
+                        F.col("cd"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.n", "e.m", "e.negs", "e.cs", "e.cd")
+    )
+    nodes = canon.select(F.col("cs").alias("a")).unionByName(
+        canon.select(F.col("cd").alias("a"))
+    ).distinct()
+    cur = both.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    centers = spark.createDataFrame([], "node long")
+    assigned: list[DataFrame] = []
+    for rnd in range(1, rounds + 1):
+        cen_n = centers.select(F.col("node").alias("n"))
+        best = (
+            cur.join(cen_n, "n", "anti")
+            .groupBy("n")
+            .agg(F.min(F.struct("negs", "cs", "cd")).alias("be"))
+            .select(
+                "n",
+                F.col("be.cs").alias("bcs"),
+                F.col("be.cd").alias("bcd"),
+            )
+            .withColumn(
+                "partner",
+                F.when(F.col("bcs") == F.col("n"), F.col("bcd")).otherwise(
+                    F.col("bcs")
+                ),
+            )
+        )
+        cen_p = centers.select(F.col("node").alias("partner"))
+        att = best.join(cen_p, "partner", "semi").select(
+            F.col("n").alias("node"),
+            F.col("partner").alias("center"),
+            F.lit(rnd).cast("int").alias("round"),
+        )
+        fired = (
+            best.join(cen_p, "partner", "anti")
+            .groupBy("bcs", "bcd")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 2)
+        )
+        new_centers = fired.select(F.col("bcs").alias("node"))
+        done = _union_all(
+            [
+                att,
+                fired.select(
+                    F.col("bcd").alias("node"),
+                    F.col("bcs").alias("center"),
+                    F.lit(rnd).cast("int").alias("round"),
+                ),
+                new_centers.select(
+                    "node",
+                    F.col("node").alias("center"),
+                    F.lit(rnd).cast("int").alias("round"),
+                ),
+            ]
+        ).localCheckpoint(eager=True)
+        assigned.append(done)
+        centers = centers.unionByName(new_centers).localCheckpoint(eager=True)
+        sats = done.filter(F.col("node") != F.col("center")).select("node")
+        cur = (
+            cur.join(sats.select(F.col("node").alias("n")), "n", "anti")
+            .join(sats.select(F.col("node").alias("m")), "m", "anti")
+            .join(
+                centers.select(F.col("node").alias("n"), F.lit(1).alias("_cn")),
+                "n",
+                "left",
+            )
+            .join(
+                centers.select(F.col("node").alias("m"), F.lit(1).alias("_cm")),
+                "m",
+                "left",
+            )
+            .filter(F.col("_cn").isNull() | F.col("_cm").isNull())
+            .drop("_cn", "_cm")
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            break
+    rest = (
+        nodes.join(_union_all(assigned).select(F.col("node").alias("a")), "a", "anti")
+        .select(
+            F.col("a").alias("node"),
+            F.col("a").alias("center"),
+            F.lit(rounds + 1).cast("int").alias("round"),
+        )
+    )
+    out = _union_all(assigned + [rest])
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("center").cast("long").alias("center"),
+        "round",
+    )
+
+
+def merge_center_clusters(
+    edges: DataFrame,
+    rounds: int = 3,
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """MERGE-CENTER (Hassanzadeh & Miller, VLDB J. 2009): CENTER
+    clustering, then clusters merge whenever a record is similar to the
+    CENTER of another cluster — the documented middle ground between
+    star-shaped CENTER (no chaining, but splits entities whose records
+    straddle two centers) and full transitive closure (chains everything).
+
+    Built by composition: ``center_clusters`` produces the (node, center,
+    round) star assignment; every original match edge (x, y) with y a
+    center of a different cluster than x's becomes a merge edge
+    (center(x), y); the merge graph — tiny, one node per center — goes
+    through the iterative large/small-star ``connected_components`` job,
+    and each record's final ``cluster`` is the component of its center
+    (its own center when untouched by any merge). Flagged round-K+1
+    leftover singletons are their own centers and participate in merging,
+    so an unconverged remainder degrades toward transitive closure rather
+    than being dropped.
+
+    Returns (node, center, cluster, round). Scale shape: the CENTER
+    rounds dominate; merge evidence is one semi/equi join over the
+    canonical edge list, and the CC job runs on the center graph, which
+    is smaller than the input by the mean cluster size.
+    """
+    asg = center_clusters(edges, rounds=rounds, score_col=score_col)
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("cs"),
+            F.greatest("src", "dst").alias("cd"),
+        )
+        .filter(F.col("cs") != F.col("cd"))
+        .distinct()
+    )
+    und = canon.select(F.col("cs").alias("x"), F.col("cd").alias("y")).unionByName(
+        canon.select(F.col("cd").alias("x"), F.col("cs").alias("y"))
+    )
+    asgx = asg.select(F.col("node").alias("x"), F.col("center").alias("xc"))
+    cents = asg.filter(F.col("node") == F.col("center")).select(
+        F.col("node").alias("y")
+    )
+    me = (
+        und.join(asgx, "x")
+        .join(cents, "y", "semi")
+        .filter(F.col("xc") != F.col("y"))
+        .select(F.col("xc").alias("src"), F.col("y").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(me).select(
+        F.col("node").alias("center"), F.col("component")
+    )
+    return (
+        asg.join(comp, "center", "left")
+        .select(
+            "node",
+            "center",
+            F.coalesce(F.col("component"), F.col("center"))
+            .cast("long")
+            .alias("cluster"),
+            "round",
+        )
+    )
