@@ -394,6 +394,7 @@ def run_er_job(spark, args) -> dict:
         ).select(
             F.col("id_a").cast("long").alias("src"),
             F.col("id_b").cast("long").alias("dst"),
+            "score_micro",
         )
         repair_fields = [
             c.strip()
@@ -401,14 +402,16 @@ def run_er_job(spark, args) -> dict:
             if c.strip()
         ]
         cluster_algo = getattr(args, "cluster_algo", None) or "cc"
-        if cluster_algo not in ("cc", "star"):
+        if cluster_algo not in ("cc", "star", "center", "merge_center"):
             raise ValueError(
-                f"--cluster-algo must be cc or star, got {cluster_algo!r}"
+                "--cluster-algo must be cc, star, center or merge_center, "
+                f"got {cluster_algo!r}"
             )
-        if repair_fields and cluster_algo == "star":
+        if repair_fields and cluster_algo in ("star", "center"):
             raise ValueError(
-                "--repair-fields repairs transitive chain merges; stars "
-                "cannot chain-merge — drop one of the two flags"
+                "--repair-fields repairs transitive chain merges; "
+                f"{cluster_algo} clusters cannot chain-merge — drop one "
+                "of the two flags"
             )
         if repair_fields:
             # Escalation repair (linkage.repair_chain_merges): chain-merged
@@ -510,6 +513,23 @@ def run_er_job(spark, args) -> dict:
             comp = star_clusters(
                 edges, rounds=int(getattr(args, "star_rounds", None) or 3)
             ).select("node", F.col("center").alias("component"))
+        elif cluster_algo == "center":
+            # Similarity-ordered stars (Hassanzadeh-Miller CENTER): the
+            # strongest edges elect centers first; like star, a wrong
+            # edge contaminates one star instead of welding two entities
+            from xlink_spark.operators.cluster import center_clusters
+
+            comp = center_clusters(
+                edges, rounds=int(getattr(args, "star_rounds", None) or 3)
+            ).select("node", F.col("center").alias("component"))
+        elif cluster_algo == "merge_center":
+            # CENTER plus cluster merges on record->foreign-center
+            # evidence — the middle ground before transitive closure
+            from xlink_spark.operators.cluster import merge_center_clusters
+
+            comp = merge_center_clusters(
+                edges, rounds=int(getattr(args, "star_rounds", None) or 3)
+            ).select("node", F.col("cluster").alias("component"))
         else:
             comp = connected_components(edges)
         golden = golden_records(recs.drop("_key"), comp, idc, rules)
@@ -760,19 +780,22 @@ def main() -> None:
     )
     ap.add_argument(
         "--cluster-algo",
-        choices=["cc", "star"],
+        choices=["cc", "star", "center", "merge_center"],
         default="cc",
         help="cluster extraction over the match edges: cc = transitive "
         "connected components (default); star = Aslam-2004 star cover "
-        "(diameter <= 2, structurally immune to chain merges; "
-        "incompatible with --repair-fields)",
+        "(degree-ordered, diameter <= 2, structurally immune to chain "
+        "merges; incompatible with --repair-fields); center = "
+        "Hassanzadeh-Miller 2009 similarity-ordered stars (same "
+        "immunity); merge_center = center plus cluster merges on "
+        "record->foreign-center evidence (middle ground before cc)",
     )
     ap.add_argument(
         "--star-rounds",
         type=int,
         default=3,
-        help="star clustering: parallel greedy rounds before leftovers "
-        "become flagged singletons",
+        help="star/center/merge_center: parallel greedy rounds before "
+        "leftovers become flagged singletons",
     )
     ap.add_argument(
         "--gold-expr",

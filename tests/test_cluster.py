@@ -399,3 +399,14 @@ def test_merge_center_bridges_clusters_center_does_not(spark):
     )
     mi = {x["node"]: x["cluster"] for x in merge_center_clusters(iso).collect()}
     assert mi == {1: 1, 2: 1, 5: 5, 6: 5}
+
+    # a flagged round-K+1 leftover is NOT a merge-capable center: on the
+    # scored path 1-2(50)-3(90)-4(40), node 4's only edge reaches the
+    # consumed satellite 3, so 4 stays a separate flagged singleton —
+    # sequential MERGE-CENTER fidelity (unassigned records never merge)
+    p = spark.createDataFrame(
+        [(1, 2, 50), (2, 3, 90), (3, 4, 40)],
+        "src long, dst long, score_micro long",
+    )
+    mp = {x["node"]: x["cluster"] for x in merge_center_clusters(p).collect()}
+    assert mp == {1: 2, 2: 2, 3: 2, 4: 4}

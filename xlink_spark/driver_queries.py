@@ -6172,6 +6172,214 @@ SQL_STAR_CLUSTERS = (
 )
 
 
+def q_center_clusters(spark, sf_dir):
+    """CENTER clustering (cluster.center_clusters, Hassanzadeh & Miller
+    2009) of the ER chain's match edges — similarity-ordered stars: the
+    strongest edges elect centers first, centers persist across rounds
+    and keep absorbing satellites, and like star clustering a wrong edge
+    contaminates one star instead of chain-welding two entities. K=3
+    deterministic rounds of per-node best-edge elections under the unique
+    lexicographic edge key (−score_micro, src, dst); leftovers become
+    flagged singletons at round 4. Same blocking → FS weights → scores
+    chain as the star/CC queries, so the rows hash-check the chain plus
+    every round's mutual-best firing, center attachment, and tie-break."""
+    from xlink_spark.operators.cluster import center_clusters
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        "score_micro",
+    )
+    return center_clusters(edges, rounds=3)
+
+
+def q_merge_center_clusters(spark, sf_dir):
+    """MERGE-CENTER (cluster.merge_center_clusters, Hassanzadeh & Miller
+    2009): the CENTER assignment above plus cluster merges whenever a
+    record's match edge reaches the CENTER of a different cluster — the
+    documented middle ground between star-shaped CENTER and full
+    transitive closure. The merge graph runs through the iterative
+    large/small-star CC job, so the oracle's recursive min-propagation
+    walk hash-checks the unrolled CENTER rounds AND the component ids of
+    the center graph in one row set (node, center, cluster, round)."""
+    from xlink_spark.operators.cluster import merge_center_clusters
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        "score_micro",
+    )
+    return merge_center_clusters(edges, rounds=3)
+
+
+def _center_rounds_sql(rounds: int) -> str:
+    """Unrolled K-round CENTER SQL over the scored adjacency ``e0``
+    (n, m, negs, cs, cd) and the empty center seed ``c0`` — the
+    _star_rounds_sql precedent with edge-similarity keys and persistent
+    centers. Emits per-round CTEs bn/at/fr/d/c/s/e and ``allr``."""
+    blocks = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(
+            f"bn{i} as materialized ("
+            f"  select n, case when bcs = n then bcd else bcs end as partner,"
+            f"    bcs, bcd from ("
+            f"    select e.n, e.cs as bcs, e.cd as bcd,"
+            f"      row_number() over (partition by e.n"
+            f"        order by e.negs, e.cs, e.cd) as rn"
+            f"    from e{p} e left join c{p} cc on cc.node = e.n"
+            f"    where cc.node is null) t"
+            f"  where rn = 1), "
+            f"at{i} as materialized ("
+            f"  select b.n as node, b.partner as center from bn{i} b"
+            f"  join c{p} cc on cc.node = b.partner), "
+            f"fr{i} as materialized ("
+            f"  select b.bcs, b.bcd from bn{i} b"
+            f"  left join c{p} cc on cc.node = b.partner"
+            f"  where cc.node is null"
+            f"  group by b.bcs, b.bcd having count(*) = 2), "
+            f"d{i} as materialized ("
+            f"  select node, center, {i}::int as round from at{i}"
+            f"  union all select bcd, bcs, {i}::int from fr{i}"
+            f"  union all select bcs, bcs, {i}::int from fr{i}), "
+            f"c{i} as materialized ("
+            f"  select node from c{p} union all select bcs from fr{i}), "
+            f"s{i} as materialized ("
+            f"  select node from at{i} union all select bcd as node from fr{i}), "
+            f"e{i} as materialized ("
+            f"  select e.n, e.m, e.negs, e.cs, e.cd from e{p} e"
+            f"  left join s{i} sa on sa.node = e.n"
+            f"  left join s{i} sb on sb.node = e.m"
+            f"  left join c{i} ca on ca.node = e.n"
+            f"  left join c{i} cb on cb.node = e.m"
+            f"  where sa.node is null and sb.node is null"
+            f"    and (ca.node is null or cb.node is null)), "
+        )
+    unions = " union all ".join(f"select * from d{i}" for i in range(1, rounds + 1))
+    blocks.append(f"allr as materialized ({unions})")
+    return "".join(blocks)
+
+
+def _minprop_rounds_sql(rounds: int) -> str:
+    """Unrolled min-label connected components over the undirected edge
+    CTE ``mu`` (src, dst): w0 seeds each node with the min of itself and
+    its neighbors; every later round takes the min over (own label,
+    neighbors' labels, label-of-label — pointer jumping), so labels
+    converge to the component minimum in O(log component-size) rounds.
+    Emits w0..w{rounds}; unrolled because a DuckDB recursive CTE's
+    recursive term joins only the previous DELTA, which stalls
+    transitive min propagation on chain graphs."""
+    blocks = [
+        "w0 as materialized (select src as node,"
+        "  least(src, min(dst)) as comp from mu group by src), "
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(
+            f"w{i} as materialized (select node, min(comp) as comp from ("
+            f"  select node, comp from w{p}"
+            f"  union all"
+            f"  select u.src as node, w.comp from mu u"
+            f"    join w{p} w on w.node = u.dst"
+            f"  union all"
+            f"  select w.node, w2.comp from w{p} w"
+            f"    join w{p} w2 on w2.node = w.comp"
+            f") group by node), "
+        )
+    return "".join(blocks)
+
+
+_SQL_CENTER_SETUP = (
+    "eg as (select id_a as src, id_b as dst, score_micro from sc"
+    "  where score_micro >= 0), "
+    "cnn as materialized (select least(src, dst) as cs,"
+    "  greatest(src, dst) as cd, max(score_micro) as s"
+    "  from eg where src <> dst group by 1, 2), "
+    # under WITH RECURSIVE, DuckDB drops the dedup of a CTE-top-level
+    # UNION (treats the CTE as recursive) — keep the union in a subquery
+    "nodes as materialized (select a from"
+    "  (select cs as a from cnn union select cd from cnn)), "
+    "e0 as materialized ("
+    "  select cs as n, cd as m, -s as negs, cs, cd from cnn"
+    "  union all select cd, cs, -s, cs, cd from cnn), "
+    "c0 as (select 0::bigint as node where 1 = 0), "
+)
+
+SQL_CENTER_CLUSTERS = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_CENTER_SETUP
+    + _center_rounds_sql(3)
+    + ", "
+    "rest as (select a as node, a as center, 4::int as round from nodes"
+    "  left join allr r on r.node = nodes.a where r.node is null) "
+    "select node::bigint as node, center::bigint as center, round from"
+    " (select * from allr union all select * from rest)"
+)
+
+SQL_MERGE_CENTER_CLUSTERS = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_CENTER_SETUP
+    + _center_rounds_sql(3)
+    + ", "
+    "rest as (select a as node, a as center, 4::int as round from nodes"
+    "  left join allr r on r.node = nodes.a where r.node is null), "
+    "asg as materialized ("
+    "  select * from allr union all select * from rest), "
+    # merge evidence only points at rounds<=K centers: leftovers merge
+    # INTO real clusters but never attract merges (sequential fidelity)
+    "cents as materialized (select node from asg"
+    "  where node = center and round <= 3), "
+    "und as (select cs as x, cd as y from cnn"
+    "  union all select cd, cs from cnn), "
+    "meg as materialized ("
+    "  select distinct ax.center as src, u.y as dst"
+    "  from und u join asg ax on ax.node = u.x"
+    "  join cents c on c.node = u.y"
+    "  where ax.center <> u.y), "
+    "mu as (select src, dst from"
+    "  (select src, dst from meg union select dst, src from meg)), "
+    # a DuckDB recursive CTE's recursive term sees only the PREVIOUS
+    # iteration's delta rows, so the classic neighbor-min walk stalls on
+    # chains — unroll pointer-jumping + neighbor propagation instead
+    # (log-depth convergence; 12 rounds cover components of 2^12 nodes)
+    + _minprop_rounds_sql(12)
+    + "mcomp as (select node, comp as component from w12) "
+    "select a.node::bigint as node, a.center::bigint as center,"
+    "  coalesce(m.component, a.center)::bigint as cluster, a.round "
+    "from asg a left join mcomp m on m.node = a.center"
+)
+
+
 def q_allpairs_name_blocks(spark, sf_dir):
     """Prefix-filtered all-pairs Jaccard self-join
     (linkage.allpairs_jaccard_pairs — Bayardo et al. 2007 / Vernica et
@@ -7930,6 +8138,8 @@ QUERIES: dict[str, Query] = {
     "clustering_ceaf": q_clustering_ceaf,
     "clustering_conll": q_clustering_conll,
     "star_clusters": q_star_clusters,
+    "center_clusters": q_center_clusters,
+    "merge_center_clusters": q_merge_center_clusters,
     "soft_tfidf_scores": q_soft_tfidf_scores,
     "pprl_dice_scores": q_pprl_dice_scores,
     "pprl_hlsh_pairs": q_pprl_hlsh_pairs,
@@ -8070,6 +8280,8 @@ ORACLES: dict[str, str] = {
     "clustering_ceaf": SQL_CLUSTERING_CEAF,
     "clustering_conll": SQL_CLUSTERING_CONLL,
     "star_clusters": SQL_STAR_CLUSTERS,
+    "center_clusters": SQL_CENTER_CLUSTERS,
+    "merge_center_clusters": SQL_MERGE_CENTER_CLUSTERS,
     "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,
     "pprl_dice_scores": SQL_PPRL_DICE_SCORES,
     "pprl_hlsh_pairs": SQL_PPRL_HLSH_PAIRS,

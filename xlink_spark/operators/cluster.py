@@ -727,10 +727,12 @@ def merge_center_clusters(
     (center(x), y); the merge graph — tiny, one node per center — goes
     through the iterative large/small-star ``connected_components`` job,
     and each record's final ``cluster`` is the component of its center
-    (its own center when untouched by any merge). Flagged round-K+1
-    leftover singletons are their own centers and participate in merging,
-    so an unconverged remainder degrades toward transitive closure rather
-    than being dropped.
+    (its own center when untouched by any merge). Merge evidence must
+    point at a center CREATED in rounds ≤ K: a flagged round-K+1 leftover
+    singleton can merge INTO a real cluster (it is a record similar to
+    that cluster's center — the paper's trigger) but never attracts
+    merges itself, exactly as sequential MERGE-CENTER, where unassigned
+    records are not centers.
 
     Returns (node, center, cluster, round). Scale shape: the CENTER
     rounds dominate; merge evidence is one semi/equi join over the
@@ -750,9 +752,9 @@ def merge_center_clusters(
         canon.select(F.col("cd").alias("x"), F.col("cs").alias("y"))
     )
     asgx = asg.select(F.col("node").alias("x"), F.col("center").alias("xc"))
-    cents = asg.filter(F.col("node") == F.col("center")).select(
-        F.col("node").alias("y")
-    )
+    cents = asg.filter(
+        (F.col("node") == F.col("center")) & (F.col("round") <= rounds)
+    ).select(F.col("node").alias("y"))
     me = (
         und.join(asgx, "x")
         .join(cents, "y", "semi")
