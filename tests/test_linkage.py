@@ -1946,3 +1946,51 @@ def test_hlsh_candidate_pairs_blocks_on_encodings_only(spark):
         .toString()
     )
     assert "text" not in plan
+
+
+def test_truth_discovery_trust_flips_tie(spark):
+    """Sums-style truth discovery (linkage.truth_discovery): sources A
+    and C corroborate each other on o1/o2 while B dissents alone, so
+    after one iteration trust(A)=610 > trust(B)=388 (hand-computed
+    bigint floor arithmetic) — and the 1-vs-1 conflict on o3, a dead
+    tie at iteration 1 that tie-breaks to the alphabetically smaller
+    WRONG value, flips to A's value at iteration 2 purely on earned
+    trust. source_trust exposes exactly the hand-computed table."""
+    from xlink_spark.operators.linkage import (
+        fused_values,
+        source_trust,
+        truth_discovery,
+    )
+
+    rows = [
+        ("o1", "A", "r1"), ("o1", "C", "r1"), ("o1", "B", "w1"),
+        ("o2", "A", "r2"), ("o2", "C", "r2"), ("o2", "B", "w2"),
+        ("o3", "A", "z_right"), ("o3", "B", "a_wrong"),
+    ]
+    claims = spark.createDataFrame(rows, "obj string, src string, val string")
+
+    f1 = {r["obj"]: r["val"] for r in fused_values(
+        truth_discovery(claims, "obj", "src", "val", iterations=1)
+    ).collect()}
+    assert f1["o3"] == "a_wrong"  # iteration-1 dead tie -> min value
+
+    conf = truth_discovery(claims, "obj", "src", "val", iterations=2)
+    f2 = {r["obj"]: (r["val"], r["conf_ppt"]) for r in fused_values(conf).collect()}
+    assert f2["o1"][0] == "r1" and f2["o2"][0] == "r2"
+    assert f2["o3"] == ("z_right", 611)  # 610*1000 div 998
+
+    t = {r["src"]: (r["trust_ppt"], r["n_claims"]) for r in source_trust(
+        claims, "obj", "src", "val", iterations=1
+    ).collect()}
+    assert t == {"A": (610, 3), "B": (388, 3), "C": (666, 2)}
+
+    # duplicate assertions dedupe; a single-source object scores 1000
+    dup = spark.createDataFrame(
+        rows + [("o1", "A", "r1"), ("o4", "B", "solo")],
+        "obj string, src string, val string",
+    )
+    fd = {r["obj"]: (r["val"], r["conf_ppt"], r["n_sources"]) for r in fused_values(
+        truth_discovery(dup, "obj", "src", "val", iterations=2)
+    ).collect()}
+    assert fd["o1"][2] == 2  # A's duplicate claim counted once
+    assert fd["o4"] == ("solo", 1000, 1)

@@ -6380,6 +6380,134 @@ SQL_MERGE_CENTER_CLUSTERS = (
 )
 
 
+def _truth_claims(spark, sf_dir):
+    """Three-source conflicting-claims fixture over customer names: s0
+    is always clean; s1 bumps the last character (+1) for custkey % 3;
+    s2 bumps it (+2) for custkey % 4 — so objects see 3-way agreement,
+    2-vs-1 conflicts in either direction, and (custkey % 12) 3-way
+    splits, the full menu a fusion fixed-point has to rank."""
+    cust = spark.read.parquet(_T(sf_dir, "customer"))
+
+    def bump(k):
+        return (
+            "concat(substring(c_name, 1, length(c_name) - 1), "
+            f"char(ascii(substring(c_name, length(c_name), 1)) + {k}))"
+        )
+
+    c0 = cust.select(
+        F.col("c_custkey").cast("long").alias("obj"),
+        F.lit("s0").alias("src"),
+        F.col("c_name").alias("val"),
+    )
+    c1 = cust.select(
+        F.col("c_custkey").cast("long").alias("obj"),
+        F.lit("s1").alias("src"),
+        F.expr(
+            f"case when c_custkey % 3 = 0 then {bump(1)} else c_name end"
+        ).alias("val"),
+    )
+    c2 = cust.select(
+        F.col("c_custkey").cast("long").alias("obj"),
+        F.lit("s2").alias("src"),
+        F.expr(
+            f"case when c_custkey % 4 = 0 then {bump(2)} else c_name end"
+        ).alias("val"),
+    )
+    return c0.unionByName(c1).unionByName(c2)
+
+
+def q_truth_fusion(spark, sf_dir):
+    """Truth-discovery fusion (linkage.truth_discovery + fused_values,
+    Pasternack & Roth 2010 "Sums"): two engine-exact integer iterations
+    of claim-confidence ↔ source-trust mutual reinforcement over the
+    three-source conflicting customer-name claims, then the argmax value
+    per object (ties to the smaller value). The clean source never
+    dissents alone twice in the same way, so its earned trust decides
+    the 3-way (custkey % 12) splits — the rows hash-check both
+    iterations' floor divisions, the dedup, and the min-struct argmax."""
+    from xlink_spark.operators.linkage import fused_values, truth_discovery
+
+    claims = _truth_claims(spark, sf_dir)
+    return fused_values(
+        truth_discovery(claims, "obj", "src", "val", iterations=2)
+    )
+
+
+def q_truth_source_trust(spark, sf_dir):
+    """Companion trust table (linkage.source_trust): per-source
+    reliability after the same two fused iterations — the audit artifact
+    a fusion deployment feeds back into survivorship. Hash-checks that
+    the clean source s0 outranks the corrupting s1/s2 purely from claim
+    corroboration (no labels anywhere)."""
+    from xlink_spark.operators.linkage import source_trust
+
+    claims = _truth_claims(spark, sf_dir)
+    return source_trust(claims, "obj", "src", "val", iterations=2)
+
+
+_SQL_TRUTH_CLAIMS = (
+    "cl as materialized (select distinct obj, src, val from ("
+    "  select c_custkey::bigint as obj, 's0' as src, c_name as val"
+    "  from customer"
+    "  union all"
+    "  select c_custkey::bigint, 's1',"
+    "    case when c_custkey % 3 = 0 then"
+    "      substr(c_name, 1, length(c_name) - 1) ||"
+    "      chr(ascii(substr(c_name, length(c_name), 1)) + 1)"
+    "    else c_name end from customer"
+    "  union all"
+    "  select c_custkey::bigint, 's2',"
+    "    case when c_custkey % 4 = 0 then"
+    "      substr(c_name, 1, length(c_name) - 1) ||"
+    "      chr(ascii(substr(c_name, length(c_name), 1)) + 2)"
+    "    else c_name end from customer)), "
+    "t0 as (select src, 500::bigint as trust_ppt from"
+    "  (select distinct src from cl)), "
+)
+
+
+def _truth_iter_sql(i: int) -> str:
+    p = i - 1
+    return (
+        f"ct{i} as (select c.obj, c.src, c.val, t.trust_ppt"
+        f"  from cl c join t{p} t using (src)), "
+        f"n{i} as (select obj, val, sum(trust_ppt)::bigint as num,"
+        f"  count(*)::bigint as ns from ct{i} group by 1, 2), "
+        f"d{i} as (select obj, sum(trust_ppt)::bigint as den"
+        f"  from ct{i} group by 1), "
+        f"c{i} as materialized (select n.obj, n.val,"
+        f"  ((1000 * n.num) // d.den)::bigint as conf_ppt,"
+        f"  n.ns as n_sources from n{i} n join d{i} d using (obj)), "
+        f"t{i} as materialized (select c.src,"
+        f"  (sum(x.conf_ppt) // count(*))::bigint as trust_ppt"
+        f"  from cl c join c{i} x on x.obj = c.obj and x.val = c.val"
+        f"  group by c.src), "
+    )
+
+
+SQL_TRUTH_FUSION = (
+    "with "
+    + _SQL_TRUTH_CLAIMS
+    + _truth_iter_sql(1)
+    + _truth_iter_sql(2)
+    + "ranked as (select obj, val, conf_ppt, n_sources,"
+    "  row_number() over (partition by obj"
+    "    order by conf_ppt desc, val) as rn from c2) "
+    "select obj, val, conf_ppt, n_sources from ranked where rn = 1"
+)
+
+SQL_TRUTH_SOURCE_TRUST = (
+    "with "
+    + _SQL_TRUTH_CLAIMS
+    + _truth_iter_sql(1)
+    + _truth_iter_sql(2).rstrip(", ")
+    + " select c.src, (sum(x.conf_ppt) // count(*))::bigint as trust_ppt,"
+    "  count(*)::bigint as n_claims"
+    "  from cl c join c2 x on x.obj = c.obj and x.val = c.val"
+    "  group by c.src"
+)
+
+
 def q_allpairs_name_blocks(spark, sf_dir):
     """Prefix-filtered all-pairs Jaccard self-join
     (linkage.allpairs_jaccard_pairs — Bayardo et al. 2007 / Vernica et
@@ -8140,6 +8268,8 @@ QUERIES: dict[str, Query] = {
     "star_clusters": q_star_clusters,
     "center_clusters": q_center_clusters,
     "merge_center_clusters": q_merge_center_clusters,
+    "truth_fusion": q_truth_fusion,
+    "truth_source_trust": q_truth_source_trust,
     "soft_tfidf_scores": q_soft_tfidf_scores,
     "pprl_dice_scores": q_pprl_dice_scores,
     "pprl_hlsh_pairs": q_pprl_hlsh_pairs,
@@ -8282,6 +8412,8 @@ ORACLES: dict[str, str] = {
     "star_clusters": SQL_STAR_CLUSTERS,
     "center_clusters": SQL_CENTER_CLUSTERS,
     "merge_center_clusters": SQL_MERGE_CENTER_CLUSTERS,
+    "truth_fusion": SQL_TRUTH_FUSION,
+    "truth_source_trust": SQL_TRUTH_SOURCE_TRUST,
     "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,
     "pprl_dice_scores": SQL_PPRL_DICE_SCORES,
     "pprl_hlsh_pairs": SQL_PPRL_HLSH_PAIRS,

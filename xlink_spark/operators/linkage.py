@@ -2120,3 +2120,137 @@ def soft_tfidf_scores(
             .alias("soft_tfidf_micro"),
         )
     )
+
+
+def truth_discovery(
+    claims: DataFrame,
+    obj_col: str,
+    src_col: str,
+    val_col: str,
+    iterations: int = 2,
+    init_trust_ppt: int = 500,
+) -> DataFrame:
+    """Truth discovery over conflicting claims — the data-fusion stage a
+    linkage deployment runs AFTER clustering, when the records merged
+    into one entity assert different attribute values and majority
+    voting is not enough because sources differ in reliability.
+
+    The fixed-point is the "Sums"-style mutual reinforcement of
+    Pasternack & Roth (COLING 2010; TruthFinder's voting core without
+    its sigmoid): claim confidence grows with the trust of the sources
+    asserting it, source trust grows with the confidence of its claims.
+
+    ``claims``: one row per (obj, src, val) assertion (deduped here).
+    Engine-exact integer semantics, unrollable on any SQL engine: every
+    source starts at ``init_trust_ppt``; iteration i computes
+
+    * conf_i(o,v)  = (1000 · Σ trust of sources asserting (o,v))
+                     div (Σ trust of sources asserting ANY value of o)
+    * trust_i(s)   = (Σ conf_i of s's claims) div n_claims(s)
+
+    with bigint floor division throughout — no float ever crosses an
+    aggregation, so K iterations hash identically on Spark and DuckDB.
+    Returns claim-value grain: (obj, val, conf_ppt, n_sources) after the
+    last iteration. ``source_trust`` exposes the companion trust table.
+
+    Scale shape: each iteration is two claim-grain groupBys plus two
+    narrow equi-joins (all map-side combinable; no windows); the
+    object-denominator join keys on obj, the trust join on src —
+    both the natural partitionings of a claims lake.
+    """
+    c = (
+        claims.select(
+            F.col(obj_col).alias("obj"),
+            F.col(src_col).alias("src"),
+            F.col(val_col).alias("val"),
+        )
+        .distinct()
+    )
+    trust = c.select("src").distinct().select(
+        "src", F.lit(int(init_trust_ppt)).cast("long").alias("trust_ppt")
+    )
+    conf = None
+    for _ in range(int(iterations)):
+        ct = c.join(trust, "src")
+        conf_num = ct.groupBy("obj", "val").agg(
+            F.sum("trust_ppt").cast("long").alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+        conf_den = ct.groupBy("obj").agg(
+            F.sum("trust_ppt").cast("long").alias("den")
+        )
+        conf = conf_num.join(conf_den, "obj").select(
+            "obj",
+            "val",
+            F.expr("(1000 * num) div den").cast("long").alias("conf_ppt"),
+            "n_sources",
+        )
+        trust = (
+            c.join(conf.select("obj", "val", "conf_ppt"), ["obj", "val"])
+            .groupBy("src")
+            .agg(
+                F.expr("sum(conf_ppt) div count(*)")
+                .cast("long")
+                .alias("trust_ppt")
+            )
+        )
+    return conf
+
+
+def source_trust(
+    claims: DataFrame,
+    obj_col: str,
+    src_col: str,
+    val_col: str,
+    iterations: int = 2,
+    init_trust_ppt: int = 500,
+) -> DataFrame:
+    """Companion to ``truth_discovery``: the per-source trust table
+    (src, trust_ppt, n_claims) after the SAME K engine-exact iterations
+    — the reliability ranking a fusion deployment audits and feeds back
+    into survivorship. Recomputes the identical fixed-point chain (the
+    frames are tiny relative to the claims scan; sharing would force a
+    persist the caller may not want)."""
+    c = (
+        claims.select(
+            F.col(obj_col).alias("obj"),
+            F.col(src_col).alias("src"),
+            F.col(val_col).alias("val"),
+        )
+        .distinct()
+    )
+    conf = truth_discovery(
+        claims, obj_col, src_col, val_col,
+        iterations=iterations, init_trust_ppt=init_trust_ppt,
+    )
+    return (
+        c.join(conf.select("obj", "val", "conf_ppt"), ["obj", "val"])
+        .groupBy("src")
+        .agg(
+            F.expr("sum(conf_ppt) div count(*)").cast("long").alias(
+                "trust_ppt"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_claims"),
+        )
+    )
+
+
+def fused_values(conf: DataFrame) -> DataFrame:
+    """Winner extraction over ``truth_discovery`` output: the value with
+    the highest confidence per object, ties to the smallest value string
+    — one narrow min-struct aggregation (no window), the cross-engine
+    argmax convention used throughout this module. Returns
+    (obj, val, conf_ppt, n_sources)."""
+    pick = conf.groupBy("obj").agg(
+        F.min(
+            F.struct(
+                (-F.col("conf_ppt")).alias("nc"),
+                F.col("val").alias("val"),
+            )
+        ).alias("p")
+    )
+    return (
+        pick.select("obj", F.col("p.val").alias("val"))
+        .join(conf, ["obj", "val"])
+        .select("obj", "val", "conf_ppt", "n_sources")
+    )
