@@ -410,3 +410,167 @@ def test_merge_center_bridges_clusters_center_does_not(spark):
     )
     mp = {x["node"]: x["cluster"] for x in merge_center_clusters(p).collect()}
     assert mp == {1: 2, 2: 2, 3: 2, 4: 4}
+
+
+def test_pivot_clusters_local_minima_rounds_and_exhaustion(spark):
+    """Parallel KwikCluster / LFMIS rounds on the path 1-2-3-4-5: round
+    1 elects the only local minimum 1 (dominating 2); round 2 elects 3
+    from the remaining 3-4-5 sub-path (dominating 4); round 3 elects the
+    now-isolated 5. The final assignment pass sends each satellite to
+    its SMALLEST adjacent pivot over the original adjacency — exactly
+    sequential id-order KwikCluster. No two pivots are ever adjacent,
+    and every satellite is one hop from its pivot (diameter <= 2 —
+    pivot clusters cannot chain-merge)."""
+    from xlink_spark.operators.cluster import pivot_clusters
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    r = {x["node"]: (x["cluster"], x["round"]) for x in pivot_clusters(e).collect()}
+    assert r == {1: (1, 1), 2: (1, 1), 3: (3, 2), 4: (3, 2), 5: (5, 3)}
+
+    # satellites are one hop from their pivot
+    adj = {(1, 2), (2, 3), (3, 4), (4, 5)}
+    adj |= {(b, a) for a, b in adj}
+    for n, (c, _) in r.items():
+        assert c == n or (n, c) in adj
+
+    # exact-K contract on a graph that NEEDS two rounds: 2-3-4 — round
+    # 1 elects pivot 2 and dominates 3, but 4 (neither pivot nor
+    # pivot-adjacent) is flagged at round = rounds+1 = 2
+    p = spark.createDataFrame([(2, 3), (3, 4)], "src long, dst long")
+    r1 = {x["node"]: (x["cluster"], x["round"]) for x in pivot_clusters(p, rounds=1).collect()}
+    assert r1 == {2: (2, 1), 3: (2, 1), 4: (4, 2)}
+
+    # determinism under repartitioning
+    rp = {x["node"]: (x["cluster"], x["round"]) for x in pivot_clusters(e.repartition(7)).collect()}
+    assert rp == r
+
+
+def test_pivot_clusters_matches_sequential_kwikcluster(spark):
+    """On random graphs, the K-round parallel formulation with id-order
+    pivots must equal the SEQUENTIAL KwikCluster run with the identity
+    permutation (visit nodes in id order; each unclustered visited node
+    becomes a pivot and absorbs its unclustered neighbors) — the
+    classic equivalence the CDK14 parallelization rests on."""
+    import random
+
+    from xlink_spark.operators.cluster import pivot_clusters
+
+    rng = random.Random(417)
+    for trial in range(3):
+        n = 40
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+                )
+                if a != b
+            }
+        )
+        nbrs = {i: set() for i in range(n)}
+        for a, b in edges:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        seq = {}
+        for v in range(n):
+            if v in seq or not nbrs[v]:
+                continue
+            if v not in seq:
+                seq[v] = v
+                for u in sorted(nbrs[v]):
+                    if u not in seq:
+                        seq[u] = v
+        df = spark.createDataFrame(edges, "src long, dst long")
+        # n rounds always suffice (each round removes at least the
+        # globally-smallest remaining node); the loop breaks early
+        got = {
+            x["node"]: x["cluster"]
+            for x in pivot_clusters(df, rounds=n).collect()
+        }
+        want = {v: c for v, c in seq.items()}
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_canopy_clusters_overlap_and_tight_removal(spark):
+    """McCallum-Nigam-Ungar canopies on a 4-node line with similarities
+    9-5-9 (loose=5, tight=8): node 1 centers round 1, absorbs 2 (sim 9,
+    removed: >= tight) and... 3 is NOT within loose of 1 (no edge), so 3
+    centers in the SAME round (its only pool-neighbor is 2? no — 3's
+    neighbors are 2 (sim 5) and 4 (sim 9); min neighbor id 2 < 3, so 3
+    waits). Round-by-round semantics and the OVERLAP property: node 2
+    sits within loose of center 1 AND center 3, so it appears in both
+    canopies — but being within tight of 1 it is removed and never
+    centers."""
+    from xlink_spark.operators.cluster import canopy_clusters
+
+    p = spark.createDataFrame(
+        [(1, 2, 9), (2, 3, 5), (3, 4, 9)], "a long, b long, sim long"
+    )
+    rows = canopy_clusters(p, "sim", loose=5, tight=8, rounds=3).collect()
+    got = {(x["node"], x["canopy"], x["round"]) for x in rows}
+    # round 1: centers = {1} (2,3,4 all see a smaller pool neighbor);
+    #   members of canopy 1 = {1, 2}; removed = {1, 2} (sim 9 >= tight)
+    # round 2: pool {3,4}; centers = {3}; members = {3, 4};
+    #   removed = {3, 4}
+    assert got == {(1, 1, 1), (2, 1, 1), (3, 3, 2), (4, 3, 2)}
+
+    # OVERLAP: loose=5, tight=9 on star 1-2(5), 1-3(5), 2-3(5): round 1
+    # center 1 absorbs 2 and 3 within loose but removes nobody but
+    # itself (no edge >= 9); round 2 center 2 absorbs 3; round 3 center
+    # 3 alone — 3 belongs to ALL THREE canopies
+    t = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 5), (2, 3, 5)], "a long, b long, sim long"
+    )
+    rows2 = canopy_clusters(t, "sim", loose=5, tight=9, rounds=3).collect()
+    got2 = {(x["node"], x["canopy"], x["round"]) for x in rows2}
+    assert got2 == {
+        (1, 1, 1), (2, 1, 1), (3, 1, 1),
+        (2, 2, 2), (3, 2, 2),
+        (3, 3, 3),
+    }
+
+    # canopy INVARIANT the expensive stage relies on: every loose pair
+    # shares >= 1 canopy
+    by_node = {}
+    for x in rows2:
+        by_node.setdefault(x["node"], set()).add(x["canopy"])
+    for a, b in [(1, 2), (1, 3), (2, 3)]:
+        assert by_node[a] & by_node[b]
+
+
+def test_canopy_clusters_universe_leftovers_and_validation(spark):
+    """A caller-supplied node universe makes edge-less records singleton
+    canopies instead of silently vanishing; exact-K leftovers are
+    flagged at round K+1; loose > tight raises; out-of-universe
+    neighbors cannot veto a center election."""
+    import pytest as _pytest
+
+    from xlink_spark.operators.cluster import canopy_clusters
+
+    p = spark.createDataFrame([(1, 2, 7)], "a long, b long, sim long")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "a long")
+    rows = canopy_clusters(p, "sim", loose=5, tight=6, rounds=2, nodes=nodes)
+    got = {(x["node"], x["canopy"], x["round"]) for x in rows.collect()}
+    # round 1: center 1 absorbs 2; tight=6 <= 7 so both removed; 9 is
+    # edge-less -> center of its own canopy round 1
+    assert got == {(1, 1, 1), (2, 1, 1), (9, 9, 1)}
+
+    # exact-K: rounds=1 with tight high enough that nothing is removed
+    # except centers -> node 2 survives round 1 as a member only, then
+    # is flagged at round 2
+    rows1 = canopy_clusters(p, "sim", loose=5, tight=99, rounds=1)
+    got1 = {(x["node"], x["canopy"], x["round"]) for x in rows1.collect()}
+    assert got1 == {(1, 1, 1), (2, 1, 1), (2, 2, 2)}
+
+    # universe SUBSET of edge endpoints: neighbor 1 is outside the
+    # universe, so it must not veto 2's election
+    sub = spark.createDataFrame([(2,)], "a long")
+    rows3 = canopy_clusters(p, "sim", loose=5, tight=6, rounds=2, nodes=sub)
+    assert {(x["node"], x["canopy"], x["round"]) for x in rows3.collect()} == {
+        (2, 2, 1)
+    }
+
+    with _pytest.raises(ValueError):
+        canopy_clusters(p, "sim", loose=9, tight=5)

@@ -1994,3 +1994,66 @@ def test_truth_discovery_trust_flips_tie(spark):
     ).collect()}
     assert fd["o1"][2] == 2  # A's duplicate claim counted once
     assert fd["o4"] == ("solo", 1000, 1)
+
+
+def test_one_to_one_matches_recovers_second_best(spark):
+    """Iterated assignment beats single-shot mutual-best: L2's best
+    right R1 prefers L1, so one-shot mutual-best leaves L2 unmatched;
+    round 2 re-runs on the remainder and matches L2 to its free
+    second choice R2. Rounds are recorded; rounds=1 reproduces
+    mutual_best_matches exactly."""
+    from xlink_spark.operators.linkage import (
+        mutual_best_matches,
+        one_to_one_matches,
+    )
+
+    p = spark.createDataFrame(
+        [("L1", "R1", 10), ("L2", "R1", 9), ("L2", "R2", 8)],
+        "l string, r string, s long",
+    )
+    got = {
+        (x["l"], x["r"]): (x["s"], x["round"])
+        for x in one_to_one_matches(p, "l", "r", "s", rounds=3).collect()
+    }
+    assert got == {("L1", "R1"): (10, 1), ("L2", "R2"): (8, 2)}
+
+    one = one_to_one_matches(p, "l", "r", "s", rounds=1)
+    mb = mutual_best_matches(p, "l", "r", "s")
+    assert sorted((x["l"], x["r"]) for x in one.collect()) == sorted(
+        (x["l"], x["r"]) for x in mb.collect()
+    )
+
+
+def test_one_to_one_matches_equals_sequential_greedy(spark):
+    """On random bipartite score tables, the K-round locally-dominant
+    fixed point must equal the SEQUENTIAL best-first greedy matching
+    under the same total order (score desc, right asc, left asc) —
+    the Preis/Manne-Bisseling equivalence the docstring claims.
+    Duplicate scores are included deliberately to exercise the
+    tie-break order."""
+    import random
+
+    from xlink_spark.operators.linkage import one_to_one_matches
+
+    rng = random.Random(92)
+    for trial in range(3):
+        rows = sorted(
+            {
+                (f"L{rng.randrange(12)}", f"R{rng.randrange(12)}")
+                for _ in range(40)
+            }
+        )
+        scored = [(l, r, rng.randrange(8)) for l, r in rows]
+        seq = {}
+        used_l, used_r = set(), set()
+        for l, r, s in sorted(scored, key=lambda x: (-x[2], x[1], x[0])):
+            if l not in used_l and r not in used_r:
+                seq[(l, r)] = s
+                used_l.add(l)
+                used_r.add(r)
+        df = spark.createDataFrame(scored, "l string, r string, s long")
+        got = {
+            (x["l"], x["r"]): x["s"]
+            for x in one_to_one_matches(df, "l", "r", "s", rounds=24).collect()
+        }
+        assert got == seq, f"trial {trial}"

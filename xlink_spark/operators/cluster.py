@@ -776,3 +776,270 @@ def merge_center_clusters(
             "round",
         )
     )
+
+
+def pivot_clusters(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """(src:long, dst:long) match edges → (node, cluster, round) pivot
+    clustering: parallel KwikCluster (Ailon, Charikar & Newman 2008's
+    pivot algorithm; parallel-rounds treatment per Chierichetti, Dalvi &
+    Kumar, KDD 2014 / Blelloch, Fineman & Shun 2012).
+
+    Sequential KwikCluster visits nodes in permutation order; every
+    still-unclustered visited node becomes a PIVOT and absorbs all its
+    still-unclustered neighbors — a 3-approximation for correlation
+    clustering whose clusters, like stars, have diameter ≤ 2 and
+    therefore never chain-merge. Its pivot set is exactly the
+    lexicographically-first maximal independent set (LFMIS) of the match
+    graph, and every non-pivot lands with its SMALLEST adjacent pivot.
+    This implementation computes precisely that fixed point (node id
+    order stands in for the permutation — ids come from upstream
+    hashing, so the order is fixed and engine-portable):
+
+    * K rounds of parallel greedy MIS: every remaining node smaller than
+      all its remaining neighbors (or isolated among the remaining
+      nodes) is elected a pivot; pivots AND their neighbors leave the
+      remaining set. LFMIS(G) = minima(G) ∪ LFMIS(G ∖ N[minima]) — the
+      standard recursion, so the K-round prefix is exact.
+    * one final assignment pass over the ORIGINAL adjacency: each
+      non-pivot joins its minimum adjacent pivot (carrying that pivot's
+      election round), never an intermediate per-round guess — this is
+      what keeps the parallel output EQUAL to the sequential algorithm
+      (a node absorbed early by a large pivot would otherwise miss a
+      smaller pivot elected in a later round).
+
+    Difference from the two sibling star covers: ``star_clusters``
+    elects by static degree (Aslam's cover), ``center_clusters`` by
+    descending edge similarity (Hassanzadeh-Miller); PIVOT elects by the
+    permutation alone, which is what gives the sequential algorithm its
+    expected-3-approximation guarantee for correlation clustering.
+
+    After ``rounds`` rounds every node that is neither a pivot nor
+    adjacent to one becomes its own singleton cluster with ``round =
+    rounds + 1``, so the K-round semantics is exact on any engine (the
+    oracle unrolls the same K blocks). Progress is guaranteed: the
+    globally-smallest remaining node is always elected, and with random
+    ids O(log n) rounds suffice w.h.p. (BFS12).
+
+    Scale shape: per round one groupBy-min over the remaining edge list
+    (shrinking fast) plus narrow semi/anti joins; one groupBy-min
+    assignment join at the end; lineage truncated per round via
+    localCheckpoint — the star_clusters precedent.
+    """
+    adj = (
+        _canonical(edges)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+    nodes = adj.select("a").distinct()
+    cur = adj.localCheckpoint(eager=True)
+    pool = nodes.localCheckpoint(eager=True)
+    pivot_frames = []
+    for rnd in range(1, rounds + 1):
+        nbr_min = cur.groupBy("a").agg(F.min("b").alias("mn"))
+        pivots = (
+            pool.join(nbr_min, "a", "left")
+            .filter(F.col("mn").isNull() | (F.col("a") < F.col("mn")))
+            .select("a", F.lit(rnd).cast("int").alias("round"))
+            .localCheckpoint(eager=True)
+        )
+        pivot_frames.append(pivots)
+        dominated = (
+            cur.join(pivots.select(F.col("a").alias("b")), "b")
+            .select("a")
+            .distinct()
+        )
+        pool = (
+            pool.join(pivots.select("a"), "a", "anti")
+            .join(dominated, "a", "anti")
+            .localCheckpoint(eager=True)
+        )
+        cur = (
+            cur.join(pool, "a", "semi")
+            .join(pool.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint(eager=True)
+        )
+        if pool.isEmpty():
+            break
+    pivots_all = _union_all(pivot_frames)
+    cents = pivots_all.select(
+        "a",
+        F.col("a").alias("cluster"),
+        "round",
+    )
+    sats = (
+        adj.join(
+            pivots_all.select(
+                F.col("a").alias("b"), F.col("round").alias("pround")
+            ),
+            "b",
+        )
+        .join(pivots_all.select("a"), "a", "anti")
+        .groupBy("a")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("b").alias("cluster"), F.col("pround").alias("round")
+                )
+            ).alias("p")
+        )
+        .select("a", F.col("p.cluster").alias("cluster"), F.col("p.round").alias("round"))
+    )
+    done = cents.unionByName(sats)
+    rest = nodes.join(done.select("a"), "a", "anti").select(
+        "a",
+        F.col("a").alias("cluster"),
+        F.lit(rounds + 1).cast("int").alias("round"),
+    )
+    out = done.unionByName(rest)
+    return out.select(
+        F.col("a").cast("long").alias("node"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "round",
+    )
+
+
+def canopy_clusters(
+    pairs: DataFrame,
+    sim_col: str,
+    loose: int,
+    tight: int,
+    rounds: int = 3,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) — the
+    classic CHEAP-metric pre-blocking stage: overlapping "canopies"
+    built from an inexpensive similarity so that the expensive pairwise
+    comparator only ever runs INSIDE a canopy. Records may belong to
+    several canopies (that overlap is what preserves recall); the
+    guarantee the expensive stage relies on is that two records in NO
+    common canopy are never compared.
+
+    ``pairs``: (a:long, b:long, sim) cheap-similarity edges (symmetric
+    or one direction; deduped and mirrored here), with ``sim`` an exact
+    integer (e.g. shared-token count or Jaccard ppt). ``loose`` ≤
+    ``tight`` are the two canopy thresholds in the same units (the
+    similarity mirror of the paper's T2 ≥ distance ≥ T1): a record
+    within ``loose`` of a center joins that canopy; a record within
+    ``tight`` is REMOVED from the candidate pool and can center or join
+    no later canopy.
+
+    The sequential algorithm picks centers in arbitrary order; this
+    parallel formulation (deterministic, engine-portable) uses node id
+    order: round t makes every pool node whose id is smaller than all
+    its loose-neighbors' ids in the pool a CENTER — isolated pool nodes
+    center trivially — then emits one membership row per (pool node
+    within loose of a new center), removes centers and every pool node
+    within ``tight`` of one, and repeats. After ``rounds`` rounds,
+    leftover pool nodes become their own singleton canopies with
+    ``round = rounds + 1`` (exact-K semantics; the oracle unrolls the
+    same blocks). Progress is guaranteed: the pool's smallest node is
+    always a center.
+
+    ``nodes``: optional (a:long) universe; records with no cheap-sim
+    edge at all (not even to themselves) would otherwise be invisible —
+    pass the full record id table to make them singleton canopies.
+
+    Output: (node, canopy, round) — node grain is NOT unique (canopies
+    overlap by design). Scale shape: per round one groupBy-min + two
+    narrow joins over the loose edge list restricted to the pool
+    (shrinking), lineage truncated per round via localCheckpoint.
+    """
+    if loose > tight:
+        raise ValueError(
+            f"loose similarity threshold must be <= tight, got {loose} > {tight}"
+        )
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("a"),
+                        F.col("b").alias("b"),
+                        F.col(sim_col).cast("long").alias("sim"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("a"),
+                        F.col("a").alias("b"),
+                        F.col(sim_col).cast("long").alias("sim"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b", "e.sim")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("sim").alias("sim"))
+        .filter(F.col("sim") >= F.lit(int(loose)))
+    )
+    pool = (
+        nodes.select(F.col(nodes.columns[0]).cast("long").alias("a")).distinct()
+        if nodes is not None
+        else sym.select("a").distinct()
+    )
+    pool = pool.localCheckpoint(eager=True)
+    # restrict edges to the declared universe up front: a caller-supplied
+    # ``nodes`` table may be a subset of the edge endpoints, and a
+    # neighbor outside the pool must not veto a center election
+    cur_edges = (
+        sym.join(pool, "a", "semi")
+        .join(pool.select(F.col("a").alias("b")), "b", "semi")
+        .localCheckpoint(eager=True)
+    )
+    member_frames = []
+    for rnd in range(1, rounds + 1):
+        nbr_min = cur_edges.groupBy("a").agg(F.min("b").alias("mn"))
+        centers = (
+            pool.join(nbr_min, "a", "left")
+            .filter(F.col("mn").isNull() | (F.col("a") < F.col("mn")))
+            .select("a")
+        ).localCheckpoint(eager=True)
+        members = (
+            cur_edges.join(centers.select(F.col("a").alias("b")), "b")
+            .select(
+                "a",
+                F.col("b").alias("canopy"),
+                F.lit(rnd).cast("int").alias("round"),
+            )
+            .unionByName(
+                centers.select(
+                    "a",
+                    F.col("a").alias("canopy"),
+                    F.lit(rnd).cast("int").alias("round"),
+                )
+            )
+        )
+        member_frames.append(members.localCheckpoint(eager=True))
+        removed = (
+            cur_edges.filter(F.col("sim") >= F.lit(int(tight)))
+            .join(centers.select(F.col("a").alias("b")), "b")
+            .select("a")
+            .unionByName(centers.select("a"))
+            .distinct()
+        )
+        pool = pool.join(removed, "a", "anti").localCheckpoint(eager=True)
+        cur_edges = (
+            cur_edges.join(pool, "a", "semi")
+            .join(pool.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint(eager=True)
+        )
+        if pool.isEmpty():
+            break
+    rest = pool.select(
+        "a",
+        F.col("a").alias("canopy"),
+        F.lit(rounds + 1).cast("int").alias("round"),
+    )
+    out = _union_all(member_frames + [rest])
+    return out.select(
+        F.col("a").cast("long").alias("node"),
+        F.col("canopy").cast("long").alias("canopy"),
+        "round",
+    )

@@ -2254,3 +2254,74 @@ def fused_values(conf: DataFrame) -> DataFrame:
         .join(conf, ["obj", "val"])
         .select("obj", "val", "conf_ppt", "n_sources")
     )
+
+
+def one_to_one_matches(
+    scores: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Iterated one-to-one assignment for clean-clean ER: K rounds of
+    mutual-best-then-remove — the locally-dominant-edge matching of
+    Preis (1999) / Manne & Bisseling (2007), the standard distributed
+    ½-approximation of maximum-weight bipartite matching.
+
+    ``mutual_best_matches`` decides in ONE shot: a pair survives only if
+    it is simultaneously its left's best right and its right's best
+    left. That leaves money on the table — when record L's best right R
+    prefers a different left, L goes UNMATCHED even though its
+    second-best right is free. Iterating fixes it: each round accepts
+    every mutual-best (locally dominant) pair among the REMAINING
+    candidates, removes both matched sides, and re-runs on what is left.
+    With a strict total order on (score desc, right asc, left asc) —
+    ties broken deterministically, so the order is total even with
+    duplicate scores — the fixed point equals the SEQUENTIAL best-first
+    greedy matching (scan pairs by descending score, accept when both
+    sides are free): a greedy-accepted pair is dominant the moment its
+    blockers are consumed, and rounds consume blockers in exactly that
+    order.
+
+    After ``rounds`` rounds, still-unmatched pairs are simply absent
+    (exact-K semantics, oracle-unrollable); each output row carries the
+    round it was accepted in. Scale shape: per round two narrow windows
+    on the two pair-id keys + two anti-joins over a candidate list that
+    shrinks geometrically (each round matches every locally-dominant
+    edge, ≥ half the remaining weight in the classic analysis); lineage
+    truncated per round via localCheckpoint.
+
+    Output: (left_col, right_col, score_col, round).
+    """
+    pairs = scores.groupBy(left_col, right_col).agg(
+        F.max(score_col).alias(score_col)
+    )
+    wa = Window.partitionBy(left_col).orderBy(
+        F.col(score_col).desc(), F.col(right_col).asc()
+    )
+    wb = Window.partitionBy(right_col).orderBy(
+        F.col(score_col).desc(), F.col(left_col).asc()
+    )
+    cur = pairs.localCheckpoint(eager=True)
+    accepted = []
+    for rnd in range(1, rounds + 1):
+        m = (
+            cur.withColumn("_rn_a", F.row_number().over(wa))
+            .withColumn("_rn_b", F.row_number().over(wb))
+            .filter((F.col("_rn_a") == 1) & (F.col("_rn_b") == 1))
+            .drop("_rn_a", "_rn_b")
+            .withColumn("round", F.lit(rnd).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        accepted.append(m)
+        cur = (
+            cur.join(m.select(left_col), left_col, "anti")
+            .join(m.select(right_col), right_col, "anti")
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            break
+    out = accepted[0]
+    for f in accepted[1:]:
+        out = out.unionByName(f)
+    return out
