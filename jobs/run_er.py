@@ -402,12 +402,12 @@ def run_er_job(spark, args) -> dict:
             if c.strip()
         ]
         cluster_algo = getattr(args, "cluster_algo", None) or "cc"
-        if cluster_algo not in ("cc", "star", "center", "merge_center"):
+        if cluster_algo not in ("cc", "star", "center", "merge_center", "pivot"):
             raise ValueError(
-                "--cluster-algo must be cc, star, center or merge_center, "
-                f"got {cluster_algo!r}"
+                "--cluster-algo must be cc, star, center, merge_center or "
+                f"pivot, got {cluster_algo!r}"
             )
-        if repair_fields and cluster_algo in ("star", "center"):
+        if repair_fields and cluster_algo in ("star", "center", "pivot"):
             raise ValueError(
                 "--repair-fields repairs transitive chain merges; "
                 f"{cluster_algo} clusters cannot chain-merge — drop one "
@@ -522,6 +522,15 @@ def run_er_job(spark, args) -> dict:
             comp = center_clusters(
                 edges, rounds=int(getattr(args, "star_rounds", None) or 3)
             ).select("node", F.col("center").alias("component"))
+        elif cluster_algo == "pivot":
+            # KwikCluster pivots (LFMIS of the match graph): the
+            # permutation-ordered star sibling — sequential-greedy-exact,
+            # diameter <= 2, the correlation-clustering 3-approximation
+            from xlink_spark.operators.cluster import pivot_clusters
+
+            comp = pivot_clusters(
+                edges, rounds=int(getattr(args, "star_rounds", None) or 3)
+            ).select("node", F.col("cluster").alias("component"))
         elif cluster_algo == "merge_center":
             # CENTER plus cluster merges on record->foreign-center
             # evidence — the middle ground before transitive closure
@@ -780,7 +789,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--cluster-algo",
-        choices=["cc", "star", "center", "merge_center"],
+        choices=["cc", "star", "center", "merge_center", "pivot"],
         default="cc",
         help="cluster extraction over the match edges: cc = transitive "
         "connected components (default); star = Aslam-2004 star cover "
@@ -788,7 +797,9 @@ def main() -> None:
         "merges; incompatible with --repair-fields); center = "
         "Hassanzadeh-Miller 2009 similarity-ordered stars (same "
         "immunity); merge_center = center plus cluster merges on "
-        "record->foreign-center evidence (middle ground before cc)",
+        "record->foreign-center evidence (middle ground before cc); "
+        "pivot = KwikCluster LFMIS pivots (permutation-ordered stars, "
+        "sequential-greedy-exact, same immunity)",
     )
     ap.add_argument(
         "--star-rounds",

@@ -1087,3 +1087,48 @@ def test_run_er_job_center_and_merge_center_algos(spark, tmp_path):
             **base, "repair_fields": "ident",
             "output": str(tmp_path / "center_bad"),
         }))
+
+
+def test_run_er_job_pivot_cluster_algo(spark, tmp_path):
+    """--cluster-algo pivot: KwikCluster LFMIS pivots replace transitive
+    closure. On isolated twin 2-cliques pivot and CC agree exactly
+    (every gauge 10⁶ via --gold-expr); combining with --repair-fields is
+    rejected (pivot clusters cannot chain-merge); the metrics line
+    records the algorithm."""
+    import argparse
+
+    import pytest as _pytest
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 21):
+        name = f"Pivt#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5, i))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5, i))
+    src = str(tmp_path / "records_pivot")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long, ident long"
+    ).write.parquet(src)
+
+    base = dict(
+        records=src, output=str(tmp_path / "pivot_out"), id_col="id",
+        key_expr="substring(name, 1, 7)", order_cols="name",
+        fields="name,segment,nation", jw_fields=None,
+        label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+        window=4, threshold_micro=0, em_iterations=5,
+        rules="name:longest", rank_strategy="keys", snapshots=None,
+        cluster_algo="pivot", gold_expr="pmod(id, 1000)",
+    )
+    m = run_er_job(spark, argparse.Namespace(**base))
+    assert m["cluster_algo"] == "pivot"
+    assert m["eval"]["conll_f_micro"] == 1000000
+    assert m["eval"]["bcubed_f_micro"] == 1000000
+
+    with _pytest.raises(ValueError, match="pivot clusters cannot"):
+        run_er_job(spark, argparse.Namespace(**{
+            **base, "repair_fields": "ident",
+            "output": str(tmp_path / "pivot_bad"),
+        }))

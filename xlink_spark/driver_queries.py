@@ -6380,6 +6380,308 @@ SQL_MERGE_CENTER_CLUSTERS = (
 )
 
 
+
+def q_pivot_clusters(spark, sf_dir):
+    """Pivot / KwikCluster correlation clustering
+    (cluster.pivot_clusters, Ailon-Charikar-Newman 2008 via the
+    parallel LFMIS rounds of Chierichetti-Dalvi-Kumar 2014) of the ER
+    chain's match edges — the permutation-ordered sibling of the
+    star/center covers: pivots are the lexicographically-first maximal
+    independent set of the match graph, every satellite joins its
+    SMALLEST adjacent pivot, clusters have diameter <= 2 and never
+    chain-merge, and the output is provably identical to sequential
+    id-order KwikCluster. K=3 MIS rounds; nodes neither elected nor
+    dominated in time become flagged singletons at round 4. Same
+    blocking -> FS weights -> scores chain as the star/CC queries, so
+    the rows hash-check the chain plus every round's minima election,
+    domination, and the final min-pivot assignment."""
+    from xlink_spark.operators.cluster import pivot_clusters
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return pivot_clusters(edges, rounds=3)
+
+
+def _pivot_rounds_sql(rounds: int) -> str:
+    """Unrolled K-round parallel-greedy-MIS SQL over the pool ``p0`` and
+    symmetric adjacency ``ka0`` (a, b): round i elects pool-local id
+    minima (isolated pool nodes elect trivially), removes elected +
+    dominated nodes from the pool, and restricts the edge list — the
+    _star_rounds_sql precedent. Emits c1..cK and ``allp``."""
+    blocks = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(
+            f"nm{i} as (select a, min(b) as mn from ka{p} group by a), "
+            f"c{i} as materialized ("
+            f"  select p.a, {i}::int as round from p{p} p"
+            f"  left join nm{i} m on m.a = p.a"
+            f"  where m.mn is null or p.a < m.mn), "
+            f"dm{i} as materialized ("
+            f"  select distinct e.a from ka{p} e"
+            f"  join c{i} c on c.a = e.b), "
+            f"p{i} as materialized ("
+            f"  select p.a from p{p} p"
+            f"  left join c{i} c on c.a = p.a"
+            f"  left join dm{i} d on d.a = p.a"
+            f"  where c.a is null and d.a is null), "
+            f"ka{i} as materialized ("
+            f"  select e.a, e.b from ka{p} e"
+            f"  join p{i} x on x.a = e.a"
+            f"  join p{i} y on y.a = e.b), "
+        )
+    unions = " union all ".join(
+        f"select * from c{i}" for i in range(1, rounds + 1)
+    )
+    blocks.append(f"allp as materialized ({unions})")
+    return "".join(blocks)
+
+
+SQL_PIVOT_CLUSTERS = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    "eg as (select id_a as src, id_b as dst from sc where score_micro >= 0), "
+    "adj as materialized (select src as a, dst as b from"
+    "  (select src, dst from eg union select dst, src from eg)), "
+    "pnodes as materialized (select distinct a from adj), "
+    "p0 as materialized (select a from pnodes), "
+    "ka0 as materialized (select a, b from adj), "
+    + _pivot_rounds_sql(3)
+    + ", "
+    "cents as (select a as node, a as cluster, round from allp), "
+    "sats as (select t.a as node, t.cluster, t.round from ("
+    "  select e.a, e.b as cluster, p.round,"
+    "    row_number() over (partition by e.a order by e.b) as rn"
+    "  from adj e join allp p on p.a = e.b"
+    "  left join allp q on q.a = e.a"
+    "  where q.a is null) t where rn = 1), "
+    "rest as (select n.a as node, n.a as cluster, 4::int as round"
+    "  from pnodes n"
+    "  left join cents c on c.node = n.a"
+    "  left join sats s on s.node = n.a"
+    "  where c.node is null and s.node is null) "
+    "select node::bigint as node, cluster::bigint as cluster, round from"
+    " (select * from cents union all select * from sats"
+    "  union all select * from rest)"
+)
+
+
+def q_one_to_one_matches(spark, sf_dir):
+    """Iterated one-to-one assignment (linkage.one_to_one_matches,
+    Preis 1999 / Manne-Bisseling 2007 locally-dominant matching) over
+    the FS-scored clean-vs-dirty candidate pairs: the linkage corpus is
+    two internally-duplicate-free sources (clean customers and their
+    corrupted twins), the canonical clean-clean setting where each side
+    may match AT MOST once. K=3 rounds of mutual-best-then-remove equal
+    the sequential best-first greedy matching under the total order
+    (score desc, right asc, left asc); each row carries its acceptance
+    round. The oracle unrolls the same window/anti-join rounds, so the
+    hash checks the FS chain, the cross-source normalization, and every
+    round's dominance decision."""
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_weights,
+        one_to_one_matches,
+    )
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    cross = scores.filter(
+        ((F.col("id_a") < 10000000) != (F.col("id_b") < 10000000))
+        & (F.col("score_micro") >= 0)
+    ).select(
+        F.when(F.col("id_a") < 10000000, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("left_id"),
+        F.when(F.col("id_a") < 10000000, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("right_id"),
+        "score_micro",
+    )
+    return one_to_one_matches(
+        cross, "left_id", "right_id", "score_micro", rounds=3
+    )
+
+
+def _one_to_one_rounds_sql(rounds: int) -> str:
+    """Unrolled K-round locally-dominant matching SQL over the pair
+    table ``g0`` (l, r, s): per round, two row_number windows pick the
+    mutual-best pairs, two anti-joins remove the matched sides. Emits
+    m1..mK and ``allm``."""
+    blocks = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(
+            f"m{i} as materialized ("
+            f"  select l, r, s, {i}::int as round from ("
+            f"    select l, r, s,"
+            f"      row_number() over (partition by l"
+            f"        order by s desc, r) as rna,"
+            f"      row_number() over (partition by r"
+            f"        order by s desc, l) as rnb"
+            f"    from g{p}) t where rna = 1 and rnb = 1), "
+            f"g{i} as materialized ("
+            f"  select p.l, p.r, p.s from g{p} p"
+            f"  left join m{i} a on a.l = p.l"
+            f"  left join m{i} b on b.r = p.r"
+            f"  where a.l is null and b.r is null), "
+        )
+    unions = " union all ".join(
+        f"select * from m{i}" for i in range(1, rounds + 1)
+    )
+    blocks.append(f"allm as materialized ({unions})")
+    return "".join(blocks)
+
+
+SQL_ONE_TO_ONE_MATCHES = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    "cross0 as (select"
+    "  case when id_a < 10000000 then id_a else id_b end as l,"
+    "  case when id_a < 10000000 then id_b else id_a end as r,"
+    "  score_micro as s"
+    "  from sc where ((id_a < 10000000) <> (id_b < 10000000))"
+    "    and score_micro >= 0), "
+    "g0 as materialized (select l, r, max(s) as s from cross0"
+    "  group by 1, 2), "
+    + _one_to_one_rounds_sql(3)
+    + " "
+    "select l::bigint as left_id, r::bigint as right_id,"
+    " s::bigint as score_micro, round from allm"
+)
+
+
+def q_canopy_clusters(spark, sf_dir):
+    """Canopy pre-blocking (cluster.canopy_clusters, McCallum-Nigam-
+    Ungar KDD 2000) over the allpairs part corpus with the paper's
+    canonical CHEAP metric — inverted-index shared-token counts: every
+    record pair sharing >= loose(2) tokens is canopy-eligible, pairs
+    sharing >= tight(3) are consumed by the first canopy that sees
+    them, and records may sit in SEVERAL canopies (the overlap that
+    preserves recall when the expensive comparator later runs only
+    inside canopies). K=3 deterministic id-order rounds; leftover pool
+    records become flagged singleton canopies at round 4; the node
+    universe is the full record table so token-isolated records
+    surface as singletons instead of vanishing. The oracle replays the
+    token explode, the shared-count self-join, and every round's
+    center election / membership / tight-removal, so the hash checks
+    the whole chain."""
+    from xlink_spark.operators.cluster import canopy_clusters
+
+    toks = _allpairs_fixture(spark, sf_dir)
+    tk = toks.select(
+        "id", F.explode(F.array_distinct("toks")).alias("tok")
+    ).distinct()
+    pairs = (
+        tk.alias("x")
+        .join(
+            tk.alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sim"))
+    )
+    nodes = toks.select(F.col("id").alias("a"))
+    return canopy_clusters(
+        pairs, "sim", loose=2, tight=3, rounds=3, nodes=nodes
+    )
+
+
+def _canopy_rounds_sql(rounds: int, tight: int) -> str:
+    """Unrolled K-round canopy SQL over the pool ``p0`` and loose edge
+    list ``ka0`` (a, b, sim): round i elects pool-local id minima,
+    emits membership rows for every pool node within loose of a new
+    center, removes centers plus tight-neighbors from the pool, and
+    restricts the edge list. Emits mm1..mmK and leaves p{K} for the
+    leftover select."""
+    blocks = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(
+            f"nm{i} as (select a, min(b) as mn from ka{p} group by a), "
+            f"c{i} as materialized ("
+            f"  select p.a from p{p} p"
+            f"  left join nm{i} m on m.a = p.a"
+            f"  where m.mn is null or p.a < m.mn), "
+            f"mm{i} as materialized ("
+            f"  select e.a, e.b as canopy, {i}::int as round"
+            f"  from ka{p} e join c{i} c on c.a = e.b"
+            f"  union all select a, a as canopy, {i}::int from c{i}), "
+            f"rm{i} as materialized (select distinct a from ("
+            f"  select e.a from ka{p} e join c{i} c on c.a = e.b"
+            f"    where e.sim >= {tight}"
+            f"  union all select a from c{i})), "
+            f"p{i} as materialized ("
+            f"  select p.a from p{p} p"
+            f"  left join rm{i} r on r.a = p.a where r.a is null), "
+            f"ka{i} as materialized ("
+            f"  select e.a, e.b, e.sim from ka{p} e"
+            f"  join p{i} x on x.a = e.a"
+            f"  join p{i} y on y.a = e.b), "
+        )
+    unions = " union all ".join(
+        f"select * from mm{i}" for i in range(1, rounds + 1)
+    )
+    blocks.append(f"allmm as materialized ({unions})")
+    return "".join(blocks)
+
+
+SQL_CANOPY_CLUSTERS = (
+    "with base as (select p_partkey::bigint as id, p_name as name,"
+    "  regexp_extract(p_name, '^[a-z]+', 0) as w1, p_type as ty,"
+    "  p_brand as br from part"
+    "  where p_partkey % 3 = 0), "
+    "dirty as (select id + 10000000 as id,"
+    "  substr(w1, 1, length(w1) - 1)"
+    "    || chr(ascii(substr(w1, length(w1), 1)) + 1)"
+    "    || substr(name, length(w1) + 1) as name, ty, br"
+    "  from base), "
+    "recs as (select id, name || ' ' || ty || ' ' || br as name"
+    "  from (select id, name, ty, br from base"
+    "        union all select * from dirty)), "
+    "tk as (select distinct id, unnest(string_split(name, ' ')) as tok"
+    "  from recs), "
+    "sp as (select x.id as a, y.id as b, count(*)::bigint as sim"
+    "  from tk x join tk y on y.tok = x.tok and y.id <> x.id"
+    "  group by 1, 2), "
+    "ka0 as materialized (select a, b, sim from sp where sim >= 2), "
+    "pnodes as materialized (select distinct id as a from recs), "
+    "p0 as materialized (select a from pnodes), "
+    + _canopy_rounds_sql(3, 3)
+    + ", "
+    "rest as (select a, a as canopy, 4::int as round from p3) "
+    "select a::bigint as node, canopy::bigint as canopy, round from"
+    " (select * from allmm union all select * from rest)"
+)
+
+
 def _truth_claims(spark, sf_dir):
     """Three-source conflicting-claims fixture over customer names: s0
     is always clean; s1 bumps the last character (+1) for custkey % 3;
@@ -8268,6 +8570,9 @@ QUERIES: dict[str, Query] = {
     "star_clusters": q_star_clusters,
     "center_clusters": q_center_clusters,
     "merge_center_clusters": q_merge_center_clusters,
+    "pivot_clusters": q_pivot_clusters,
+    "one_to_one_matches": q_one_to_one_matches,
+    "canopy_clusters": q_canopy_clusters,
     "truth_fusion": q_truth_fusion,
     "truth_source_trust": q_truth_source_trust,
     "soft_tfidf_scores": q_soft_tfidf_scores,
@@ -8412,6 +8717,9 @@ ORACLES: dict[str, str] = {
     "star_clusters": SQL_STAR_CLUSTERS,
     "center_clusters": SQL_CENTER_CLUSTERS,
     "merge_center_clusters": SQL_MERGE_CENTER_CLUSTERS,
+    "pivot_clusters": SQL_PIVOT_CLUSTERS,
+    "one_to_one_matches": SQL_ONE_TO_ONE_MATCHES,
+    "canopy_clusters": SQL_CANOPY_CLUSTERS,
     "truth_fusion": SQL_TRUTH_FUSION,
     "truth_source_trust": SQL_TRUTH_SOURCE_TRUST,
     "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,
