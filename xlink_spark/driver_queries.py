@@ -6682,6 +6682,144 @@ SQL_CANOPY_CLUSTERS = (
 )
 
 
+
+def q_canopy_blocking_metrics(spark, sf_dir):
+    """Canopy clustering AS a measured blocking scheme on the hostile
+    (ID-like) linkage corpus — the frontier companion to
+    `canopy_clusters`' word-token part corpus. The cheap metric is
+    inverted-index shared rare 4-grams (df <= 50 — the gauge family's
+    stop-gram cap); on ID-like names the rare grams cluster around the
+    distinctive digit tail and a twin pair shares exactly ONE of them,
+    so loose=1 / tight=2. The measured result is the canopy guarantee
+    doing its job: twin coverage lands EXACTLY on the loose-graph
+    ceiling (every twin pair the cheap metric connects at all ends up
+    sharing a canopy — 130/150 at sf0.001, 1350/1500 at sf0.01; the
+    residual misses are pairs with ZERO shared rare grams, a cheap-
+    metric limit no canopy parameter can recover) while cutting
+    comparisons 93-99% vs C(n,2). Comparisons are the DISTINCT pairs
+    sharing >= 1 canopy — overlap means a plain sum-of-C(n_b,2) would
+    double-count, the structural difference from every disjoint-block
+    scheme in `er_blocking_compare`. Output row is schema-compatible
+    with that gauge (scheme, comps, twins_covered, twins_total,
+    recall_ppm, rr_ppm)."""
+    from xlink_spark.operators.cluster import canopy_clusters
+
+    recs = _linkage_records(spark, sf_dir)
+    tot = recs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("id") < 10000000, 1).otherwise(0))
+        .cast("long")
+        .alias("twins_total"),
+    )
+    qg = recs.select(
+        "id",
+        F.explode(
+            F.when(
+                F.length("name") >= 4,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("name") - F.lit(3)),
+                        lambda i: F.col("name").substr(i, F.lit(4)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    over = (
+        qg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 50)
+        .select("g")
+    )
+    km = qg.join(F.broadcast(over), "g", "left_anti")
+    sims = (
+        km.alias("x")
+        .join(
+            km.alias("y"),
+            (F.col("y.g") == F.col("x.g")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sim"))
+    )
+    nodes = recs.select(F.col("id").alias("a"))
+    mem = canopy_clusters(
+        sims, "sim", loose=1, tight=2, rounds=3, nodes=nodes
+    ).select("node", "canopy").distinct()
+    cp = (
+        mem.alias("m1")
+        .join(
+            mem.alias("m2"),
+            (F.col("m2.canopy") == F.col("m1.canopy"))
+            & (F.col("m1.node") < F.col("m2.node")),
+        )
+        .select(F.col("m1.node").alias("x"), F.col("m2.node").alias("y"))
+        .distinct()
+    )
+    one = cp.agg(
+        F.count(F.lit(1)).cast("long").alias("comps"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.pmod(F.col("x"), F.lit(10000000))
+                    == F.pmod(F.col("y"), F.lit(10000000)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("twins_covered"),
+    )
+    return one.crossJoin(F.broadcast(tot)).select(
+        F.lit("canopy_qgram4_l1_t2").alias("scheme"),
+        "comps",
+        "twins_covered",
+        "twins_total",
+        F.expr("(1000000 * twins_covered) div twins_total").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "1000000 - ((1000000 * comps) div ((n * (n - 1)) div 2))"
+        ).alias("rr_ppm"),
+    )
+
+
+SQL_CANOPY_BLOCKING_METRICS = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "tot as (select count(*)::bigint as n,"
+    "  sum(case when id < 10000000 then 1 else 0 end)::bigint"
+    "    as twins_total from recs), "
+    "qg as (select distinct id, substr(name, gp, 4) as g"
+    "  from recs, unnest(generate_series(1, length(name) - 3)) as t(gp)"
+    "  where length(name) >= 4), "
+    "big as (select g from qg group by g having count(*) > 50), "
+    "km as (select id, g from qg where g not in (select g from big)), "
+    "sims as (select x.id as a, y.id as b, count(*)::bigint as sim"
+    "  from km x join km y on y.g = x.g and x.id < y.id"
+    "  group by 1, 2), "
+    "sym as (select a, b, sim from"
+    "  (select a, b, sim from sims union all select b, a, sim from sims)), "
+    "ka0 as materialized (select a, b, sim from sym where sim >= 1), "
+    "pnodes as materialized (select id as a from recs), "
+    "p0 as materialized (select a from pnodes), "
+    + _canopy_rounds_sql(3, 2)
+    + ", "
+    "mem as (select distinct a, canopy from"
+    "  (select a, canopy from allmm"
+    "   union all select a, a as canopy from p3)), "
+    "cp as (select distinct m1.a as x, m2.a as y from mem m1"
+    "  join mem m2 on m2.canopy = m1.canopy and m1.a < m2.a), "
+    "one as (select count(*)::bigint as comps,"
+    "  coalesce(sum(case when x % 10000000 = y % 10000000"
+    "    then 1 else 0 end), 0)::bigint as twins_covered from cp) "
+    "select 'canopy_qgram4_l1_t2' as scheme, comps, twins_covered,"
+    "  twins_total,"
+    "  (1000000 * twins_covered) // twins_total as recall_ppm,"
+    "  1000000 - ((1000000 * comps) // ((n * (n - 1)) // 2)) as rr_ppm"
+    " from one, tot"
+)
+
+
 def _truth_claims(spark, sf_dir):
     """Three-source conflicting-claims fixture over customer names: s0
     is always clean; s1 bumps the last character (+1) for custkey % 3;
@@ -8573,6 +8711,7 @@ QUERIES: dict[str, Query] = {
     "pivot_clusters": q_pivot_clusters,
     "one_to_one_matches": q_one_to_one_matches,
     "canopy_clusters": q_canopy_clusters,
+    "canopy_blocking_metrics": q_canopy_blocking_metrics,
     "truth_fusion": q_truth_fusion,
     "truth_source_trust": q_truth_source_trust,
     "soft_tfidf_scores": q_soft_tfidf_scores,
@@ -8720,6 +8859,7 @@ ORACLES: dict[str, str] = {
     "pivot_clusters": SQL_PIVOT_CLUSTERS,
     "one_to_one_matches": SQL_ONE_TO_ONE_MATCHES,
     "canopy_clusters": SQL_CANOPY_CLUSTERS,
+    "canopy_blocking_metrics": SQL_CANOPY_BLOCKING_METRICS,
     "truth_fusion": SQL_TRUTH_FUSION,
     "truth_source_trust": SQL_TRUTH_SOURCE_TRUST,
     "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,
