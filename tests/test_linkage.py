@@ -2057,3 +2057,56 @@ def test_one_to_one_matches_equals_sequential_greedy(spark):
             for x in one_to_one_matches(df, "l", "r", "s", rounds=24).collect()
         }
         assert got == seq, f"trial {trial}"
+
+
+def test_truth_discovery_avg_log_discounts_low_volume(spark):
+    """Average-Log (Pasternack-Roth 2010) vs Sums on the canonical
+    pathology: source C asserts ONE uncontested fact (conf 1000 — no
+    one disputes it), so Sums hands C the TOP trust in the table;
+    Average-Log multiplies by floor-micro ln(n_claims), so C's single
+    claim earns ln(1) = 0 trust while the high-volume sources keep
+    theirs. Confidences still normalize per object, and an unknown
+    method raises."""
+    import math
+
+    import pytest as _pytest
+
+    from xlink_spark.operators.linkage import source_trust, truth_discovery
+
+    rows = [
+        ("o1", "A", "x1"), ("o2", "A", "x2"), ("o3", "A", "x3"), ("o4", "A", "x4"),
+        ("o1", "B", "bad"), ("o2", "B", "x2"), ("o3", "B", "x3"), ("o4", "B", "x4"),
+        ("o1", "D", "x1"), ("o2", "D", "x2"), ("o3", "D", "x3"), ("o4", "D", "x4"),
+        ("o5", "C", "x5"),
+    ]
+    df = spark.createDataFrame(rows, "obj string, src string, val string")
+    ts = {x["src"]: x["trust_ppt"] for x in source_trust(df, "obj", "src", "val").collect()}
+    ta = {x["src"]: x["trust_ppt"] for x in source_trust(
+        df, "obj", "src", "val", method="avg_log"
+    ).collect()}
+    assert ts["C"] >= ts["A"] > ts["B"]  # Sums: the lone uncontested
+    assert ts["C"] == 1000  # claim earns C the table's top trust
+    assert ta["C"] == 0  # Average-Log: ln(1) = 0 kills it
+    assert ta["A"] > ta["B"] > ta["C"]
+
+    # the ln micro-floor matches an independent python replica for the
+    # round-1 trust of A (4 claims): (sum_conf * floor(1e6 ln 4)) //
+    # (4 * 1e6) — conf comes out of the same sums-style normalization
+    conf1 = {
+        (x["obj"], x["val"]): x["conf_ppt"]
+        for x in truth_discovery(
+            df, "obj", "src", "val", iterations=1, method="avg_log"
+        ).collect()
+    }
+    sum_a = sum(conf1[(f"o{i}", f"x{i}")] for i in range(1, 5))
+    want_a = (sum_a * math.floor(1e6 * math.log(4))) // (4 * 10**6)
+    ta1 = {
+        x["src"]: x["trust_ppt"]
+        for x in source_trust(
+            df, "obj", "src", "val", iterations=1, method="avg_log"
+        ).collect()
+    }
+    assert ta1["A"] == want_a
+
+    with _pytest.raises(ValueError, match="method"):
+        truth_discovery(df, "obj", "src", "val", method="votes")

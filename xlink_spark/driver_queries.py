@@ -6948,6 +6948,116 @@ SQL_TRUTH_SOURCE_TRUST = (
 )
 
 
+
+def q_truth_trust_avglog(spark, sf_dir):
+    """Sums vs Average-Log source trust side by side (Pasternack & Roth
+    2010) on the conflicting-claims fixture EXTENDED with s3 — a low-
+    volume source asserting only every fifth object's clean name. The
+    row set pins the method's point: under Sums s3's average confidence
+    competes with the full-volume sources (volume-blind), while
+    Average-Log multiplies by the floor-micro ln(n_claims) and discounts
+    it. Both fixed-point chains (2 iterations each) replayed by the
+    oracle — the only float is the shared ⌊10⁶·ln(n)⌋ micro-floor of a
+    bigint claim count; the zero-denominator guard (reachable only under
+    avg_log) rides the same CASE on both engines."""
+    from xlink_spark.operators.linkage import source_trust
+
+    cust = spark.read.parquet(_T(sf_dir, "customer"))
+    s3 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").cast("long").alias("obj"),
+        F.lit("s3").alias("src"),
+        F.col("c_name").alias("val"),
+    )
+    claims = _truth_claims(spark, sf_dir).unionByName(s3)
+    ts = source_trust(claims, "obj", "src", "val").select(
+        "src", "n_claims", F.col("trust_ppt").alias("trust_sums_ppt")
+    )
+    ta = source_trust(claims, "obj", "src", "val", method="avg_log").select(
+        "src", F.col("trust_ppt").alias("trust_avglog_ppt")
+    )
+    return ts.join(ta, "src").select(
+        "src", "n_claims", "trust_sums_ppt", "trust_avglog_ppt"
+    )
+
+
+_SQL_TRUTH_CLAIMS4 = (
+    "cl4 as materialized (select distinct obj, src, val from ("
+    "  select c_custkey::bigint as obj, 's0' as src, c_name as val"
+    "  from customer"
+    "  union all"
+    "  select c_custkey::bigint, 's1',"
+    "    case when c_custkey % 3 = 0 then"
+    "      substr(c_name, 1, length(c_name) - 1) ||"
+    "      chr(ascii(substr(c_name, length(c_name), 1)) + 1)"
+    "    else c_name end from customer"
+    "  union all"
+    "  select c_custkey::bigint, 's2',"
+    "    case when c_custkey % 4 = 0 then"
+    "      substr(c_name, 1, length(c_name) - 1) ||"
+    "      chr(ascii(substr(c_name, length(c_name), 1)) + 2)"
+    "    else c_name end from customer"
+    "  union all"
+    "  select c_custkey::bigint, 's3', c_name from customer"
+    "  where c_custkey % 5 = 0)), "
+)
+
+_TRUST_SUMS_SQL = "sum(x.conf_ppt) // count(*)"
+_TRUST_AVGLOG_SQL = (
+    "(sum(x.conf_ppt)"
+    " * floor(1000000 * ln(count(*)::double))::bigint)"
+    " // (count(*) * 1000000)"
+)
+
+
+def _truth_iter_sql_m(i: int, tag: str, trust_expr: str) -> str:
+    """One fixed-point iteration over ``cl4`` with a method-specific
+    trust update — the _truth_iter_sql shape with tagged CTE names so
+    the Sums and Average-Log chains coexist in one WITH, plus the
+    den = 0 conf guard (reachable only under avg_log)."""
+    p = i - 1
+    return (
+        f"ct{tag}{i} as (select c.obj, c.src, c.val, t.trust_ppt"
+        f"  from cl4 c join t{tag}{p} t using (src)), "
+        f"n{tag}{i} as (select obj, val, sum(trust_ppt)::bigint as num,"
+        f"  count(*)::bigint as ns from ct{tag}{i} group by 1, 2), "
+        f"d{tag}{i} as (select obj, sum(trust_ppt)::bigint as den"
+        f"  from ct{tag}{i} group by 1), "
+        f"c{tag}{i} as materialized (select n.obj, n.val,"
+        f"  (case when d.den = 0 then 0"
+        f"    else (1000 * n.num) // d.den end)::bigint as conf_ppt"
+        f"  from n{tag}{i} n join d{tag}{i} d using (obj)), "
+        f"t{tag}{i} as materialized (select c.src,"
+        f"  ({trust_expr})::bigint as trust_ppt"
+        f"  from cl4 c join c{tag}{i} x on x.obj = c.obj and x.val = c.val"
+        f"  group by c.src), "
+    )
+
+
+SQL_TRUTH_TRUST_AVGLOG = (
+    "with "
+    + _SQL_TRUTH_CLAIMS4
+    + "ts0 as (select src, 500::bigint as trust_ppt from"
+    "  (select distinct src from cl4)), "
+    "ta0 as (select src, 500::bigint as trust_ppt from"
+    "  (select distinct src from cl4)), "
+    + _truth_iter_sql_m(1, "s", _TRUST_SUMS_SQL)
+    + _truth_iter_sql_m(2, "s", _TRUST_SUMS_SQL)
+    + _truth_iter_sql_m(1, "a", _TRUST_AVGLOG_SQL)
+    + _truth_iter_sql_m(2, "a", _TRUST_AVGLOG_SQL)
+    + "fs as (select c.src,"
+    "  (" + _TRUST_SUMS_SQL + ")::bigint as trust_sums_ppt,"
+    "  count(*)::bigint as n_claims"
+    "  from cl4 c join cs2 x on x.obj = c.obj and x.val = c.val"
+    "  group by c.src), "
+    "fa as (select c.src,"
+    "  (" + _TRUST_AVGLOG_SQL + ")::bigint as trust_avglog_ppt"
+    "  from cl4 c join ca2 x on x.obj = c.obj and x.val = c.val"
+    "  group by c.src) "
+    "select fs.src, fs.n_claims, fs.trust_sums_ppt, fa.trust_avglog_ppt"
+    " from fs join fa using (src)"
+)
+
+
 def q_allpairs_name_blocks(spark, sf_dir):
     """Prefix-filtered all-pairs Jaccard self-join
     (linkage.allpairs_jaccard_pairs — Bayardo et al. 2007 / Vernica et
@@ -8712,6 +8822,7 @@ QUERIES: dict[str, Query] = {
     "one_to_one_matches": q_one_to_one_matches,
     "canopy_clusters": q_canopy_clusters,
     "canopy_blocking_metrics": q_canopy_blocking_metrics,
+    "truth_trust_avglog": q_truth_trust_avglog,
     "truth_fusion": q_truth_fusion,
     "truth_source_trust": q_truth_source_trust,
     "soft_tfidf_scores": q_soft_tfidf_scores,
@@ -8860,6 +8971,7 @@ ORACLES: dict[str, str] = {
     "one_to_one_matches": SQL_ONE_TO_ONE_MATCHES,
     "canopy_clusters": SQL_CANOPY_CLUSTERS,
     "canopy_blocking_metrics": SQL_CANOPY_BLOCKING_METRICS,
+    "truth_trust_avglog": SQL_TRUTH_TRUST_AVGLOG,
     "truth_fusion": SQL_TRUTH_FUSION,
     "truth_source_trust": SQL_TRUTH_SOURCE_TRUST,
     "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,

@@ -2129,6 +2129,7 @@ def truth_discovery(
     val_col: str,
     iterations: int = 2,
     init_trust_ppt: int = 500,
+    method: str = "sums",
 ) -> DataFrame:
     """Truth discovery over conflicting claims — the data-fusion stage a
     linkage deployment runs AFTER clustering, when the records merged
@@ -2153,11 +2154,25 @@ def truth_discovery(
     Returns claim-value grain: (obj, val, conf_ppt, n_sources) after the
     last iteration. ``source_trust`` exposes the companion trust table.
 
+    ``method='avg_log'`` switches the trust update to Pasternack & Roth's
+    Average-Log: trust_i(s) = (Σ conf_i · ⌊10⁶·ln(n_claims)⌋) div
+    (n_claims · 10⁶) — the same average confidence DISCOUNTED by claim
+    volume, so a source asserting two facts can no longer outrank the
+    encyclopedia asserting ten thousand just by keeping its tiny claim
+    set clean (Sums' known pathology). The single float op is the
+    ⌊10⁶·ln(n)⌋ micro-floor of a bigint count, the repo's standard
+    shared-expression pattern (both engines evaluate the identical
+    double chain; the hash-oracle pins it); everything else stays
+    bigint. A one-claim source gets ln(1) = 0 — zero trust, the
+    documented Average-Log behavior.
+
     Scale shape: each iteration is two claim-grain groupBys plus two
     narrow equi-joins (all map-side combinable; no windows); the
     object-denominator join keys on obj, the trust join on src —
     both the natural partitionings of a claims lake.
     """
+    if method not in ("sums", "avg_log"):
+        raise ValueError(f"method must be sums or avg_log, got {method!r}")
     c = (
         claims.select(
             F.col(obj_col).alias("obj"),
@@ -2182,17 +2197,26 @@ def truth_discovery(
         conf = conf_num.join(conf_den, "obj").select(
             "obj",
             "val",
-            F.expr("(1000 * num) div den").cast("long").alias("conf_ppt"),
+            # den = 0 is reachable under avg_log (a one-claim source has
+            # ln(1) = 0 trust; an object claimed ONLY by zero-trust
+            # sources has no evidence) — such values get conf 0 instead
+            # of a divide-by-zero; Sums keeps every trust positive and
+            # never takes this branch
+            F.expr("case when den = 0 then 0 else (1000 * num) div den end")
+            .cast("long")
+            .alias("conf_ppt"),
             "n_sources",
+        )
+        trust_expr = (
+            "(sum(conf_ppt) * cast(floor(1000000 * ln(cast(count(*) as"
+            " double))) as bigint)) div (count(*) * 1000000)"
+            if method == "avg_log"
+            else "sum(conf_ppt) div count(*)"
         )
         trust = (
             c.join(conf.select("obj", "val", "conf_ppt"), ["obj", "val"])
             .groupBy("src")
-            .agg(
-                F.expr("sum(conf_ppt) div count(*)")
-                .cast("long")
-                .alias("trust_ppt")
-            )
+            .agg(F.expr(trust_expr).cast("long").alias("trust_ppt"))
         )
     return conf
 
@@ -2204,6 +2228,7 @@ def source_trust(
     val_col: str,
     iterations: int = 2,
     init_trust_ppt: int = 500,
+    method: str = "sums",
 ) -> DataFrame:
     """Companion to ``truth_discovery``: the per-source trust table
     (src, trust_ppt, n_claims) after the SAME K engine-exact iterations
@@ -2222,14 +2247,19 @@ def source_trust(
     conf = truth_discovery(
         claims, obj_col, src_col, val_col,
         iterations=iterations, init_trust_ppt=init_trust_ppt,
+        method=method,
+    )
+    trust_expr = (
+        "(sum(conf_ppt) * cast(floor(1000000 * ln(cast(count(*) as"
+        " double))) as bigint)) div (count(*) * 1000000)"
+        if method == "avg_log"
+        else "sum(conf_ppt) div count(*)"
     )
     return (
         c.join(conf.select("obj", "val", "conf_ppt"), ["obj", "val"])
         .groupBy("src")
         .agg(
-            F.expr("sum(conf_ppt) div count(*)").cast("long").alias(
-                "trust_ppt"
-            ),
+            F.expr(trust_expr).cast("long").alias("trust_ppt"),
             F.count(F.lit(1)).cast("long").alias("n_claims"),
         )
     )
