@@ -4993,6 +4993,85 @@ SQL_ER_GOLDEN_RECORDS = (
 )
 
 
+
+def q_fused_golden_values(spark, sf_dir):
+    """Survivorship BY truth discovery — the composition that closes the
+    loop between the ER chain and the fusion family: SNM blocking → FS
+    scores → threshold edges → connected components gives the entity
+    clusters; three reference sources (s0 clean, s1 bumping a third of
+    records, s2 bumping a quarter — the _truth_claims corruption model
+    keyed on MEMBER id, so twin members inject real within-cluster
+    conflict) each assert a name per cluster member; two Sums iterations
+    learn source trust from cross-cluster corroboration and the
+    min-struct argmax picks one fused name per entity. Where
+    `er_golden_records` survives attributes by syntactic rules (longest/
+    mode/min), this row set survives them by SOURCE RELIABILITY — the
+    fusion-stage alternative a master-data deployment graduates to. The
+    oracle replays the whole causal chain: blocking, weighting,
+    thresholding, the recursive-CTE closure, claim construction, both
+    fixed-point iterations, and the tie-broken winner."""
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        fused_values,
+        match_weights,
+        truth_discovery,
+    )
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    recs = _linkage_records(spark, sf_dir)
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        "id",
+        "name",
+        F.coalesce(F.col("component"), F.col("id")).alias("obj"),
+    )
+
+    def bump(k):
+        return (
+            "concat(substring(name, 1, length(name) - 1), "
+            f"char(ascii(substring(name, length(name), 1)) + {k}))"
+        )
+
+    a0 = asg.select("obj", F.lit("s0").alias("src"), F.col("name").alias("val"))
+    a1 = asg.select(
+        "obj",
+        F.lit("s1").alias("src"),
+        F.expr(f"case when pmod(id, 3) = 0 then {bump(1)} else name end").alias(
+            "val"
+        ),
+    )
+    a2 = asg.select(
+        "obj",
+        F.lit("s2").alias("src"),
+        F.expr(f"case when pmod(id, 4) = 0 then {bump(2)} else name end").alias(
+            "val"
+        ),
+    )
+    claims = a0.unionByName(a1).unionByName(a2)
+    conf = truth_discovery(claims, "obj", "src", "val", iterations=2)
+    return fused_values(conf).select(
+        F.col("obj").alias("cluster"), "val", "conf_ppt", "n_sources"
+    )
+
+
+
+
+
 def q_snm_multipass_pairs(spark, sf_dir):
     """Multi-pass sorted-neighborhood blocking (linkage.multipass_pairs) —
     Hernandez & Stolfo's full method: pass 1 sorts on the name-digit key,
@@ -6948,6 +7027,43 @@ SQL_TRUTH_SOURCE_TRUST = (
 )
 
 
+SQL_FUSED_GOLDEN_VALUES = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "asg as (select r.id, r.name,"
+    "  coalesce(c.component, r.id) as obj"
+    "  from recs r left join comp c on c.node = r.id), "
+    "cl as materialized (select distinct obj, src, val from ("
+    "  select obj, 's0' as src, name as val from asg"
+    "  union all"
+    "  select obj, 's1',"
+    "    case when id % 3 = 0 then"
+    "      substr(name, 1, length(name) - 1) ||"
+    "      chr(ascii(substr(name, length(name), 1)) + 1)"
+    "    else name end from asg"
+    "  union all"
+    "  select obj, 's2',"
+    "    case when id % 4 = 0 then"
+    "      substr(name, 1, length(name) - 1) ||"
+    "      chr(ascii(substr(name, length(name), 1)) + 2)"
+    "    else name end from asg)), "
+    "t0 as (select src, 500::bigint as trust_ppt from"
+    "  (select distinct src from cl)), "
+    + _truth_iter_sql(1)
+    + _truth_iter_sql(2)
+    + "rankedf as (select obj, val, conf_ppt, n_sources,"
+    "  row_number() over (partition by obj"
+    "    order by conf_ppt desc, val) as rn from c2) "
+    "select obj as cluster, val, conf_ppt, n_sources"
+    " from rankedf where rn = 1"
+)
+
+
 
 def q_truth_trust_avglog(spark, sf_dir):
     """Sums vs Average-Log source trust side by side (Pasternack & Roth
@@ -8823,6 +8939,7 @@ QUERIES: dict[str, Query] = {
     "canopy_clusters": q_canopy_clusters,
     "canopy_blocking_metrics": q_canopy_blocking_metrics,
     "truth_trust_avglog": q_truth_trust_avglog,
+    "fused_golden_values": q_fused_golden_values,
     "truth_fusion": q_truth_fusion,
     "truth_source_trust": q_truth_source_trust,
     "soft_tfidf_scores": q_soft_tfidf_scores,
@@ -8972,6 +9089,7 @@ ORACLES: dict[str, str] = {
     "canopy_clusters": SQL_CANOPY_CLUSTERS,
     "canopy_blocking_metrics": SQL_CANOPY_BLOCKING_METRICS,
     "truth_trust_avglog": SQL_TRUTH_TRUST_AVGLOG,
+    "fused_golden_values": SQL_FUSED_GOLDEN_VALUES,
     "truth_fusion": SQL_TRUTH_FUSION,
     "truth_source_trust": SQL_TRUTH_SOURCE_TRUST,
     "soft_tfidf_scores": SQL_SOFT_TFIDF_SCORES,
