@@ -12,9 +12,11 @@ Usage (cluster or local):
         [--window 5] [--threshold-micro 0] \\
         [--rules "name:longest,segment:mode,nation:min"] \\
         [--rank-strategy keys|range] [--snapshots /lake/snap] \\
-        [--blocking snm|multipass|phonetic|suffix|qgram] [--max-block-size N] \\
+        [--blocking snm|multipass|phonetic|suffix|qgram|allpairs|canopy] \\
+        [--max-block-size N] \\
         [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
         [--allpairs-threshold-ppt 600] \\
+        [--canopy-loose 1] [--canopy-tight 2] [--canopy-rounds 3] \\
         [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
         [--review-lower-micro -2000000] [--tf-adjust-fields name] \\
         [--level-fields "name:2"] \\
@@ -25,8 +27,11 @@ sorted-neighborhood by default, or ``--blocking phonetic`` (Soundex or,
 with --phonetic-scheme nysiis/caverphone, NYSIIS or Caverphone 2.0 of
 --key-expr) / ``--blocking suffix`` (shared-suffix blocking of --key-expr) /
 ``--blocking allpairs`` (prefix-filtered exact-recall Jaccard over the
-whitespace tokens of --key-expr at --allpairs-threshold-ppt; all with an
-oversize-block purge via --max-block-size) → per-field comparison
+whitespace tokens of --key-expr at --allpairs-threshold-ppt) /
+``--blocking canopy`` (overlapping cheap-metric canopies over --key-expr
+q-grams, McCallum 2000 — candidates are the distinct pairs sharing a
+canopy; all with an oversize-block purge via --max-block-size) →
+per-field comparison
 vectors (null-safe equality; fields named in --jw-fields instead compare
 by Jaro-Winkler ≥ threshold_micro — the fuzzy comparator production FS
 deployments use for names) → Fellegi-Sunter weights — supervised from
@@ -172,6 +177,21 @@ def run_er_job(spark, args) -> dict:
             max_block_size=max_block,
             measure=getattr(args, "allpairs_measure", None) or "jaccard",
         )
+    elif blocking == "canopy":
+        from xlink_spark.operators.linkage import canopy_candidate_pairs
+
+        # overlapping cheap-metric canopies over --key-expr q-grams
+        # (McCallum 2000); candidates = distinct pairs sharing a canopy
+        pairs = canopy_candidate_pairs(
+            recs,
+            "_key",
+            idc,
+            q=int(getattr(args, "qgram_q", None) or 4),
+            loose=int(getattr(args, "canopy_loose", None) or 1),
+            tight=int(getattr(args, "canopy_tight", None) or 2),
+            rounds=int(getattr(args, "canopy_rounds", None) or 3),
+            max_block_size=50 if max_block is None else max_block,
+        )
     elif blocking == "multipass":
         from xlink_spark.operators.linkage import multipass_pairs
 
@@ -206,7 +226,7 @@ def run_er_job(spark, args) -> dict:
     else:
         raise ValueError(
             f"unknown --blocking {blocking!r}"
-            " (use snm|multipass|phonetic|suffix|qgram)"
+            " (use snm|multipass|phonetic|suffix|qgram|allpairs|canopy)"
         )
     ra = recs.select(
         F.col(idc).alias("id_a"), *[F.col(f).alias(f"_a_{f}") for f in fields]
@@ -728,7 +748,8 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument(
         "--blocking",
-        choices=["snm", "multipass", "phonetic", "suffix", "qgram", "allpairs"],
+        choices=["snm", "multipass", "phonetic", "suffix", "qgram",
+                 "allpairs", "canopy"],
         default="snm",
         help="candidate generation: sorted-neighborhood (default), "
         "multi-pass SNM (--pass-exprs), Soundex of --key-expr, suffix "
@@ -855,6 +876,21 @@ def main() -> None:
     ap.add_argument("--em-iterations", type=int, default=5)
     ap.add_argument("--rules", help="csv col:rule survivorship rules (mode|longest|min|max)")
     ap.add_argument("--rank-strategy", choices=["keys", "range"], default="keys")
+    ap.add_argument(
+        "--canopy-loose",
+        type=int,
+        help="canopy blocking: loose shared-gram threshold (default 1)",
+    )
+    ap.add_argument(
+        "--canopy-tight",
+        type=int,
+        help="canopy blocking: tight (pool-removal) threshold (default 2)",
+    )
+    ap.add_argument(
+        "--canopy-rounds",
+        type=int,
+        help="canopy blocking: deterministic id-order rounds (default 3)",
+    )
     ap.add_argument("--snapshots", help="commit clusters/golden via the SnapshotStore")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()

@@ -1132,3 +1132,80 @@ def test_run_er_job_pivot_cluster_algo(spark, tmp_path):
             **base, "repair_fields": "ident",
             "output": str(tmp_path / "pivot_bad"),
         }))
+
+
+def test_run_er_job_canopy_blocking(spark, tmp_path):
+    """--blocking canopy: overlapping cheap-metric canopies over the
+    key's 4-grams generate the candidates. Twin names differ only in
+    the last character, so after the --max-block-size purge strips the
+    corpus-constant head/tail grams each twin pair shares its rare
+    digit grams and lands in one canopy; FS separates the rest, and on
+    isolated twin 2-cliques the whole chain lands the same perfect
+    gauges as SNM (every eval metric 10⁶ via --gold-expr)."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 21):
+        name = f"Cnpy{i:04d}xyzw"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5, i))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5, i))
+    src = str(tmp_path / "records_canopy")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long, ident long"
+    ).write.parquet(src)
+
+    base = dict(
+        records=src, output=str(tmp_path / "canopy_out"), id_col="id",
+        key_expr="name", order_cols=None,
+        fields="name,segment,nation", jw_fields=None,
+        label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+        window=4, threshold_micro=0, em_iterations=5,
+        rules="name:longest", rank_strategy="keys", snapshots=None,
+        # cap 3 purges the grams every record shares (the constant
+        # "Cnpy"/"xyzw" head and tail) and keeps the per-twin digit
+        # grams — the canopy recall/cost knob doing its documented job
+        blocking="canopy", max_block_size=3, gold_expr="pmod(id, 1000)",
+    )
+    m = run_er_job(spark, argparse.Namespace(**base))
+    assert m["eval"]["conll_f_micro"] == 1000000
+    assert m["eval"]["bcubed_f_micro"] == 1000000
+
+
+def test_canopy_candidate_pairs_recall_and_purge(spark):
+    """canopy_candidate_pairs: twins sharing head grams land in one
+    canopy (pair emitted, n_canopies >= 1); a record whose every gram
+    is purged by max_block_size produces no pairs but no error; q < 1
+    raises."""
+    import pytest as _pytest
+
+    from xlink_spark.operators.linkage import canopy_candidate_pairs
+
+    recs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgx"), (3, "zzzzyyyy")],
+        "id long, name string",
+    )
+    got = {
+        (x["id_a"], x["id_b"]): x["n_canopies"]
+        for x in canopy_candidate_pairs(
+            recs, "name", "id", q=4, loose=1, tight=2
+        ).collect()
+    }
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+    # every gram shared by all records -> purged at cap 2 -> no pairs
+    allsame = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa"), (3, "aaaa")], "id long, name string"
+    )
+    assert (
+        canopy_candidate_pairs(
+            allsame, "name", "id", q=4, max_block_size=2
+        ).count()
+        == 0
+    )
+
+    with _pytest.raises(ValueError, match="q must be"):
+        canopy_candidate_pairs(recs, "name", "id", q=0)

@@ -2355,3 +2355,84 @@ def one_to_one_matches(
     for f in accepted[1:]:
         out = out.unionByName(f)
     return out
+
+
+def canopy_candidate_pairs(
+    records: DataFrame,
+    key_col: str,
+    id_col: str,
+    q: int = 4,
+    loose: int = 1,
+    tight: int = 2,
+    rounds: int = 3,
+    max_block_size: int | None = 50,
+) -> DataFrame:
+    """Canopy blocking as a candidate generator (McCallum, Nigam & Ungar
+    KDD 2000) — the composition `er_blocking_compare`'s canopy gauge
+    measures, packaged for the ER job: distinct character q-grams of the
+    blocking key, stop-grams purged above ``max_block_size`` (the
+    inverted index's hot-postings cap), pairwise shared-gram counts as
+    the CHEAP similarity, deterministic id-order canopies at
+    (``loose``, ``tight``), and finally the DISTINCT pairs sharing >= 1
+    canopy — the only pairs the expensive comparator downstream will
+    ever score. Records with no (kept) gram at all become singleton
+    canopies and simply produce no pairs, never an error.
+
+    Returns (id_a, id_b, n_canopies) with id_a < id_b; ``n_canopies``
+    counts how many canopies the pair co-occurs in — a cheap match
+    prior, the multipass n_passes precedent. Scale shape: one gram
+    explode + purge anti-join, a bounded postings self-join, the
+    canopy rounds (narrow, shrinking), and one membership self-join
+    keyed on canopy id.
+    """
+    from xlink_spark.operators.cluster import canopy_clusters
+
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    ids = records.select(F.col(id_col).cast("long").alias("a"))
+    grams = records.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(
+            F.when(
+                F.length(key_col) >= q,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(key_col) - F.lit(q - 1)),
+                        lambda i: F.col(key_col).substr(i, F.lit(q)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    if max_block_size is not None:
+        over = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(max_block_size))
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(over), "g", "left_anti")
+    sims = (
+        grams.alias("x")
+        .join(
+            grams.alias("y"),
+            (F.col("y.g") == F.col("x.g")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sim"))
+    )
+    mem = canopy_clusters(
+        sims, "sim", loose=loose, tight=tight, rounds=rounds, nodes=ids
+    ).select("node", "canopy").distinct()
+    return (
+        mem.alias("m1")
+        .join(
+            mem.alias("m2"),
+            (F.col("m2.canopy") == F.col("m1.canopy"))
+            & (F.col("m1.node") < F.col("m2.node")),
+        )
+        .groupBy(
+            F.col("m1.node").alias("id_a"), F.col("m2.node").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_canopies"))
+    )
