@@ -422,12 +422,16 @@ def run_er_job(spark, args) -> dict:
             if c.strip()
         ]
         cluster_algo = getattr(args, "cluster_algo", None) or "cc"
-        if cluster_algo not in ("cc", "star", "center", "merge_center", "pivot"):
+        if cluster_algo not in (
+            "cc", "star", "center", "merge_center", "pivot", "one_to_one"
+        ):
             raise ValueError(
-                "--cluster-algo must be cc, star, center, merge_center or "
-                f"pivot, got {cluster_algo!r}"
+                "--cluster-algo must be cc, star, center, merge_center, "
+                f"pivot or one_to_one, got {cluster_algo!r}"
             )
-        if repair_fields and cluster_algo in ("star", "center", "pivot"):
+        if repair_fields and cluster_algo in (
+            "star", "center", "pivot", "one_to_one"
+        ):
             raise ValueError(
                 "--repair-fields repairs transitive chain merges; "
                 f"{cluster_algo} clusters cannot chain-merge — drop one "
@@ -551,6 +555,65 @@ def run_er_job(spark, args) -> dict:
             comp = pivot_clusters(
                 edges, rounds=int(getattr(args, "star_rounds", None) or 3)
             ).select("node", F.col("cluster").alias("component"))
+        elif cluster_algo == "one_to_one":
+            # clean-clean linkage (the Splink link_only shape): each of
+            # the two internally-duplicate-free sources matches AT MOST
+            # once; K rounds of locally-dominant mutual-best equal the
+            # sequential best-first greedy matching
+            from xlink_spark.operators.linkage import one_to_one_matches
+
+            sexpr = getattr(args, "source_expr", None)
+            if not sexpr:
+                raise ValueError(
+                    "--source-expr (a boolean expression naming the left "
+                    "source) is required for --cluster-algo one_to_one"
+                )
+            side = recs.select(
+                F.col(idc).cast("long").alias("_sid"),
+                F.expr(sexpr).cast("boolean").alias("_side"),
+            )
+            e2 = (
+                edges.join(
+                    side.select(
+                        F.col("_sid").alias("src"),
+                        F.col("_side").alias("_side_a"),
+                    ),
+                    "src",
+                )
+                .join(
+                    side.select(
+                        F.col("_sid").alias("dst"),
+                        F.col("_side").alias("_side_b"),
+                    ),
+                    "dst",
+                )
+                .filter(F.col("_side_a") != F.col("_side_b"))
+                .select(
+                    F.when(F.col("_side_a"), F.col("src"))
+                    .otherwise(F.col("dst"))
+                    .alias("_left"),
+                    F.when(F.col("_side_a"), F.col("dst"))
+                    .otherwise(F.col("src"))
+                    .alias("_right"),
+                    "score_micro",
+                )
+            )
+            m = one_to_one_matches(
+                e2,
+                "_left",
+                "_right",
+                "score_micro",
+                rounds=int(getattr(args, "star_rounds", None) or 3),
+            )
+            comp = m.select(
+                F.col("_left").alias("node"),
+                F.least("_left", "_right").alias("component"),
+            ).unionByName(
+                m.select(
+                    F.col("_right").alias("node"),
+                    F.least("_left", "_right").alias("component"),
+                )
+            )
         elif cluster_algo == "merge_center":
             # CENTER plus cluster merges on record->foreign-center
             # evidence — the middle ground before transitive closure
@@ -810,7 +873,8 @@ def main() -> None:
     )
     ap.add_argument(
         "--cluster-algo",
-        choices=["cc", "star", "center", "merge_center", "pivot"],
+        choices=["cc", "star", "center", "merge_center", "pivot",
+                 "one_to_one"],
         default="cc",
         help="cluster extraction over the match edges: cc = transitive "
         "connected components (default); star = Aslam-2004 star cover "
@@ -820,7 +884,9 @@ def main() -> None:
         "immunity); merge_center = center plus cluster merges on "
         "record->foreign-center evidence (middle ground before cc); "
         "pivot = KwikCluster LFMIS pivots (permutation-ordered stars, "
-        "sequential-greedy-exact, same immunity)",
+        "sequential-greedy-exact, same immunity); one_to_one = "
+        "clean-clean iterated mutual-best assignment between the two "
+        "sources named by --source-expr (each side matches at most once)",
     )
     ap.add_argument(
         "--star-rounds",
@@ -876,6 +942,12 @@ def main() -> None:
     ap.add_argument("--em-iterations", type=int, default=5)
     ap.add_argument("--rules", help="csv col:rule survivorship rules (mode|longest|min|max)")
     ap.add_argument("--rank-strategy", choices=["keys", "range"], default="keys")
+    ap.add_argument(
+        "--source-expr",
+        help="one_to_one: boolean expression over the record columns "
+        "naming the LEFT source (clean-clean linkage between two "
+        "internally-duplicate-free sources)",
+    )
     ap.add_argument(
         "--canopy-loose",
         type=int,

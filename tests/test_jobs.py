@@ -1209,3 +1209,61 @@ def test_canopy_candidate_pairs_recall_and_purge(spark):
 
     with _pytest.raises(ValueError, match="q must be"):
         canopy_candidate_pairs(recs, "name", "id", q=0)
+
+
+def test_run_er_job_one_to_one_clean_clean(spark, tmp_path):
+    """--cluster-algo one_to_one + --source-expr: clean-clean linkage
+    between two internally-duplicate-free sources — every cluster is a
+    matched pair or a singleton (one-to-one by construction), twin
+    2-cliques land perfect gauges, and the guards fire: missing
+    --source-expr raises, --repair-fields is rejected (pairs cannot
+    chain-merge)."""
+    import argparse
+
+    import pytest as _pytest
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 21):
+        name = f"Ones#{i:04d}"
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5, i))
+        rows.append((i + 1000, name[:-1] + chr(ord(name[-1]) + 1),
+                     "gold" if i % 2 else "silver", i % 5, i))
+    src = str(tmp_path / "records_o2o")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long, ident long"
+    ).write.parquet(src)
+
+    base = dict(
+        records=src, output=str(tmp_path / "o2o_out"), id_col="id",
+        key_expr="substring(name, 1, 7)", order_cols="name",
+        fields="name,segment,nation", jw_fields=None,
+        label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+        window=4, threshold_micro=0, em_iterations=5,
+        rules="name:longest", rank_strategy="keys", snapshots=None,
+        cluster_algo="one_to_one", source_expr="id < 1000",
+        gold_expr="pmod(id, 1000)",
+    )
+    m = run_er_job(spark, argparse.Namespace(**base))
+    assert m["cluster_algo"] == "one_to_one"
+    assert m["eval"]["conll_f_micro"] == 1000000
+    assert m["eval"]["bcubed_f_micro"] == 1000000
+
+    # one-to-one by construction: no cluster exceeds 2 members
+    asg = spark.read.parquet(str(tmp_path / "o2o_out") + "/clusters")
+    mx = asg.groupBy("cluster").count().agg({"count": "max"}).collect()[0][0]
+    assert mx <= 2
+
+    with _pytest.raises(ValueError, match="source-expr"):
+        run_er_job(spark, argparse.Namespace(**{
+            **base, "source_expr": None,
+            "output": str(tmp_path / "o2o_bad"),
+        }))
+
+    with _pytest.raises(ValueError, match="chain-merge"):
+        run_er_job(spark, argparse.Namespace(**{
+            **base, "repair_fields": "ident",
+            "output": str(tmp_path / "o2o_bad2"),
+        }))
