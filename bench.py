@@ -56,6 +56,9 @@ HEADLINE = [
     "soft_tfidf_scores",  # Soft-TFIDF hybrid comparator (Cohen 2003)
     "pprl_dice_scores",   # Bloom-filter PPRL Dice comparator (Schnell 2009)
     "pprl_hlsh_pairs",    # full PPRL: CLK encode → Hamming-LSH → Dice verify
+    "pivot_clusters",     # KwikCluster LFMIS rounds + min-pivot assignment
+    "one_to_one_matches",  # clean-clean iterated mutual-best assignment
+    "truth_trust_avglog",  # Sums vs Average-Log source-trust fixed points
 ]
 
 

@@ -837,10 +837,14 @@ def pivot_clusters(edges: DataFrame, rounds: int = 3) -> DataFrame:
         )
         .select("e.a", "e.b")
         .distinct()
+        # materialized ONCE: the rounds consume it AND the final
+        # assignment pass re-reads it — without this the whole upstream
+        # chain (often an FS scoring DAG) recomputes per consumer
+        .localCheckpoint(eager=True)
     )
-    nodes = adj.select("a").distinct()
-    cur = adj.localCheckpoint(eager=True)
-    pool = nodes.localCheckpoint(eager=True)
+    cur = adj
+    pool = adj.select("a").distinct().localCheckpoint(eager=True)
+    nodes = pool  # the materialized universe, reused by the leftover select
     pivot_frames = []
     for rnd in range(1, rounds + 1):
         nbr_min = cur.groupBy("a").agg(F.min("b").alias("mn"))
