@@ -12,11 +12,12 @@ Usage (cluster or local):
         [--window 5] [--threshold-micro 0] \\
         [--rules "name:longest,segment:mode,nation:min"] \\
         [--rank-strategy keys|range] [--snapshots /lake/snap] \\
-        [--blocking snm|multipass|phonetic|suffix|qgram|allpairs|canopy] \\
+        [--blocking snm|multipass|phonetic|suffix|qgram|allpairs|canopy|blocksplit] \\
         [--max-block-size N] \\
         [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
         [--allpairs-threshold-ppt 600] \\
         [--canopy-loose 1] [--canopy-tight 2] [--canopy-rounds 3] \\
+        [--split-target-pairs 1000000] \\
         [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
         [--review-lower-micro -2000000] [--tf-adjust-fields name] \\
         [--level-fields "name:2"] \\
@@ -30,7 +31,10 @@ with --phonetic-scheme nysiis/caverphone, NYSIIS or Caverphone 2.0 of
 whitespace tokens of --key-expr at --allpairs-threshold-ppt) /
 ``--blocking canopy`` (overlapping cheap-metric canopies over --key-expr
 q-grams, McCallum 2000 — candidates are the distinct pairs sharing a
-canopy; all with an oversize-block purge via --max-block-size) →
+canopy; all with an oversize-block purge via --max-block-size) /
+``--blocking blocksplit`` (key-equality blocking on --key-expr,
+load-balanced by BlockSplit so no reducer task exceeds
+--split-target-pairs comparisons — Kolb, Thor & Rahm, ICDE 2012) →
 per-field comparison
 vectors (null-safe equality; fields named in --jw-fields instead compare
 by Jaro-Winkler ≥ threshold_micro — the fuzzy comparator production FS
@@ -192,6 +196,22 @@ def run_er_job(spark, args) -> dict:
             rounds=int(getattr(args, "canopy_rounds", None) or 3),
             max_block_size=50 if max_block is None else max_block,
         )
+    elif blocking == "blocksplit":
+        from xlink_spark.operators.skew import block_split_pairs
+
+        # key-equality blocking on --key-expr with BlockSplit load
+        # balancing (Kolb, Thor & Rahm, ICDE 2012): the exact within-
+        # block pair set, re-keyed over rank-chunk tasks so no reducer
+        # owns more than --split-target-pairs comparisons — the head
+        # block of an equality key stops being a straggler
+        pairs = block_split_pairs(
+            recs,
+            "_key",
+            idc,
+            max_pairs_per_task=int(
+                getattr(args, "split_target_pairs", None) or 1_000_000
+            ),
+        ).select("id_a", "id_b")
     elif blocking == "multipass":
         from xlink_spark.operators.linkage import multipass_pairs
 
@@ -226,7 +246,7 @@ def run_er_job(spark, args) -> dict:
     else:
         raise ValueError(
             f"unknown --blocking {blocking!r}"
-            " (use snm|multipass|phonetic|suffix|qgram|allpairs|canopy)"
+            " (use snm|multipass|phonetic|suffix|qgram|allpairs|canopy|blocksplit)"
         )
     ra = recs.select(
         F.col(idc).alias("id_a"), *[F.col(f).alias(f"_a_{f}") for f in fields]
@@ -812,13 +832,15 @@ def main() -> None:
     ap.add_argument(
         "--blocking",
         choices=["snm", "multipass", "phonetic", "suffix", "qgram",
-                 "allpairs", "canopy"],
+                 "allpairs", "canopy", "blocksplit"],
         default="snm",
         help="candidate generation: sorted-neighborhood (default), "
         "multi-pass SNM (--pass-exprs), Soundex of --key-expr, suffix "
         "blocking of --key-expr, q-gram blocking of --key-expr, or "
         "prefix-filtered all-pairs Jaccard over whitespace tokens of "
-        "--key-expr (exact recall at --allpairs-threshold-ppt)",
+        "--key-expr (exact recall at --allpairs-threshold-ppt), or "
+        "key-equality blocking load-balanced by BlockSplit "
+        "(--split-target-pairs comparisons per task)",
     )
     ap.add_argument(
         "--pass-exprs",
@@ -938,6 +960,12 @@ def main() -> None:
         help="FS two-threshold mode: scores in [this, --threshold-micro) "
         "become the clerical-review queue (output/review); only scores "
         ">= --threshold-micro auto-link",
+    )
+    ap.add_argument(
+        "--split-target-pairs",
+        type=int,
+        help="--blocking blocksplit: max comparisons per reducer task"
+        " (default 1000000)",
     )
     ap.add_argument("--em-iterations", type=int, default=5)
     ap.add_argument("--rules", help="csv col:rule survivorship rules (mode|longest|min|max)")

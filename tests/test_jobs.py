@@ -502,6 +502,20 @@ def test_run_er_job_blocking_strategies(spark, tmp_path):
     }
     assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
 
+    # blocksplit: every record shares the "Rec#" key — ONE giant block —
+    # and the BlockSplit re-keying (target 50 → chunk width 7) still
+    # yields the full within-block quadratic, so all 30 twins cluster;
+    # the balancing itself is pinned in test_skew
+    m_bs, a_bs = run(
+        "blocksplit", "substring(name, 1, 4)", "bs", split_target_pairs=50
+    )
+    assert m_bs["blocking"] == "blocksplit"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{a_bs.output}/clusters").collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

@@ -8821,6 +8821,81 @@ SQL_QGRAM_BLOCKS = (
 
 
 # ------------------------------------------------------------------ registry
+
+
+def q_block_split_plan(spark, sf_dir):
+    """BlockSplit comparison-space plan (skew.block_split_plan — Kolb,
+    Thor & Rahm, ICDE 2012, the Dedoop load balancer) over the linkage
+    corpus blocked by market segment: the head-heavy key whose biggest
+    block would otherwise ride ONE reducer. Per block: exact size,
+    total comparisons, the isqrt(target) chunk width, chunk/task counts
+    and the exact max-task size (ragged last chunk accounted). Pure
+    bigint arithmetic end to end — the plan an independent engine must
+    reproduce bit-for-bit before the pair generator is trusted."""
+    from xlink_spark.operators.skew import block_split_plan
+
+    recs = _linkage_records(spark, sf_dir)
+    return block_split_plan(
+        recs, block_col="seg", id_col="id", max_pairs_per_task=2000
+    )
+
+
+SQL_BLOCK_SPLIT_PLAN = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "sz as (select seg as block, count(*)::bigint as n from recs group by 1) "
+    "select block, n, (n * (n - 1) // 2)::bigint as pairs_total, "
+    " 44::bigint as chunk_width, "
+    " ((n + 43) // 44)::bigint as k_chunks, "
+    " (((n + 43) // 44) * (((n + 43) // 44) + 1) // 2)::bigint as n_tasks, "
+    " (case when (n + 43) // 44 = 1 then n * (n - 1) // 2 "
+    "  when (n + 43) // 44 = 2 then greatest(44 * 43 // 2, 44 * (n - 44)) "
+    "  else 44 * 44 end)::bigint as max_task_pairs "
+    "from sz"
+)
+
+
+def q_block_split_pairs(spark, sf_dir):
+    """BlockSplit pair generation (skew.block_split_pairs) on the
+    nation<2 slice of the linkage corpus blocked by segment, target 80
+    comparisons/task (chunk width 8): the naive within-block quadratic
+    re-keyed over (block, task_i, task_j) so every reducer key carries
+    <= 80 comparisons. The row set hash-checks BOTH halves of the
+    BlockSplit guarantee: the pair set equals plain key-equality
+    blocking, and each pair sits in exactly the task its two rank-chunk
+    indices name."""
+    from xlink_spark.operators.skew import block_split_pairs
+
+    recs = _linkage_records(spark, sf_dir).filter(F.col("nation") < 2)
+    return block_split_pairs(
+        recs, block_col="seg", id_col="id", max_pairs_per_task=80
+    ).select(
+        "id_a",
+        "id_b",
+        "block",
+        F.col("task_i").cast("long").alias("task_i"),
+        F.col("task_j").cast("long").alias("task_j"),
+    )
+
+
+SQL_BLOCK_SPLIT_PAIRS = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "rws as (select seg as block, id from recs where nation < 2), "
+    "rk as (select block, id, "
+    "  row_number() over (partition by block order by id) as rn, "
+    "  count(*) over (partition by block) as n from rws), "
+    "ch as (select block, id, rn, (rn - 1) // 8 as c, "
+    "  (n + 7) // 8 as k from rk), "
+    "ex as (select block, id, rn, c, "
+    "  least(c, x) as ti, greatest(c, x) as tj "
+    "  from ch, unnest(generate_series(0, (k - 1)::int)) as t(x)) "
+    "select a.id as id_a, b.id as id_b, a.block, "
+    "  a.ti::bigint as task_i, a.tj::bigint as task_j "
+    "from ex a join ex b on a.block = b.block and a.ti = b.ti "
+    "  and a.tj = b.tj and a.c = a.ti and b.c = b.tj "
+    "  and (a.ti < a.tj or a.rn < b.rn)"
+)
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -8958,6 +9033,8 @@ QUERIES: dict[str, Query] = {
     "fs_level_scores": q_fs_level_scores,
     "fs_tf_scores": q_fs_tf_scores,
     "qgram_blocks": q_qgram_blocks,
+    "block_split_plan": q_block_split_plan,
+    "block_split_pairs": q_block_split_pairs,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -9108,6 +9185,8 @@ ORACLES: dict[str, str] = {
     "fs_level_scores": SQL_FS_LEVEL_SCORES,
     "fs_tf_scores": SQL_FS_TF_SCORES,
     "qgram_blocks": SQL_QGRAM_BLOCKS,
+    "block_split_plan": SQL_BLOCK_SPLIT_PLAN,
+    "block_split_pairs": SQL_BLOCK_SPLIT_PAIRS,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
