@@ -2110,3 +2110,42 @@ def test_truth_discovery_avg_log_discounts_low_volume(spark):
 
     with _pytest.raises(ValueError, match="method"):
         truth_discovery(df, "obj", "src", "val", method="votes")
+
+
+def test_progressive_snm_curve_exact_frontier(spark):
+    """Known rank geometry: 6 records sorted a..f, twins planted at rank
+    distances 1 (a,b) and 3 (c,f); the curve's new/cumulative counts and
+    recall follow exactly, and windows with an empty slice still emit."""
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.linkage import progressive_snm_curve
+
+    rows = [
+        (1, "a", "e1"), (2, "b", "e1"),          # dist-1 twin pair
+        (3, "c", "e2"), (6, "f", "e2"),          # dist-3 twin pair
+        (4, "d", "e3"), (5, "e", "e4"),          # non-matches between
+    ]
+    recs = spark.createDataFrame(rows, ["id", "name", "entity"]).withColumn(
+        "key", F.lit("k")
+    )
+    got = {
+        r["window"]: r.asDict()
+        for r in progressive_snm_curve(
+            recs, "key", ["name"], "id", max_window=5, entity_col="entity"
+        ).collect()
+    }
+    assert set(got) == {2, 3, 4, 5}
+    # n=6 sorted rows: 5 pairs at dist 1, 4 at dist 2, 3 at dist 3, 2 at 4
+    assert [got[w]["new_pairs"] for w in (2, 3, 4, 5)] == [5, 4, 3, 2]
+    assert [got[w]["new_matches"] for w in (2, 3, 4, 5)] == [1, 0, 1, 0]
+    assert got[5]["cum_pairs"] == 14 and got[5]["cum_matches"] == 2
+    # truth: two 2-member entities -> 2 true pairs; recall 50% then 100%
+    assert all(got[w]["true_pairs"] == 2 for w in got)
+    assert [got[w]["recall_micro"] for w in (2, 3, 4, 5)] == [
+        500000, 500000, 1000000, 1000000,
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        progressive_snm_curve(recs, "key", ["name"], "id", max_window=1)

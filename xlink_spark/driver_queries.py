@@ -8896,6 +8896,54 @@ SQL_BLOCK_SPLIT_PAIRS = (
 )
 
 
+
+
+def q_progressive_snm(spark, sf_dir):
+    """Progressive / pay-as-you-go ER curve (linkage.progressive_snm_curve
+    — Whang, Marmaros & Garcia-Molina, ICDE 2013) over the linkage corpus:
+    per SNM window 2..8, the new pairs bought by that widening, the new
+    true matches among them, and cumulative recall against the exact
+    pairwise denominator — the table a deployment reads to pick the
+    window where marginal recall stops paying for the comparisons. One
+    widest-window pair pass, all exact integers."""
+    from xlink_spark.operators.linkage import progressive_snm_curve
+
+    recs = _linkage_records(spark, sf_dir).withColumn(
+        "entity", F.pmod(F.col("id"), F.lit(10000000))
+    )
+    return progressive_snm_curve(
+        recs, "key", ["name"], "id", max_window=8, entity_col="entity"
+    )
+
+
+SQL_PROGRESSIVE_SNM = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "p7 as (select a.id as id_a, b.id as id_b, (b.rank - a.rank) as dist"
+    "  from ranked a join ranked b"
+    "  on b.rank > a.rank and b.rank - a.rank <= 7), "
+    "pd as (select dist, count(*)::bigint as new_pairs,"
+    "  sum(case when id_a % 10000000 = id_b % 10000000 then 1 else 0 end)"
+    "    ::bigint as new_matches"
+    "  from p7 group by 1), "
+    "fr as (select unnest(generate_series(1, 7))::bigint as dist), "
+    "base as (select f.dist, coalesce(p.new_pairs, 0)::bigint as new_pairs,"
+    "  coalesce(p.new_matches, 0)::bigint as new_matches"
+    "  from fr f left join pd p using (dist)), "
+    "tr as (select sum(n * (n - 1) // 2)::bigint as true_pairs from"
+    "  (select count(*)::bigint as n from recs group by id % 10000000)), "
+    "cm as (select dist, new_pairs, new_matches,"
+    "  sum(new_pairs) over (order by dist)::bigint as cum_pairs,"
+    "  sum(new_matches) over (order by dist)::bigint as cum_matches"
+    "  from base) "
+    "select (dist + 1)::bigint as window, new_pairs, new_matches,"
+    "  cum_pairs, cum_matches, true_pairs,"
+    "  (case when true_pairs > 0"
+    "   then cum_matches * 1000000 // true_pairs"
+    "   else 1000000 end)::bigint as recall_micro "
+    "from cm, tr"
+)
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -9035,6 +9083,7 @@ QUERIES: dict[str, Query] = {
     "qgram_blocks": q_qgram_blocks,
     "block_split_plan": q_block_split_plan,
     "block_split_pairs": q_block_split_pairs,
+    "progressive_snm": q_progressive_snm,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -9187,6 +9236,7 @@ ORACLES: dict[str, str] = {
     "qgram_blocks": SQL_QGRAM_BLOCKS,
     "block_split_plan": SQL_BLOCK_SPLIT_PLAN,
     "block_split_pairs": SQL_BLOCK_SPLIT_PAIRS,
+    "progressive_snm": SQL_PROGRESSIVE_SNM,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
