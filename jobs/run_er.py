@@ -12,12 +12,13 @@ Usage (cluster or local):
         [--window 5] [--threshold-micro 0] \\
         [--rules "name:longest,segment:mode,nation:min"] \\
         [--rank-strategy keys|range] [--snapshots /lake/snap] \\
-        [--blocking snm|multipass|phonetic|suffix|qgram|allpairs|canopy|blocksplit] \\
+        [--blocking snm|multipass|phonetic|suffix|qgram|allpairs|canopy|blocksplit|vector] \\
         [--max-block-size N] \\
         [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
         [--allpairs-threshold-ppt 600] \\
         [--canopy-loose 1] [--canopy-tight 2] [--canopy-rounds 3] \\
         [--split-target-pairs 1000000] \\
+        [--vector-planes 48] [--vector-band-rows 8] [--vector-threshold-ppt 750] \\
         [--pass-exprs "substring(name, 1, 6)|name;seg|name,nation"] \\
         [--review-lower-micro -2000000] [--tf-adjust-fields name] \\
         [--level-fields "name:2"] \\
@@ -212,6 +213,26 @@ def run_er_job(spark, args) -> dict:
                 getattr(args, "split_target_pairs", None) or 1_000_000
             ),
         ).select("id_a", "id_b")
+    elif blocking == "vector":
+        from xlink_spark.operators.linkage import vector_blocking_pairs
+
+        # LSH / vector-based blocking over hashed q-gram count vectors
+        # of --key-expr (Steorts et al. 2014's LSH-blocking family):
+        # SRP band collisions verified by the exact integer cosine gate
+        # at --vector-threshold-ppt. Probabilistic recall by design —
+        # run er_blocking_compare/vector_blocks-style gauges to pick
+        # (planes, band_rows) for the corpus before deploying
+        pairs = vector_blocking_pairs(
+            recs,
+            "_key",
+            idc,
+            q=int(getattr(args, "qgram_q", None) or 3),
+            planes=int(getattr(args, "vector_planes", None) or 48),
+            band_rows=int(getattr(args, "vector_band_rows", None) or 8),
+            threshold_ppt=int(
+                getattr(args, "vector_threshold_ppt", None) or 750
+            ),
+        ).select("id_a", "id_b")
     elif blocking == "multipass":
         from xlink_spark.operators.linkage import multipass_pairs
 
@@ -246,7 +267,7 @@ def run_er_job(spark, args) -> dict:
     else:
         raise ValueError(
             f"unknown --blocking {blocking!r}"
-            " (use snm|multipass|phonetic|suffix|qgram|allpairs|canopy|blocksplit)"
+            " (use snm|multipass|phonetic|suffix|qgram|allpairs|canopy|blocksplit|vector)"
         )
     ra = recs.select(
         F.col(idc).alias("id_a"), *[F.col(f).alias(f"_a_{f}") for f in fields]
@@ -832,7 +853,7 @@ def main() -> None:
     ap.add_argument(
         "--blocking",
         choices=["snm", "multipass", "phonetic", "suffix", "qgram",
-                 "allpairs", "canopy", "blocksplit"],
+                 "allpairs", "canopy", "blocksplit", "vector"],
         default="snm",
         help="candidate generation: sorted-neighborhood (default), "
         "multi-pass SNM (--pass-exprs), Soundex of --key-expr, suffix "
@@ -966,6 +987,22 @@ def main() -> None:
         type=int,
         help="--blocking blocksplit: max comparisons per reducer task"
         " (default 1000000)",
+    )
+    ap.add_argument(
+        "--vector-planes",
+        type=int,
+        help="--blocking vector: SRP plane count (default 48)",
+    )
+    ap.add_argument(
+        "--vector-band-rows",
+        type=int,
+        help="--blocking vector: bits per band (default 8)",
+    )
+    ap.add_argument(
+        "--vector-threshold-ppt",
+        type=int,
+        help="--blocking vector: exact-cosine verification threshold"
+        " in ppt (default 750)",
     )
     ap.add_argument("--em-iterations", type=int, default=5)
     ap.add_argument("--rules", help="csv col:rule survivorship rules (mode|longest|min|max)")

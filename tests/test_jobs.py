@@ -516,6 +516,21 @@ def test_run_er_job_blocking_strategies(spark, tmp_path):
     }
     assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
 
+    # vector: LSH blocking over hashed 3-grams of a padded key — the pad
+    # raises twin cosine so every twin survives both the 6-bit SRP bands
+    # and the 600-ppt exact-cosine gate (deterministic: fixed md5 planes)
+    m_vec, a_vec = run(
+        "vector", "concat('zq pad word block ', name)", "vec",
+        vector_planes=48, vector_band_rows=6, vector_threshold_ppt=600,
+        qgram_q=3,
+    )
+    assert m_vec["blocking"] == "vector"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{a_vec.output}/clusters").collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

@@ -2149,3 +2149,62 @@ def test_progressive_snm_curve_exact_frontier(spark):
 
     with pytest.raises(ValueError):
         progressive_snm_curve(recs, "key", ["name"], "id", max_window=1)
+
+
+def test_vector_blocking_pairs_exact_semantics(spark):
+    """LSH blocking over hashed q-gram count vectors: identical texts
+    always collide (every plane sum equal) and verify at cos²=1e6 exactly;
+    1-char-bump twins verify above 750 ppt; disjoint texts never verify;
+    sub-q texts vanish as zero vectors; layout independence."""
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.linkage import (
+        hashed_ngram_vectors,
+        vector_blocking_pairs,
+    )
+
+    rows = [
+        (1, "goldenrod lavender spring chocolate lace"),
+        (2, "goldenrod lavender spring chocolate lace"),   # identical
+        (3, "goldenrod lavender spring chocolate lacf"),   # bumped twin
+        (4, "midnight crimson steel ivory plum"),
+        (5, "xx"),                                         # < q: zero vec
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in vector_blocking_pairs(
+            df, "name", "id", q=3, dim=64, planes=48, band_rows=8,
+            threshold_ppt=750,
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)]["cos2_ppm"] == 1000000
+    assert out[(1, 2)]["dot"] == out[(1, 2)]["norm_a"] == out[(1, 2)]["norm_b"]
+    assert (1, 3) in out and (2, 3) in out
+    assert out[(1, 3)]["cos2_ppm"] >= 562500  # (750 ppt)²
+    assert not any(4 in p or 5 in p for p in out)
+    # zero-vector record produces no vector rows at all
+    ids = {
+        r["id"]
+        for r in hashed_ngram_vectors(df, "name", "id", q=3, dim=64)
+        .select("id").distinct().collect()
+    }
+    assert 5 not in ids and ids == {1, 2, 3, 4}
+    # layout independence: identical output on a shuffled/repartitioned input
+    again = {
+        (r["id_a"], r["id_b"]): r["cos2_ppm"]
+        for r in vector_blocking_pairs(
+            df.orderBy(F.rand(3)).repartition(7), "name", "id",
+            q=3, dim=64, planes=48, band_rows=8, threshold_ppt=750,
+        ).collect()
+    }
+    assert again == {k: v["cos2_ppm"] for k, v in out.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        vector_blocking_pairs(df, "name", "id", planes=10, band_rows=4)
+    with pytest.raises(ValueError):
+        vector_blocking_pairs(df, "name", "id", threshold_ppt=0)
+    with pytest.raises(ValueError):
+        hashed_ngram_vectors(df, "name", "id", dim=1)

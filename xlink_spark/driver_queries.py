@@ -8944,6 +8944,110 @@ SQL_PROGRESSIVE_SNM = (
 )
 
 
+
+
+def q_vector_blocks(spark, sf_dir):
+    """LSH / vector-based blocking (linkage.vector_blocking_pairs — the
+    "LSH blocking" family of Steorts, Ventura, Sadinle & Fienberg 2014)
+    over the clean ∪ bumped-last-char part-name corpus (p_partkey % 4
+    slice): hashed 3-gram count vectors (feature hashing, dim 64), 48
+    md5-derived ±1 SRP planes in 6 bands of 8 bits, candidates from the
+    (band, code) equi-join, verified by the EXACT integer cosine test
+    dot²·10⁶ ≥ 750²·|a|²·|b|². Everything — planes, hashes, sums, the
+    squared-cosine acceptance — is bigint arithmetic both engines
+    reproduce bit-for-bit; the riding is_twin flag measures the family's
+    honest recall/fan-out point on this corpus next to the phonetic and
+    q-gram gauges."""
+    from xlink_spark.operators.linkage import vector_blocking_pairs
+
+    part = spark.read.parquet(_T(sf_dir, "part"))
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("nm"),
+    )
+    dirty = base.select(
+        (F.col("id") + 10000000).alias("id"),
+        F.expr(
+            "concat(substring(nm, 1, length(nm) - 1),"
+            " char(ascii(substring(nm, length(nm), 1)) + 1))"
+        ).alias("nm"),
+    )
+    recs = base.unionByName(dirty).filter(F.pmod(F.col("id"), F.lit(4)) == 0)
+    pairs = vector_blocking_pairs(
+        recs, "nm", "id", q=3, dim=64, planes=48, band_rows=8,
+        threshold_ppt=750,
+    )
+    return pairs.withColumn(
+        "is_twin",
+        F.pmod(F.col("id_a"), F.lit(10000000))
+        == F.pmod(F.col("id_b"), F.lit(10000000)),
+    )
+
+
+def _vector_blocks_sql() -> str:
+    """DuckDB replica of q_vector_blocks: the same md5 plane matrix,
+    integer plane sums, 6x8 banding, and squared-cosine verification."""
+    planes, band_rows, dim, t2 = 48, 8, 64, 750 * 750
+    n_bands = planes // band_rows
+    sign_cols = ", ".join(
+        f"case when (('0x' || substr(md5('vb:{p}:' || d::varchar), 1, 1))"
+        f"::bigint % 2) = 0 then 1 else -1 end as s{p}"
+        for p in range(planes)
+    )
+    sum_cols = ", ".join(
+        f"sum(v.v * s.s{p})::bigint as p{p}" for p in range(planes)
+    )
+    code_selects = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(case when p{b * band_rows + r} > 0 then {1 << r} else 0 end)"
+            for r in range(band_rows)
+        )
+        code_selects.append(
+            f"select id, {b} as band, ({bits}) as code from sums"
+        )
+    coded = " union all ".join(code_selects)
+    return (
+        "with base as (select p_partkey::bigint as id, p_name as nm"
+        "  from part), "
+        "dirty as (select id + 10000000 as id,"
+        "  substr(nm, 1, length(nm) - 1)"
+        "    || chr(ascii(substr(nm, length(nm), 1)) + 1) as nm from base), "
+        "recs as (select * from base union all select * from dirty), "
+        "sub as (select id, lower(nm) as t from recs where id % 4 = 0), "
+        "grams as (select id, substr(t, g, 3) as g from sub,"
+        "  unnest(generate_series(1, length(t) - 2)) as u(g)"
+        "  where length(t) >= 3), "
+        f"vec as (select id, (('0x' || substr(md5(g), 1, 8))::bigint"
+        f" % {dim}) as d, count(*)::bigint as v from grams group by 1, 2), "
+        f"signs as materialized (select d, {sign_cols} from"
+        f"  (select unnest(generate_series(0, {dim - 1}))::bigint as d)), "
+        f"sums as materialized (select v.id, {sum_cols}"
+        "  from vec v join signs s using (d) group by 1), "
+        f"coded as materialized ({coded}), "
+        "cand as (select distinct x.id as id_a, y.id as id_b"
+        "  from coded x join coded y on y.band = x.band"
+        "  and y.code = x.code and x.id < y.id), "
+        "norms as (select id, sum(v * v)::bigint as norm from vec"
+        "  group by 1), "
+        "dots as (select c.id_a, c.id_b, sum(a.v * b.v)::bigint as dot"
+        "  from cand c join vec a on a.id = c.id_a"
+        "  join vec b on b.id = c.id_b and b.d = a.d group by 1, 2) "
+        "select d.id_a, d.id_b, d.dot, na.norm as norm_a,"
+        "  nb.norm as norm_b,"
+        "  (d.dot * d.dot * 1000000 // (na.norm * nb.norm))::bigint"
+        "    as cos2_ppm,"
+        "  (d.id_a % 10000000) = (d.id_b % 10000000) as is_twin "
+        "from dots d join norms na on na.id = d.id_a"
+        "  join norms nb on nb.id = d.id_b "
+        f"where d.dot > 0 and d.dot * d.dot * 1000000"
+        f" >= {t2} * na.norm * nb.norm"
+    )
+
+
+SQL_VECTOR_BLOCKS = _vector_blocks_sql()
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -9084,6 +9188,7 @@ QUERIES: dict[str, Query] = {
     "block_split_plan": q_block_split_plan,
     "block_split_pairs": q_block_split_pairs,
     "progressive_snm": q_progressive_snm,
+    "vector_blocks": q_vector_blocks,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -9237,6 +9342,7 @@ ORACLES: dict[str, str] = {
     "block_split_plan": SQL_BLOCK_SPLIT_PLAN,
     "block_split_pairs": SQL_BLOCK_SPLIT_PAIRS,
     "progressive_snm": SQL_PROGRESSIVE_SNM,
+    "vector_blocks": SQL_VECTOR_BLOCKS,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,

@@ -2531,3 +2531,196 @@ def progressive_snm_curve(
             ).cast("long").alias("recall_micro"),
         )
     )
+
+
+def _vb_sign_expr(p: int, seed: str) -> str:
+    """±1 plane component for (plane p, dim column d): the parity of the
+    first md5 hex nibble of 'seed:p:d' — the same expression renders on
+    Spark and DuckDB, so both engines hold the identical plane matrix
+    without shipping literals."""
+    return (
+        f"case when pmod(cast(conv(substring(md5(concat('{seed}:', "
+        f"cast({p} as string), ':', cast(d as string))), 1, 1), 16, 10) "
+        f"as int), 2) = 0 then 1 else -1 end"
+    )
+
+
+def hashed_ngram_vectors(
+    records: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    q: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Long-form hashed q-gram count vectors: (id, d, v) with
+    d = md5(gram) mod ``dim`` and v the gram count — the feature-hashing
+    trick (Weinberger et al. 2009) rendered as portable md5 arithmetic.
+    Texts shorter than ``q`` produce no rows (a zero vector). Scan-speed
+    exprs only; the long form is the join-friendly shape for exact
+    integer dot products downstream."""
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    t = records.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_t")
+    )
+    grams = t.select(
+        "id",
+        F.explode(
+            F.when(
+                F.length("_t") >= q,
+                F.expr(
+                    f"transform(sequence(1, length(_t) - {q - 1}),"
+                    f" i -> substring(_t, i, {q}))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("g"),
+    )
+    return (
+        grams.withColumn(
+            "d",
+            F.expr(
+                f"pmod(cast(conv(substring(md5(g), 1, 8), 16, 10)"
+                f" as bigint), {dim})"
+            ),
+        )
+        .groupBy("id", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+
+
+def vector_blocking_pairs(
+    records: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    q: int = 3,
+    dim: int = 64,
+    planes: int = 48,
+    band_rows: int = 8,
+    threshold_ppt: int = 750,
+    seed: str = "vb",
+) -> DataFrame:
+    """LSH / vector-based blocking for record linkage (the family Steorts,
+    Ventura, Sadinle & Fienberg 2014 benchmark as "LSH blocking"; the
+    modern survey name is vector/deep blocking): candidate pairs whose
+    hashed q-gram COUNT vectors land in the same sign-random-projection
+    band bucket, verified by an EXACT integer cosine test.
+
+    Pipeline, no floats anywhere:
+
+    1. feature hashing — ``hashed_ngram_vectors`` (id, d, v) counts;
+    2. SRP signature — ``planes`` md5-derived ±1 hyperplanes (a dim-row
+       broadcast sign table, never a literal matrix); plane sums are
+       exact integer Σ v·sign, bit = (sum > 0);
+    3. banding — ``planes/band_rows`` bands of ``band_rows`` bits each;
+       one (band, code) equi-join generates candidates (the
+       simhash_near_pairs shape: collision probability per bit is
+       1 − θ/π, per band p^rows, so band count × width trade recall
+       against fan-out);
+    4. verification — exact integer cosine: accept iff dot > 0 and
+       dot²·10⁶ ≥ threshold_ppt²·|a|²·|b|² (squares both sides instead
+       of rooting: every quantity stays a bigint; with gram counts ≤
+       ~10³ per dim the products stay far inside int64).
+
+    Returns (id_a, id_b, dot, norm_a, norm_b, cos2_ppm) where cos2_ppm =
+    dot²·10⁶ div (norm_a·norm_b) — the floor of the SQUARED cosine in
+    ppm, monotone in the true cosine for accepted (dot > 0) pairs.
+
+    Scale shape at 10^12 records: signatures are one groupBy over narrow
+    (id, d, v) rows with ``planes`` map-combinable sums; candidates ride
+    a (band, code) equi-join of (id, band, code) triples; verification
+    joins the long-form vectors pair-locally (≤ dim rows per pair). The
+    recall/fan-out dial is (planes, band_rows) exactly as in the LSH
+    literature — more bands buy recall linearly in signature cost, wider
+    bands cut fan-out exponentially.
+    """
+    if planes < 1 or band_rows < 1 or planes % band_rows != 0:
+        raise ValueError("planes must be a positive multiple of band_rows")
+    if not 0 < threshold_ppt <= 1000:
+        raise ValueError("threshold_ppt must be in (0, 1000]")
+    n_bands = planes // band_rows
+    vec = hashed_ngram_vectors(
+        records, text_col, id_col, q=q, dim=dim
+    )
+    spark = records.sparkSession
+    signs = spark.range(dim).select(
+        F.col("id").alias("d"),
+        *[
+            F.expr(_vb_sign_expr(p, seed)).cast("long").alias(f"_s{p}")
+            for p in range(planes)
+        ],
+    )
+    sums = (
+        vec.join(F.broadcast(signs), "d")
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(F.col("v") * F.col(f"_s{p}")).alias(f"_p{p}")
+                for p in range(planes)
+            ]
+        )
+    )
+    code_exprs = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(case when _p{b * band_rows + r} > 0 then {1 << r} else 0 end)"
+            for r in range(band_rows)
+        )
+        code_exprs.append(f"{b}, ({bits})")
+    coded = sums.select(
+        "id",
+        F.expr(
+            f"stack({n_bands}, "
+            + ", ".join(code_exprs)
+            + ") as (band, code)"
+        ),
+    )
+    cand = (
+        coded.alias("x")
+        .join(
+            coded.alias("y"),
+            (F.col("y.band") == F.col("x.band"))
+            & (F.col("y.code") == F.col("x.code"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+        )
+        .distinct()
+    )
+    norms = vec.groupBy("id").agg(
+        F.sum(F.expr("v * v")).cast("long").alias("norm")
+    )
+    va = vec.select(F.col("id").alias("id_a"), "d", F.col("v").alias("_va"))
+    vb = vec.select(F.col("id").alias("id_b"), "d", F.col("v").alias("_vb"))
+    dots = (
+        cand.join(va, "id_a")
+        .join(vb, ["id_b", "d"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.expr("_va * _vb")).cast("long").alias("dot"))
+    )
+    t2 = int(threshold_ppt) * int(threshold_ppt)
+    return (
+        dots.join(norms.withColumnRenamed("id", "id_a").withColumnRenamed("norm", "norm_a"), "id_a")
+        .join(norms.withColumnRenamed("id", "id_b").withColumnRenamed("norm", "norm_b"), "id_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(1000000)
+                >= F.lit(t2) * F.col("norm_a") * F.col("norm_b")
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            "norm_a",
+            "norm_b",
+            F.expr("dot * dot * 1000000 div (norm_a * norm_b)")
+            .cast("long")
+            .alias("cos2_ppm"),
+        )
+    )
