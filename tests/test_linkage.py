@@ -1001,6 +1001,7 @@ def test_er_blocking_compare_frontier(spark):
     assert set(rows) == {
         "snm_w4", "phonetic_soundex", "suffix_rev12_cap50", "qgram4_cap50",
         "phonetic_nysiis", "phonetic_caverphone", "allpairs_qgram4_t600",
+        "vector_srp48x8",
     }
     for name in ("snm_w4", "phonetic_soundex", "suffix_rev12_cap50",
                  "phonetic_nysiis", "phonetic_caverphone",
@@ -1032,6 +1033,14 @@ def test_er_blocking_compare_frontier(spark):
     assert qg["twins_covered"] == 130 and qg["twins_total"] == 150
     assert 0 < qg["recall_ppm"] < 1000000
     assert qg["rr_ppm"] > 900000
+    # vector (LSH) blocking on ID-like names: the gram COUNT vectors of
+    # any two records share the constant-prefix mass, so band collisions
+    # are near-universal — high recall but WEAK reduction (the converse
+    # of its word-token showing in vector_blocks): the "corpus-shaped
+    # blocker" lesson in one row
+    vb = rows["vector_srp48x8"]
+    assert vb["recall_ppm"] > 900000
+    assert vb["rr_ppm"] < 500000
 
 
 def test_constrained_components_union_find_parity(spark):

@@ -7815,7 +7815,7 @@ SQL_CLUSTERING_VMEASURE = (
 
 
 def q_er_blocking_compare(spark, sf_dir):
-    """The blocking-scheme frontier across seven candidate-generation
+    """The blocking-scheme frontier across eight candidate-generation
     families on the SAME records — the gauge a deployment runs before
     committing a blocker. Per scheme: comparisons (Σ C(n_b,2) over blocks
     for key schemes — no pair ever materialized, the blocking_metrics
@@ -8079,6 +8079,36 @@ def q_er_blocking_compare(spark, sf_dir):
         .alias("twins_covered"),
     )
 
+    # vector (LSH) blocking: distinct SRP band-collision candidates —
+    # the verifier's workload, same comps definition as allpairs. On
+    # ID-like names the gram vectors of ANY two records are already
+    # similar (the shared constant prefix dominates the counts), so the
+    # family lands in a "worst of both" corner here: partial twin
+    # recall AND weak reduction — the converse of its word-token
+    # showing in vector_blocks, completing the gauge's lesson that
+    # blocking schemes are corpus-shaped
+    from xlink_spark.operators.linkage import vector_blocking_pairs
+
+    vcand = vector_blocking_pairs(
+        recs, "name", "id", q=3, dim=64, planes=48, band_rows=8,
+        verify=False,
+    )
+    v_one = vcand.agg(
+        F.count(F.lit(1)).cast("long").alias("comps"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.pmod(F.col("id_a"), F.lit(10000000))
+                    == F.pmod(F.col("id_b"), F.lit(10000000)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("twins_covered"),
+    )
+
     return (
         _finish("snm_w4", snm_one)
         .unionByName(_finish("phonetic_soundex", phon_one))
@@ -8087,6 +8117,62 @@ def q_er_blocking_compare(spark, sf_dir):
         .unionByName(_finish("phonetic_nysiis", nys_one))
         .unionByName(_finish("phonetic_caverphone", cav_one))
         .unionByName(_finish("allpairs_qgram4_t600", ap_one))
+        .unionByName(_finish("vector_srp48x8", v_one))
+    )
+
+
+def _vb_sql_ctes(
+    prefix: str,
+    src_rel: str,
+    text_expr: str,
+    *,
+    q: int = 3,
+    dim: int = 64,
+    planes: int = 48,
+    band_rows: int = 8,
+    where_sql: str = "",
+) -> str:
+    """DuckDB CTE chain for the vector-blocking candidate generator
+    (hashed q-gram count vectors -> md5 ±1 SRP plane sums -> band codes
+    -> distinct band-collision pairs), ending at ``{prefix}cand``; the
+    same md5 plane matrix the Spark operator derives."""
+    n_bands = planes // band_rows
+    sign_cols = ", ".join(
+        f"case when (('0x' || substr(md5('vb:{p}:' || d::varchar), 1, 1))"
+        f"::bigint % 2) = 0 then 1 else -1 end as s{p}"
+        for p in range(planes)
+    )
+    sum_cols = ", ".join(
+        f"sum(v.v * s.s{p})::bigint as p{p}" for p in range(planes)
+    )
+    code_selects = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(case when p{b * band_rows + r} > 0 then {1 << r} else 0 end)"
+            for r in range(band_rows)
+        )
+        code_selects.append(
+            f"select id, {b} as band, ({bits}) as code from {prefix}sums"
+        )
+    coded = " union all ".join(code_selects)
+    return (
+        f"{prefix}sub as (select id, lower({text_expr}) as t"
+        f"  from {src_rel}{where_sql}), "
+        f"{prefix}grams as (select id, substr(t, g, {q}) as g"
+        f"  from {prefix}sub,"
+        f"  unnest(generate_series(1, length(t) - {q - 1})) as u(g)"
+        f"  where length(t) >= {q}), "
+        f"{prefix}vec as (select id, (('0x' || substr(md5(g), 1, 8))::bigint"
+        f" % {dim}) as d, count(*)::bigint as v from {prefix}grams"
+        f"  group by 1, 2), "
+        f"{prefix}signs as materialized (select d, {sign_cols} from"
+        f"  (select unnest(generate_series(0, {dim - 1}))::bigint as d)), "
+        f"{prefix}sums as materialized (select v.id, {sum_cols}"
+        f"  from {prefix}vec v join {prefix}signs s using (d) group by 1), "
+        f"{prefix}coded as materialized ({coded}), "
+        f"{prefix}cand as (select distinct x.id as id_a, y.id as id_b"
+        f"  from {prefix}coded x join {prefix}coded y on y.band = x.band"
+        f"  and y.code = x.code and x.id < y.id)"
     )
 
 
@@ -8155,7 +8241,13 @@ def _sql_er_blocking_compare() -> str:
         "  where 1000 * least(a.n, b.n) >= 600 * greatest(a.n, b.n)), "
         "ac as (select count(*)::bigint as comps,"
         "  coalesce(sum(case when id_a % 10000000 = id_b % 10000000"
-        "    then 1 else 0 end), 0)::bigint as twins_covered from acand) "
+        "    then 1 else 0 end), 0)::bigint as twins_covered from acand), "
+        + _vb_sql_ctes("vb_", "recs", "name")
+        + ", "
+        "vc as (select count(*)::bigint as comps,"
+        "  coalesce(sum(case when id_a % 10000000 = id_b % 10000000"
+        "    then 1 else 0 end), 0)::bigint as twins_covered"
+        "  from vb_cand) "
         "select 'snm_w4' as scheme, comps, twins_covered, twins_total,"
         "  (1000000 * twins_covered) // twins_total as recall_ppm,"
         "  1000000 - ((1000000 * comps) // ((n * (n - 1)) // 2)) as rr_ppm"
@@ -8194,7 +8286,13 @@ def _sql_er_blocking_compare() -> str:
         "  twins_total,"
         "  (1000000 * ac.twins_covered) // twins_total,"
         "  1000000 - ((1000000 * ac.comps) // ((n * (n - 1)) // 2))"
-        "  from ac, tot"
+        "  from ac, tot "
+        "union all "
+        "select 'vector_srp48x8', vc.comps, vc.twins_covered,"
+        "  twins_total,"
+        "  (1000000 * vc.twins_covered) // twins_total,"
+        "  1000000 - ((1000000 * vc.comps) // ((n * (n - 1)) // 2))"
+        "  from vc, tot"
     )
 
 
@@ -8987,26 +9085,7 @@ def q_vector_blocks(spark, sf_dir):
 def _vector_blocks_sql() -> str:
     """DuckDB replica of q_vector_blocks: the same md5 plane matrix,
     integer plane sums, 6x8 banding, and squared-cosine verification."""
-    planes, band_rows, dim, t2 = 48, 8, 64, 750 * 750
-    n_bands = planes // band_rows
-    sign_cols = ", ".join(
-        f"case when (('0x' || substr(md5('vb:{p}:' || d::varchar), 1, 1))"
-        f"::bigint % 2) = 0 then 1 else -1 end as s{p}"
-        for p in range(planes)
-    )
-    sum_cols = ", ".join(
-        f"sum(v.v * s.s{p})::bigint as p{p}" for p in range(planes)
-    )
-    code_selects = []
-    for b in range(n_bands):
-        bits = " + ".join(
-            f"(case when p{b * band_rows + r} > 0 then {1 << r} else 0 end)"
-            for r in range(band_rows)
-        )
-        code_selects.append(
-            f"select id, {b} as band, ({bits}) as code from sums"
-        )
-    coded = " union all ".join(code_selects)
+    t2 = 750 * 750
     return (
         "with base as (select p_partkey::bigint as id, p_name as nm"
         "  from part), "
@@ -9014,20 +9093,8 @@ def _vector_blocks_sql() -> str:
         "  substr(nm, 1, length(nm) - 1)"
         "    || chr(ascii(substr(nm, length(nm), 1)) + 1) as nm from base), "
         "recs as (select * from base union all select * from dirty), "
-        "sub as (select id, lower(nm) as t from recs where id % 4 = 0), "
-        "grams as (select id, substr(t, g, 3) as g from sub,"
-        "  unnest(generate_series(1, length(t) - 2)) as u(g)"
-        "  where length(t) >= 3), "
-        f"vec as (select id, (('0x' || substr(md5(g), 1, 8))::bigint"
-        f" % {dim}) as d, count(*)::bigint as v from grams group by 1, 2), "
-        f"signs as materialized (select d, {sign_cols} from"
-        f"  (select unnest(generate_series(0, {dim - 1}))::bigint as d)), "
-        f"sums as materialized (select v.id, {sum_cols}"
-        "  from vec v join signs s using (d) group by 1), "
-        f"coded as materialized ({coded}), "
-        "cand as (select distinct x.id as id_a, y.id as id_b"
-        "  from coded x join coded y on y.band = x.band"
-        "  and y.code = x.code and x.id < y.id), "
+        + _vb_sql_ctes("", "recs", "nm", where_sql=" where id % 4 = 0")
+        + ", "
         "norms as (select id, sum(v * v)::bigint as norm from vec"
         "  group by 1), "
         "dots as (select c.id_a, c.id_b, sum(a.v * b.v)::bigint as dot"

@@ -2602,6 +2602,7 @@ def vector_blocking_pairs(
     band_rows: int = 8,
     threshold_ppt: int = 750,
     seed: str = "vb",
+    verify: bool = True,
 ) -> DataFrame:
     """LSH / vector-based blocking for record linkage (the family Steorts,
     Ventura, Sadinle & Fienberg 2014 benchmark as "LSH blocking"; the
@@ -2691,6 +2692,11 @@ def vector_blocking_pairs(
         )
         .distinct()
     )
+    if not verify:
+        # candidate-generation gauge mode: the distinct band-collision
+        # pairs the verifier WOULD compare (er_blocking_compare's comps
+        # definition for filter-verify schemes)
+        return cand
     norms = vec.groupBy("id").agg(
         F.sum(F.expr("v * v")).cast("long").alias("norm")
     )
