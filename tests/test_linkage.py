@@ -2217,3 +2217,60 @@ def test_vector_blocking_pairs_exact_semantics(spark):
         vector_blocking_pairs(df, "name", "id", threshold_ppt=0)
     with pytest.raises(ValueError):
         hashed_ngram_vectors(df, "name", "id", dim=1)
+
+
+def test_iterative_merge_er_beats_one_shot(spark):
+    """The Swoosh capability pin: C matches NO original record pairwise
+    (name overlaps A only, key overlaps B only), so one-shot match + CC
+    leaves C out — but after A+B union-merge, the merged profile holds
+    both, and round 2 absorbs C. Also pins: noise record sharing only a
+    name stays singleton; converged flag semantics under max_rounds."""
+    from xlink_spark.operators.linkage import iterative_merge_er
+
+    rows = [
+        (1, "names", "bob"), (1, "names", "rb"), (1, "keys", "k1"),
+        (2, "names", "rb"), (2, "keys", "k1"), (2, "keys", "k2"),
+        (3, "names", "bob"), (3, "keys", "k2"),
+        (9, "names", "bob"), (9, "keys", "zz"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "fld", "val"])
+    out = iterative_merge_er(df, ["names", "keys"], max_rounds=4)
+    got = {(r["entity_id"], r["member_id"]): r.asDict() for r in out.collect()}
+    assert set(got) == {(1, 1), (1, 2), (1, 3), (9, 9)}
+    assert all(v["rounds_used"] == 2 and v["converged"] for v in got.values())
+
+    # the one-shot contrast: pairwise all-fields matching on the ORIGINAL
+    # records yields only the A-B edge, so CC never reaches C
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.cluster import connected_components
+
+    va = df.select(F.col("id").alias("ea"), "fld", "val")
+    vb = df.select(F.col("id").alias("eb"), "fld", "val")
+    one_shot = (
+        va.join(vb, ["fld", "val"])
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.count_distinct("fld").alias("nf"))
+        .filter(F.col("nf") == 2)
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(one_shot).collect()
+    }
+    assert comp == {1: 1, 2: 1}  # C (3) and noise (9) never linked
+
+    # max_rounds=1 cuts the loop while edges still appear: converged False
+    cut = iterative_merge_er(df, ["names", "keys"], max_rounds=1)
+    r0 = cut.first()
+    assert r0["rounds_used"] == 1 and not r0["converged"]
+    got1 = {(r["entity_id"], r["member_id"]) for r in cut.collect()}
+    assert got1 == {(1, 1), (1, 2), (3, 3), (9, 9)}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        iterative_merge_er(df, [], max_rounds=2)
+    with pytest.raises(ValueError):
+        iterative_merge_er(df, ["names"], block_field="keys")

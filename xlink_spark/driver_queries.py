@@ -9115,6 +9115,149 @@ def _vector_blocks_sql() -> str:
 SQL_VECTOR_BLOCKS = _vector_blocks_sql()
 
 
+
+
+def q_iterative_merge_er(spark, sf_dir):
+    """Iterative merge-based ER (linkage.iterative_merge_er — the Swoosh
+    family, Benjelloun et al. VLDB J. 2009, union merge) on a
+    deterministic 3-source evidence corpus built from customers: source A
+    holds (name, alias; k1), source B (alias; k1, k2), source C (name;
+    k2). A and B match in round 1 (alias + k1); C matches NOTHING
+    pairwise — it reaches A's profile only AFTER the round-1 union merge
+    contributes B's k2 (name via A, key via B), the exact capability
+    one-shot matching + transitive closure cannot express. An md5-chosen
+    third of customers lose source B, so their C stays a separate entity
+    — both fates ride the same output. The oracle unrolls every round:
+    blocking self-join, all-fields overlap count, symmetric min-
+    propagation CC, and the distinct relabel that IS union merge in long
+    form."""
+    from xlink_spark.operators.linkage import iterative_merge_er
+
+    cust = spark.read.parquet(_T(sf_dir, "customer")).select(
+        F.col("c_custkey").cast("long").alias("i"),
+        F.col("c_name").alias("nm"),
+    )
+    base = cust.select(
+        "i",
+        "nm",
+        F.expr("substring(md5(nm), 1, 8)").alias("al"),
+        F.expr("concat('k1:', cast(i as string))").alias("k1"),
+        F.expr("concat('k2:', cast(i as string))").alias("k2"),
+        F.expr(
+            "pmod(cast(conv(substring(md5(nm), 3, 2), 16, 10) as bigint),"
+            " 3) = 0"
+        ).alias("dropb"),
+    )
+    a = base.select(
+        F.col("i").alias("id"),
+        F.expr("stack(3, 'names', nm, 'names', al, 'keys', k1)"
+               " as (fld, val)"),
+    )
+    b = base.filter(~F.col("dropb")).select(
+        (F.col("i") + 10000000).alias("id"),
+        F.expr("stack(3, 'names', al, 'keys', k1, 'keys', k2)"
+               " as (fld, val)"),
+    )
+    c = base.select(
+        (F.col("i") + 20000000).alias("id"),
+        F.expr("stack(2, 'names', nm, 'keys', k2) as (fld, val)"),
+    )
+    vals = a.unionByName(b).unionByName(c)
+    return iterative_merge_er(vals, ["names", "keys"], max_rounds=4)
+
+
+def _swoosh_minprop_sql(prefix: str, src: str, rounds: int) -> str:
+    """Namespaced unrolled pointer-jumping min-propagation (the
+    _minprop_rounds_sql shape) reading symmetric edges from ``src`` and
+    emitting ``{prefix}w{rounds}`` (node, comp)."""
+    blocks = [
+        f"{prefix}w0 as materialized (select src as node,"
+        f"  least(src, min(dst)) as comp from {src} group by src), "
+    ]
+    for i in range(1, rounds + 1):
+        pr = i - 1
+        blocks.append(
+            f"{prefix}w{i} as materialized ("
+            f"  select node, min(comp) as comp from ("
+            f"  select node, comp from {prefix}w{pr}"
+            f"  union all"
+            f"  select u.src as node, w.comp from {src} u"
+            f"    join {prefix}w{pr} w on w.node = u.dst"
+            f"  union all"
+            f"  select w.node, w2.comp from {prefix}w{pr} w"
+            f"    join {prefix}w{pr} w2 on w2.node = w.comp"
+            f") group by node), "
+        )
+    return "".join(blocks)
+
+
+def _iterative_merge_er_sql(outer_rounds: int = 4, minprop: int = 6) -> str:
+    parts = [
+        "with cust as (select c_custkey::bigint as i, c_name as nm"
+        "  from customer), "
+        "base as (select i, nm, substr(md5(nm), 1, 8) as al,"
+        "  'k1:' || i::varchar as k1, 'k2:' || i::varchar as k2,"
+        "  ((('0x' || substr(md5(nm), 3, 2))::bigint % 3) = 0) as dropb"
+        "  from cust), "
+        "v0 as ("
+        "  select i as id, 'names' as fld, nm as val from base"
+        "  union all select i, 'names', al from base"
+        "  union all select i, 'keys', k1 from base"
+        "  union all select i + 10000000, 'names', al from base"
+        "    where not dropb"
+        "  union all select i + 10000000, 'keys', k1 from base"
+        "    where not dropb"
+        "  union all select i + 10000000, 'keys', k2 from base"
+        "    where not dropb"
+        "  union all select i + 20000000, 'names', nm from base"
+        "  union all select i + 20000000, 'keys', k2 from base), "
+        "vals0 as materialized (select distinct id as eid, fld, val"
+        "  from v0), "
+        "mem0 as materialized (select distinct eid, eid as member_id"
+        "  from vals0), "
+    ]
+    for r in range(1, outer_rounds + 1):
+        pr = r - 1
+        parts.append(
+            f"blk{r} as (select eid, val from vals{pr}"
+            f"  where fld = 'names'), "
+            f"cand{r} as (select distinct x.eid as ea, y.eid as eb"
+            f"  from blk{r} x join blk{r} y"
+            f"  on y.val = x.val and x.eid < y.eid), "
+            f"ed{r} as materialized (select c.ea as src, c.eb as dst from"
+            f"  cand{r} c join vals{pr} a on a.eid = c.ea"
+            f"  join vals{pr} b on b.eid = c.eb"
+            f"    and b.fld = a.fld and b.val = a.val"
+            f"  group by 1, 2 having count(distinct a.fld) = 2), "
+            f"mu{r} as (select src, dst from (select src, dst from ed{r}"
+            f"  union select dst, src from ed{r})), "
+            + _swoosh_minprop_sql(f"r{r}", f"mu{r}", minprop)
+            + f"comp{r} as (select node, comp from r{r}w{minprop}), "
+            f"vals{r} as materialized (select distinct"
+            f"  coalesce(c.comp, v.eid) as eid, v.fld, v.val"
+            f"  from vals{pr} v left join comp{r} c on c.node = v.eid), "
+            f"mem{r} as materialized (select distinct"
+            f"  coalesce(c.comp, m.eid) as eid, m.member_id"
+            f"  from mem{pr} m left join comp{r} c on c.node = m.eid), "
+        )
+    er = " + ".join(
+        f"(case when (select count(*) from ed{r}) > 0 then 1 else 0 end)"
+        for r in range(1, outer_rounds + 1)
+    )
+    parts.append(
+        f"ru as (select ({er})::bigint as rounds_used,"
+        f"  ((select count(*) from ed{outer_rounds}) = 0) as converged) "
+        f"select m.eid::bigint as entity_id,"
+        f"  m.member_id::bigint as member_id,"
+        f"  ru.rounds_used, ru.converged "
+        f"from mem{outer_rounds} m, ru"
+    )
+    return "".join(parts)
+
+
+SQL_ITERATIVE_MERGE_ER = _iterative_merge_er_sql()
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -9256,6 +9399,7 @@ QUERIES: dict[str, Query] = {
     "block_split_pairs": q_block_split_pairs,
     "progressive_snm": q_progressive_snm,
     "vector_blocks": q_vector_blocks,
+    "iterative_merge_er": q_iterative_merge_er,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -9410,6 +9554,7 @@ ORACLES: dict[str, str] = {
     "block_split_pairs": SQL_BLOCK_SPLIT_PAIRS,
     "progressive_snm": SQL_PROGRESSIVE_SNM,
     "vector_blocks": SQL_VECTOR_BLOCKS,
+    "iterative_merge_er": SQL_ITERATIVE_MERGE_ER,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
