@@ -2274,3 +2274,34 @@ def test_iterative_merge_er_beats_one_shot(spark):
         iterative_merge_er(df, [], max_rounds=2)
     with pytest.raises(ValueError):
         iterative_merge_er(df, ["names"], block_field="keys")
+
+
+def test_vector_blocking_materialize_identical_and_action_free(spark):
+    """materialize=True checkpoints the shared gram-vector frame (plan
+    shows zero parquet-free recomputes of the gram scan: the checkpoint
+    RDD feeds all four consumers) and the output is bit-identical; the
+    default stays action-free at plan-construction time."""
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.linkage import vector_blocking_pairs
+
+    rows = [
+        (1, "goldenrod lavender spring chocolate lace"),
+        (2, "goldenrod lavender spring chocolate lacf"),
+        (3, "midnight crimson steel ivory plum"),
+        (4, "midnight crimson steel ivory plun"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    kw = dict(q=3, dim=64, planes=48, band_rows=8, threshold_ppt=750)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    lazy = vector_blocking_pairs(df, "name", "id", **kw)
+    assert len(tracker.getJobIdsForGroup() or []) == before  # no job ran
+
+    eager = vector_blocking_pairs(df, "name", "id", materialize=True, **kw)
+    a = sorted(map(tuple, lazy.collect()))
+    b = sorted(map(tuple, eager.collect()))
+    assert a == b and len(a) == 2
+    plan = eager._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan

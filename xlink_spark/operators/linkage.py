@@ -2603,6 +2603,7 @@ def vector_blocking_pairs(
     threshold_ppt: int = 750,
     seed: str = "vb",
     verify: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """LSH / vector-based blocking for record linkage (the family Steorts,
     Ventura, Sadinle & Fienberg 2014 benchmark as "LSH blocking"; the
@@ -2636,7 +2637,10 @@ def vector_blocking_pairs(
     joins the long-form vectors pair-locally (≤ dim rows per pair). The
     recall/fan-out dial is (planes, band_rows) exactly as in the LSH
     literature — more bands buy recall linearly in signature cost, wider
-    bands cut fan-out exponentially.
+    bands cut fan-out exponentially. ``materialize=True`` eager-
+    checkpoints the shared (id, d, v) frame so its four consumers read
+    it once instead of re-running the gram scan — the at-scale mode;
+    the default keeps plan construction action-free.
     """
     if planes < 1 or band_rows < 1 or planes % band_rows != 0:
         raise ValueError("planes must be a positive multiple of band_rows")
@@ -2646,6 +2650,13 @@ def vector_blocking_pairs(
     vec = hashed_ngram_vectors(
         records, text_col, id_col, q=q, dim=dim
     )
+    if materialize:
+        # the (id, d, v) frame feeds four consumers (plane sums, norms,
+        # and both verification sides); at corpus scale recomputing the
+        # gram scan 4x dominates — eager-checkpoint it once (the Vernica
+        # materialization-point precedent in allpairs_jaccard_pairs).
+        # Default False keeps plan construction action-free.
+        vec = vec.localCheckpoint(eager=True)
     spark = records.sparkSession
     signs = spark.range(dim).select(
         F.col("id").alias("d"),
