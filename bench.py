@@ -59,6 +59,9 @@ HEADLINE = [
     "pivot_clusters",     # KwikCluster LFMIS rounds + min-pivot assignment
     "one_to_one_matches",  # clean-clean iterated mutual-best assignment
     "truth_trust_avglog",  # Sums vs Average-Log source-trust fixed points
+    "vector_blocks",       # LSH vector blocking + exact-cosine verify
+    "iterative_merge_er",  # Swoosh union-merge rounds (2 merge rounds + CC)
+    "block_split_pairs",   # BlockSplit-balanced within-block quadratic
 ]
 
 

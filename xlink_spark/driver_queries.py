@@ -9047,7 +9047,7 @@ SQL_PROGRESSIVE_SNM = (
 def q_vector_blocks(spark, sf_dir):
     """LSH / vector-based blocking (linkage.vector_blocking_pairs — the
     "LSH blocking" family of Steorts, Ventura, Sadinle & Fienberg 2014)
-    over the clean ∪ bumped-last-char part-name corpus (p_partkey % 4
+    over the clean ∪ bumped-last-char part-name corpus (p_partkey % 8
     slice): hashed 3-gram count vectors (feature hashing, dim 64), 48
     md5-derived ±1 SRP planes in 6 bands of 8 bits, candidates from the
     (band, code) equi-join, verified by the EXACT integer cosine test
@@ -9070,7 +9070,7 @@ def q_vector_blocks(spark, sf_dir):
             " char(ascii(substring(nm, length(nm), 1)) + 1))"
         ).alias("nm"),
     )
-    recs = base.unionByName(dirty).filter(F.pmod(F.col("id"), F.lit(4)) == 0)
+    recs = base.unionByName(dirty).filter(F.pmod(F.col("id"), F.lit(8)) == 0)
     pairs = vector_blocking_pairs(
         recs, "nm", "id", q=3, dim=64, planes=48, band_rows=8,
         threshold_ppt=750,
@@ -9093,7 +9093,7 @@ def _vector_blocks_sql() -> str:
         "  substr(nm, 1, length(nm) - 1)"
         "    || chr(ascii(substr(nm, length(nm), 1)) + 1) as nm from base), "
         "recs as (select * from base union all select * from dirty), "
-        + _vb_sql_ctes("", "recs", "nm", where_sql=" where id % 4 = 0")
+        + _vb_sql_ctes("", "recs", "nm", where_sql=" where id % 8 = 0")
         + ", "
         "norms as (select id, sum(v * v)::bigint as norm from vec"
         "  group by 1), "
