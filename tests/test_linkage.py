@@ -2305,3 +2305,79 @@ def test_vector_blocking_materialize_identical_and_action_free(spark):
     assert a == b and len(a) == 2
     plan = eager._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_collective_er_relational_propagation(spark):
+    """The B&G capability pin: the ambiguous pair (attr below threshold)
+    links ONLY after round 1 merges its members' neighbors into one
+    cluster; a same-attr pair without shared neighbors never links; the
+    boost counts DISTINCT shared neighbor clusters; accumulated edges
+    are monotone; converged/rounds_used semantics under the rounds cap."""
+    from xlink_spark.operators.linkage import collective_er
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 1_000_000),   # distinctive: links round 1
+         (2, 3, 400_000),     # ambiguous: needs the relational boost
+         (2, 5, 400_000)],    # same attr, no shared neighbors: never
+        ["id_a", "id_b", "attr_micro"])
+    rel = spark.createDataFrame(
+        [(2, 0), (3, 1), (5, 9)], ["id", "nbr"])
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 5, 9)], ["id"])
+    out = collective_er(
+        pairs, rel, nodes,
+        boost_micro=700_000, threshold_micro=1_000_000, rounds=4,
+    )
+    got = {r["node"]: r.asDict() for r in out.collect()}
+    assert got[0]["cluster"] == got[1]["cluster"]
+    assert got[2]["cluster"] == got[3]["cluster"]          # via propagation
+    assert got[5]["cluster"] == 5 and got[9]["cluster"] == 9
+    assert got[2]["cluster"] != got[5]["cluster"]
+    assert all(v["rounds_used"] == 2 and v["converged"] for v in got.values())
+
+    # rounds=1 cap: only the distinctive pair links, converged False
+    cut = {
+        r["node"]: r.asDict()
+        for r in collective_er(
+            pairs, rel, nodes,
+            boost_micro=700_000, threshold_micro=1_000_000, rounds=1,
+        ).collect()
+    }
+    assert cut[0]["cluster"] == cut[1]["cluster"]
+    assert cut[2]["cluster"] == 2 and cut[3]["cluster"] == 3
+    assert cut[2]["rounds_used"] == 1 and not cut[2]["converged"]
+
+    # distinct-cluster counting: (6, 7) needs ns >= 2 (boost 5e5 each,
+    # attr 0); both neighbor sets are {0, 1}, two clusters in round 1 —
+    # links immediately; had the count been per co-occurrence ROW it
+    # would be the same here, but after 0-1 merge ns drops to 1 and the
+    # edge PERSISTS: monotone accumulation, pinned by the final cluster
+    pairs2 = spark.createDataFrame(
+        [(0, 1, 1_000_000), (6, 7, 0)], ["id_a", "id_b", "attr_micro"])
+    rel2 = spark.createDataFrame(
+        [(6, 0), (6, 1), (7, 0), (7, 1)], ["id", "nbr"])
+    nodes2 = spark.createDataFrame([(i,) for i in (0, 1, 6, 7)], ["id"])
+    got2 = {
+        r["node"]: r.asDict()
+        for r in collective_er(
+            pairs2, rel2, nodes2,
+            boost_micro=500_000, threshold_micro=1_000_000, rounds=3,
+        ).collect()
+    }
+    assert got2[6]["cluster"] == got2[7]["cluster"]
+    # with ns capped at 1 (same fixture, boost must reach 1e6 alone but
+    # only 1 distinct cluster remains after the merge) the pair would
+    # need 2 clusters: prove ns counted DISTINCT clusters by lowering
+    # boost so 2 x boost < threshold -> never links
+    got3 = {
+        r["node"]: r.asDict()
+        for r in collective_er(
+            pairs2, rel2, nodes2,
+            boost_micro=400_000, threshold_micro=1_000_000, rounds=3,
+        ).collect()
+    }
+    assert got3[6]["cluster"] == 6 and got3[7]["cluster"] == 7
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        collective_er(pairs, rel, nodes, rounds=0)

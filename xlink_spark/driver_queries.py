@@ -9258,6 +9258,126 @@ def _iterative_merge_er_sql(outer_rounds: int = 4, minprop: int = 6) -> str:
 SQL_ITERATIVE_MERGE_ER = _iterative_merge_er_sql()
 
 
+
+
+def q_collective_er(spark, sf_dir):
+    """Collective relational ER (linkage.collective_er — Bhattacharya &
+    Getoor, TKDD 2007) on a deterministic co-occurrence corpus built from
+    customers: per customer, a distinctive pair (attr 10⁶ — links round
+    1) and an ambiguous pair (attr 4·10⁵ — below threshold alone) whose
+    members each co-occur with one member of the distinctive pair. Round
+    2's shared-neighbor-CLUSTER boost (7·10⁵ per shared cluster) lifts
+    the ambiguous pair over the threshold — relational evidence
+    propagating through the round-1 merge, which one-shot attribute
+    scoring cannot express. An md5-chosen third of customers get a
+    below-threshold distinctive pair (3·10⁵), so neither pair ever
+    links there — both fates ride the output. The oracle unrolls all 3
+    rounds: neighbor-cluster map, shared-cluster count, monotone edge
+    accumulation, and per-round min-propagation CC."""
+    from xlink_spark.operators.linkage import collective_er
+
+    cust = spark.read.parquet(_T(sf_dir, "customer")).select(
+        F.col("c_custkey").cast("long").alias("i"),
+        F.col("c_name").alias("nm"),
+    )
+    base = cust.select(
+        "i",
+        F.expr(
+            "case when pmod(cast(conv(substring(md5(nm), 5, 2), 16, 10)"
+            " as bigint), 3) = 0 then 300000 else 1000000 end"
+        ).cast("long").alias("bstrong"),
+    )
+    pairs = base.select(
+        F.col("i").alias("id_a"),
+        (F.col("i") + 10000000).alias("id_b"),
+        F.col("bstrong").alias("attr_micro"),
+    ).unionByName(
+        base.select(
+            (F.col("i") + 20000000).alias("id_a"),
+            (F.col("i") + 30000000).alias("id_b"),
+            F.lit(400000).cast("long").alias("attr_micro"),
+        )
+    )
+    rel = base.select(
+        (F.col("i") + 20000000).alias("id"), F.col("i").alias("nbr")
+    ).unionByName(
+        base.select(
+            (F.col("i") + 30000000).alias("id"),
+            (F.col("i") + 10000000).alias("nbr"),
+        )
+    )
+    nodes = base.select(F.col("i").alias("id"))
+    for off in (10000000, 20000000, 30000000):
+        nodes = nodes.unionByName(base.select((F.col("i") + off).alias("id")))
+    return collective_er(
+        pairs, rel, nodes,
+        boost_micro=700000, threshold_micro=1000000, rounds=3,
+    )
+
+
+def _collective_er_sql(outer_rounds: int = 3, minprop: int = 6) -> str:
+    parts = [
+        "with cust as (select c_custkey::bigint as i, c_name as nm"
+        "  from customer), "
+        "base as (select i,"
+        "  (case when ((('0x' || substr(md5(nm), 5, 2))::bigint) % 3) = 0"
+        "   then 300000 else 1000000 end)::bigint as bstrong from cust), "
+        "cand as materialized ("
+        "  select i as id_a, i + 10000000 as id_b, bstrong as attr from base"
+        "  union all select i + 20000000, i + 30000000, 400000::bigint"
+        "  from base), "
+        "rel as materialized ("
+        "  select i + 20000000 as id, i as nbr from base"
+        "  union all select i + 30000000, i + 10000000 from base), "
+        "uni as materialized (select i as node from base"
+        "  union all select i + 10000000 from base"
+        "  union all select i + 20000000 from base"
+        "  union all select i + 30000000 from base), "
+        "asg0 as (select node, node as cluster from uni), "
+        "ae0 as (select 0::bigint as src, 0::bigint as dst where 1 = 0), "
+    ]
+    for r in range(1, outer_rounds + 1):
+        pr = r - 1
+        parts.append(
+            f"nbc{r} as (select distinct l.id, a.cluster as ncl"
+            f"  from rel l join asg{pr} a on a.node = l.nbr), "
+            f"sh{r} as (select c.id_a, c.id_b,"
+            f"  count(distinct x.ncl)::bigint as ns"
+            f"  from cand c join nbc{r} x on x.id = c.id_a"
+            f"  join nbc{r} y on y.id = c.id_b and y.ncl = x.ncl"
+            f"  group by 1, 2), "
+            f"acc{r} as (select c.id_a as src, c.id_b as dst from cand c"
+            f"  left join sh{r} s on s.id_a = c.id_a and s.id_b = c.id_b"
+            f"  where c.attr + 700000 * coalesce(s.ns, 0) >= 1000000), "
+            f"ae{r} as materialized (select src, dst from"
+            f"  (select src, dst from ae{pr}"
+            f"   union select src, dst from acc{r})), "
+            f"mu{r} as (select src, dst from (select src, dst from ae{r}"
+            f"  union select dst, src from ae{r})), "
+            + _swoosh_minprop_sql(f"c{r}", f"mu{r}", minprop)
+            + f"comp{r} as (select node, comp from c{r}w{minprop}), "
+            f"asg{r} as materialized (select u.node,"
+            f"  coalesce(c.comp, u.node) as cluster"
+            f"  from uni u left join comp{r} c on c.node = u.node), "
+        )
+    growth = " + ".join(
+        f"(case when (select count(*) from ae{r})"
+        f" > (select count(*) from ae{r - 1}) then 1 else 0 end)"
+        for r in range(1, outer_rounds + 1)
+    )
+    parts.append(
+        f"ru as (select ({growth})::bigint as rounds_used,"
+        f"  ((select count(*) from ae{outer_rounds})"
+        f"   = (select count(*) from ae{outer_rounds - 1})) as converged) "
+        f"select a.node::bigint as node, a.cluster::bigint as cluster,"
+        f"  ru.rounds_used, ru.converged from asg{outer_rounds} a, ru"
+    )
+    return "".join(parts)
+
+
+SQL_COLLECTIVE_ER = _collective_er_sql()
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -9400,6 +9520,7 @@ QUERIES: dict[str, Query] = {
     "progressive_snm": q_progressive_snm,
     "vector_blocks": q_vector_blocks,
     "iterative_merge_er": q_iterative_merge_er,
+    "collective_er": q_collective_er,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -9555,6 +9676,7 @@ ORACLES: dict[str, str] = {
     "progressive_snm": SQL_PROGRESSIVE_SNM,
     "vector_blocks": SQL_VECTOR_BLOCKS,
     "iterative_merge_er": SQL_ITERATIVE_MERGE_ER,
+    "collective_er": SQL_COLLECTIVE_ER,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
