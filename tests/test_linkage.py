@@ -2381,3 +2381,75 @@ def test_collective_er_relational_propagation(spark):
 
     with pytest.raises(ValueError):
         collective_er(pairs, rel, nodes, rounds=0)
+
+
+def test_incremental_er_equals_full_recompute(spark):
+    """The nightly-delta composition on the driver fixture at sf0.001:
+    the incremental path (phase-1 world CC + frozen-weight batch fold
+    via incremental_components) is ROW-IDENTICAL to the full recompute
+    over all records with the same weights — the exactness theorem on
+    real data; and every batch twin lands in its clean record's
+    cluster."""
+    from pyspark.sql import functions as F
+
+    from xlink_spark.driver_queries import QUERIES, _linkage_records
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["incremental_er"](spark, sf)
+    got = {r["node"]: r.asDict() for r in out.collect()}
+
+    # full recompute, Spark-side: same key-equality pairs, weights
+    # frozen on the base slice, CC over ALL accepted edges
+    recs = _linkage_records(spark, sf).withColumn(
+        "is_batch",
+        (F.col("id") >= 10000000)
+        & (F.pmod(F.col("id") - 10000000, F.lit(4)) == 0),
+    )
+    a = recs.select(
+        F.col("id").alias("id_a"), "key", F.col("name").alias("_na"),
+        F.col("seg").alias("_sa"), F.col("nation").alias("_ta"),
+        F.col("is_batch").alias("_ba"),
+    )
+    b = recs.select(
+        F.col("id").alias("id_b"), "key", F.col("name").alias("_nb"),
+        F.col("seg").alias("_sb"), F.col("nation").alias("_tb"),
+        F.col("is_batch").alias("_bb"),
+    )
+    vec = (
+        a.join(b, "key").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b",
+            (F.col("_na") == F.col("_nb")).alias("agree_name"),
+            (F.col("_sa") == F.col("_sb")).alias("agree_seg"),
+            (F.col("_ta") == F.col("_tb")).alias("agree_nation"),
+            F.expr("pmod(id_a, 10000000) = pmod(id_b, 10000000)").alias(
+                "is_match"
+            ),
+            (F.col("_ba") | F.col("_bb")).alias("anyb"),
+        )
+    )
+    w = match_weights(
+        vec.filter(~F.col("anyb")),
+        ["agree_name", "agree_seg", "agree_nation"], "is_match",
+    )
+    edges = fs_score(
+        vec, w, ["agree_name", "agree_seg", "agree_nation"],
+        ["id_a", "id_b"],
+    ).filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    for node, row in got.items():
+        assert row["component"] == comp.get(node, node), node
+
+    # every batch twin merged into its clean record's standing cluster
+    batch = [n for n, r in got.items() if r["is_batch"]]
+    assert batch, "fixture must produce a non-empty batch"
+    linked = sum(
+        1 for n in batch if got[n]["component"] == got[n - 10000000]["component"]
+    )
+    assert linked == len(batch)

@@ -9378,6 +9378,148 @@ def _collective_er_sql(outer_rounds: int = 3, minprop: int = 6) -> str:
 SQL_COLLECTIVE_ER = _collective_er_sql()
 
 
+
+
+def q_incremental_er(spark, sf_dir):
+    """Incremental record ER — the nightly-delta composition: an
+    md5-free deterministic quarter of the DIRTY twins arrives as a late
+    batch; the standing world (all clean + the other dirty rows) is
+    blocked (key equality), FS-scored, and clustered FIRST; the batch is
+    then blocked against the world + itself, scored with the FROZEN
+    phase-1 weights (the production incremental shape — no re-
+    estimation), and folded in through cluster.incremental_components,
+    which touches only batch-grain data. The oracle is the FULL
+    recompute over all records with the same frozen weights — so the
+    hash match IS the exactness theorem (incremental ≡ full CC under
+    min-labeling) checked cross-engine on real data. Output: every
+    record's final cluster + its batch flag."""
+    from xlink_spark.operators.cluster import (
+        connected_components,
+        incremental_components,
+    )
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    recs = _linkage_records(spark, sf_dir).withColumn(
+        "is_batch",
+        (F.col("id") >= 10000000)
+        & (F.pmod(F.col("id") - 10000000, F.lit(4)) == 0),
+    )
+    kb = recs.select("id", "key", "name", "seg", "nation", "is_batch")
+
+    def _vec(pairs_filter):
+        a = kb.select(
+            F.col("id").alias("id_a"), F.col("key"),
+            F.col("name").alias("_na"), F.col("seg").alias("_sa"),
+            F.col("nation").alias("_ta"), F.col("is_batch").alias("_ba"),
+        )
+        b = kb.select(
+            F.col("id").alias("id_b"), F.col("key"),
+            F.col("name").alias("_nb"), F.col("seg").alias("_sb"),
+            F.col("nation").alias("_tb"), F.col("is_batch").alias("_bb"),
+        )
+        return (
+            a.join(b, "key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(pairs_filter)
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("_na") == F.col("_nb")).alias("agree_name"),
+                (F.col("_sa") == F.col("_sb")).alias("agree_seg"),
+                (F.col("_ta") == F.col("_tb")).alias("agree_nation"),
+                F.expr("pmod(id_a, 10000000) = pmod(id_b, 10000000)")
+                .alias("is_match"),
+            )
+        )
+
+    base_vec = _vec(~F.col("_ba") & ~F.col("_bb"))
+    w = match_weights(base_vec, _LINKAGE_FIELDS, "is_match")
+    base_edges = fs_score(
+        base_vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"]
+    ).filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    prev = connected_components(base_edges)
+    new_vec = _vec(F.col("_ba") | F.col("_bb"))
+    new_edges = fs_score(
+        new_vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"]
+    ).filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = incremental_components(prev, new_edges)
+    return (
+        recs.select(F.col("id").alias("node"), "is_batch")
+        .join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node"))
+            .cast("long")
+            .alias("component"),
+            "is_batch",
+        )
+    )
+
+
+SQL_INCREMENTAL_ER = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "kb as (select id, substr(name, 10, 4) as k, name, seg, nation,"
+    "  (id >= 10000000 and ((id - 10000000) % 4) = 0) as bt from recs), "
+    "ap as (select a.id as id_a, b.id as id_b,"
+    "  (a.name = b.name) as agree_name, (a.seg = b.seg) as agree_seg,"
+    "  (a.nation = b.nation) as agree_nation,"
+    "  (a.id % 10000000 = b.id % 10000000) as is_match,"
+    "  (a.bt or b.bt) as anyb"
+    "  from kb a join kb b on b.k = a.k and a.id < b.id), "
+    # frozen weights from the BASE (non-batch) pairs only
+    "one as (select"
+    "  sum(case when is_match then 1 else 0 end)::bigint as nm,"
+    "  sum(case when not is_match then 1 else 0 end)::bigint as nn,"
+    "  sum(case when is_match and agree_name then 1 else 0 end)::bigint"
+    "    as ma1,"
+    "  sum(case when not is_match and agree_name then 1 else 0 end)::bigint"
+    "    as ua1,"
+    "  sum(case when is_match and agree_seg then 1 else 0 end)::bigint"
+    "    as ma2,"
+    "  sum(case when not is_match and agree_seg then 1 else 0 end)::bigint"
+    "    as ua2,"
+    "  sum(case when is_match and agree_nation then 1 else 0 end)::bigint"
+    "    as ma3,"
+    "  sum(case when not is_match and agree_nation then 1 else 0 end)"
+    "    ::bigint as ua3"
+    " from ap where not anyb), "
+    "w as (select f.field,"
+    "  floor(1e6 * ln(((f.ma + 1) * (o.nn + 2))::double"
+    "                 / ((f.ua + 1) * (o.nm + 2))::double))::bigint"
+    "    as w_agree_micro,"
+    "  floor(1e6 * ln((((o.nm + 2) - (f.ma + 1)) * (o.nn + 2))::double"
+    "                 / (((o.nn + 2) - (f.ua + 1)) * (o.nm + 2))::double))"
+    "    ::bigint as w_disagree_micro"
+    " from one o, (select unnest(['agree_name', 'agree_seg',"
+    "    'agree_nation']) as field,"
+    "    unnest([ma1, ma2, ma3]) as ma, unnest([ua1, ua2, ua3]) as ua"
+    "    from one) f), "
+    "long as (select id_a, id_b,"
+    "  unnest(['agree_name', 'agree_seg', 'agree_nation']) as field,"
+    "  unnest([agree_name, agree_seg, agree_nation]) as agree from ap), "
+    "sc as (select l.id_a, l.id_b,"
+    "  sum(case when l.agree then w.w_agree_micro"
+    "      else w.w_disagree_micro end)::bigint as score_micro"
+    "  from long l join w using (field) group by 1, 2), "
+    # FULL recompute: every edge (base and batch alike) under the same
+    # frozen weights — the exactness theorem's right-hand side
+    "eg as (select id_a as src, id_b as dst from sc"
+    "  where score_micro >= 0), "
+    "mu as (select src, dst from (select src, dst from eg"
+    "  union select dst, src from eg)), "
+    + _swoosh_minprop_sql("ie", "mu", 8)
+    + "comp as (select node, comp from iew8) "
+    "select r.id::bigint as node,"
+    "  coalesce(c.comp, r.id)::bigint as component,"
+    "  (r.id >= 10000000 and ((r.id - 10000000) % 4) = 0) as is_batch "
+    "from recs r left join comp c on c.node = r.id"
+)
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -9521,6 +9663,7 @@ QUERIES: dict[str, Query] = {
     "vector_blocks": q_vector_blocks,
     "iterative_merge_er": q_iterative_merge_er,
     "collective_er": q_collective_er,
+    "incremental_er": q_incremental_er,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -9677,6 +9820,7 @@ ORACLES: dict[str, str] = {
     "vector_blocks": SQL_VECTOR_BLOCKS,
     "iterative_merge_er": SQL_ITERATIVE_MERGE_ER,
     "collective_er": SQL_COLLECTIVE_ER,
+    "incremental_er": SQL_INCREMENTAL_ER,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
