@@ -2499,7 +2499,13 @@ def progressive_snm_curve(
     frame = records.sparkSession.range(1, int(max_window)).select(
         F.col("id").alias("dist")
     )
-    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    # partitionBy(lit) on the W-row frame: same semantics, and the plan
+    # never claims a global single-partition sort over real data
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("dist")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     truth = lbl.groupBy("_ent").agg(F.count(F.lit(1)).alias("_n")).agg(
         F.coalesce(F.sum(F.expr("_n * (_n - 1) div 2")), F.lit(0))
         .cast("long")
