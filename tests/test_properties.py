@@ -269,3 +269,108 @@ def test_histogram_drift_psi_nonnegative_and_zero_on_identity(spark, prev_b, cur
     assert all(r["psi_micro"] >= 0 for r in rows)
     same = histogram_drift(mk(prev_b), mk(prev_b)).collect()
     assert all(r["psi_micro"] == 0 for r in same)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 400)),
+        min_size=1, max_size=120, unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 60),
+)
+def test_block_split_pairs_equal_plain_for_any_blocks(spark, rows, target):
+    """BlockSplit invariants for ANY block layout and target: the pair
+    set equals the naive within-block quadratic, no task exceeds the
+    target, and no pair is emitted twice."""
+    from pyspark.sql import functions as F
+
+    from xlink_spark.operators.skew import block_split_pairs
+
+    df = spark.createDataFrame(
+        [(f"b{b}", i) for b, i in rows], ["block", "id"]
+    )
+    pairs = block_split_pairs(
+        df, "block", "id", max_pairs_per_task=target
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    assert len(got) == len(set(got))
+    by_block = {}
+    for b, i in rows:
+        by_block.setdefault(b, []).append(i)
+    exp = sorted(
+        (a, c)
+        for mem in by_block.values()
+        for a in mem
+        for c in mem
+        if a < c
+    )
+    assert got == exp
+    from collections import Counter
+
+    per_task = Counter(
+        (r["block"], r["task_i"], r["task_j"]) for r in pairs
+    )
+    assert all(v <= target for v in per_task.values())
+
+
+def _swoosh_reference(values, fields):
+    """Sequential R-Swoosh reference (union merge): repeatedly pick any
+    matching profile pair (all fields overlap), merge, restart — the
+    ICAR properties make the fixed point order-independent, so a simple
+    worklist loop is a valid oracle."""
+    profs = {}
+    for rid, fld, val in values:
+        if fld in fields:
+            profs.setdefault(rid, {"members": {rid}})
+            profs[rid].setdefault(fld, set()).add(val)
+    changed = True
+    while changed:
+        changed = False
+        ids = sorted(profs)
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                a, b = profs[x], profs[y]
+                if all(
+                    a.get(f, set()) & b.get(f, set()) for f in fields
+                ):
+                    for f in fields:
+                        a.setdefault(f, set()).update(b.get(f, set()))
+                    a["members"].update(b["members"])
+                    del profs[y]
+                    changed = True
+                    break
+            if changed:
+                break
+    out = set()
+    for p in profs.values():
+        eid = min(p["members"])
+        for m in p["members"]:
+            out.add((eid, m))
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 12),
+            st.sampled_from(["names", "keys"]),
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        ),
+        min_size=2, max_size=40,
+    )
+)
+def test_iterative_merge_er_matches_sequential_swoosh(spark, values):
+    """For ANY random evidence table, the parallel rounds converge to the
+    same partition as sequential worklist R-Swoosh (the ICAR fixed point
+    is unique), with the same min-member entity ids."""
+    from xlink_spark.operators.linkage import iterative_merge_er
+
+    df = spark.createDataFrame(values, ["id", "fld", "val"])
+    out = iterative_merge_er(
+        df, ["names", "keys"], max_rounds=12
+    ).collect()
+    assert all(r["converged"] for r in out)
+    got = {(r["entity_id"], r["member_id"]) for r in out}
+    assert got == _swoosh_reference(values, ["names", "keys"])
