@@ -186,3 +186,22 @@ def test_block_split_rejects_bad_target(spark):
 
     with pytest.raises(ValueError):
         block_split_plan(_blocked(spark), max_pairs_per_task=0).collect()
+
+
+def test_salt_plan_pinned_partitions_identical_output(spark):
+    """num_partitions pins the salted exchange against AQE input-size
+    coalescing (the BlockSplit lesson); output stays row-identical to
+    the plain join."""
+    probe, build = _probe(spark), _build(spark)
+    plan = join_salt_plan(probe, build, "key", target_rows_per_task=4)
+    plain = sorted(
+        map(tuple, probe.join(build, "key").select(
+            "key", "doc_id", "entity").collect())
+    )
+    pinned = sorted(
+        map(tuple, apply_salt_plan(
+            probe, build, plan, "key",
+            probe_entropy=("doc_id",), num_partitions=16,
+        ).select("key", "doc_id", "entity").collect())
+    )
+    assert pinned == plain

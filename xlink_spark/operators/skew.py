@@ -87,6 +87,8 @@ def apply_salt_plan(
     plan: DataFrame,
     key_col: str = "key",
     probe_entropy: Sequence[str] = ("doc_id",),
+    *,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Inner-join probe ⋈ build on ``key_col`` with per-key variable salting.
 
@@ -97,6 +99,16 @@ def apply_salt_plan(
     ways via a sequence explode. The join then includes the salt column, so
     a hot key's work spreads over salt_factor reducers while output equals
     the unsalted join exactly.
+
+    ``num_partitions`` (opt-in) explicitly repartitions both sides on
+    (key, salt) before the join. Set it whenever the join INPUT is small
+    enough for AQE's input-size coalescing to merge the salted exchange
+    back down (the BlockSplit lesson in this module: AQE is blind to a
+    join's output explosion, and a coalesced salted join is slower than
+    no salting). Leave it None at true probe×build scale — TB-sized
+    inputs keep their partitions, and when the build side is broadcast-
+    small you should not be salting at all (the broadcast join is
+    already skew-immune).
     """
     factors = F.broadcast(
         plan.select(F.col(key_col), F.col("salt_factor").cast("int"))
@@ -124,6 +136,9 @@ def apply_salt_plan(
         )
         .drop("salt_factor")
     )
+    if num_partitions is not None:
+        p = p.repartition(int(num_partitions), key_col, "_salt")
+        b = b.repartition(int(num_partitions), key_col, "_salt")
     return p.join(b, [key_col, "_salt"], "inner").drop("_salt")
 
 
