@@ -374,3 +374,43 @@ def test_iterative_merge_er_matches_sequential_swoosh(spark, values):
     assert all(r["converged"] for r in out)
     got = {(r["entity_id"], r["member_id"]) for r in out}
     assert got == _swoosh_reference(values, ["names", "keys"])
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6), st.integers(100, 106), st.integers(0, 50)
+        ),
+        min_size=1, max_size=30, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_one_to_one_matching_is_stable(spark, pairs):
+    """Stability (Gale-Shapley's defining property) for ANY random
+    bipartite score table: the converged greedy/locally-dominant
+    matching admits NO blocking pair — no unmatched candidate edge where
+    BOTH endpoints would strictly prefer it (under the operator's total
+    order: score desc, right asc, left asc) to their current assignment.
+    With symmetric preferences derived from one edge weight, greedy IS
+    the unique stable matching, so this pins one_to_one_matches as the
+    stable-marriage solution without a separate Gale-Shapley operator."""
+    from xlink_spark.operators.linkage import one_to_one_matches
+
+    df = spark.createDataFrame(pairs, ["l", "r", "s"])
+    out = one_to_one_matches(df, "l", "r", "s", rounds=12).collect()
+    ml = {row["l"]: row for row in out}
+    mr = {row["r"]: row for row in out}
+
+    def key(s, r, l):
+        return (-s, r, l)  # the operator's strict total order
+
+    for (l, r, s) in pairs:
+        if l in ml and ml[l]["r"] == r:
+            continue  # matched edge cannot block
+        l_better = l not in ml or key(s, r, l) < key(
+            ml[l]["s"], ml[l]["r"], ml[l]["l"]
+        )
+        r_better = r not in mr or key(s, r, l) < key(
+            mr[r]["s"], mr[r]["r"], mr[r]["l"]
+        )
+        assert not (l_better and r_better), (l, r, s)
