@@ -133,6 +133,9 @@ def ceaf(
                 )
                 - 1
             ).alias("gi"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("component"))
+            .alias("_kgc"),
         )
     )
     pr = (
@@ -147,33 +150,28 @@ def ceaf(
                 )
                 - 1
             ).alias("pbit"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("component"))
+            .alias("_kpc"),
         )
     )
     # per-component ORIENTATION: the assignment problem is symmetric, so
     # DP levels run over the component's SMALLER dimension and the mask
     # over the larger — a long-thin entanglement (many gold clusters
     # chained through 2-3 response clusters, the shape real ER produces)
-    # costs min-side rounds, not max-side: at the bench fixture this cuts
-    # the driver loop 15 levels -> 4. Flip only under the 62-bit mask
-    # bound; the ACCEPTANCE guards stay on the unflipped dimensions, so
-    # no input is newly rejected.
-    shape = (
-        cc.groupBy("component")
-        .agg(
-            F.count_distinct("_g").alias("_kg"),
-            F.count_distinct("_p").alias("_kp"),
-        )
-        .select(
-            "component",
-            ((F.col("_kp") < F.col("_kg")) & (F.col("_kg") <= 62)).alias(
-                "_flip"
-            ),
-        )
-    )
+    # costs min-side driver rounds, not max-side: at the bench fixture
+    # this cuts the loop 15 levels -> 4. The side counts ride the SAME
+    # per-component windows that compute the ranks (no extra pass over
+    # the overlap graph); flip only under the 62-bit mask bound; the
+    # ACCEPTANCE guards stay on the unflipped dimensions, so no input is
+    # newly rejected.
     ranked = (
         cc.join(gr, ["component", "_g"])
         .join(pr, ["component", "_p"])
-        .join(shape, "component")
+        .withColumn(
+            "_flip",
+            (F.col("_kpc") < F.col("_kgc")) & (F.col("_kgc") <= 62),
+        )
         .select(
             "component",
             "_flip",
