@@ -1296,3 +1296,43 @@ def test_run_er_job_one_to_one_clean_clean(spark, tmp_path):
             **base, "repair_fields": "ident",
             "output": str(tmp_path / "o2o_bad2"),
         }))
+
+
+def test_run_merge_er_job_end_to_end(spark, tmp_path):
+    """The merge-ER job CLI: long-form evidence in, members + merged
+    value sets out; the two-round Swoosh case resolves through the job
+    plumbing and the metrics line carries rounds/convergence."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_merge_er import run_merge_er_job
+
+    rows = [
+        (1, "names", "bob"), (1, "names", "rb"), (1, "keys", "k1"),
+        (2, "names", "rb"), (2, "keys", "k1"), (2, "keys", "k2"),
+        (3, "names", "bob"), (3, "keys", "k2"),
+        (9, "names", "bob"), (9, "keys", "zz"),
+        (9, "junkfield", "ignored"),  # outside --fields: must not affect
+    ]
+    src = str(tmp_path / "evidence")
+    spark.createDataFrame(rows, "id long, fld string, val string").write.parquet(src)
+    args = argparse.Namespace(
+        values=src, output=str(tmp_path / "merge_out"),
+        fields="names,keys", id_col="id", field_col="fld",
+        value_col="val", block_field=None, max_rounds=4,
+    )
+    m = run_merge_er_job(spark, args)
+    assert m["rounds_used"] == 2 and m["converged"]
+    assert m["n_members"] == 4 and m["n_entities"] == 2
+    mem = {
+        (r["entity_id"], r["member_id"])
+        for r in spark.read.parquet(f"{args.output}/members").collect()
+    }
+    assert mem == {(1, 1), (1, 2), (1, 3), (9, 9)}
+    vals = {
+        (r["entity_id"], r["fld"], r["val"])
+        for r in spark.read.parquet(f"{args.output}/values").collect()
+    }
+    # the merged entity's union value set; junkfield filtered out
+    assert (1, "names", "bob") in vals and (1, "keys", "k2") in vals
+    assert not any(f == "junkfield" for (_, f, _v) in vals)
