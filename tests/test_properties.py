@@ -414,3 +414,88 @@ def test_one_to_one_matching_is_stable(spark, pairs):
             mr[r]["s"], mr[r]["r"], mr[r]["l"]
         )
         assert not (l_better and r_better), (l, r, s)
+
+
+def _collective_reference(pairs, rels, nodes, boost, th, rounds):
+    """Python replay of collective_er's deterministic semantics: shared
+    neighbor CLUSTERS under the current assignment, monotone edge
+    accumulation, min-label connected components per round."""
+    rel = {}
+    for i, n in rels:
+        rel.setdefault(i, set()).add(n)
+    asg = {n: n for n in nodes}
+    edges = set()
+    rounds_used, converged = 0, True
+    for _ in range(rounds):
+        new = set(edges)
+        for (a, b, attr) in pairs:
+            na = {asg[x] for x in rel.get(a, set()) if x in asg}
+            nb = {asg[x] for x in rel.get(b, set()) if x in asg}
+            if attr + boost * len(na & nb) >= th:
+                new.add((a, b))
+        if new == edges:
+            break
+        edges = new
+        rounds_used += 1
+        # min-label CC over accumulated edges
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for (a, b) in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        asg = {n: find(n) for n in nodes}
+    else:
+        converged = False
+    return asg, rounds_used, converged
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9), st.integers(10, 19),
+            st.sampled_from([0, 300_000, 600_000, 1_000_000]),
+        ),
+        min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        max_size=25, unique_by=lambda t: t,
+    ),
+)
+def test_collective_er_matches_python_replay(spark, pairs, rels):
+    """For ANY random pair/relation tables, the distributed rounds equal
+    a sequential Python replay of the same semantics — pins the
+    neighbor-cluster map, the distinct-shared count, monotone edge
+    accumulation, min-label CC, and the rounds/convergence accounting."""
+    from xlink_spark.operators.linkage import collective_er
+
+    nodes = sorted(
+        {x for p in pairs for x in p[:2]} | {x for r in rels for x in r}
+    )
+    exp_asg, exp_ru, exp_cv = _collective_reference(
+        pairs, rels, nodes, 500_000, 1_000_000, 3
+    )
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b", "attr_micro"])
+    rdf = (
+        spark.createDataFrame(rels, ["id", "nbr"])
+        if rels
+        else spark.createDataFrame([], "id long, nbr long")
+    )
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    out = collective_er(
+        pdf, rdf, ndf,
+        boost_micro=500_000, threshold_micro=1_000_000, rounds=3,
+    ).collect()
+    got = {r["node"]: r["cluster"] for r in out}
+    assert got == exp_asg
+    assert all(
+        r["rounds_used"] == exp_ru and r["converged"] == exp_cv for r in out
+    )
