@@ -2453,3 +2453,73 @@ def test_incremental_er_equals_full_recompute(spark):
         1 for n in batch if got[n]["component"] == got[n - 10000000]["component"]
     )
     assert linked == len(batch)
+
+
+# ---------------------------------------------------------------- ed-join
+
+
+def test_edit_distance_join_exact_vs_brute(spark):
+    """Prefix-filtered ed-join == brute-force levenshtein cross join on a
+    mixed corpus: long keys (prefix path), short/degenerate keys (length-
+    band path), and cross short-long pairs."""
+    from xlink_spark.operators.linkage import edit_distance_join
+
+    names = [
+        "johnathan smith", "jonathan smith", "johnathan smyth",  # ed 1,1,2
+        "maria garcia", "maria garcias", "mario garcia",
+        "li", "lo", "liu", "l",  # degenerate: < 3 distinct bigrams
+        "abc", "abd", "acb", "xyz",
+        "cat", "cart", "card",
+    ]
+    recs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, key string"
+    )
+    for k, q in [(1, 2), (2, 2), (1, 3)]:
+        got = {
+            (r.id_a, r.id_b, r.ed)
+            for r in edit_distance_join(recs, "key", "id", k=k, q=q).collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            m, n = len(a), len(b)
+            d = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, d[0] = d[0], i
+                for j in range(1, n + 1):
+                    prev, d[j] = d[j], min(
+                        d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                    )
+            return d[n]
+
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+            if lev(a, b) <= k
+        }
+        assert got == want, (k, q)
+
+
+def test_edit_distance_join_args(spark):
+    import pytest as _pt
+
+    from xlink_spark.operators.linkage import edit_distance_join
+
+    recs = spark.createDataFrame([(1, "ab")], "id long, key string")
+    with _pt.raises(ValueError):
+        edit_distance_join(recs, "key", "id", k=0)
+    with _pt.raises(ValueError):
+        edit_distance_join(recs, "key", "id", q=0)
+
+
+def test_edit_distance_join_plan_is_jvm(spark):
+    """No Python eval anywhere: gram explode, prefix window, candidate
+    join, and levenshtein verify are all JVM-side."""
+    from xlink_spark.operators.linkage import edit_distance_join
+
+    recs = spark.createDataFrame(
+        [(i, f"record number {i:06d}") for i in range(20)],
+        "id long, key string",
+    )
+    plan = edit_distance_join(recs, "key", "id")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -9520,6 +9520,58 @@ SQL_INCREMENTAL_ER = (
 )
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """Exact bounded edit-distance self-join (linkage.edit_distance_join
+    — Gravano et al. VLDB 2001 filters + Ed-Join frequency-ordered
+    prefixes, Xiao et al. VLDB 2008) at k=1, q=2 over the linkage names:
+    every record pair within ONE Levenshtein edit, verified with the
+    exact distance. On this corpus the result has real structure beyond
+    the 100%-recalled twins: one-digit-apart clean ids are ed=1
+    neighbors, and a dirty twin whose bumped last digit collides with
+    the NEXT clean id lands at ed=0 — both families hash-checked. The
+    prefix discipline matters here: the head bigrams ('Cu', 'us', ...)
+    are shared by the entire corpus and never enter a join bucket; the
+    three rarest bigrams per name carry the whole candidate space."""
+    from xlink_spark.operators.linkage import edit_distance_join
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = edit_distance_join(recs, "name", "id", k=1, q=2)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "ed",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    # distinct bigrams per name (names are fixed-width 18 chars here, so
+    # every record clears the k*q+1 = 3 distinct-gram pigeonhole and the
+    # operator's degenerate short-key path is provably empty)
+    "g as (select distinct id, substr(name, i, 2) as gram"
+    "  from recs, unnest(generate_series(1, length(name) - 1)) as t(i)), "
+    "dfq as (select gram, count(*)::bigint as df from g group by 1), "
+    "rk as (select g.id, g.gram, row_number() over"
+    "  (partition by g.id order by d.df, g.gram) as rn"
+    "  from g join dfq d using (gram)), "
+    "pre as (select id, gram from rk where rn <= 3), "
+    "cand as (select distinct a.id as id_a, b.id as id_b"
+    "  from pre a join pre b on a.gram = b.gram and a.id < b.id), "
+    "ver as (select c.id_a, c.id_b,"
+    "  levenshtein(ra.name, rb.name)::bigint as ed"
+    "  from cand c join recs ra on ra.id = c.id_a"
+    "  join recs rb on rb.id = c.id_b"
+    "  where abs(length(ra.name) - length(rb.name)) <= 1) "
+    "select id_a, id_b, ed,"
+    "  (id_a % 10000000) = (id_b % 10000000) as is_twin "
+    "from ver where ed <= 1"
+)
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -9664,6 +9716,7 @@ QUERIES: dict[str, Query] = {
     "iterative_merge_er": q_iterative_merge_er,
     "collective_er": q_collective_er,
     "incremental_er": q_incremental_er,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -9821,6 +9874,7 @@ ORACLES: dict[str, str] = {
     "iterative_merge_er": SQL_ITERATIVE_MERGE_ER,
     "collective_er": SQL_COLLECTIVE_ER,
     "incremental_er": SQL_INCREMENTAL_ER,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
