@@ -2523,3 +2523,152 @@ def test_edit_distance_join_plan_is_jvm(spark):
     )
     plan = edit_distance_join(recs, "key", "id")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -------------------------------------------------- adaptive blocking
+
+
+def _greedy_replay(mem_rows, pos, rounds, penalty):
+    """Sequential replay of the greedy red-blue cover for parity checks."""
+    from collections import defaultdict
+
+    blocks = defaultdict(set)
+    for p, b, i in mem_rows:
+        blocks[(p, b)].add(i)
+    preds = sorted({p for p, _, _ in mem_rows})
+    cost = {
+        p: sum(
+            len(m) * (len(m) - 1) // 2
+            for (pp, _), m in blocks.items()
+            if pp == p
+        )
+        for p in preds
+    }
+    cov = {
+        p: {
+            (a, b)
+            for (a, b) in pos
+            if any(
+                a in m and b in m
+                for (pp, _), m in blocks.items()
+                if pp == p
+            )
+        }
+        for p in preds
+    }
+    remaining, out, total = set(pos), [], 0
+    for rnd in range(1, rounds + 1):
+        scored = sorted(
+            (
+                (
+                    -(len(cov[p] & remaining) * 1_000_000 - penalty * cost[p]),
+                    p,
+                )
+                for p in preds
+                if len(cov[p] & remaining) > 0
+            ),
+        )
+        if not scored:
+            break
+        neg_score, p = scored[0]
+        new = len(cov[p] & remaining)
+        total += new
+        out.append((rnd, p, new, total, cost[p], -neg_score))
+        remaining -= cov[p]
+    return out
+
+
+def test_learn_blocking_scheme_matches_replay(spark):
+    from xlink_spark.operators.linkage import learn_blocking_scheme
+
+    # 3-round corpus: pZip covers {1,2}, pCity covers {3}, pName covers
+    # {1, 4}; greedy must pick pZip (2 new), then tie-break between the
+    # 1-new preds on score then name.
+    mem_rows = [
+        ("pZip", "z1", 1), ("pZip", "z1", 101),
+        ("pZip", "z2", 2), ("pZip", "z2", 102),
+        ("pZip", "z3", 3), ("pZip", "z4", 103),
+        ("pCity", "c1", 3), ("pCity", "c1", 103),
+        ("pCity", "c2", 1), ("pCity", "c3", 101),
+        ("pName", "n1", 1), ("pName", "n1", 101),
+        ("pName", "n2", 4), ("pName", "n2", 104),
+        ("pNever", "x1", 1), ("pNever", "x2", 101),
+    ]
+    pos = [(1, 101), (2, 102), (3, 103), (4, 104)]
+    for penalty in (0, 7, 1_000_000):
+        got = [
+            tuple(r)
+            for r in learn_blocking_scheme(
+                spark.createDataFrame(
+                    mem_rows, "pred string, block string, id long"
+                ),
+                spark.createDataFrame(pos, "id_a long, id_b long"),
+                rounds=4,
+                pair_penalty_micro=penalty,
+            )
+            .orderBy("round")
+            .collect()
+        ]
+        want = _greedy_replay(mem_rows, pos, 4, penalty)
+        assert got == want, (penalty, got, want)
+    # at penalty 0, pZip and pName tie at 2-coverage and the pred-name
+    # tiebreak picks pName; full cover is reached before the rounds
+    # budget -> early stop after 3 picks (pNever covers nothing, never
+    # chosen). At penalty 1e6 every score ties at 0 and the name rules.
+    assert [r[1] for r in _greedy_replay(mem_rows, pos, 4, 0)] == [
+        "pName", "pCity", "pZip"
+    ]
+    assert [r[1] for r in want] == ["pCity", "pName", "pZip"]
+
+
+def test_learn_blocking_scheme_random_replay(spark):
+    """Parity with the sequential replay on a seeded random instance."""
+    import random
+
+    from xlink_spark.operators.linkage import learn_blocking_scheme
+
+    rng = random.Random(13)
+    mem_rows = [
+        (f"p{p}", f"b{p}_{rng.randrange(6)}", i)
+        for p in range(5)
+        for i in range(60)
+        if rng.random() < 0.8
+    ]
+    pos = [(i, i + 30) for i in range(0, 25)]
+    got = [
+        tuple(r)
+        for r in learn_blocking_scheme(
+            spark.createDataFrame(
+                mem_rows, "pred string, block string, id long"
+            ),
+            spark.createDataFrame(pos, "id_a long, id_b long"),
+            rounds=5,
+            pair_penalty_micro=3,
+        )
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == _greedy_replay(mem_rows, pos, 5, 3)
+    assert got, "seeded instance must pick at least one predicate"
+
+
+def test_learn_blocking_scheme_args(spark):
+    import pytest as _pt
+
+    from xlink_spark.operators.linkage import learn_blocking_scheme
+
+    mem = spark.createDataFrame(
+        [("p", "b", 1)], "pred string, block string, id long"
+    )
+    pos = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pt.raises(ValueError):
+        learn_blocking_scheme(mem, pos, rounds=0)
+    with _pt.raises(ValueError):
+        learn_blocking_scheme(mem, pos, pair_penalty_micro=-1)
+    # nothing coverable -> empty result with the contract schema
+    out = learn_blocking_scheme(mem, pos)
+    assert out.count() == 0
+    assert out.columns == [
+        "round", "pred", "covered_new", "covered_total",
+        "pairs_total", "score_micro",
+    ]

@@ -9572,6 +9572,108 @@ SQL_EDIT_DISTANCE_PAIRS = (
 )
 
 
+def q_learned_blocking(spark, sf_dir):
+    """Adaptive blocking-scheme learning (linkage.learn_blocking_scheme —
+    Bilenko et al. ICDM 2006 greedy red-blue set cover) over the linkage
+    corpus with the weak-predicate library {seg, nation, suffix4} and the
+    twins as labeled positives, pair-penalty 1000 micro per candidate
+    pair. The greedy order is corpus-driven, not library-order — and it
+    FLIPS with scale: at sf0.001 seg's higher coverage wins round 1
+    (95 covered, score 8.86e7), but block cost grows quadratically while
+    coverage grows linearly, so at sf0.01 nation's 25 small blocks beat
+    seg's five fat ones (753 covered at score 5.74e8 vs seg's negative
+    round-2 score) — exactly the coverage-vs-cost tradeoff the greedy is
+    for. suffix4 covers zero twins (the corruption sits in the suffix)
+    and is never picked; the loop stops the round after nothing new is
+    covered. Greedy order, exact coverage/cost counts, scores, and the
+    early stop all land in the value hash."""
+    from xlink_spark.operators.linkage import learn_blocking_scheme
+
+    recs = _linkage_records(spark, sf_dir)
+    mem = (
+        recs.select(
+            F.lit("seg").alias("pred"), F.col("seg").alias("block"), "id"
+        )
+        .unionByName(
+            recs.select(
+                F.lit("nation").alias("pred"),
+                F.col("nation").cast("string").alias("block"),
+                "id",
+            )
+        )
+        .unionByName(
+            recs.select(
+                F.lit("suffix4").alias("pred"),
+                F.expr("substring(name, length(name) - 3, 4)").alias("block"),
+                "id",
+            )
+        )
+    )
+    pos = recs.where(F.col("id") < 10000000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 10000000).alias("id_b")
+    )
+    return learn_blocking_scheme(mem, pos, rounds=3, pair_penalty_micro=1000)
+
+
+SQL_LEARNED_BLOCKING = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "mem as (select 'seg' as pred, seg as block, id from recs"
+    "  union all"
+    "  select 'nation' as pred, nation::varchar as block, id from recs"
+    "  union all"
+    "  select 'suffix4' as pred, substr(name, length(name) - 3, 4) as block,"
+    "    id from recs), "
+    "pos as (select id as id_a, id + 10000000 as id_b from cust), "
+    "cost as (select pred, sum((n * (n - 1)) // 2)::bigint as pairs_total"
+    "  from (select pred, block, count(*)::bigint as n from mem"
+    "        group by 1, 2) group by 1), "
+    "cov as (select distinct a.pred, p.id_a, p.id_b from pos p"
+    "  join mem a on a.id = p.id_a"
+    "  join mem b on b.pred = a.pred and b.block = a.block"
+    "    and b.id = p.id_b), "
+    # greedy rounds unrolled; each pick filters covered_new > 0 (the early
+    # stop) and conditions on the previous round having picked at all
+    "s1 as (select pred, count(*)::bigint as covered_new from cov"
+    "  group by 1), "
+    "p1 as (select s.pred, s.covered_new, c.pairs_total,"
+    "  (s.covered_new * 1000000 - 1000 * c.pairs_total)::bigint as"
+    "    score_micro"
+    "  from s1 s join cost c using (pred) where s.covered_new > 0"
+    "  order by score_micro desc, s.pred limit 1), "
+    "rem2 as (select p.id_a, p.id_b from pos p"
+    "  where not exists (select 1 from cov c"
+    "    where c.pred = (select pred from p1)"
+    "      and c.id_a = p.id_a and c.id_b = p.id_b)), "
+    "s2 as (select c.pred, count(*)::bigint as covered_new from cov c"
+    "  join rem2 r on c.id_a = r.id_a and c.id_b = r.id_b group by 1), "
+    "p2 as (select s.pred, s.covered_new, c.pairs_total,"
+    "  (s.covered_new * 1000000 - 1000 * c.pairs_total)::bigint as"
+    "    score_micro"
+    "  from s2 s join cost c using (pred)"
+    "  where s.covered_new > 0 and exists (select 1 from p1)"
+    "  order by score_micro desc, s.pred limit 1), "
+    "rem3 as (select r.id_a, r.id_b from rem2 r"
+    "  where not exists (select 1 from cov c"
+    "    where c.pred = (select pred from p2)"
+    "      and c.id_a = r.id_a and c.id_b = r.id_b)), "
+    "s3 as (select c.pred, count(*)::bigint as covered_new from cov c"
+    "  join rem3 r on c.id_a = r.id_a and c.id_b = r.id_b group by 1), "
+    "p3 as (select s.pred, s.covered_new, c.pairs_total,"
+    "  (s.covered_new * 1000000 - 1000 * c.pairs_total)::bigint as"
+    "    score_micro"
+    "  from s3 s join cost c using (pred)"
+    "  where s.covered_new > 0 and exists (select 1 from p2)"
+    "  order by score_micro desc, s.pred limit 1), "
+    "un as (select 1 as rnd, * from p1"
+    "  union all select 2, * from p2"
+    "  union all select 3, * from p3) "
+    "select rnd::bigint as round, pred, covered_new,"
+    "  sum(covered_new) over (order by rnd)::bigint as covered_total,"
+    "  pairs_total, score_micro "
+    "from un"
+)
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -9717,6 +9819,7 @@ QUERIES: dict[str, Query] = {
     "collective_er": q_collective_er,
     "incremental_er": q_incremental_er,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "learned_blocking": q_learned_blocking,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -9875,6 +9978,7 @@ ORACLES: dict[str, str] = {
     "collective_er": SQL_COLLECTIVE_ER,
     "incremental_er": SQL_INCREMENTAL_ER,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "learned_blocking": SQL_LEARNED_BLOCKING,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,

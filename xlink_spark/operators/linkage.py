@@ -3124,3 +3124,137 @@ def edit_distance_join(
         .where(F.col("ed") <= k)
         .select("id_a", "id_b", "ed", "len_a", "len_b")
     )
+
+
+def learn_blocking_scheme(
+    memberships: DataFrame,
+    positives: DataFrame,
+    *,
+    rounds: int = 3,
+    pair_penalty_micro: int = 0,
+    pred_col: str = "pred",
+    block_col: str = "block",
+    id_col: str = "id",
+) -> DataFrame:
+    """Adaptive blocking — learn a DISJUNCTION of blocking predicates from
+    labeled matches (Bilenko, Kamath & Mooney ICDM 2006; Michelson & Knoblock
+    AAAI 2006): greedy red-blue set cover where each candidate predicate
+    "covers" the labeled match pairs it blocks together and "costs" the
+    total candidate pairs it would generate. ``er_blocking_compare``
+    MEASURES a fixed scheme frontier; this operator SELECTS one — the
+    piece that turns the gauge into a decision.
+
+    ``memberships``: (pred, block, id) — the union of every candidate
+    predicate's block assignments, block ids scoped per predicate.
+    ``positives``: labeled duplicate pairs (id_a, id_b).
+
+    Per round, over the positives NOT yet covered by the chosen
+    disjunction: covered_new(p) = remaining pairs co-blocked by predicate
+    p, score = covered_new * 1e6 - pair_penalty_micro * pairs_total(p)
+    (exact bigint; pairs_total from per-block sizes, never materialized
+    pairs), pick argmax with (score desc, pred asc) tiebreak, fold its
+    covered pairs into the cover, stop early when the best predicate
+    covers nothing new. All counts are distributed aggregations; the
+    driver collects exactly ONE winner row per round (bounded by
+    ``rounds``), the same loop discipline as iterative CC.
+
+    Returns one row per chosen round: (round, pred, covered_new,
+    covered_total, pairs_total, score_micro) with covered_total the
+    running union size (== cumulative sum, since each round counts only
+    previously-uncovered pairs). Scale shape: cov is |positives| ×
+    |preds| at most — labeled sets are small, so it broadcasts; the cost
+    agg is map-combinable over (pred, block) sizes; nothing quadratic is
+    ever built."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if pair_penalty_micro < 0:
+        raise ValueError("pair_penalty_micro must be >= 0")
+    mem = memberships.select(
+        F.col(pred_col).alias("_p"),
+        F.col(block_col).alias("_b"),
+        F.col(id_col).alias("_id"),
+    )
+    pos = positives.select("id_a", "id_b")
+    cost = (
+        mem.groupBy("_p", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .groupBy("_p")
+        .agg(
+            F.sum(F.expr("(_n * (_n - 1)) div 2"))
+            .cast("long")
+            .alias("pairs_total")
+        )
+    )
+    a = mem.select(
+        F.col("_p"), F.col("_b"), F.col("_id").alias("id_a")
+    )
+    b = mem.select(
+        F.col("_p"), F.col("_b"), F.col("_id").alias("id_b")
+    )
+    cov = (
+        F.broadcast(pos)
+        .join(a, "id_a")
+        .join(b, ["_p", "_b", "id_b"])
+        .select("_p", "id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    spark = memberships.sparkSession
+    chosen: list[tuple] = []
+    remaining = pos
+    covered_total = 0
+    try:
+        for rnd in range(1, rounds + 1):
+            percov = (
+                cov.join(
+                    F.broadcast(remaining.select("id_a", "id_b")),
+                    ["id_a", "id_b"],
+                    "left_semi",
+                )
+                .groupBy("_p")
+                .agg(F.count(F.lit(1)).cast("long").alias("covered_new"))
+            )
+            best = (
+                percov.join(cost, "_p")
+                .select(
+                    "_p",
+                    "covered_new",
+                    "pairs_total",
+                    (
+                        F.col("covered_new") * F.lit(MICRO)
+                        - F.lit(pair_penalty_micro) * F.col("pairs_total")
+                    )
+                    .cast("long")
+                    .alias("score_micro"),
+                )
+                .orderBy(F.col("score_micro").desc(), F.col("_p"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["covered_new"] == 0:
+                break
+            row = best[0]
+            covered_total += row["covered_new"]
+            chosen.append(
+                (
+                    rnd,
+                    row["_p"],
+                    row["covered_new"],
+                    covered_total,
+                    row["pairs_total"],
+                    row["score_micro"],
+                )
+            )
+            picked = cov.where(F.col("_p") == row["_p"]).select(
+                "id_a", "id_b"
+            )
+            remaining = remaining.join(
+                picked, ["id_a", "id_b"], "left_anti"
+            ).localCheckpoint(eager=True)
+    finally:
+        cov.unpersist()
+    return spark.createDataFrame(
+        chosen,
+        "round long, pred string, covered_new long, covered_total long,"
+        " pairs_total long, score_micro long",
+    )
