@@ -12,7 +12,7 @@ Usage (cluster or local):
         [--window 5] [--threshold-micro 0] \\
         [--rules "name:longest,segment:mode,nation:min"] \\
         [--rank-strategy keys|range] [--snapshots /lake/snap] \\
-        [--blocking snm|multipass|phonetic|suffix|qgram|allpairs|canopy|blocksplit|vector] \\
+        [--blocking snm|multipass|phonetic|suffix|qgram|allpairs|canopy|blocksplit|vector|edjoin] \\
         [--max-block-size N] \\
         [--suffix-min-len 4] [--qgram-q 4] [--qgram-threshold-ppt P] \\
         [--allpairs-threshold-ppt 600] \\
@@ -232,6 +232,21 @@ def run_er_job(spark, args) -> dict:
             threshold_ppt=int(
                 getattr(args, "vector_threshold_ppt", None) or 750
             ),
+        ).select("id_a", "id_b")
+    elif blocking == "edjoin":
+        from xlink_spark.operators.linkage import edit_distance_join
+
+        # exact bounded edit-distance self-join on --key-expr (Ed-Join
+        # prefix filtering + levenshtein verify): candidates = every
+        # record pair within --edjoin-max-edits; recall is exact by
+        # construction, so the FS scorer downstream sees every
+        # typo-class twin no matter where the edit landed
+        pairs = edit_distance_join(
+            recs,
+            "_key",
+            idc,
+            k=int(getattr(args, "edjoin_max_edits", None) or 1),
+            q=int(getattr(args, "qgram_q", None) or 2),
         ).select("id_a", "id_b")
     elif blocking == "multipass":
         from xlink_spark.operators.linkage import multipass_pairs
@@ -853,7 +868,7 @@ def main() -> None:
     ap.add_argument(
         "--blocking",
         choices=["snm", "multipass", "phonetic", "suffix", "qgram",
-                 "allpairs", "canopy", "blocksplit", "vector"],
+                 "allpairs", "canopy", "blocksplit", "vector", "edjoin"],
         default="snm",
         help="candidate generation: sorted-neighborhood (default), "
         "multi-pass SNM (--pass-exprs), Soundex of --key-expr, suffix "
@@ -861,7 +876,16 @@ def main() -> None:
         "prefix-filtered all-pairs Jaccard over whitespace tokens of "
         "--key-expr (exact recall at --allpairs-threshold-ppt), or "
         "key-equality blocking load-balanced by BlockSplit "
-        "(--split-target-pairs comparisons per task)",
+        "(--split-target-pairs comparisons per task), or the exact "
+        "bounded edit-distance self-join on --key-expr (every pair "
+        "within --edjoin-max-edits Levenshtein edits, Ed-Join prefix "
+        "filtering — exact recall for typo-class corruption)",
+    )
+    ap.add_argument(
+        "--edjoin-max-edits",
+        type=int,
+        help="edjoin blocking: maximum Levenshtein distance (default 1); "
+        "gram width rides --qgram-q (default 2 here)",
     )
     ap.add_argument(
         "--pass-exprs",

@@ -1336,3 +1336,46 @@ def test_run_merge_er_job_end_to_end(spark, tmp_path):
     # the merged entity's union value set; junkfield filtered out
     assert (1, "names", "bob") in vals and (1, "keys", "k2") in vals
     assert not any(f == "junkfield" for (_, f, _v) in vals)
+
+
+def test_run_er_job_edjoin_blocking(spark, tmp_path):
+    """--blocking edjoin: exact bounded edit-distance candidates on the
+    raw name — catches twins whose single corruption lands ANYWHERE in
+    the key (here: a mid-name bump that defeats prefix-keyed SNM and a
+    last-char bump that defeats suffix blocking), under the same
+    FS -> CC -> survivorship chain."""
+    import argparse
+
+    sys.path.insert(0, _JOBS_DIR)
+    from run_er import run_er_job
+
+    rows = []
+    for i in range(1, 31):
+        name = f"Rec#{i:04d}xx"
+        if i % 2:  # bump a MIDDLE char
+            dirty = name[:4] + chr(ord(name[4]) + 1) + name[5:]
+        else:  # bump the LAST char
+            dirty = name[:-1] + chr(ord(name[-1]) + 1)
+        rows.append((i, name, "gold" if i % 2 else "silver", i % 5))
+        rows.append((i + 1000, dirty, "gold" if i % 2 else "silver", i % 5))
+    src = str(tmp_path / "records_ej")
+    spark.createDataFrame(
+        rows, "id long, name string, segment string, nation long"
+    ).write.parquet(src)
+
+    args = argparse.Namespace(
+        records=src, output=str(tmp_path / "ej"), id_col="id",
+        key_expr="name", order_cols="name",
+        fields="name,segment,nation", jw_fields=None,
+        label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+        window=4, threshold_micro=0, em_iterations=5,
+        rules="name:longest", rank_strategy="keys", snapshots=None,
+        blocking="edjoin", edjoin_max_edits=1,
+    )
+    metrics = run_er_job(spark, args)
+    assert metrics["blocking"] == "edjoin"
+    asg = {
+        r["id"]: r["cluster"]
+        for r in spark.read.parquet(f"{args.output}/clusters").collect()
+    }
+    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
