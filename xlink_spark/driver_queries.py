@@ -7815,7 +7815,7 @@ SQL_CLUSTERING_VMEASURE = (
 
 
 def q_er_blocking_compare(spark, sf_dir):
-    """The blocking-scheme frontier across eight candidate-generation
+    """The blocking-scheme frontier across nine candidate-generation
     families on the SAME records — the gauge a deployment runs before
     committing a blocker. Per scheme: comparisons (Σ C(n_b,2) over blocks
     for key schemes — no pair ever materialized, the blocking_metrics
@@ -7836,7 +7836,11 @@ def q_er_blocking_compare(spark, sf_dir):
     lesson is that set-similarity blocking is the wrong scheme for
     ID-like keys (it shines on word-token corpora: allpairs_name_blocks)
     while positional schemes (suffix/SNM) exploit where the corruption
-    lives."""
+    lives. The ninth scheme, edjoin_k1_q2, is the threshold-class
+    answer: exact recall for ANY single-edit corruption regardless of
+    position, with comps = the verified ed<=1 pairs the downstream
+    comparator sees (the SNM convention; its prefix-join candidate
+    superset is the hidden cost the others don't pay)."""
     from xlink_spark.operators.fuzzy import (
         caverphone_key,
         nysiis_key,
@@ -8109,6 +8113,29 @@ def q_er_blocking_compare(spark, sf_dir):
         .alias("twins_covered"),
     )
 
+    # edjoin: the exact bounded ed<=1 join; comps = the VERIFIED pairs the
+    # downstream comparator sees (the SNM convention). Recall is exact by
+    # construction — the scheme's real cost, the prefix-join candidate
+    # superset, is bounded by the three rarest bigrams per name.
+    from xlink_spark.operators.linkage import edit_distance_join
+
+    ej = edit_distance_join(recs, "name", "id", k=1, q=2)
+    ej_one = ej.agg(
+        F.count(F.lit(1)).cast("long").alias("comps"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.pmod(F.col("id_a"), F.lit(10000000))
+                    == F.pmod(F.col("id_b"), F.lit(10000000)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("twins_covered"),
+    )
+
     return (
         _finish("snm_w4", snm_one)
         .unionByName(_finish("phonetic_soundex", phon_one))
@@ -8118,6 +8145,7 @@ def q_er_blocking_compare(spark, sf_dir):
         .unionByName(_finish("phonetic_caverphone", cav_one))
         .unionByName(_finish("allpairs_qgram4_t600", ap_one))
         .unionByName(_finish("vector_srp48x8", v_one))
+        .unionByName(_finish("edjoin_k1_q2", ej_one))
     )
 
 
@@ -8247,7 +8275,25 @@ def _sql_er_blocking_compare() -> str:
         "vc as (select count(*)::bigint as comps,"
         "  coalesce(sum(case when id_a % 10000000 = id_b % 10000000"
         "    then 1 else 0 end), 0)::bigint as twins_covered"
-        "  from vb_cand) "
+        "  from vb_cand), "
+        # edjoin k=1 q=2: distinct bigrams -> df-ordered 3-gram prefixes ->
+        # candidate equi-join -> exact levenshtein verify (comps = verified)
+        "ejg as (select distinct id, substr(name, g2, 2) as gm2"
+        "  from recs, unnest(generate_series(1, length(name) - 1)) as t(g2)), "
+        "ejf as (select gm2, count(*)::bigint as df2 from ejg group by 1), "
+        "ejr as (select g.id, g.gm2, row_number() over"
+        "  (partition by g.id order by f.df2, g.gm2) as rn"
+        "  from ejg g join ejf f using (gm2)), "
+        "ejp as (select id, gm2 from ejr where rn <= 3), "
+        "ejcand as (select distinct a.id as id_a, b.id as id_b"
+        "  from ejp a join ejp b on a.gm2 = b.gm2 and a.id < b.id), "
+        "ejv as (select c.id_a, c.id_b from ejcand c"
+        "  join recs ra on ra.id = c.id_a join recs rb on rb.id = c.id_b"
+        "  where abs(length(ra.name) - length(rb.name)) <= 1"
+        "    and levenshtein(ra.name, rb.name) <= 1), "
+        "ejs as (select count(*)::bigint as comps,"
+        "  coalesce(sum(case when id_a % 10000000 = id_b % 10000000"
+        "    then 1 else 0 end), 0)::bigint as twins_covered from ejv) "
         "select 'snm_w4' as scheme, comps, twins_covered, twins_total,"
         "  (1000000 * twins_covered) // twins_total as recall_ppm,"
         "  1000000 - ((1000000 * comps) // ((n * (n - 1)) // 2)) as rr_ppm"
@@ -8292,7 +8338,13 @@ def _sql_er_blocking_compare() -> str:
         "  twins_total,"
         "  (1000000 * vc.twins_covered) // twins_total,"
         "  1000000 - ((1000000 * vc.comps) // ((n * (n - 1)) // 2))"
-        "  from vc, tot"
+        "  from vc, tot "
+        "union all "
+        "select 'edjoin_k1_q2', ejs.comps, ejs.twins_covered,"
+        "  twins_total,"
+        "  (1000000 * ejs.twins_covered) // twins_total,"
+        "  1000000 - ((1000000 * ejs.comps) // ((n * (n - 1)) // 2))"
+        "  from ejs, tot"
     )
 
 
