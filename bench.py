@@ -62,6 +62,8 @@ HEADLINE = [
     "vector_blocks",       # LSH vector blocking + exact-cosine verify
     "iterative_merge_er",  # Swoosh union-merge rounds (2 merge rounds + CC)
     "block_split_pairs",   # BlockSplit-balanced within-block quadratic
+    "edit_distance_pairs",  # exact ed<=1 self-join (Ed-Join prefix filter)
+    "learned_blocking",    # greedy adaptive blocking-scheme selection
 ]
 
 

@@ -3010,6 +3010,7 @@ def edit_distance_join(
     *,
     k: int = 1,
     q: int = 2,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact bounded edit-distance self-join via q-gram prefix filtering
     (the Ed-Join family — Gravano et al. VLDB 2001 count/length filters,
@@ -3055,7 +3056,18 @@ def edit_distance_join(
     map-combinable; only narrow (id, gram) prefix rows — k*q + 1 per
     record — ride the candidate shuffle; verification joins the keys back
     by id twice (narrow hash joins) and runs one codegen'd levenshtein
-    per CANDIDATE, never per pair of the quadratic space."""
+    per CANDIDATE, never per pair of the quadratic space.
+
+    The candidate join and the dedup exchange are EXPLICITLY repartitioned
+    to ``num_partitions`` (default: the session's shuffle partitions) —
+    the BlockSplit/apply_salt_plan lesson: the prefix rows are a few MB,
+    so AQE's input-size coalescing would merge the exchange to ONE task,
+    blind to the join's output explosion and to the per-candidate
+    levenshtein work that pipelines behind it (measured on this corpus at
+    sf0.1: 387s coalesced vs seconds pinned). Pick ``q`` for the key
+    alphabet: on dense numeric identifiers bigrams have ~100 possible
+    values and every bucket is huge — q=4 (10^4+ gram types) restores the
+    rare-gram tail the prefix filter needs."""
     if k < 1:
         raise ValueError("k must be >= 1 (use exact dedup for k = 0)")
     if q < 1:
@@ -3088,7 +3100,15 @@ def edit_distance_join(
     degen = recs.join(
         ngrams.where(F.col("_nd") >= plen).select("_id"), "_id", "left_anti"
     ).select("_id", "_len")
-    prefix = ranked.where(F.col("_rn") <= plen).select("_id", "gram")
+    if num_partitions is None:
+        num_partitions = int(
+            records.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    prefix = (
+        ranked.where(F.col("_rn") <= plen)
+        .select("_id", "gram")
+        .repartition(int(num_partitions), "gram")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand_main = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._id") < F.col("b._id")))
@@ -3105,7 +3125,14 @@ def edit_distance_join(
     cand_short = da.join(db, "_lb").where(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b"
     )
-    cand = cand_main.unionByName(cand_short).distinct()
+    # explicit repartition BEFORE dedup: the hash partitioning on the pair
+    # key both satisfies dropDuplicates' clustering (no extra exchange)
+    # and pins the verify stage's task count against AQE coalescing
+    cand = (
+        cand_main.unionByName(cand_short)
+        .repartition(int(num_partitions), "id_a", "id_b")
+        .dropDuplicates()
+    )
     ka = recs.select(
         F.col("_id").alias("id_a"),
         F.col("_key").alias("_key_a"),
