@@ -2672,3 +2672,55 @@ def test_learn_blocking_scheme_args(spark):
         "round", "pred", "covered_new", "covered_total",
         "pairs_total", "score_micro",
     ]
+
+
+# ------------------------------------------------- uncertainty sampling
+
+
+def test_uncertainty_sample_order_and_ties(spark):
+    from xlink_spark.operators.linkage import uncertainty_sample
+
+    rows = [
+        (1, 2, 500000),  # uncertainty 0 -> rank 1
+        (1, 3, 499000),  # 1000
+        (2, 3, 501000),  # 1000 tie -> id order decides
+        (4, 5, 900000),  # 400000
+        (5, 6, 100000),  # 400000 tie
+        (7, 8, 0),       # 500000 (most certain non-match)
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, posterior_ppm long"
+    )
+    got = [
+        (r.id_a, r.id_b, r.uncertainty_ppm, r.rank)
+        for r in uncertainty_sample(df, 4).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, 2, 0, 1),
+        (1, 3, 1000, 2),
+        (2, 3, 1000, 3),
+        (4, 5, 400000, 4),
+    ]
+    # n larger than input -> whole input, ranked
+    assert uncertainty_sample(df, 100).count() == 6
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        uncertainty_sample(df, 0)
+
+
+def test_uncertainty_sample_plan_shape(spark):
+    """The batch pick must be TakeOrderedAndProject (per-partition heads
+    + driver merge), never a global Sort before the limit."""
+    from xlink_spark.operators.linkage import uncertainty_sample
+
+    df = spark.createDataFrame(
+        [(i, i + 1, (i * 37) % 1000000) for i in range(1000)],
+        "id_a long, id_b long, posterior_ppm long",
+    )
+    plan = (
+        uncertainty_sample(df, 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -9624,6 +9624,55 @@ SQL_EDIT_DISTANCE_PAIRS = (
 )
 
 
+def q_active_learning_batch(spark, sf_dir):
+    """Uncertainty-sampled labeling batch (linkage.uncertainty_sample —
+    the ALIAS active-learning loop, Sarawagi & Bhamidipaty KDD 2002):
+    the 50 SNM candidate pairs whose FS posterior sits closest to the
+    0.5 boundary under (uncertainty asc, id_a, id_b) — the exact batch a
+    clerical-review round would label next. Rides the already-margin-
+    checked posterior chain (fs_match_probabilities); the batch pick
+    itself is all-bigint, so selection, order, and ranks hash exactly.
+    With learned_blocking (which predicates) and fs_em_weights
+    (unsupervised start) this completes the supervised-ER workflow:
+    block -> score -> label the most uncertain -> re-estimate."""
+    from xlink_spark.operators.linkage import (
+        fs_score,
+        match_posteriors,
+        match_weights,
+        uncertainty_sample,
+    )
+
+    vec = _linkage_vectors(spark, sf_dir)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    sc = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    prior = vec.agg(
+        (
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0)) + F.lit(1)
+        ).cast("long").alias("prior_num"),
+        (F.count(F.lit(1)) + F.lit(2)).cast("long").alias("prior_den"),
+    )
+    post = match_posteriors(sc, prior)
+    return uncertainty_sample(post, 50)
+
+
+SQL_ACTIVE_LEARNING_BATCH = (
+    f"with {_SQL_LINKAGE_VEC}, {_SQL_FS_SCORE_CORE}, "
+    "pr as (select"
+    "  (sum(case when is_match then 1 else 0 end) + 1)::bigint as prior_num,"
+    "  (count(*) + 2)::bigint as prior_den from vec), "
+    "post as (select s.id_a, s.id_b,"
+    f"  {_SQL_POSTERIOR_EXPR} as posterior_ppm"
+    "  from sc s, pr), "
+    "u as (select id_a, id_b, posterior_ppm,"
+    "  abs(posterior_ppm - 500000)::bigint as uncertainty_ppm"
+    "  from post order by uncertainty_ppm, id_a, id_b limit 50) "
+    "select id_a, id_b, posterior_ppm, uncertainty_ppm,"
+    "  row_number() over (order by uncertainty_ppm, id_a, id_b)::bigint"
+    "    as rank "
+    "from u"
+)
+
+
 def q_learned_blocking(spark, sf_dir):
     """Adaptive blocking-scheme learning (linkage.learn_blocking_scheme —
     Bilenko et al. ICDM 2006 greedy red-blue set cover) over the linkage
@@ -9872,6 +9921,7 @@ QUERIES: dict[str, Query] = {
     "incremental_er": q_incremental_er,
     "edit_distance_pairs": q_edit_distance_pairs,
     "learned_blocking": q_learned_blocking,
+    "active_learning_batch": q_active_learning_batch,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -10031,6 +10081,7 @@ ORACLES: dict[str, str] = {
     "incremental_er": SQL_INCREMENTAL_ER,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "learned_blocking": SQL_LEARNED_BLOCKING,
+    "active_learning_batch": SQL_ACTIVE_LEARNING_BATCH,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,

@@ -3285,3 +3285,46 @@ def learn_blocking_scheme(
         "round long, pred string, covered_new long, covered_total long,"
         " pairs_total long, score_micro long",
     )
+
+
+def uncertainty_sample(
+    posteriors: DataFrame,
+    n: int,
+    *,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    posterior_col: str = "posterior_ppm",
+) -> DataFrame:
+    """Uncertainty sampling for active labeling (the ALIAS loop —
+    Sarawagi & Bhamidipaty KDD 2002; Settles' survey 2009): of all scored
+    candidate pairs, pick the ``n`` whose match posterior sits closest to
+    the 0.5 decision boundary — the pairs where one human label buys the
+    most model improvement, and the batch a deployment sends to clerical
+    review each round. Together with ``learn_blocking_scheme`` (which
+    predicates to block on) and ``fs_em_weights`` (unsupervised start),
+    this closes the supervised-ER loop: block → score → label the most
+    uncertain → re-estimate.
+
+    uncertainty_ppm = |posterior - 500000| in exact integer ppm; the
+    batch is the global top-n under (uncertainty asc, id_a, id_b) — a
+    deterministic total order, so the same batch ships from any engine.
+    Returns (id_a, id_b, posterior_ppm, uncertainty_ppm, rank).
+
+    Scale shape: top-n over a total order is TakeOrderedAndProject —
+    per-partition heads then a single driver merge of n·P rows, no
+    global sort ever materializes; the rank window runs on the already-
+    bounded n-row result."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ia, ib = id_cols
+    ranked = posteriors.select(
+        F.col(ia).alias("id_a"),
+        F.col(ib).alias("id_b"),
+        F.col(posterior_col).cast("long").alias("posterior_ppm"),
+        F.abs(F.col(posterior_col).cast("long") - F.lit(500000)).alias(
+            "uncertainty_ppm"
+        ),
+    ).orderBy("uncertainty_ppm", "id_a", "id_b").limit(int(n))
+    w = Window.orderBy("uncertainty_ppm", "id_a", "id_b")
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
