@@ -9624,6 +9624,73 @@ SQL_EDIT_DISTANCE_PAIRS = (
 )
 
 
+def q_clustering_objective(spark, sf_dir):
+    """Correlation-clustering disagreement objective
+    (eval.bcubed.correlation_objective — Bansal-Blum-Chawla 2004) of the
+    standard ER chain's transitive clusters against its own match-edge
+    graph: cut positive edges + missing co-clustered pairs, one exact
+    integer. For transitive CC cut_edges = 0 by construction, so the row
+    isolates the over-merge cost the repair/star/pivot family exists to
+    trade against — the label-FREE companion to er_pairwise_f1 (same
+    chain, no gold needed), and the oracle replays blocking → FS →
+    threshold → recursive-CTE closure → objective end to end."""
+    from xlink_spark.eval.bcubed import correlation_objective
+    from xlink_spark.operators.cluster import connected_components
+    from xlink_spark.operators.linkage import fs_score, match_weights
+
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    vec.count()
+    _FS_HELD.append(vec)
+    recs = _linkage_records(spark, sf_dir)
+    w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
+    scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
+    edges = scores.filter(F.col("score_micro") >= 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    asg = recs.join(
+        comp.select(F.col("node").alias("id"), "component"), "id", "left"
+    ).select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    )
+    return correlation_objective(asg, edges)
+
+
+SQL_CLUSTERING_OBJECTIVE = (
+    "with recursive "
+    + _SQL_LINKAGE_VEC.strip()
+    + ", "
+    + _SQL_FS_SCORE_CORE
+    + ", "
+    + _SQL_ER_CC_CORE
+    + ", "
+    "asg as (select r.id, coalesce(c.component, r.id) as cl"
+    "  from recs r left join comp c on c.node = r.id), "
+    "e as (select distinct least(src, dst) as a, greatest(src, dst) as b"
+    "  from eg where src <> dst), "
+    "em as (select count(*)::bigint as n_edges,"
+    "  coalesce(sum(case when aa.cl = ab.cl then 1 else 0 end), 0)::bigint"
+    "    as intra_edges"
+    "  from e join asg aa on aa.id = e.a join asg ab on ab.id = e.b), "
+    "pm as (select"
+    "  coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint as intra_pairs,"
+    "  count(*)::bigint as n_clusters, coalesce(sum(n_), 0)::bigint as"
+    "    n_items"
+    "  from (select cl, count(*)::bigint as n_ from asg group by 1)) "
+    "select n_items, n_clusters, n_edges, intra_edges, intra_pairs,"
+    "  (n_edges - intra_edges)::bigint as cut_edges,"
+    "  (intra_pairs - intra_edges)::bigint as missing_edges,"
+    "  ((n_edges - intra_edges) + (intra_pairs - intra_edges))::bigint"
+    "    as disagreements "
+    "from em, pm"
+)
+
+
 def q_active_learning_batch(spark, sf_dir):
     """Uncertainty-sampled labeling batch (linkage.uncertainty_sample —
     the ALIAS active-learning loop, Sarawagi & Bhamidipaty KDD 2002):
@@ -9922,6 +9989,7 @@ QUERIES: dict[str, Query] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "learned_blocking": q_learned_blocking,
     "active_learning_batch": q_active_learning_batch,
+    "clustering_objective": q_clustering_objective,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -10082,6 +10150,7 @@ ORACLES: dict[str, str] = {
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "learned_blocking": SQL_LEARNED_BLOCKING,
     "active_learning_batch": SQL_ACTIVE_LEARNING_BATCH,
+    "clustering_objective": SQL_CLUSTERING_OBJECTIVE,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,

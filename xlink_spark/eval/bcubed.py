@@ -525,3 +525,104 @@ def blanc(
         .cast("long")
         .alias("blanc_micro"),
     )
+
+
+def correlation_objective(
+    assignments: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Correlation-clustering disagreement objective (Bansal, Blum &
+    Chawla 2004) — the optimization-view complement of the label-view
+    metrics above: given the match-edge graph, a clustering pays 1 for
+    every CUT positive edge (endpoints split across clusters) and 1 for
+    every MISSING negative pair (co-clustered pair with no edge). This is
+    the objective pivot/KwikCluster 3-approximates and the number that
+    makes the cover family comparable on equal terms: transitive CC has
+    cut = 0 BY CONSTRUCTION (connected endpoints always co-cluster), so
+    its whole cost is the over-merge term, while star/center/pivot trade
+    cut > 0 for fewer missing pairs — the chain-merge dilemma as one
+    exact integer.
+
+    ``assignments``: (id, cluster) — total over the items of interest;
+    edge endpoints absent from it are dropped from the gauge (documented,
+    not silent: n_edges counts surviving edges). Self-loops and duplicate
+    orientations are canonicalized away.
+
+    Returns ONE row: (n_items, n_clusters, n_edges, intra_edges,
+    intra_pairs, cut_edges, missing_edges, disagreements). Scale shape:
+    intra_pairs is Σ C(n_c, 2) from cluster SIZES (map-combinable, no
+    pair materialized); intra_edges is one narrow two-key join of the
+    edge list against the assignment table; everything else is integer
+    arithmetic on a one-row frame."""
+    asg = assignments.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cl")
+    )
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    ej = (
+        e.join(
+            asg.select(
+                F.col("_id").alias("_a"), F.col("_cl").alias("_cla")
+            ),
+            "_a",
+        )
+        .join(
+            asg.select(
+                F.col("_id").alias("_b"), F.col("_cl").alias("_clb")
+            ),
+            "_b",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_cla") == F.col("_clb"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("intra_edges"),
+        )
+    )
+    pm = (
+        asg.groupBy("_cl")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("intra_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_items"),
+        )
+    )
+    return (
+        ej.crossJoin(F.broadcast(pm))
+        .withColumn("cut_edges", F.col("n_edges") - F.col("intra_edges"))
+        .withColumn(
+            "missing_edges", F.col("intra_pairs") - F.col("intra_edges")
+        )
+        .withColumn(
+            "disagreements", F.col("cut_edges") + F.col("missing_edges")
+        )
+        .select(
+            "n_items",
+            "n_clusters",
+            "n_edges",
+            "intra_edges",
+            "intra_pairs",
+            "cut_edges",
+            "missing_edges",
+            "disagreements",
+        )
+    )
