@@ -2724,3 +2724,82 @@ def test_uncertainty_sample_plan_shape(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_meta_blocking_wnp_matches_brute_force(spark):
+    """WNP node-centric pruning == the brute recomputation: an edge
+    survives iff it strictly beats the mean CBS of either endpoint's
+    adjacency; on a hub-plus-local-pair fixture WNP keeps a local head
+    that WEP's global mean drops."""
+    import itertools
+    from collections import Counter
+
+    from xlink_spark.operators.linkage import meta_blocking_pairs
+
+    rng = random.Random(7)
+    mem = list({(rng.randint(1, 40), f"b{rng.randint(1, 12)}") for _ in range(160)})
+    mdf = spark.createDataFrame(mem, "id long, block string")
+
+    blocks: dict[str, list[int]] = {}
+    for i, b in mem:
+        blocks.setdefault(b, []).append(i)
+    w: Counter = Counter()
+    for b, ids in blocks.items():
+        for x, y in itertools.combinations(sorted(set(ids)), 2):
+            w[(x, y)] += 1
+    ne_n: Counter = Counter()
+    sw_n: Counter = Counter()
+    for (x, y), c in w.items():
+        for n in (x, y):
+            ne_n[n] += 1
+            sw_n[n] += c
+    exp = sorted(
+        (x, y, c)
+        for (x, y), c in w.items()
+        if c * ne_n[x] > sw_n[x] or c * ne_n[y] > sw_n[y]
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cbs"])
+        for r in meta_blocking_pairs(mdf, prune="wnp").collect()
+    )
+    assert got == exp
+    assert 0 < len(got) < len(w)  # pruned something, kept something
+
+    # local-head survival: hub node 1 shares many weight-1 blocks; nodes
+    # 100/101 share THREE blocks (their mutual mean == 3 — not strictly
+    # beaten) but each also has a weight-1 spoke dragging its mean below
+    # 3, so WNP keeps the (100, 101) head
+    mem2 = [(1, f"h{k}") for k in range(1, 7)]
+    mem2 += [(k + 1, f"h{k}") for k in range(1, 7)]
+    mem2 += [(100, b) for b in ("x", "y", "z", "s1")]
+    mem2 += [(101, b) for b in ("x", "y", "z", "s2")]
+    mem2 += [(7, "s1"), (7, "s2")]
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in meta_blocking_pairs(
+            spark.createDataFrame(mem2, "id long, block string"),
+            prune="wnp",
+        ).collect()
+    }
+    assert (100, 101) in got2
+
+    # single-edge nodes: an only edge never strictly beats its own mean,
+    # so WNP drops the isolated (200, 201) pair that WEP (global mean
+    # dragged below 2 by the weight-1 hub spokes) keeps
+    mem3 = [(200, "p"), (201, "p"), (200, "q"), (201, "q")]
+    mem3 += [(1, f"h{k}") for k in range(1, 7)]
+    mem3 += [(k + 1, f"h{k}") for k in range(1, 7)]
+    m3 = spark.createDataFrame(mem3, "id long, block string")
+    wnp3 = {
+        (r["id_a"], r["id_b"])
+        for r in meta_blocking_pairs(m3, prune="wnp").collect()
+    }
+    wep3 = {
+        (r["id_a"], r["id_b"])
+        for r in meta_blocking_pairs(m3, prune="wep").collect()
+    }
+    assert (200, 201) in wep3 and (200, 201) not in wnp3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        meta_blocking_pairs(mdf, prune="bogus")

@@ -5436,6 +5436,76 @@ SQL_META_BLOCKING_PAIRS = (
 )
 
 
+def q_meta_blocking_wnp(spark, sf_dir):
+    """Node-centric meta-blocking (linkage.meta_blocking_pairs with
+    prune='wnp' — Papadakis et al.'s weighted node pruning) over the SAME
+    three redundant schemes as meta_blocking_pairs: an edge survives when
+    it beats the mean CBS weight of EITHER endpoint's adjacency, so a
+    locally-best pair survives even when the global mean (WEP's bar)
+    would drop it. Same exact-bigint cross-multiplication discipline, now
+    against two narrow per-node aggregate joins. Measured property of
+    THIS corpus (checked at three scales): the CBS distribution is
+    bimodal (twins 2-3 common blocks, digit-noise 1) with every mean in
+    (1, 2), so the two families keep IDENTICAL sets here — the oracle
+    row verifies the node-centric implementation itself, while the
+    regimes where they genuinely part (heterogeneous adjacencies keeping
+    local heads; single-edge nodes, which WNP always drops because an
+    only edge never strictly beats its own mean) are pinned by the
+    brute-parity unit tests."""
+    from xlink_spark.operators.linkage import meta_blocking_pairs
+
+    recs = _linkage_records(spark, sf_dir)
+    mem = (
+        recs.select(
+            "id",
+            F.concat(F.lit("a:"), F.expr("substring(name, 13, 5)")).alias(
+                "block"
+            ),
+        )
+        .unionByName(
+            recs.select(
+                "id",
+                F.concat_ws(
+                    "|", F.lit("b:"), F.col("seg"), F.col("nation")
+                ).alias("block"),
+            )
+        )
+        .unionByName(
+            recs.select(
+                "id",
+                F.concat(F.lit("c:"), F.expr("substring(name, 15, 4)")).alias(
+                    "block"
+                ),
+            )
+        )
+    )
+    return meta_blocking_pairs(mem, max_block_size=100, prune="wnp")
+
+
+SQL_META_BLOCKING_WNP = (
+    f"with {_SQL_LINKAGE_BASE}, "
+    "mem as ("
+    "  select id, 'a:' || substr(name, 13, 5) as block from recs"
+    "  union all"
+    "  select id, 'b:' || '|' || seg || '|' || nation::varchar from recs"
+    "  union all"
+    "  select id, 'c:' || substr(name, 15, 4) from recs), "
+    "kept as (select block from mem group by block"
+    "  having count(*) <= 100), "
+    "km as (select m.id, m.block from mem m join kept k using (block)), "
+    "cbs as (select a.id as id_a, b.id as id_b, count(*)::bigint as cbs"
+    "  from km a join km b on a.block = b.block and a.id < b.id"
+    "  group by 1, 2), "
+    "nod as (select id_a as n, cbs from cbs"
+    "  union all select id_b as n, cbs from cbs), "
+    "st as (select n, count(*)::bigint as ne,"
+    "  sum(cbs)::bigint as sw from nod group by 1) "
+    "select c.id_a, c.id_b, c.cbs from cbs c"
+    "  join st sa on sa.n = c.id_a join st sb on sb.n = c.id_b"
+    "  where c.cbs * sa.ne > sa.sw or c.cbs * sb.ne > sb.sw"
+)
+
+
 def q_clustering_ari(spark, sf_dir):
     """Adjusted Rand Index (eval/bcubed.adjusted_rand) of the full ER
     chain's transitive clusters against the planted-twin gold partition —
@@ -9990,6 +10060,7 @@ QUERIES: dict[str, Query] = {
     "learned_blocking": q_learned_blocking,
     "active_learning_batch": q_active_learning_batch,
     "clustering_objective": q_clustering_objective,
+    "meta_blocking_wnp": q_meta_blocking_wnp,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -10151,6 +10222,7 @@ ORACLES: dict[str, str] = {
     "learned_blocking": SQL_LEARNED_BLOCKING,
     "active_learning_batch": SQL_ACTIVE_LEARNING_BATCH,
     "clustering_objective": SQL_CLUSTERING_OBJECTIVE,
+    "meta_blocking_wnp": SQL_META_BLOCKING_WNP,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,

@@ -908,16 +908,26 @@ def meta_blocking_pairs(
     2. pair generation: within-block self-join on id_a < id_b over narrow
        (block, id) rows;
     3. CBS weighting: one pair-keyed count;
-    4. WEP pruning (``prune='wep'``): keep cbs · n_edges > Σ cbs — the
-       strict-mean test as one bigint cross-multiplication against a
-       broadcast one-row aggregate (``prune='none'`` keeps all edges).
+    4. pruning: ``prune='wep'`` (weight-edge pruning) keeps
+       cbs · n_edges > Σ cbs — the strict-mean test as one bigint
+       cross-multiplication against a broadcast one-row aggregate;
+       ``prune='wnp'`` (weighted node pruning — the paper's node-centric
+       scheme) keeps an edge strictly above the mean weight of EITHER
+       endpoint's adjacency: cbs · n_x > Σ_x cbs for x ∈ {a, b}, the
+       per-node aggregates built by unioning both edge orientations
+       (map-combinable) and joined back as two narrow (node, count, sum)
+       rows — local heads survive even when a hub's global mean would
+       drown them, the recall-friendlier trade; ``prune='none'`` keeps
+       all edges.
 
     Returns (id_a, id_b, cbs). Scale shape: after purging, every block
-    fans out at most C(max_block_size, 2) pairs; the weight and the mean
-    are map-combinable aggregations; no record payload ever rides the
-    shuffles — ids only."""
-    if prune not in ("wep", "none"):
-        raise ValueError(f"unknown prune {prune!r} (use 'wep' or 'none')")
+    fans out at most C(max_block_size, 2) pairs; the weight, the global
+    mean, and the per-node means are map-combinable aggregations; no
+    record payload ever rides the shuffles — ids only."""
+    if prune not in ("wep", "wnp", "none"):
+        raise ValueError(
+            f"unknown prune {prune!r} (use 'wep', 'wnp' or 'none')"
+        )
     mem = memberships.select(
         F.col(block_col).alias("_b"), F.col(id_col).alias("_id")
     )
@@ -938,6 +948,33 @@ def meta_blocking_pairs(
     )
     if prune == "none":
         return cbs
+    if prune == "wnp":
+        nodes = cbs.select(F.col("id_a").alias("_n"), "cbs").unionByName(
+            cbs.select(F.col("id_b").alias("_n"), "cbs")
+        )
+        stats = nodes.groupBy("_n").agg(
+            F.count(F.lit(1)).cast("long").alias("_ne"),
+            F.sum("cbs").cast("long").alias("_sw"),
+        )
+        sa = stats.select(
+            F.col("_n").alias("id_a"),
+            F.col("_ne").alias("_nea"),
+            F.col("_sw").alias("_swa"),
+        )
+        sb = stats.select(
+            F.col("_n").alias("id_b"),
+            F.col("_ne").alias("_neb"),
+            F.col("_sw").alias("_swb"),
+        )
+        return (
+            cbs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                (F.col("cbs") * F.col("_nea") > F.col("_swa"))
+                | (F.col("cbs") * F.col("_neb") > F.col("_swb"))
+            )
+            .select("id_a", "id_b", "cbs")
+        )
     tot = cbs.agg(
         F.count(F.lit(1)).cast("long").alias("_ne"),
         F.coalesce(F.sum("cbs"), F.lit(0)).cast("long").alias("_sw"),
