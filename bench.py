@@ -64,6 +64,9 @@ HEADLINE = [
     "block_split_pairs",   # BlockSplit-balanced within-block quadratic
     "edit_distance_pairs",  # exact ed<=1 self-join (Ed-Join prefix filter)
     "learned_blocking",    # greedy adaptive blocking-scheme selection
+    "active_learning_batch",  # ALIAS uncertainty-sampled labeling batch
+    "clustering_objective",   # correlation-clustering disagreement gauge
+    "meta_blocking_wnp",      # node-centric meta-blocking pruning
 ]
 
 
