@@ -3361,7 +3361,12 @@ def uncertainty_sample(
             "uncertainty_ppm"
         ),
     ).orderBy("uncertainty_ppm", "id_a", "id_b").limit(int(n))
-    w = Window.orderBy("uncertainty_ppm", "id_a", "id_b")
+    # literal partition key: the frame is already bounded to n rows by the
+    # limit, but an unpartitioned window makes WindowExec warn globally —
+    # same trick as progressive_snm_curve's cumulative window
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        "uncertainty_ppm", "id_a", "id_b"
+    )
     return ranked.withColumn(
         "rank", F.row_number().over(w).cast("long")
     )
