@@ -2803,3 +2803,31 @@ def test_meta_blocking_wnp_matches_brute_force(spark):
 
     with _pt.raises(ValueError):
         meta_blocking_pairs(mdf, prune="bogus")
+
+
+def test_learned_blocking_pairs_consistency(spark):
+    """The learn->deploy composition is internally consistent on real
+    testdata: per-pred rows are exactly the learner's picks, the
+    disjunction's twin coverage equals the learner's final
+    covered_total (each round counts only new pairs), and the union is
+    genuinely smaller than the per-pred sum (overlap) but at least the
+    max (superset of each)."""
+    from xlink_spark.driver_queries import (
+        q_learned_blocking,
+        q_learned_blocking_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    picks = q_learned_blocking(spark, sf).orderBy("round").collect()
+    rows = {
+        r["scope"]: r for r in q_learned_blocking_pairs(spark, sf).collect()
+    }
+    assert set(rows) == {p["pred"] for p in picks} | {"disjunction"}
+    dis = rows["disjunction"]
+    assert dis["twins_covered"] == picks[-1]["covered_total"]
+    per = [rows[p["pred"]] for p in picks]
+    assert max(p["n_pairs"] for p in per) <= dis["n_pairs"] <= sum(
+        p["n_pairs"] for p in per
+    )
+    for p in picks:  # learner cost column == deployed per-pred pair count
+        assert rows[p["pred"]]["n_pairs"] == p["pairs_total"]

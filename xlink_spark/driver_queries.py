@@ -9912,6 +9912,134 @@ SQL_LEARNED_BLOCKING = (
 )
 
 
+def q_learned_blocking_pairs(spark, sf_dir):
+    """Deploy the LEARNED disjunction (q_learned_blocking's greedy pick)
+    as an actual blocker and gauge it — the learn→deploy composition:
+    per chosen predicate, candidate pairs from block-size arithmetic
+    (Σ C(n_b,2), nothing materialized) + planted-twin coverage via the
+    twin-grain key join; plus one 'disjunction' row where the distinct
+    pair UNION is counted (the set a downstream comparator would
+    actually see — inclusion-exclusion made concrete). The scheme the
+    greedy chose at THIS scale is what deploys, so the row set itself
+    pins the scale-dependent pick order the learner query documents."""
+    from xlink_spark.operators.linkage import learn_blocking_scheme
+
+    recs = _linkage_records(spark, sf_dir)
+    mem = (
+        recs.select(
+            F.lit("seg").alias("pred"), F.col("seg").alias("block"), "id"
+        )
+        .unionByName(
+            recs.select(
+                F.lit("nation").alias("pred"),
+                F.col("nation").cast("string").alias("block"),
+                "id",
+            )
+        )
+        .unionByName(
+            recs.select(
+                F.lit("suffix4").alias("pred"),
+                F.expr("substring(name, length(name) - 3, 4)").alias("block"),
+                "id",
+            )
+        )
+    )
+    pos = recs.where(F.col("id") < 10000000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 10000000).alias("id_b")
+    )
+    chosen = [
+        r["pred"]
+        for r in learn_blocking_scheme(
+            mem, pos, rounds=3, pair_penalty_micro=1000
+        ).collect()
+    ]
+    km = mem.where(F.col("pred").isin(chosen))
+    tot = pos.agg(F.count(F.lit(1)).cast("long").alias("_tw"))
+
+    def _gauge(scope, n_pairs_df, cov_df):
+        return (
+            n_pairs_df.crossJoin(cov_df)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(scope).alias("scope"),
+                "n_pairs",
+                "twins_covered",
+                F.expr("(1000000 * twins_covered) div _tw").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+
+    out = None
+    for p in chosen:
+        pm = km.where(F.col("pred") == p)
+        np_ = pm.groupBy("block").agg(
+            F.count(F.lit(1)).alias("_n")
+        ).agg(
+            F.coalesce(F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("n_pairs")
+        )
+        a = pm.select("block", F.col("id").alias("id_a"))
+        b = pm.select("block", (F.col("id") - 10000000).alias("id_a"))
+        cov = (
+            a.join(b, ["block", "id_a"])
+            .select("id_a")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("twins_covered"))
+        )
+        g = _gauge(p, np_, cov)
+        out = g if out is None else out.unionByName(g)
+    ua = km.select("block", "pred", F.col("id").alias("id_a"))
+    ub = km.select(
+        "block", "pred", F.col("id").alias("id_b")
+    )
+    upairs = (
+        ua.join(ub, ["pred", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    un = upairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    ucov = upairs.where(
+        F.pmod(F.col("id_a"), F.lit(10000000))
+        == F.pmod(F.col("id_b"), F.lit(10000000))
+    ).agg(F.count(F.lit(1)).cast("long").alias("twins_covered"))
+    return out.unionByName(_gauge("disjunction", un, ucov))
+
+
+SQL_LEARNED_BLOCKING_PAIRS = (
+    # rides the full 3-round greedy CTE chain of SQL_LEARNED_BLOCKING,
+    # then deploys the chosen predicates
+    SQL_LEARNED_BLOCKING.rsplit("select rnd::bigint", 1)[0]
+    + ", chosen as (select pred from un), "
+    "kmx as (select m.pred, m.block, m.id from mem m"
+    "  join chosen c using (pred)), "
+    "tw as (select count(*)::bigint as tw from pos), "
+    "per as (select k.pred as scope,"
+    "  (select coalesce(sum((n_ * (n_ - 1)) // 2), 0)::bigint from"
+    "    (select count(*)::bigint as n_ from kmx k2"
+    "     where k2.pred = k.pred group by k2.block)) as n_pairs,"
+    "  (select count(distinct a.id)::bigint from kmx a"
+    "    join kmx d on d.pred = k.pred and d.block = a.block"
+    "      and d.id = a.id + 10000000"
+    "    where a.pred = k.pred and a.id < 10000000) as twins_covered"
+    "  from (select distinct pred from chosen) k), "
+    "up as (select distinct a.id as id_a, b.id as id_b from kmx a"
+    "  join kmx b on b.pred = a.pred and b.block = a.block"
+    "    and a.id < b.id), "
+    "ud as (select count(*)::bigint as n_pairs,"
+    "  coalesce(sum(case when id_a % 10000000 = id_b % 10000000"
+    "    then 1 else 0 end), 0)::bigint as twins_covered from up) "
+    "select scope, n_pairs, twins_covered,"
+    "  (1000000 * twins_covered) // tw as recall_ppm from per, tw "
+    "union all "
+    "select 'disjunction', n_pairs, twins_covered,"
+    "  (1000000 * twins_covered) // tw from ud, tw"
+)
+
+
+
 QUERIES: dict[str, Query] = {
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
@@ -10061,6 +10189,7 @@ QUERIES: dict[str, Query] = {
     "active_learning_batch": q_active_learning_batch,
     "clustering_objective": q_clustering_objective,
     "meta_blocking_wnp": q_meta_blocking_wnp,
+    "learned_blocking_pairs": q_learned_blocking_pairs,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -10223,6 +10352,7 @@ ORACLES: dict[str, str] = {
     "active_learning_batch": SQL_ACTIVE_LEARNING_BATCH,
     "clustering_objective": SQL_CLUSTERING_OBJECTIVE,
     "meta_blocking_wnp": SQL_META_BLOCKING_WNP,
+    "learned_blocking_pairs": SQL_LEARNED_BLOCKING_PAIRS,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
