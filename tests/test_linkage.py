@@ -1001,8 +1001,15 @@ def test_er_blocking_compare_frontier(spark):
     assert set(rows) == {
         "snm_w4", "phonetic_soundex", "suffix_rev12_cap50", "qgram4_cap50",
         "phonetic_nysiis", "phonetic_caverphone", "allpairs_qgram4_t600",
-        "vector_srp48x8",
+        "vector_srp48x8", "edjoin_k1_q2",
     }
+    # the ninth scheme: exact recall for ANY single-edit corruption with
+    # real reduction — comps = the verified ed<=1 pairs (5130 at this sf:
+    # twins + digit-neighbor structure), on the frontier's exact corner
+    ej = rows["edjoin_k1_q2"]
+    assert ej["recall_ppm"] == 1000000
+    assert ej["comps"] == 5130
+    assert ej["rr_ppm"] > 850000
     for name in ("snm_w4", "phonetic_soundex", "suffix_rev12_cap50",
                  "phonetic_nysiis", "phonetic_caverphone",
                  "allpairs_qgram4_t600"):

@@ -97,7 +97,8 @@ def build_records(spark, sf_dir: str, multiplier: int, out: str) -> int:
     return 2 * n_base * multiplier
 
 
-def run_once(level: int, records: str, outdir: str, repair: bool) -> dict:
+def run_once(level: int, records: str, outdir: str, repair: bool,
+             blocking: str = "snm") -> dict:
     from run_er import run_er_job
 
     from xlink_spark.session import get_spark
@@ -124,7 +125,8 @@ def run_once(level: int, records: str, outdir: str, repair: bool) -> dict:
         rules="name:min",
         rank_strategy="range",
         snapshots=None,
-        blocking="snm",
+        blocking=blocking,
+        edjoin_max_edits=1,
         repair_fields="ident" if repair else None,
     )
     load0 = os.getloadavg()[0]
@@ -150,6 +152,13 @@ def main() -> None:
     ap.add_argument("--multiplier", type=int, default=512)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--repair", choices=["both", "on", "off"], default="both")
+    ap.add_argument(
+        "--blocking",
+        choices=["snm", "edjoin"],
+        default="snm",
+        help="candidate generation under test: SNM (default) or the "
+        "exact ed<=1 Ed-Join (--edjoin-max-edits pinned to 1)",
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--workdir", default="/tmp/er_scale_bench")
     ap.add_argument(
@@ -190,10 +199,13 @@ def main() -> None:
             outdir = os.path.join(
                 args.workdir, f"out_{level}_{'r' if rep else 'b'}"
             )
-            runs[tag] = run_once(level, records, outdir, rep)
+            runs[tag] = run_once(
+                level, records, outdir, rep, blocking=args.blocking
+            )
 
     result: dict = {
         "metric": "er_scaling_with_repair",
+        "blocking": args.blocking,
         "multiplier": args.multiplier,
         "n_records": n,
         "runs": runs,
