@@ -247,6 +247,7 @@ def run_er_job(spark, args) -> dict:
             idc,
             k=int(getattr(args, "edjoin_max_edits", None) or 1),
             q=int(getattr(args, "qgram_q", None) or 2),
+            method=getattr(args, "edjoin_method", None) or "prefix",
         ).select("id_a", "id_b")
     elif blocking == "multipass":
         from xlink_spark.operators.linkage import multipass_pairs
@@ -886,6 +887,15 @@ def main() -> None:
         type=int,
         help="edjoin blocking: maximum Levenshtein distance (default 1); "
         "gram width rides --qgram-q (default 2 here)",
+    )
+    ap.add_argument(
+        "--edjoin-method",
+        choices=["prefix", "chunk", "delete"],
+        help="edjoin candidate generation (default prefix): gram prefixes "
+        "for natural text, Pass-Join chunks for long variable keys, "
+        "FastSS deletion neighborhood (k <= 2) for dense identifiers "
+        "and constant-affix corpora — see the operator docstring's "
+        "measured regime map",
     )
     ap.add_argument(
         "--pass-exprs",

@@ -2838,3 +2838,76 @@ def test_learned_blocking_pairs_consistency(spark):
     )
     for p in picks:  # learner cost column == deployed per-pred pair count
         assert rows[p["pred"]]["n_pairs"] == p["pairs_total"]
+
+
+def test_edit_distance_join_methods_agree(spark):
+    """All three candidate-generation methods are EXACT: chunk (Pass-Join)
+    and delete (FastSS) equal the prefix path and the brute force on a
+    mixed corpus with short/empty/unicode keys and a shared prefix."""
+    import itertools
+
+    from xlink_spark.operators.linkage import edit_distance_join
+
+    names = [
+        "ID#0001", "ID#0002", "ID#0011", "ID#9001",
+        "johnathan smith", "jonathan smith",
+        "li", "lo", "l", "", "a",
+        "000111222", "000111223", "00111222",
+        "Müller", "Muller",
+    ]
+    recs = spark.createDataFrame(
+        list(enumerate(names)), "id long, key string"
+    )
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    for k in (1, 2):
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+            if lev(a, b) <= k
+        }
+        for method in ("prefix", "chunk", "delete"):
+            got = {
+                (r.id_a, r.id_b, r.ed)
+                for r in edit_distance_join(
+                    recs, "key", "id", k=k, method=method
+                ).collect()
+            }
+            assert got == want, (k, method)
+
+
+def test_edit_distance_join_method_validation(spark):
+    import pytest as _pt
+
+    from xlink_spark.operators.linkage import edit_distance_join
+
+    recs = spark.createDataFrame([(1, "ab")], "id long, key string")
+    with _pt.raises(ValueError):
+        edit_distance_join(recs, "key", "id", method="bogus")
+    with _pt.raises(ValueError):
+        edit_distance_join(recs, "key", "id", k=3, method="delete")
+    # chunk/delete stay pure-JVM like the prefix path
+    for method in ("chunk", "delete"):
+        plan = (
+            edit_distance_join(
+                spark.createDataFrame(
+                    [(i, f"key number {i:04d}") for i in range(12)],
+                    "id long, key string",
+                ),
+                "key",
+                "id",
+                method=method,
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -98,7 +98,8 @@ def build_records(spark, sf_dir: str, multiplier: int, out: str) -> int:
 
 
 def run_once(level: int, records: str, outdir: str, repair: bool,
-             blocking: str = "snm") -> dict:
+             blocking: str = "snm", edjoin_q: int = 4,
+             edjoin_method: str = "prefix") -> dict:
     from run_er import run_er_job
 
     from xlink_spark.session import get_spark
@@ -127,6 +128,8 @@ def run_once(level: int, records: str, outdir: str, repair: bool,
         snapshots=None,
         blocking=blocking,
         edjoin_max_edits=1,
+        qgram_q=edjoin_q,
+        edjoin_method=edjoin_method,
         repair_fields="ident" if repair else None,
     )
     load0 = os.getloadavg()[0]
@@ -158,6 +161,28 @@ def main() -> None:
         default="snm",
         help="candidate generation under test: SNM (default) or the "
         "exact ed<=1 Ed-Join (--edjoin-max-edits pinned to 1)",
+    )
+    ap.add_argument(
+        "--edjoin-q",
+        type=int,
+        default=4,
+        help="edjoin gram width. The operator docstring alphabet "
+        "rule, measured: these names are dense digit strings (~100 "
+        "possible bigrams), so q=2 prefix buckets grow quadratically "
+        "with the corpus and the M=64 local[8] arm crawled (killed "
+        "at 25 min); q=4 (10^4+ gram types) restores the rare-gram "
+        "tail on the same input",
+    )
+    ap.add_argument(
+        "--edjoin-method",
+        choices=["prefix", "chunk", "delete"],
+        default="prefix",
+        help="edjoin candidate generation. The measured regime map on "
+        "THIS corpus (constant 'Customer#' prefix + dense digits): "
+        "prefix q=2 killed at 25 min (rarest grams in ~8k prefixes), "
+        "q=4 straggler-stuck, chunk stuck on the constant first "
+        "chunk; delete (FastSS neighborhood) finishes the 192k x64 "
+        "corpus in 15s — use delete here",
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--workdir", default="/tmp/er_scale_bench")
@@ -200,12 +225,16 @@ def main() -> None:
                 args.workdir, f"out_{level}_{'r' if rep else 'b'}"
             )
             runs[tag] = run_once(
-                level, records, outdir, rep, blocking=args.blocking
+                level, records, outdir, rep, blocking=args.blocking,
+                edjoin_q=args.edjoin_q,
+                edjoin_method=args.edjoin_method,
             )
 
     result: dict = {
         "metric": "er_scaling_with_repair",
         "blocking": args.blocking,
+        "edjoin_q": args.edjoin_q if args.blocking == "edjoin" else None,
+        "edjoin_method": args.edjoin_method if args.blocking == "edjoin" else None,
         "multiplier": args.multiplier,
         "n_records": n,
         "runs": runs,

@@ -9810,6 +9810,32 @@ SQL_ACTIVE_LEARNING_BATCH = (
 )
 
 
+def q_edit_distance_pairs_delete(spark, sf_dir):
+    """Cross-method exactness as a hash row: the SAME k=1 bounded
+    edit-distance join as edit_distance_pairs but generated through the
+    FastSS deletion neighborhood (linkage.edit_distance_join
+    method='delete' — the dense-alphabet/constant-affix regime's scheme,
+    the one that survives the 192k replicated-ID corpus where gram
+    prefixes and Pass-Join chunks both stall; see the operator
+    docstring's measured regime map). The oracle is the INDEPENDENT
+    q-gram prefix formulation in DuckDB, so a green hash here proves
+    delete-neighborhood == prefix-filtering == DuckDB on real data, on
+    top of the three-method brute-parity unit tests."""
+    from xlink_spark.operators.linkage import edit_distance_join
+
+    recs = _linkage_records(spark, sf_dir)
+    pairs = edit_distance_join(recs, "name", "id", k=1, method="delete")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "ed",
+        (
+            F.pmod(F.col("id_a"), F.lit(10000000))
+            == F.pmod(F.col("id_b"), F.lit(10000000))
+        ).alias("is_twin"),
+    )
+
+
 def q_learned_blocking(spark, sf_dir):
     """Adaptive blocking-scheme learning (linkage.learn_blocking_scheme —
     Bilenko et al. ICDM 2006 greedy red-blue set cover) over the linkage
@@ -10190,6 +10216,7 @@ QUERIES: dict[str, Query] = {
     "clustering_objective": q_clustering_objective,
     "meta_blocking_wnp": q_meta_blocking_wnp,
     "learned_blocking_pairs": q_learned_blocking_pairs,
+    "edit_distance_pairs_delete": q_edit_distance_pairs_delete,
     "fs_match_probabilities": q_fs_match_probabilities,
     "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
@@ -10353,6 +10380,7 @@ ORACLES: dict[str, str] = {
     "clustering_objective": SQL_CLUSTERING_OBJECTIVE,
     "meta_blocking_wnp": SQL_META_BLOCKING_WNP,
     "learned_blocking_pairs": SQL_LEARNED_BLOCKING_PAIRS,
+    "edit_distance_pairs_delete": SQL_EDIT_DISTANCE_PAIRS,
     "fs_match_probabilities": SQL_FS_MATCH_PROBABILITIES,
     "fs_calibration": SQL_FS_CALIBRATION,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
