@@ -63,6 +63,7 @@ HEADLINE = [
     "iterative_merge_er",  # Swoosh union-merge rounds (2 merge rounds + CC)
     "block_split_pairs",   # BlockSplit-balanced within-block quadratic
     "edit_distance_pairs",  # exact ed<=1 self-join (Ed-Join prefix filter)
+    "edit_distance_pairs_delete",  # same join via FastSS deletion variants
     "learned_blocking",    # greedy adaptive blocking-scheme selection
     "active_learning_batch",  # ALIAS uncertainty-sampled labeling batch
     "clustering_objective",   # correlation-clustering disagreement gauge

@@ -1363,19 +1363,20 @@ def test_run_er_job_edjoin_blocking(spark, tmp_path):
         rows, "id long, name string, segment string, nation long"
     ).write.parquet(src)
 
-    args = argparse.Namespace(
-        records=src, output=str(tmp_path / "ej"), id_col="id",
-        key_expr="name", order_cols="name",
-        fields="name,segment,nation", jw_fields=None,
-        label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
-        window=4, threshold_micro=0, em_iterations=5,
-        rules="name:longest", rank_strategy="keys", snapshots=None,
-        blocking="edjoin", edjoin_max_edits=1,
-    )
-    metrics = run_er_job(spark, args)
-    assert metrics["blocking"] == "edjoin"
-    asg = {
-        r["id"]: r["cluster"]
-        for r in spark.read.parquet(f"{args.output}/clusters").collect()
-    }
-    assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
+    for method, outdir in (("prefix", "ej"), ("delete", "ej_del")):
+        args = argparse.Namespace(
+            records=src, output=str(tmp_path / outdir), id_col="id",
+            key_expr="name", order_cols="name",
+            fields="name,segment,nation", jw_fields=None,
+            label_expr="pmod(id_a, 1000) = pmod(id_b, 1000)",
+            window=4, threshold_micro=0, em_iterations=5,
+            rules="name:longest", rank_strategy="keys", snapshots=None,
+            blocking="edjoin", edjoin_max_edits=1, edjoin_method=method,
+        )
+        metrics = run_er_job(spark, args)
+        assert metrics["blocking"] == "edjoin"
+        asg = {
+            r["id"]: r["cluster"]
+            for r in spark.read.parquet(f"{args.output}/clusters").collect()
+        }
+        assert sum(1 for i in range(1, 31) if asg[i] == asg[i + 1000]) == 30
