@@ -3096,13 +3096,15 @@ def edit_distance_join(
     by id twice (narrow hash joins) and runs one codegen'd levenshtein
     per CANDIDATE, never per pair of the quadratic space.
 
-    The candidate join and the dedup exchange are EXPLICITLY repartitioned
-    to ``num_partitions`` (default: the session's shuffle partitions) —
-    the BlockSplit/apply_salt_plan lesson: the prefix rows are a few MB,
-    so AQE's input-size coalescing would merge the exchange to ONE task,
+    The candidate join is EXPLICITLY repartitioned to ``num_partitions``
+    (default: the session's shuffle partitions) — the
+    BlockSplit/apply_salt_plan lesson: the prefix rows are a few MB, so
+    AQE's input-size coalescing would merge the exchange to ONE task,
     blind to the join's output explosion and to the per-candidate
-    levenshtein work that pipelines behind it (measured on this corpus at
-    sf0.1: 387s coalesced vs seconds pinned). Pick ``q`` for the key
+    levenshtein verification that pipelines behind it in the SAME stage
+    (measured on this corpus at sf0.1: 387s coalesced vs seconds pinned).
+    Candidates are never shuffled at pair grain — the only pair-keyed
+    exchange is the final dedup over the verified RESULT rows. Pick ``q`` for the key
     alphabet: on dense numeric identifiers bigrams have ~100 possible
     values and every bucket is huge — q=4 (10^4+ gram types) restores the
     rare-gram tail the prefix filter needs.
@@ -3193,10 +3195,12 @@ def edit_distance_join(
             ),
         )
         # degenerate = every record whose distinct-gram count can't feed
-        # the pigeonhole (n_d <= k*q), incl. gram-less keys shorter than q
-        ngrams = ranked.groupBy("_id").agg(F.max("_rn").alias("_nd"))
+        # the pigeonhole (n_d <= k*q), incl. gram-less keys shorter than q.
+        # _rn is a row_number (unique per _id), so "max(_rn) >= plen" is
+        # exactly "a row with _rn == plen exists" — the filter form skips
+        # the per-id aggregation and anti-joins only the qualifying ids
         degen = recs.join(
-            ngrams.where(F.col("_nd") >= plen).select("_id"),
+            ranked.where(F.col("_rn") == plen).select("_id"),
             "_id",
             "left_anti",
         ).select("_id", "_len")
@@ -3344,13 +3348,23 @@ def edit_distance_join(
     cand_short = da.join(db, "_lb").where(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b"
     )
-    # explicit repartition BEFORE dedup: the hash partitioning on the pair
-    # key both satisfies dropDuplicates' clustering (no extra exchange)
-    # and pins the verify stage's task count against AQE coalescing
-    cand = (
-        cand_main.unionByName(cand_short)
-        .repartition(int(num_partitions), "id_a", "id_b")
-        .dropDuplicates()
+    # explicit pair-grain repartition BEFORE the verify joins: candidate
+    # generation explodes unevenly per signature bucket (a verify that
+    # pipelines inside the signature-partitioned join stage straggles on
+    # the hot buckets — measured 2.4x slower at sf0.1), so the hash
+    # redistribution on the pair key both balances the levenshtein work
+    # and pins the verify task count against AQE coalescing (the 387s
+    # lesson). Dedup runs AFTER verification, not before it: a pair is
+    # generated at most once per shared signature, so deduping first runs
+    # a SECOND full-candidate exchange (measured 40.2M rows / 8.4s at
+    # sf0.1 on the prefix path) to save only duplicate levenshtein calls —
+    # verifying duplicates costs ~6% more codegen'd levenshtein while the
+    # dedup exchange shrinks from the candidate set to the RESULT set
+    # (1.03M rows here), and the post-verify dropDuplicates reuses the
+    # pair-key hash partitioning (no extra exchange). Result identical:
+    # ed/len are functions of the pair, duplicates are exact duplicates.
+    cand = cand_main.unionByName(cand_short).repartition(
+        int(num_partitions), "id_a", "id_b"
     )
     ka = recs.select(
         F.col("_id").alias("id_a"),
@@ -3369,6 +3383,7 @@ def edit_distance_join(
         .withColumn("ed", F.levenshtein("_key_a", "_key_b").cast("long"))
         .where(F.col("ed") <= k)
         .select("id_a", "id_b", "ed", "len_a", "len_b")
+        .dropDuplicates()
     )
 
 
