@@ -26,7 +26,7 @@ are tiny (a perfect one's are 1×1). Distributed shape:
    existing large-star/small-star operator (operators/cluster.py:66),
    node-encoded 2·pred / 2·gold+1 (labels must be bigints, |label| < 2⁶²);
 3. per component, an exact subset-DP over response-cluster bitmasks:
-   gold clusters are ranked 0..k−1 (row_number per component — skew-safe,
+   gold clusters are ranked 0..k−1 (dense_rank per component — skew-safe,
    components are bounded by the guards below), response clusters get bit
    positions, and level i states (component, mask, best3, best4) either
    skip gold cluster i or match it to an unused response cluster. Each
@@ -120,40 +120,26 @@ def ceaf(
     )
 
     # per-component ranks: gold clusters become DP levels, response
-    # clusters become mask bits (deterministic: ordered by label)
-    gr = (
-        cc.select("component", "_g")
-        .distinct()
-        .select(
-            "component",
-            "_g",
-            (
-                F.row_number().over(
-                    Window.partitionBy("component").orderBy("_g")
-                )
-                - 1
-            ).alias("gi"),
-            F.count(F.lit(1))
-            .over(Window.partitionBy("component"))
-            .alias("_kgc"),
-        )
-    )
-    pr = (
-        cc.select("component", "_p")
-        .distinct()
-        .select(
-            "component",
-            "_p",
-            (
-                F.row_number().over(
-                    Window.partitionBy("component").orderBy("_p")
-                )
-                - 1
-            ).alias("pbit"),
-            F.count(F.lit(1))
-            .over(Window.partitionBy("component"))
-            .alias("_kpc"),
-        )
+    # clusters become mask bits (deterministic: ordered by label).
+    # dense_rank over the cell rows assigns every distinct label its
+    # position in the per-component label order DIRECTLY — identical
+    # values to the old row_number-over-distinct formulation, but the
+    # whole ranking is ONE component-keyed exchange (three window sorts
+    # over the same partitioning) instead of two distinct aggregations,
+    # two windows, and two joins back onto the cells.
+    wc = Window.partitionBy("component")
+    ranked_pre = cc.select(
+        "component",
+        "_p",
+        "_g",
+        "w3",
+        "w4",
+        (F.dense_rank().over(wc.orderBy("_g")) - 1).alias("gi"),
+        (F.dense_rank().over(wc.orderBy("_p")) - 1).alias("pbit"),
+    ).select(
+        "*",
+        (F.max("gi").over(wc) + 1).alias("_kgc"),
+        (F.max("pbit").over(wc) + 1).alias("_kpc"),
     )
     # per-component ORIENTATION: the assignment problem is symmetric, so
     # DP levels run over the component's SMALLER dimension and the mask
@@ -166,8 +152,7 @@ def ceaf(
     # ACCEPTANCE guards stay on the unflipped dimensions, so no input is
     # newly rejected.
     ranked = (
-        cc.join(gr, ["component", "_g"])
-        .join(pr, ["component", "_p"])
+        ranked_pre
         .withColumn(
             "_flip",
             (F.col("_kpc") < F.col("_kgc")) & (F.col("_kgc") <= 62),
@@ -183,7 +168,9 @@ def ceaf(
             "w4",
         )
     )
-    ranked = ranked.localCheckpoint(eager=True)  # reused once per DP level
+    # LAZY checkpoint: the stats aggregation below (the loop's one driver
+    # action) materializes the blocks; each DP level then rereads them
+    ranked = ranked.localCheckpoint(eager=False)
 
     # ONE tiny driver action on the checkpointed frame: the oriented
     # level count plus the width guards (guards on the UNFLIPPED dims —
@@ -256,7 +243,11 @@ def ceaf(
             .agg(F.max("best3").alias("best3"), F.max("best4").alias("best4"))
         )
         if (i + 1) % checkpoint_every == 0:
-            dp = dp.localCheckpoint(eager=True)
+            # LAZY: truncates the plan for the levels above (planning cost
+            # stays O(checkpoint_every) deep) while execution defers to the
+            # single final aggregation — the whole subset-DP runs as ONE
+            # Spark job instead of one per checkpoint interval
+            dp = dp.localCheckpoint(eager=False)
 
     per_comp = dp.groupBy("component").agg(
         F.max("best3").alias("b3"), F.max("best4").alias("b4")

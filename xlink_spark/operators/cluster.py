@@ -39,24 +39,33 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
     both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    nbr_min = both.groupBy("src").agg(F.min("dst").alias("m"))
-    nbr_min = nbr_min.withColumn("m", F.least("m", F.col("src")))
+    # per-node neighborhood min as a WINDOW over the node key: one exchange
+    # carries the whole star step, where the groupBy-then-join-back
+    # formulation paid two exchanges (agg + join re-stream) per round —
+    # identical output multiset, and the per-node work is the same single
+    # pass over the node's edges
+    w = Window.partitionBy("src")
+    withm = both.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
     # connect larger neighbors to min of N(u) ∪ {u}
     return (
-        both.join(nbr_min, "src")
-        .filter(F.col("dst") > F.col("src"))
+        withm.filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
     # orient edges toward the smaller endpoint: src > dst
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    nbr_min = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    joined = oriented.join(nbr_min, "src")
+    # window-min over the node key — one exchange per round (see _large_star)
+    w = Window.partitionBy("src")
+    joined = oriented.withColumn("m", F.min("dst").over(w))
     out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionByName(
         joined.select(F.col("src"), F.col("m").alias("dst"))
     )
@@ -79,17 +88,36 @@ def connected_components(
     spark = edges.sparkSession
     cur = _canonical(edges)
     start_iter = 0
+    resumed = False
     if store is not None:
         last = store.last_iteration(stage)
         if last is not None:
-            start_iter, cur = last[0] + 1, last[1](spark)
+            start_iter, cur, resumed = last[0] + 1, last[1](spark), True
+    # eager: the first large-star consumes cur on BOTH union branches, so
+    # the blocks must exist before the loop's first job
     cur = cur.localCheckpoint(eager=True)
+    # the canonical INPUT edges (full original node set), reused by the
+    # roots pass below — only valid when the loop started from the input,
+    # not from a resumed mid-run snapshot
+    cur0 = None if resumed else cur
 
     prev_sig = None
     for it in range(start_iter, max_iterations):
-        big = _canonical(_large_star(cur))
-        small = _canonical(_small_star(big))
-        small = small.localCheckpoint(eager=True)
+        # large-star output feeds small-star WITHOUT an intermediate
+        # distinct: duplicates cannot multiply through the window-min
+        # (min over a multiset = min over its set; duplicate rows emit
+        # duplicate outputs, bounded by the 2|E| input), and the round's
+        # final canonical dedups — the per-round SET function is identical
+        # while one exchange per round disappears. Self-loops cannot occur
+        # in large-star output (m <= src < dst by construction).
+        big = _large_star(cur)
+        # LAZY checkpoint: the signature aggregation below is the round's
+        # one action — computing it materializes the checkpoint blocks as a
+        # side effect, so each round runs ONE Spark job instead of two
+        # (eager ckpt + separate signature collect). At toy scale the loop
+        # is driver/job-overhead-bound, so this halves the round cost;
+        # at cluster scale it removes one full pass over the edge state.
+        small = _canonical(_small_star(big)).localCheckpoint(eager=False)
         # cheap convergence signature: count + xor of hashes (order-free,
         # overflow-free under ANSI mode)
         sig = small.agg(
@@ -108,9 +136,11 @@ def connected_components(
     # component: src = component min, dst = member node
     nodes = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
     comp = nodes.groupBy("node").agg(F.min("component").alias("component"))
-    # isolated/root nodes map to themselves
+    # isolated/root nodes map to themselves; cur0 is the already-canonical
+    # checkpointed input, so the roots pass rereads its blocks instead of
+    # recomputing the canonicalization shuffle from the raw edges
     roots = (
-        _canonical(edges)
+        (cur0 if cur0 is not None else _canonical(edges))
         .select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .join(comp, "node", "left_anti")
