@@ -536,7 +536,11 @@ def star_clusters(
                 F.lit(rnd).cast("int").alias("round"),
             )
         )
-        done = centers.unionByName(sats).localCheckpoint(eager=True)
+        # done is a LAZY checkpoint: the eager materialization of cur below
+        # consumes it on both anti-join legs, so its blocks are computed and
+        # persisted inside cur's job — one Spark job per round instead of
+        # three, with the same truncated lineage for every later consumer
+        done = centers.unionByName(sats).localCheckpoint(eager=False)
         assigned.append(done)
         cur = (
             cur.join(done.select("a"), "a", "anti")
@@ -873,16 +877,23 @@ def pivot_clusters(edges: DataFrame, rounds: int = 3) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     cur = adj
-    pool = adj.select("a").distinct().localCheckpoint(eager=True)
+    # LAZY: materialized inside round 1's single eager job (see below)
+    pool = adj.select("a").distinct().localCheckpoint(eager=False)
     nodes = pool  # the materialized universe, reused by the leftover select
     pivot_frames = []
     for rnd in range(1, rounds + 1):
         nbr_min = cur.groupBy("a").agg(F.min("b").alias("mn"))
+        # pivots and pool are LAZY checkpoints: cur's eager materialization
+        # below consumes pool on both semi-join legs, pool consumes pivots
+        # on its anti-join legs — so the whole round's state (pivots, pool,
+        # cur) is computed and persisted by ONE Spark job per round instead
+        # of three, with identical truncated lineage for later consumers
+        # (the isEmpty probe and the final union read persisted blocks).
         pivots = (
             pool.join(nbr_min, "a", "left")
             .filter(F.col("mn").isNull() | (F.col("a") < F.col("mn")))
             .select("a", F.lit(rnd).cast("int").alias("round"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         pivot_frames.append(pivots)
         dominated = (
@@ -893,7 +904,7 @@ def pivot_clusters(edges: DataFrame, rounds: int = 3) -> DataFrame:
         pool = (
             pool.join(pivots.select("a"), "a", "anti")
             .join(dominated, "a", "anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = (
             cur.join(pool, "a", "semi")

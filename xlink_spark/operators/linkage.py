@@ -1648,8 +1648,10 @@ def repair_chain_merges(
     # once instead of once per consumer — at corpus scale the upstream
     # plan is a pairs-wide comparator, the single most expensive thing
     # to accidentally recompute (measured 2x wall on a 12M-record run)
+    # LAZY: materialized by the first CC's eager canonical checkpoint —
+    # still evaluated exactly once for all four consumers
     sc = _canon(scores, id_a, id_b, score_col, "_s").localCheckpoint(
-        eager=True
+        eager=False
     )
     strong = _canon(
         strong_scores, id_a, id_b, strong_score_col, "_t"
@@ -1658,7 +1660,8 @@ def repair_chain_merges(
     edges0 = sc.filter(F.col("_s") >= F.lit(int(threshold_micro)))
     comp0 = connected_components(
         edges0.select(F.col("_lo").alias("src"), F.col("_hi").alias("dst"))
-    ).localCheckpoint(eager=True)  # read by flagged, edges1, nodes0
+    ).localCheckpoint(eager=False)  # read by flagged, edges1, nodes0 —
+    # lazy, materialized by the downstream eager CC checkpoint
     ca = comp0.select(F.col("node").alias("_lo"), F.col("component").alias("_c0"))
     cb = comp0.select(F.col("node").alias("_hi"), F.col("component").alias("_c1"))
     flagged = (
@@ -1668,7 +1671,7 @@ def repair_chain_merges(
         .filter(F.col("_c0") == F.col("_c1"))
         .select(F.col("_c0").alias("_flag"))
         .distinct()
-        .localCheckpoint(eager=True)  # tiny; read by edges1 and nodes0
+        .localCheckpoint(eager=False)  # tiny; read by edges1 and nodes0
     )
     # re-cluster ONLY the flagged components: unflagged components keep
     # their full edge set, so their repaired assignment is comp0's by
@@ -1683,9 +1686,10 @@ def repair_chain_merges(
         .filter(F.col("_t") >= F.lit(int(strong_threshold_micro)))
         # CC evaluates its edge input twice (iteration seed + the roots
         # pass); checkpointing keeps the strong-comparator join chain —
-        # the expensive-field consultation — to a single execution
+        # the expensive-field consultation — to a single execution (lazy:
+        # CC's own eager canonical checkpoint materializes it)
         .select("_lo", "_hi")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     comp1 = connected_components(
         edges1.select(F.col("_lo").alias("src"), F.col("_hi").alias("dst"))
@@ -1750,7 +1754,7 @@ def allpairs_jaccard_pairs(
     overlap, and the bound must itself satisfy the measure's inequality
     — sound (a qualifying pair's first shared prefix token always
     passes), so recall stays exact while late-position collisions on
-    frequent tokens never reach the distinct/verify stages
+    frequent tokens never reach the verify/dedup stages
     (at jaccard t=0.8, one fifth of them, and the frequent head tokens
     that create mega-blocks never become join keys at all). Candidates
     then pass the measure's length filter and exact verification:
@@ -1885,13 +1889,26 @@ def allpairs_jaccard_pairs(
         ) * F.col("n_b")
     else:  # dice
         pos_ok = F.lit(2000) * rem >= F.lit(t) * (F.col("n_a") + F.col("n_b"))
+    # candidates go to verification WITHOUT a pre-distinct: a qualifying
+    # pair is generated once per shared prefix token (bounded by the prefix
+    # length), so deduping first pays a full candidate-set hash aggregation
+    # (measured 8.9M rows / ~9s at sf0.1 on the name-blocks corpus) to save
+    # only a few percent of verification work. The explicit pair-grain
+    # repartition keeps what the distinct's exchange provided — balanced
+    # verify tasks immune to hot prefix-token buckets and a task count
+    # pinned against AQE coalescing — and the dedup runs on the verified
+    # RESULT rows (246k here), reusing the same partitioning. Identical
+    # output: n_shared/n_a/n_b are functions of the pair.
+    n_parts = int(
+        records.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     cands = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(len_ok)
         .filter(pos_ok)
         .select("id_a", "id_b")
-        .distinct()
+        .repartition(n_parts, "id_a", "id_b")
     )
     full = sorted_toks.select("_id", "_sorted")
     verified = (
@@ -1923,7 +1940,9 @@ def allpairs_jaccard_pairs(
             )
         )
     )
-    return verified.select("id_a", "id_b", "n_shared", "n_a", "n_b")
+    return verified.select(
+        "id_a", "id_b", "n_shared", "n_a", "n_b"
+    ).dropDuplicates()
 
 
 # ------------------------------------------------------------ group linkage
@@ -2378,7 +2397,9 @@ def one_to_one_matches(
             .filter((F.col("_rn_a") == 1) & (F.col("_rn_b") == 1))
             .drop("_rn_a", "_rn_b")
             .withColumn("round", F.lit(rnd).cast("int"))
-            .localCheckpoint(eager=True)
+            # LAZY: cur's eager checkpoint below consumes m on both
+            # anti-join legs, so one job per round materializes both
+            .localCheckpoint(eager=False)
         )
         accepted.append(m)
         cur = (
@@ -2897,7 +2918,10 @@ def iterative_merge_er(
             .withColumn("eid", F.coalesce("component", "eid"))
             .drop("component")
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY: the next round's eager edge checkpoint (or the final
+            # members projection) materializes the relabeled state —
+            # lineage truncates identically with one fewer job per round
+            .localCheckpoint(eager=False)
         )
         vals = relabel(vals)
         members = relabel(members)
