@@ -27,8 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """SQL-expressible operators (oracle-checked) + the flagship (rows-only)."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(DQ.QUERIES)
-    out["linking_pipeline"] = linking_pipeline  # UDF path: rows-only check
+    # The flagship LEADS the dict so correctness tooling that samples a
+    # prefix of the registry always covers it; DQ.QUERIES is itself
+    # ordered product-first (see its definition).
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "linking_pipeline": linking_pipeline  # UDF path: rows-only check
+    }
+    out.update(DQ.QUERIES)
     return out
 
 

@@ -2134,7 +2134,19 @@ def q_curation_plan(spark, sf_dir):
         except Exception:
             pass
     corpus, eval_docs = _curation_corpus(spark, sf_dir)
+    # The FIXTURE corpus is a derived-expression table (3x replication +
+    # per-doc string surgery), and the curation plan consumes the raw docs
+    # frame four times (facts scan, bigram-mode scan, survivor truncation,
+    # kept anti-join) — unpersisted, the fixture expressions re-execute per
+    # consumer and dominate the query (measured 11.5s -> 1.1s at sf0.1
+    # once persisted). A deployment corpus is a parquet scan with pushdown
+    # (jobs/run_curation), so this persist covers only the synthetic
+    # fixture; default MEMORY_AND_DISK keeps it spill-safe.
+    corpus = corpus.persist()
+    eval_docs = eval_docs.persist()
     held = _CURATION_HELD
+    held.append(corpus)
+    held.append(eval_docs)
     kept, _audit, drops = curate_corpus(
         corpus,
         eval_docs,
@@ -9196,6 +9208,14 @@ def q_vector_blocks(spark, sf_dir):
     pairs = vector_blocking_pairs(
         recs, "nm", "id", q=3, dim=64, planes=48, band_rows=8,
         threshold_ppt=750,
+        # the (id, d, v) gram-vector frame feeds four consumers (plane
+        # sums, norms, both verification sides) — materialize it once
+        # instead of re-running the gram scan per consumer. Neutral at
+        # sf0.1 (the fixture's gram scan is ~0.5s warm; the checkpoint
+        # job costs about what the three extra scans did) but the
+        # at-scale mode per the operator's own contract: the scan is a
+        # corpus pass at deployment sizes.
+        materialize=True,
     )
     return pairs.withColumn(
         "is_twin",
@@ -10066,7 +10086,61 @@ SQL_LEARNED_BLOCKING_PAIRS = (
 
 
 
+# Ordered so the driver's correctness window (the FIRST entries of
+# queries(), which leads with the flagship linking_pipeline added in
+# __spark_entry__) carries the product: the hash-oracled flagship variants,
+# the composed curation plan, and one representative per round-5 ER family —
+# legacy SURVEY-§2 rows follow. Contents and per-name oracle SQL unchanged.
 QUERIES: dict[str, Query] = {
+    "linking_pipeline_ascii": q_linking_pipeline_ascii,
+    "linking_seeded_ascii": q_linking_seeded_ascii,
+    "curation_plan": q_curation_plan,
+    "er_golden_records": q_er_golden_records,
+    "er_pairwise_f1": q_er_pairwise_f1,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "edit_distance_pairs_delete": q_edit_distance_pairs_delete,
+    "allpairs_name_blocks": q_allpairs_name_blocks,
+    "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
+    "clustering_conll": q_clustering_conll,
+    "clustering_ceaf": q_clustering_ceaf,
+    "clustering_muc": q_clustering_muc,
+    "incremental_er": q_incremental_er,
+    "fused_golden_values": q_fused_golden_values,
+    "pprl_hlsh_pairs": q_pprl_hlsh_pairs,
+    "pprl_dice_scores": q_pprl_dice_scores,
+    "learned_blocking": q_learned_blocking,
+    "learned_blocking_pairs": q_learned_blocking_pairs,
+    "cluster_repair": q_cluster_repair,
+    "repair_f1_gain": q_repair_f1_gain,
+    "vector_blocks": q_vector_blocks,
+    "block_split_pairs": q_block_split_pairs,
+    "group_linkage_ges": q_group_linkage_ges,
+    "star_clusters": q_star_clusters,
+    "pivot_clusters": q_pivot_clusters,
+    "one_to_one_matches": q_one_to_one_matches,
+    "iterative_merge_er": q_iterative_merge_er,
+    "collective_er": q_collective_er,
+    "truth_trust_avglog": q_truth_trust_avglog,
+    "truth_fusion": q_truth_fusion,
+    "soft_tfidf_scores": q_soft_tfidf_scores,
+    "jaccard_pairs_exact": q_jaccard_pairs_exact,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "coherence_rerank": q_coherence_rerank,
+    "coherence_iterate2": q_coherence_iterate2,
+    "bm25_topk": q_bm25_topk,
+    "entity_pagerank": q_entity_pagerank,
+    "entity_relatedness": q_entity_relatedness,
+    "fs_pair_scores": q_fs_pair_scores,
+    "fs_level_scores": q_fs_level_scores,
+    "fs_match_probabilities": q_fs_match_probabilities,
+    "fs_calibration": q_fs_calibration,
+    "qgram_blocks": q_qgram_blocks,
+    "meta_blocking_wnp": q_meta_blocking_wnp,
+    "snm_candidate_pairs": q_snm_candidate_pairs,
+    "active_learning_batch": q_active_learning_batch,
+    "clustering_objective": q_clustering_objective,
+    "cc_incremental": q_cc_incremental,
+    "cluster_stable_ids": q_cluster_stable_ids,
     "freq_m": q_freq_m,
     "mention_anchors": q_mention_anchors,
     "entity_prior": q_entity_prior,
@@ -10116,9 +10190,6 @@ QUERIES: dict[str, Query] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "detected_mentions": q_detected_mentions,
     "resolved_mentions": q_resolved_mentions,
-    "linking_pipeline_ascii": q_linking_pipeline_ascii,
-    "linking_seeded_ascii": q_linking_seeded_ascii,
-    "curation_plan": q_curation_plan,
     "hash_sample": q_hash_sample,
     "mixture_weights": q_mixture_weights,
     "stratified_sample": q_stratified_sample,
@@ -10141,58 +10212,30 @@ QUERIES: dict[str, Query] = {
     "chunk_documents": q_chunk_documents,
     "fuzzy_surface_match": q_fuzzy_surface_match,
     "fuzzy_candidate_priors": q_fuzzy_candidate_priors,
-    "jaccard_pairs_exact": q_jaccard_pairs_exact,
-    "cluster_stable_ids": q_cluster_stable_ids,
     "fuzzy_detected_mentions": q_fuzzy_detected_mentions,
     "quality_drift": q_quality_drift,
     "decayed_priors": q_decayed_priors,
     "blocking_compare": q_blocking_compare,
-    "cc_incremental": q_cc_incremental,
-    "entity_pagerank": q_entity_pagerank,
-    "entity_relatedness": q_entity_relatedness,
-    "coherence_rerank": q_coherence_rerank,
-    "snm_candidate_pairs": q_snm_candidate_pairs,
     "fs_match_weights": q_fs_match_weights,
-    "fs_pair_scores": q_fs_pair_scores,
     "fs_em_weights": q_fs_em_weights,
     "jw_pair_scores": q_jw_pair_scores,
     "fs_u_frequencies": q_fs_u_frequencies,
     "fs_threshold_sweep": q_fs_threshold_sweep,
-    "er_golden_records": q_er_golden_records,
-    "coherence_iterate2": q_coherence_iterate2,
-    "bm25_topk": q_bm25_topk,
     "snm_multipass_pairs": q_snm_multipass_pairs,
     "fs_review_bands": q_fs_review_bands,
-    "er_pairwise_f1": q_er_pairwise_f1,
     "edit_pair_scores": q_edit_pair_scores,
     "monge_elkan_scores": q_monge_elkan_scores,
-    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "meta_blocking_pairs": q_meta_blocking_pairs,
     "clustering_ari": q_clustering_ari,
     "phonetic_blocks": q_phonetic_blocks,
     "nysiis_blocks": q_nysiis_blocks,
     "caverphone_blocks": q_caverphone_blocks,
-    "clustering_muc": q_clustering_muc,
     "clustering_blanc": q_clustering_blanc,
-    "clustering_ceaf": q_clustering_ceaf,
-    "clustering_conll": q_clustering_conll,
-    "star_clusters": q_star_clusters,
     "center_clusters": q_center_clusters,
     "merge_center_clusters": q_merge_center_clusters,
-    "pivot_clusters": q_pivot_clusters,
-    "one_to_one_matches": q_one_to_one_matches,
     "canopy_clusters": q_canopy_clusters,
     "canopy_blocking_metrics": q_canopy_blocking_metrics,
-    "truth_trust_avglog": q_truth_trust_avglog,
-    "fused_golden_values": q_fused_golden_values,
-    "truth_fusion": q_truth_fusion,
     "truth_source_trust": q_truth_source_trust,
-    "soft_tfidf_scores": q_soft_tfidf_scores,
-    "pprl_dice_scores": q_pprl_dice_scores,
-    "pprl_hlsh_pairs": q_pprl_hlsh_pairs,
-    "allpairs_name_blocks": q_allpairs_name_blocks,
-    "allpairs_cosine_blocks": q_allpairs_cosine_blocks,
-    "group_linkage_ges": q_group_linkage_ges,
     "mutual_best_pairs": q_mutual_best_pairs,
     "link_constraints": q_link_constraints,
     "suffix_blocks": q_suffix_blocks,
@@ -10200,28 +10243,10 @@ QUERIES: dict[str, Query] = {
     "clustering_vmeasure": q_clustering_vmeasure,
     "er_blocking_compare": q_er_blocking_compare,
     "fs_level_weights": q_fs_level_weights,
-    "fs_level_scores": q_fs_level_scores,
     "fs_tf_scores": q_fs_tf_scores,
-    "qgram_blocks": q_qgram_blocks,
     "block_split_plan": q_block_split_plan,
-    "block_split_pairs": q_block_split_pairs,
     "progressive_snm": q_progressive_snm,
-    "vector_blocks": q_vector_blocks,
-    "iterative_merge_er": q_iterative_merge_er,
-    "collective_er": q_collective_er,
-    "incremental_er": q_incremental_er,
-    "edit_distance_pairs": q_edit_distance_pairs,
-    "learned_blocking": q_learned_blocking,
-    "active_learning_batch": q_active_learning_batch,
-    "clustering_objective": q_clustering_objective,
-    "meta_blocking_wnp": q_meta_blocking_wnp,
-    "learned_blocking_pairs": q_learned_blocking_pairs,
-    "edit_distance_pairs_delete": q_edit_distance_pairs_delete,
-    "fs_match_probabilities": q_fs_match_probabilities,
-    "fs_calibration": q_fs_calibration,
     "cluster_cohesion": q_cluster_cohesion,
-    "cluster_repair": q_cluster_repair,
-    "repair_f1_gain": q_repair_f1_gain,
 }
 
 ORACLES: dict[str, str] = {
