@@ -8599,7 +8599,15 @@ def q_fs_tf_scores(spark, sf_dir):
     )
 
     recs = _linkage_records(spark, sf_dir)
-    vec = _linkage_vectors(spark, sf_dir)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    # vec feeds the weights collect, the score chain, and the prior/join
+    # consumers — persist once (the _FS_HELD release contract)
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
     tfw = tf_value_weights(recs, "name", w, "agree_name")
@@ -8658,7 +8666,15 @@ def q_fs_match_probabilities(spark, sf_dir):
         match_weights,
     )
 
-    vec = _linkage_vectors(spark, sf_dir)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    # vec feeds the weights collect, the score chain, and the prior/join
+    # consumers — persist once (the _FS_HELD release contract)
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     sc = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
     prior = vec.agg(
@@ -8709,7 +8725,15 @@ def q_fs_calibration(spark, sf_dir):
         match_weights,
     )
 
-    vec = _linkage_vectors(spark, sf_dir)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    # vec feeds the weights collect, the score chain, and the prior/join
+    # consumers — persist once (the _FS_HELD release contract)
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     sc = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
     prior = vec.agg(
@@ -8773,7 +8797,15 @@ def q_cluster_cohesion(spark, sf_dir):
     from xlink_spark.operators.cluster import connected_components
     from xlink_spark.operators.linkage import fs_score, match_weights
 
-    vec = _linkage_vectors(spark, sf_dir)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    # vec feeds the weights collect, the score chain, and the prior/join
+    # consumers — persist once (the _FS_HELD release contract)
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
     edges = scores.filter(F.col("score_micro") >= 0).select(
@@ -8858,10 +8890,20 @@ def q_cluster_repair(spark, sf_dir):
         repair_chain_merges,
     )
 
-    vec = _linkage_vectors(spark, sf_dir)
+    # both comparison-vector chains are consumed twice each (the
+    # match_weights collect + the score consumers) — persist them once,
+    # released by the next FS-family query (the _FS_HELD contract)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
-    vec4 = _linkage_vectors4(spark, sf_dir)
+    vec4 = _linkage_vectors4(spark, sf_dir).persist()
+    _FS_HELD.append(vec4)
     w4 = match_weights(vec4, _FIELDS4, "is_match")
     strong = fs_score(vec4, w4, _FIELDS4, ["id_a", "id_b"])
     return repair_chain_merges(scores, strong)
@@ -8932,10 +8974,21 @@ def q_repair_f1_gain(spark, sf_dir):
         repair_chain_merges,
     )
 
-    vec = _linkage_vectors(spark, sf_dir)
+    # vec feeds three consumers (weights collect, scores, the labeled
+    # pairs), vec4 two — persist both once (the _FS_HELD contract; this
+    # query replays the whole repair arc twice for before/after F1, so
+    # unpersisted chains were re-executed ~6x)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     scores = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
-    vec4 = _linkage_vectors4(spark, sf_dir)
+    vec4 = _linkage_vectors4(spark, sf_dir).persist()
+    _FS_HELD.append(vec4)
     w4 = match_weights(vec4, _FIELDS4, "is_match")
     strong = fs_score(vec4, w4, _FIELDS4, ["id_a", "id_b"])
 
@@ -9799,7 +9852,15 @@ def q_active_learning_batch(spark, sf_dir):
         uncertainty_sample,
     )
 
-    vec = _linkage_vectors(spark, sf_dir)
+    while _FS_HELD:
+        try:
+            _FS_HELD.pop().unpersist()
+        except Exception:
+            pass
+    # vec feeds the weights collect, the score chain, and the prior/join
+    # consumers — persist once (the _FS_HELD release contract)
+    vec = _linkage_vectors(spark, sf_dir).persist()
+    _FS_HELD.append(vec)
     w = match_weights(vec, _LINKAGE_FIELDS, "is_match")
     sc = fs_score(vec, w, _LINKAGE_FIELDS, ["id_a", "id_b"])
     prior = vec.agg(
