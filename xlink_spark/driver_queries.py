@@ -4707,6 +4707,9 @@ SQL_SOFT_TFIDF_SCORES = (
 )
 
 
+_PPRL_HELD: list = []
+
+
 def q_pprl_dice_scores(spark, sf_dir):
     """Privacy-preserving linkage comparator (pprl.bloom_encode +
     bloom_dice_scores — Schnell, Bachteler & Reiher 2009) over the SNM
@@ -4722,11 +4725,19 @@ def q_pprl_dice_scores(spark, sf_dir):
     from xlink_spark.operators.linkage import sorted_neighborhood_pairs
     from xlink_spark.operators.pprl import bloom_dice_scores, bloom_encode
 
+    while _PPRL_HELD:
+        try:
+            _PPRL_HELD.pop().unpersist()
+        except Exception:
+            pass
     recs = _linkage_records(spark, sf_dir)
     pairs = sorted_neighborhood_pairs(
         recs, "key", ["name"], "id", window=4
     ).select("id_a", "id_b")
-    enc = bloom_encode(recs, "id", "name")
+    # the encode chain (gram md5 + two distincts + the 4-word bit_or
+    # pivot) feeds BOTH score sides; persist the tiny encoding table once
+    enc = bloom_encode(recs, "id", "name").persist()
+    _PPRL_HELD.append(enc)
     return bloom_dice_scores(pairs, enc)
 
 
@@ -4826,7 +4837,16 @@ def q_pprl_hlsh_pairs(spark, sf_dir):
     recs = base.unionByName(dirty).select(
         "id", F.concat_ws(" ", "name", "ty", "br").alias("text")
     )
-    enc = bloom_encode(recs, "id", "text")
+    # the encode chain feeds four consumers (both HLSH bucket join sides
+    # + both Dice score sides); unpersisted it re-executed per consumer —
+    # persist the tiny encoding table once (held-handle contract)
+    while _PPRL_HELD:
+        try:
+            _PPRL_HELD.pop().unpersist()
+        except Exception:
+            pass
+    enc = bloom_encode(recs, "id", "text").persist()
+    _PPRL_HELD.append(enc)
     cand = hlsh_candidate_pairs(enc)
     return bloom_dice_scores(cand, enc).filter(F.col("dice_ppt") >= 900)
 
