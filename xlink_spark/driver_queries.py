@@ -4834,8 +4834,12 @@ def q_pprl_hlsh_pairs(spark, sf_dir):
         "ty",
         "br",
     )
-    recs = base.unionByName(dirty).select(
-        "id", F.concat_ws(" ", "name", "ty", "br").alias("text")
+    recs = (
+        base.unionByName(dirty)
+        .select("id", F.concat_ws(" ", "name", "ty", "br").alias("text"))
+        # 1-2 input splits: spread records across cores before the
+        # gram-md5 encode scan (the flagship input idiom)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
     )
     # the encode chain feeds four consumers (both HLSH bucket join sides
     # + both Dice score sides); unpersisted it re-executed per consumer —
@@ -9277,7 +9281,14 @@ def q_vector_blocks(spark, sf_dir):
             " char(ascii(substring(nm, length(nm), 1)) + 1))"
         ).alias("nm"),
     )
-    recs = base.unionByName(dirty).filter(F.pmod(F.col("id"), F.lit(8)) == 0)
+    # the part parquet is 1-2 input splits: spread records across cores
+    # BEFORE the gram/md5 scan (the flagship input idiom — at real input
+    # scale the scan has natural splits and this is a cheap reshuffle)
+    recs = (
+        base.unionByName(dirty)
+        .filter(F.pmod(F.col("id"), F.lit(8)) == 0)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
     pairs = vector_blocking_pairs(
         recs, "nm", "id", q=3, dim=64, planes=48, band_rows=8,
         threshold_ppt=750,

@@ -1801,9 +1801,19 @@ def allpairs_jaccard_pairs(
     # materializes the scan + frequency join + per-record sort exactly once
     # — the Vernica et al. formulation materializes precisely this table
     # between its ordering and joining stages (measured ~2x wall on the
-    # dense-vocabulary bench corpus when recomputed per consumer)
+    # dense-vocabulary bench corpus when recomputed per consumer).
+    # The record-grain exchange is EXPLICITLY sized (REPARTITION_BY_NUM is
+    # exempt from AQE coalescing): the struct-sort aggregation is CPU-dense
+    # on tiny bytes, and AQE's size-based coalescing was measured collapsing
+    # it to ONE task (a 5.8s serial job carrying ~60% of the bench query);
+    # the aggregation reuses the pinned hash partitioning, so this adds no
+    # exchange — it sizes the one that was already there.
+    num_partitions = int(
+        records.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     sorted_toks = (
         tok_rows.join(freq, "tok")
+        .repartition(num_partitions, "_id")
         .groupBy("_id")
         .agg(
             F.transform(
@@ -2722,6 +2732,13 @@ def vector_blocking_pairs(
         # Default False keeps plan construction action-free.
         vec = vec.localCheckpoint(eager=True)
     spark = records.sparkSession
+    # the plane-sum and verify exchanges are CPU-dense on tiny bytes
+    # (``planes`` multiply-accumulates per vector row; one dot product per
+    # candidate) — size them explicitly (REPARTITION_BY_NUM is exempt from
+    # AQE coalescing, which was measured collapsing both to ONE task; the
+    # downstream aggregations reuse the pinned hash partitioning, so no
+    # exchange is added)
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     signs = spark.range(dim).select(
         F.col("id").alias("d"),
         *[
@@ -2731,6 +2748,7 @@ def vector_blocking_pairs(
     )
     sums = (
         vec.join(F.broadcast(signs), "d")
+        .repartition(num_partitions, "id")
         .groupBy("id")
         .agg(
             *[
