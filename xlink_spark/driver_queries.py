@@ -3962,7 +3962,7 @@ def q_entity_relatedness(spark, sf_dir):
         F.col("parse_from") == "ma"
     )
     links = det.select("doc_id", F.col("surface").alias("entity_id"))
-    return entity_relatedness(links, min_cooccur=2)
+    return entity_relatedness(links, min_cooccur=2, materialize=True)
 
 
 SQL_ENTITY_RELATEDNESS = (
@@ -4031,7 +4031,7 @@ def q_coherence_rerank(spark, sf_dir):
         .filter(F.col("_rn") <= 3)
         .select("doc_id", "entity_id")
     )
-    rel = entity_relatedness(links, min_cooccur=2)
+    rel = entity_relatedness(links, min_cooccur=2, materialize=True)
     return coherence_rerank(cand, rel, max_pool=5)
 
 
@@ -4449,7 +4449,7 @@ def q_coherence_iterate2(spark, sf_dir):
         .filter(F.col("_rn") <= 3)
         .select("doc_id", "entity_id")
     )
-    rel = entity_relatedness(links, min_cooccur=2)
+    rel = entity_relatedness(links, min_cooccur=2, materialize=True)
     return coherence_iterate(cand, rel, rounds=2, max_pool=5)
 
 

@@ -58,6 +58,7 @@ def entity_relatedness(
     *,
     min_cooccur: int = 2,
     max_doc_degree: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Milne-Witten relatedness over a (doc_id, entity_id) link table.
 
@@ -65,6 +66,13 @@ def entity_relatedness(
     entity_a < entity_b, one row per co-linked pair seen in ≥ min_cooccur
     docs. ``max_doc_degree`` drops documents linking more than that many
     entities BEFORE pair generation (the degree² fan-out guard).
+
+    The distinct link table feeds FOUR consumers (the in-link counts, the
+    doc universe, and both self-join sides); ``materialize=True``
+    eager-checkpoints it so the caller's upstream (typically a detection
+    scan + ranking window) runs once instead of four times — the
+    vector_blocking_pairs contract. Default False keeps plan construction
+    action-free.
     """
     ln = links.select("doc_id", "entity_id").distinct()
     if max_doc_degree is not None:
@@ -74,6 +82,8 @@ def entity_relatedness(
             .filter(F.col("_deg") <= F.lit(int(max_doc_degree)))
             .drop("_deg")
         )
+    if materialize:
+        ln = ln.localCheckpoint(eager=True)
     cnt = ln.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_in"))
     n_docs = ln.agg(F.count_distinct("doc_id").alias("n_docs"))
     a = ln.select("doc_id", F.col("entity_id").alias("entity_a"))
