@@ -353,15 +353,18 @@ def test_entity_pagerank_plan_is_pure_jvm(spark):
 
 def test_coherence_rerank_query_plan_shape(spark):
     """The collective-rerank driver query: the candidate table is persisted
-    once and every fan-out consumer (pool, paired, the relatedness build's
-    self-join sides and counts) reads the cache — the detection scan's
-    MapInPandas appears in the printed plan only under InMemoryRelation
-    provenance, so count cache scans, not Python markers. The anchor
+    once and the rerank's fan-out consumers (pool, paired) read the cache —
+    the detection scan's MapInPandas appears in the printed plan only under
+    InMemoryRelation provenance, so count cache scans, not Python markers.
+    The relatedness build's four link-table consumers read the operator's
+    eager localCheckpoint instead (entity_relatedness materialize=True —
+    round-6 change #11), which prints as Scan ExistingRDD. The anchor
     dictionary rides a broadcast; the only joins are equi-joins."""
     from xlink_spark.driver_queries import q_coherence_rerank
 
     plan = _plan(q_coherence_rerank(spark, "/root/testdata/sf0.001"))
-    assert plan.count("InMemoryTableScan") >= 4  # pool/paired/rel fan-out
+    assert plan.count("InMemoryTableScan") >= 2  # pool/paired fan-out
+    assert "ExistingRDD" in plan  # the materialized distinct link table
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 
