@@ -1821,7 +1821,12 @@ def q_linking_pipeline_ascii(spark, sf_dir):
     word_emb = _hash_embeddings_md5(
         spark, sf_dir, _tokens(spark, sf_dir).select("tok"), "tok"
     )
-    egm = q_e_given_m(spark, sf_dir)
+    # egm feeds THREE consumers (the candidate mention-entity table, the
+    # prior lookup, the entity-vector key set); a LAZY checkpoint both
+    # truncates the composed plan the scoring tail re-analyzes (measured
+    # 1-2s driver gaps between jobs on this query) and materializes the
+    # e_given_m chain once instead of three times
+    egm = q_e_given_m(spark, sf_dir).localCheckpoint(eager=False)
     entity_emb = _hash_embeddings_md5(
         spark, sf_dir, egm.select("entity_id"), "entity_id"
     )
@@ -1979,7 +1984,10 @@ def q_linking_seeded_ascii(spark, sf_dir):
     word_emb = _hash_embeddings_md5(
         spark, sf_dir, _tokens(spark, sf_dir).select("tok"), "tok"
     )
-    egm = q_e_given_m(spark, sf_dir)
+    # five consumers (entity-vector keys, the refined dictionary's seed
+    # and candidate sides) — lazy checkpoint, the q_linking_pipeline_ascii
+    # pattern (plan truncation + single materialization)
+    egm = q_e_given_m(spark, sf_dir).localCheckpoint(eager=False)
     entity_emb = _hash_embeddings_md5(
         spark, sf_dir, egm.select("entity_id"), "entity_id"
     )
